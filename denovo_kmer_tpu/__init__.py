@@ -1,0 +1,21 @@
+"""denovo_kmer_tpu — TPU-native de novo k-mer trio analysis engine.
+
+A brand-new JAX / XLA / shard_map / Pallas framework with the capabilities of
+``jlanej/denovo_kmer`` (reference snapshot surveyed in SURVEY.md): extract canonical k-mers from
+a child's BAM reads, count them against parental k-mer sets, and flag child-unique k-mers as de
+novo mutation candidates.
+
+Layer map (TPU-native; cf. SURVEY.md §1 for the reference's):
+
+- ``io/``       host feeder: BGZF/BAM/FASTA decode → 2-bit packed tensors (L0/L1)
+- ``ops/``      device compute: extraction, tables, probes, trio compare (L2-L4)
+- ``parallel/`` mesh, table sharding, all-to-all probe routing, multi-host (no ref counterpart)
+- ``oracle/``   scalar ground truth for SPEC_SEMANTICS.md
+- ``pipeline``  end-to-end orchestration; ``cli`` the user entry point (L5)
+"""
+
+__version__ = "0.1.0"
+
+from denovo_kmer_tpu.config import EngineConfig
+
+__all__ = ["EngineConfig", "__version__"]

@@ -1,0 +1,110 @@
+"""EngineConfig — the single frozen config object for the whole engine.
+
+Every semantic knob pinned in ``SPEC_SEMANTICS.md`` lives here (the reference's semantics are
+unobservable — see SURVEY.md §0, §7.2 — so they are parameterized). The config hash participates
+in checkpoint keys and golden-test IDs.
+
+Reference parity pointers: the upstream snapshot exposes only CI scaffolding
+(/root/reference/.github/workflows/ci.yml); the CLI-flag surface this config models is inferred
+per SURVEY.md §1 L5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Tuple
+
+# BAM flag bits (SAM spec)
+FLAG_PAIRED = 0x1
+FLAG_PROPER_PAIR = 0x2
+FLAG_UNMAP = 0x4
+FLAG_MUNMAP = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MREVERSE = 0x20
+FLAG_READ1 = 0x40
+FLAG_READ2 = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_QCFAIL = 0x200
+FLAG_DUP = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+#: Default record filter: skip unmapped/secondary/QC-fail/dup/supplementary (SPEC_SEMANTICS §4).
+DEFAULT_FILTER_MASK = (
+    FLAG_UNMAP | FLAG_SECONDARY | FLAG_QCFAIL | FLAG_DUP | FLAG_SUPPLEMENTARY
+)
+
+
+def words_per_kmer(k: int) -> int:
+    """Number of uint32 words holding a 2k-bit k-mer value (SPEC_SEMANTICS §2.1)."""
+    if not 1 <= k <= 63:
+        raise ValueError(f"k must be in [1, 63], got {k}")
+    return -(-2 * k // 32)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Frozen engine configuration. See SPEC_SEMANTICS.md for the meaning of each knob."""
+
+    # --- semantics (SPEC_SEMANTICS §§1-6) ---
+    k: int = 31
+    canonical: bool = True
+    filter_flag_mask: int = DEFAULT_FILTER_MASK
+    min_base_quality: int = 0
+    tau_parent: int = 0
+    min_child_count: int = 2
+
+    # --- batching / static shapes ---
+    #: reads per device batch (per data-parallel shard)
+    batch_reads: int = 4096
+    #: padded read length (bases); reads longer than this are truncated (config error in
+    #: practice — pick >= max read length of the input)
+    max_read_len: int = 160
+
+    # --- table sizing ---
+    #: capacity (slots) of a parental/child k-mer table per shard
+    table_capacity: int = 1 << 20
+    #: capacity of the per-batch unique-kmer staging table used during incremental build
+    batch_unique_capacity: int = 1 << 19
+
+    # --- mesh / sharding ---
+    #: mesh axis sizes: (data-parallel 'reads' axis, table-shard 'table' axis)
+    mesh_shape: Tuple[int, int] = (1, 1)
+    #: per-(src,dst) all-to-all routing capacity factor over the even split
+    route_capacity_factor: float = 1.25
+
+    # --- misc ---
+    #: emit structured JSON metrics
+    json_metrics: bool = False
+
+    @property
+    def words(self) -> int:
+        return words_per_kmer(self.k)
+
+    @property
+    def windows_per_read(self) -> int:
+        return max(self.max_read_len - self.k + 1, 0)
+
+    def config_hash(self) -> str:
+        """Stable hash over the *semantic* knobs only (not batching/mesh), for checkpoint keys
+        and golden-test IDs (SURVEY.md §5.6)."""
+        sem = dict(
+            k=self.k,
+            canonical=self.canonical,
+            filter_flag_mask=self.filter_flag_mask,
+            min_base_quality=self.min_base_quality,
+            tau_parent=self.tau_parent,
+            min_child_count=self.min_child_count,
+        )
+        blob = json.dumps(sem, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    def __post_init__(self):
+        words_per_kmer(self.k)  # validates k
+        if self.max_read_len < self.k:
+            raise ValueError(
+                f"max_read_len ({self.max_read_len}) must be >= k ({self.k})"
+            )
+        if self.mesh_shape[0] < 1 or self.mesh_shape[1] < 1:
+            raise ValueError(f"bad mesh_shape {self.mesh_shape}")

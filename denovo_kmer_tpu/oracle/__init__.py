@@ -1,0 +1,31 @@
+"""Scalar oracle — the normative, deliberately-slow implementation of SPEC_SEMANTICS.md.
+
+Every device kernel is property-tested against this module (SURVEY.md §4.1). It stands in for
+the unobservable upstream ``kmer.rs`` / ``counter.rs`` semantics until those are reachable.
+"""
+
+from denovo_kmer_tpu.oracle.scalar import (
+    encode_base,
+    encode_kmer,
+    decode_kmer,
+    revcomp_value,
+    canonical_value,
+    read_kmers,
+    count_reads,
+    trio_candidates,
+    kmer_value_to_words,
+    words_to_kmer_value,
+)
+
+__all__ = [
+    "encode_base",
+    "encode_kmer",
+    "decode_kmer",
+    "revcomp_value",
+    "canonical_value",
+    "read_kmers",
+    "count_reads",
+    "trio_candidates",
+    "kmer_value_to_words",
+    "words_to_kmer_value",
+]

@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device CPU mesh so sharding tests run hermetically
+(SURVEY.md §4.3), mirroring how the reference's `cargo test` runs on a bare runner."""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cfg21():
+    from denovo_kmer_tpu.config import EngineConfig
+
+    return EngineConfig(k=21, max_read_len=64, batch_reads=32,
+                        table_capacity=1 << 12, batch_unique_capacity=1 << 11)

@@ -1,0 +1,162 @@
+"""Unit tests for the scalar oracle — the hermetic codec/counter tests, modeled on the
+reference's `cargo test` strategy (SURVEY.md §4)."""
+
+import random
+
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig, words_per_kmer
+from denovo_kmer_tpu.oracle import (
+    canonical_value,
+    count_reads,
+    decode_kmer,
+    encode_kmer,
+    kmer_value_to_words,
+    read_kmers,
+    revcomp_value,
+    trio_candidates,
+    words_to_kmer_value,
+)
+
+RC = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+def rc_str(s):
+    return "".join(RC[c] for c in reversed(s))
+
+
+def rand_seq(rng, n, alphabet="ACGT"):
+    return "".join(rng.choice(alphabet) for _ in range(n))
+
+
+def test_encode_decode_roundtrip():
+    rng = random.Random(0)
+    for k in (1, 2, 15, 16, 21, 31, 32, 41, 63):
+        for _ in range(20):
+            s = rand_seq(rng, k)
+            v = encode_kmer(s)
+            assert decode_kmer(v, k) == s
+            assert 0 <= v < 4**k
+
+
+def test_revcomp_involution_and_string_match():
+    rng = random.Random(1)
+    for k in (15, 21, 31, 41, 63):
+        for _ in range(20):
+            s = rand_seq(rng, k)
+            v = encode_kmer(s)
+            assert revcomp_value(revcomp_value(v, k), k) == v
+            assert decode_kmer(revcomp_value(v, k), k) == rc_str(s)
+
+
+def test_canonical_idempotent_and_orientation_invariant():
+    rng = random.Random(2)
+    for k in (21, 31):
+        for _ in range(50):
+            s = rand_seq(rng, k)
+            v = encode_kmer(s)
+            c = canonical_value(v, k)
+            assert canonical_value(c, k) == c
+            assert canonical_value(encode_kmer(rc_str(s)), k) == c
+
+
+def test_lexicographic_order_matches_integer_order():
+    rng = random.Random(3)
+    k = 21
+    strs = [rand_seq(rng, k) for _ in range(200)]
+    vals = [encode_kmer(s) for s in strs]
+    assert sorted(strs) == [decode_kmer(v, k) for v in sorted(vals)]
+
+
+def test_word_layout_roundtrip_and_order():
+    rng = random.Random(4)
+    for k in (15, 16, 21, 31, 41, 63):
+        w = words_per_kmer(k)
+        vals = [encode_kmer(rand_seq(rng, k)) for _ in range(100)]
+        wordss = [kmer_value_to_words(v, k) for v in vals]
+        assert all(len(ws) == w for ws in wordss)
+        assert all(words_to_kmer_value(ws) == v for ws, v in zip(wordss, vals))
+        # lexicographic word order == integer order
+        order_v = sorted(range(len(vals)), key=lambda i: vals[i])
+        order_w = sorted(range(len(vals)), key=lambda i: wordss[i])
+        assert [vals[i] for i in order_v] == [vals[i] for i in order_w]
+
+
+def test_window_restart_on_invalid_base():
+    cfg = EngineConfig(k=3, max_read_len=16)
+    # ACGNTACG: windows touching the N are skipped; emitted in window order
+    got = read_kmers("ACGNTACG", cfg)
+    want = [canonical_value(encode_kmer(s), 3) for s in ("ACG", "TAC", "ACG")]
+    assert got == want
+    assert read_kmers("NNN", cfg) == []
+    assert read_kmers("AC", cfg) == []  # shorter than k
+
+
+def test_case_insensitive():
+    cfg = EngineConfig(k=5, max_read_len=16)
+    assert read_kmers("acgta", cfg) == read_kmers("ACGTA", cfg)
+
+
+def test_quality_filter():
+    cfg = EngineConfig(k=3, max_read_len=16, min_base_quality=20)
+    seq = "ACGTA"
+    qual = [30, 30, 10, 30, 30]
+    got = read_kmers(seq, cfg, qual)
+    assert got == []  # every 3-window touches position 2
+    qual = [30, 30, 30, 30, 5]
+    got = read_kmers(seq, cfg, qual)
+    want = [canonical_value(encode_kmer(s), 3) for s in ("ACG", "CGT")]
+    assert got == want
+
+
+def test_record_filter_mask():
+    cfg = EngineConfig(k=3, max_read_len=16)
+    reads = [("ACGTT", None, 0), ("ACGTT", None, 0x400)]  # second is a duplicate
+    t = count_reads(reads, cfg)
+    assert sum(t.values()) == 3  # only the first read's 3 windows
+
+
+def test_counting_multiplicity():
+    cfg = EngineConfig(k=3, max_read_len=16)
+    t = count_reads([("AAAAA", None, 0)], cfg)
+    # AAA canonical is min(AAA, TTT) = AAA; 3 windows
+    assert t == {encode_kmer("AAA"): 3}
+
+
+def test_trio_candidates_rule():
+    cfg = EngineConfig(k=3, tau_parent=0, min_child_count=2, max_read_len=16)
+    mom = {1: 5, 2: 1}
+    dad = {1: 4, 3: 2}
+    child = {1: 9, 2: 3, 3: 3, 4: 2, 5: 1}
+    cands = trio_candidates(mom, dad, child, cfg)
+    # kmer 1: in both parents -> no. kmer 2: mom has 1 > tau -> no. kmer 3: dad -> no.
+    # kmer 4: absent from both, child count 2 >= 2 -> yes. kmer 5: child count 1 < 2 -> no.
+    assert cands == [(4, 2, 0, 0)]
+    cfg2 = EngineConfig(k=3, tau_parent=1, min_child_count=2, max_read_len=16)
+    cands2 = trio_candidates(mom, dad, child, cfg2)
+    # kmer 3 still excluded: dad count 2 > tau 1
+    assert cands2 == [(2, 3, 1, 0), (4, 2, 0, 0)]
+
+
+def test_palindrome_even_k():
+    # Even k can have self-revcomp k-mers; canonical must be stable.
+    s = "ACGT"  # revcomp(ACGT) == ACGT
+    v = encode_kmer(s)
+    assert revcomp_value(v, 4) == v
+    assert canonical_value(v, 4) == v
+
+
+@pytest.mark.parametrize("k", [15, 21, 31, 41])
+def test_read_kmers_matches_naive_string_impl(k):
+    rng = random.Random(k)
+    cfg = EngineConfig(k=k, max_read_len=256)
+    for _ in range(10):
+        seq = rand_seq(rng, 120, alphabet="ACGTN")
+        got = read_kmers(seq, cfg)
+        want = []
+        for i in range(len(seq) - k + 1):
+            w = seq[i : i + k]
+            if "N" in w:
+                continue
+            want.append(min(encode_kmer(w), encode_kmer(rc_str(w))))
+        assert got == want
