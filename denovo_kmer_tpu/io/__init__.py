@@ -1,0 +1,23 @@
+"""Host-side I/O feeder layer (reference layers L0/L1, SURVEY.md §1).
+
+The reference reads BAM/CRAM through vendored HTSlib C code (inferred from its CI dependency set,
+/root/reference/.github/workflows/ci.yml:18-27). Here the portable path is a pure-Python
+BGZF/BAM codec (this package) used for tests, fixtures and the oracle; the performance path is a
+C++ ingest shim (``denovo_kmer_tpu/io/_native``) that inflates BGZF blocks and 2-bit-packs reads
+directly into device-feedable buffers. Both expose the same record interface.
+"""
+
+from denovo_kmer_tpu.io.bam import BamReader, BamWriter, BamRecord, read_bam_records
+from denovo_kmer_tpu.io.bgzf import BgzfReader, BgzfWriter
+from denovo_kmer_tpu.io.fasta import read_fasta, read_fastq
+
+__all__ = [
+    "BamReader",
+    "BamWriter",
+    "BamRecord",
+    "read_bam_records",
+    "BgzfReader",
+    "BgzfWriter",
+    "read_fasta",
+    "read_fastq",
+]

@@ -1,0 +1,205 @@
+"""BAM codec (pure Python) — record-level reader/writer over BGZF.
+
+Implements the BAM v1 on-disk format (SAMv1 spec §4): the reference consumes this format through
+HTSlib (SURVEY.md §1 L1, inferred from ci.yml:18-27). The reader yields the exact fields the
+k-mer pipeline needs (flag, seq, qual); the writer exists to build deterministic test fixtures
+(the reference's tests are hermetic with bundled fixtures per SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import BinaryIO, Iterator, List, Optional, Sequence, Tuple
+
+from denovo_kmer_tpu.io.bgzf import BgzfReader, BgzfWriter, BgzfError
+
+BAM_MAGIC = b"BAM\x01"
+
+#: 4-bit nibble code → base character (SAMv1 §4.2.3)
+NIB2BASE = "=ACMGRSVTWYHKDBN"
+BASE2NIB = {c: i for i, c in enumerate(NIB2BASE)}
+BASE2NIB.update({c.lower(): i for i, c in enumerate(NIB2BASE) if c.isalpha()})
+BASE2NIB["n"] = 15
+
+CIGAR_OPS = "MIDNSHP=X"
+
+
+@dataclasses.dataclass
+class BamRecord:
+    name: str
+    flag: int
+    refid: int = -1
+    pos: int = -1  # 0-based
+    mapq: int = 255
+    cigar: Tuple[Tuple[int, int], ...] = ()  # (oplen, opcode)
+    seq: str = ""
+    qual: Optional[Tuple[int, ...]] = None  # None = missing ('*')
+    next_refid: int = -1
+    next_pos: int = -1
+    tlen: int = 0
+
+
+class BamError(ValueError):
+    pass
+
+
+class BamReader:
+    """Iterate BamRecords from a BGZF-compressed BAM file."""
+
+    def __init__(self, f: BinaryIO):
+        self._bgzf = BgzfReader(f)
+        magic = self._bgzf.readexactly(4)
+        if magic != BAM_MAGIC:
+            raise BamError(f"bad BAM magic {magic!r}")
+        (l_text,) = struct.unpack("<i", self._bgzf.readexactly(4))
+        self.header_text = self._bgzf.readexactly(l_text).rstrip(b"\x00").decode(
+            "utf-8", "replace"
+        )
+        (n_ref,) = struct.unpack("<i", self._bgzf.readexactly(4))
+        self.references: List[Tuple[str, int]] = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", self._bgzf.readexactly(4))
+            name = self._bgzf.readexactly(l_name)[:-1].decode()
+            (l_ref,) = struct.unpack("<i", self._bgzf.readexactly(4))
+            self.references.append((name, l_ref))
+
+    def tell_virtual(self) -> int:
+        return self._bgzf.tell_virtual()
+
+    def seek_virtual(self, voffset: int) -> None:
+        self._bgzf.seek_virtual(voffset)
+
+    def __iter__(self) -> Iterator[BamRecord]:
+        return self
+
+    def __next__(self) -> BamRecord:
+        head = self._bgzf.read(4)
+        if len(head) == 0:
+            raise StopIteration
+        if len(head) < 4:
+            raise BamError("truncated record length")
+        (block_size,) = struct.unpack("<i", head)
+        body = self._bgzf.readexactly(block_size)
+        return _parse_record(body)
+
+
+def _parse_record(body: bytes) -> BamRecord:
+    (
+        refid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+        next_refid, next_pos, tlen,
+    ) = struct.unpack_from("<iiBBHHHiiii", body, 0)
+    off = 32
+    name = body[off : off + l_read_name - 1].decode()
+    off += l_read_name
+    cigar = []
+    for _ in range(n_cigar):
+        (u,) = struct.unpack_from("<I", body, off)
+        cigar.append((u >> 4, u & 0xF))
+        off += 4
+    nbytes = (l_seq + 1) // 2
+    seq_chars = []
+    for i in range(l_seq):
+        b = body[off + (i >> 1)]
+        nib = (b >> 4) if (i & 1) == 0 else (b & 0xF)
+        seq_chars.append(NIB2BASE[nib])
+    off += nbytes
+    qual_raw = body[off : off + l_seq]
+    off += l_seq
+    qual: Optional[Tuple[int, ...]]
+    if l_seq and all(q == 0xFF for q in qual_raw):
+        qual = None
+    else:
+        qual = tuple(qual_raw)
+    return BamRecord(
+        name=name, flag=flag, refid=refid, pos=pos, mapq=mapq,
+        cigar=tuple(cigar), seq="".join(seq_chars), qual=qual,
+        next_refid=next_refid, next_pos=next_pos, tlen=tlen,
+    )
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    """SAMv1 spec bin computation (for the mandatory bin field)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class BamWriter:
+    """Write a BAM file (used to build hermetic test fixtures and the synthetic trio)."""
+
+    def __init__(
+        self,
+        f: BinaryIO,
+        references: Sequence[Tuple[str, int]] = (),
+        header_text: str = "@HD\tVN:1.6\tSO:unsorted\n",
+        level: int = 6,
+    ):
+        self._w = BgzfWriter(f, level=level)
+        text = header_text.encode()
+        out = bytearray()
+        out += BAM_MAGIC
+        out += struct.pack("<i", len(text))
+        out += text
+        out += struct.pack("<i", len(references))
+        for name, length in references:
+            nb = name.encode() + b"\x00"
+            out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+        self._w.write(bytes(out))
+
+    def write(self, rec: BamRecord) -> None:
+        name_b = rec.name.encode() + b"\x00"
+        l_seq = len(rec.seq)
+        nib = bytearray((l_seq + 1) // 2)
+        for i, ch in enumerate(rec.seq):
+            code = BASE2NIB.get(ch, 15)
+            if i & 1 == 0:
+                nib[i >> 1] |= code << 4
+            else:
+                nib[i >> 1] |= code
+        if rec.qual is None:
+            qual_b = bytes([0xFF]) * l_seq
+        else:
+            if len(rec.qual) != l_seq:
+                raise BamError("qual length != seq length")
+            qual_b = bytes(rec.qual)
+        end = rec.pos + max(sum(n for n, op in rec.cigar if op in (0, 2, 3, 7, 8)), 1)
+        body = bytearray()
+        body += struct.pack(
+            "<iiBBHHHiiii",
+            rec.refid, rec.pos, len(name_b), rec.mapq,
+            _reg2bin(max(rec.pos, 0), max(end, 1)),
+            len(rec.cigar), rec.flag, l_seq,
+            rec.next_refid, rec.next_pos, rec.tlen,
+        )
+        body += name_b
+        for n, op in rec.cigar:
+            body += struct.pack("<I", (n << 4) | op)
+        body += bytes(nib)
+        body += qual_b
+        self._w.write(struct.pack("<i", len(body)) + bytes(body))
+
+    def close(self) -> None:
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_bam_records(path: str) -> Iterator[BamRecord]:
+    """Convenience: iterate all records of a BAM file path."""
+    with open(path, "rb") as f:
+        reader = BamReader(f)
+        yield from reader

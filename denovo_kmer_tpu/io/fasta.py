@@ -1,0 +1,45 @@
+"""Minimal FASTA/FASTQ readers (plain or gzip), for fixtures and non-BAM input."""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator, List, Optional, Tuple
+
+
+def _open_text(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt")
+    return open(path, "rt")
+
+
+def read_fasta(path: str) -> Iterator[Tuple[str, str]]:
+    """Yield (name, sequence) pairs."""
+    name: Optional[str] = None
+    seq: List[str] = []
+    with _open_text(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if name is not None:
+                    yield name, "".join(seq)
+                name = line[1:].split()[0]
+                seq = []
+            else:
+                seq.append(line)
+        if name is not None:
+            yield name, "".join(seq)
+
+
+def read_fastq(path: str) -> Iterator[Tuple[str, str, Tuple[int, ...]]]:
+    """Yield (name, sequence, phred_qualities)."""
+    with _open_text(path) as f:
+        while True:
+            hdr = f.readline()
+            if not hdr:
+                return
+            seq = f.readline().strip()
+            f.readline()  # '+'
+            qual = f.readline().strip()
+            yield hdr.strip()[1:].split()[0], seq, tuple(ord(c) - 33 for c in qual)

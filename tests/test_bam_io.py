@@ -1,0 +1,108 @@
+"""BGZF/BAM codec tests: roundtrip, virtual offsets, synthetic trio generation."""
+
+import io
+import random
+
+from denovo_kmer_tpu.io.bam import BamReader, BamRecord, BamWriter
+from denovo_kmer_tpu.io.bgzf import BGZF_EOF, BgzfReader, BgzfWriter, iter_block_offsets
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+
+
+def test_bgzf_roundtrip_small_and_multiblock():
+    rng = random.Random(0)
+    for size in (0, 1, 100, 65279, 65280, 65281, 300_000):
+        data = bytes(rng.randrange(256) for _ in range(min(size, 4096))) * (
+            max(size // 4096, 1)
+        )
+        data = data[:size]
+        buf = io.BytesIO()
+        with BgzfWriter(buf) as w:
+            w.write(data)
+        raw = buf.getvalue()
+        assert raw.endswith(BGZF_EOF)
+        r = BgzfReader(io.BytesIO(raw))
+        assert r.read(size + 10) == data
+        assert r.at_eof()
+
+
+def test_bgzf_virtual_offsets():
+    buf = io.BytesIO()
+    with BgzfWriter(buf) as w:
+        w.write(b"A" * 70000)  # spans two blocks
+        w.write(b"XYZ")
+    r = BgzfReader(io.BytesIO(buf.getvalue()))
+    r.read(10)
+    v = r.tell_virtual()
+    rest1 = r.read(10)
+    r.seek_virtual(v)
+    rest2 = r.read(10)
+    assert rest1 == rest2
+
+    blocks = list(iter_block_offsets(io.BytesIO(buf.getvalue())))
+    assert sum(n for _, n in blocks) == 70003
+    assert blocks[0][0] == 0
+
+
+def _mkrec(name, seq, flag=0, qual=None):
+    return BamRecord(
+        name=name, flag=flag, refid=0, pos=5, mapq=60,
+        cigar=((len(seq), 0),), seq=seq, qual=qual,
+    )
+
+
+def test_bam_roundtrip():
+    recs = [
+        _mkrec("r1", "ACGTACGTAC", qual=tuple(range(30, 40))),
+        _mkrec("r2", "NNACGTNN", flag=0x10),
+        _mkrec("r3", "A"),
+        BamRecord(name="unmapped", flag=0x4, seq="ACGT", qual=(1, 2, 3, 4)),
+    ]
+    buf = io.BytesIO()
+    with BamWriter(buf, references=[("chr20", 123456)], header_text="@HD\tVN:1.6\n") as w:
+        for r in recs:
+            w.write(r)
+    rd = BamReader(io.BytesIO(buf.getvalue()))
+    assert rd.references == [("chr20", 123456)]
+    assert rd.header_text == "@HD\tVN:1.6\n"
+    got = list(rd)
+    assert len(got) == len(recs)
+    for a, b in zip(recs, got):
+        assert a.name == b.name
+        assert a.flag == b.flag
+        assert a.seq == b.seq
+        assert a.qual == b.qual
+        assert a.pos == b.pos or a.refid == -1
+        assert a.cigar == b.cigar
+
+
+def test_bam_missing_qual_roundtrips_as_none():
+    buf = io.BytesIO()
+    with BamWriter(buf) as w:
+        w.write(BamRecord(name="q", flag=4, seq="ACGT", qual=None))
+    got = list(BamReader(io.BytesIO(buf.getvalue())))
+    assert got[0].qual is None
+
+
+def test_synth_trio_deterministic_and_written():
+    spec = TrioSpec(genome_len=2000, read_len=50, coverage=4.0, seed=7,
+                    n_inherited_snvs=5, n_denovo_snvs=2)
+    t1 = make_trio(spec)
+    t2 = make_trio(spec)
+    assert t1.reference == t2.reference
+    assert t1.denovo_positions == t2.denovo_positions
+    assert [r.seq for r in t1.reads["child"]] == [r.seq for r in t2.reads["child"]]
+    assert set(t1.reads) == {"mom", "dad", "child"}
+    # de novo SNVs differ from both parents at those positions
+    for p in t1.denovo_positions:
+        cbase = t1.haplotypes["child"][0][p]
+        assert cbase != t1.haplotypes["mom"][0][p]
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        paths = write_trio_bams(t1, d)
+        rd = BamReader(open(paths["child"], "rb"))
+        got = list(rd)
+        assert len(got) == len(t1.reads["child"])
+        assert got[0].seq == t1.reads["child"][0].seq
+        rd._bgzf._f.close()
