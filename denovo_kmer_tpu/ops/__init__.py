@@ -1,0 +1,30 @@
+"""Device compute ops (reference layers L2-L4, SURVEY.md §1).
+
+The upstream `kmer.rs` / `counter.rs` hot loops (SURVEY.md §3.2-3.3) become, TPU-natively:
+
+- ``pack``      host: BAM records → 2-bit packed uint32 word tensors + validity bitmasks
+- ``extract``   device: packed words → canonical multi-word k-mers (vectorized; Pallas variant
+                in ``pallas_extract``)
+- ``table``     device: sorted k-mer table — build / merge / binary-search probe
+- ``trio``      device: de novo candidate rule + compaction
+
+Everything is static-shape: dynamic counts become masks and capacities (SURVEY.md §7.1).
+"""
+
+from denovo_kmer_tpu.ops.pack import PackedReads, pack_records, pack_seqs
+from denovo_kmer_tpu.ops.extract import extract_canonical_kmers
+from denovo_kmer_tpu.ops.table import KmerTable, build_table, merge_tables, probe_table, empty_table
+from denovo_kmer_tpu.ops.trio import candidate_flags
+
+__all__ = [
+    "PackedReads",
+    "pack_records",
+    "pack_seqs",
+    "extract_canonical_kmers",
+    "KmerTable",
+    "build_table",
+    "merge_tables",
+    "probe_table",
+    "empty_table",
+    "candidate_flags",
+]

@@ -1,0 +1,86 @@
+"""Vectorized canonical k-mer extraction (device, pure jax.numpy reference path).
+
+Implements SPEC_SEMANTICS §2-3 on packed read tensors. This is the XLA-fused baseline the Pallas
+kernel (``pallas_extract``) must match bit-exactly; it replaces the reference's scalar rolling
+window in `kmer.rs` (SURVEY.md §3.2 hot loop #2) with a window-parallel formulation:
+
+- unpack 2-bit codes from uint32 words (static gathers + shifts, VPU-friendly)
+- for each of the k offsets j, shift-OR the code plane into the right 32-bit word of the
+  forward value and the complement plane into the reverse value (no bit-field ever straddles a
+  word boundary: fields are 2 bits at even bit positions)
+- window validity via an exclusive prefix sum over invalid flags
+- canonical = lexicographic min over big-endian words
+
+Cost is O(k) fused elementwise passes over (B, P) planes — bandwidth-bound on VPU, which XLA
+fuses into a handful of loops. The Pallas variant turns this into an O(1)-per-position rolling
+update in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from denovo_kmer_tpu.config import words_per_kmer
+
+
+def unpack_codes(words: jnp.ndarray, vwords: jnp.ndarray, padded_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, Lp//16) packed words → ((B, Lp) uint32 codes, (B, Lp) bool valid)."""
+    pos = np.arange(padded_len)
+    w_idx = pos // 16
+    w_sh = (2 * (pos % 16)).astype(np.uint32)
+    codes = (words[:, w_idx] >> jnp.asarray(w_sh)[None, :]) & jnp.uint32(3)
+    v_idx = pos // 32
+    v_sh = (pos % 32).astype(np.uint32)
+    valid = ((vwords[:, v_idx] >> jnp.asarray(v_sh)[None, :]) & jnp.uint32(1)).astype(bool)
+    return codes, valid
+
+
+def extract_canonical_kmers(
+    words: jnp.ndarray,
+    vwords: jnp.ndarray,
+    k: int,
+    max_read_len: int,
+    canonical: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed reads → (kmers (B, P, W) uint32 big-endian words, valid (B, P) bool).
+
+    P = max_read_len - k + 1 windows per read, in window order (SPEC_SEMANTICS §3).
+    """
+    B = words.shape[0]
+    Lp = words.shape[1] * 16
+    P = max_read_len - k + 1
+    W = words_per_kmer(k)
+    codes, valid = unpack_codes(words, vwords, Lp)
+
+    fwd = [jnp.zeros((B, P), jnp.uint32) for _ in range(W)]
+    rev = [jnp.zeros((B, P), jnp.uint32) for _ in range(W)]
+    for j in range(k):
+        c = codes[:, j : j + P]
+        bit_f = 2 * (k - 1 - j)
+        fwd[W - 1 - bit_f // 32] |= c << jnp.uint32(bit_f % 32)
+        bit_r = 2 * j
+        rev[W - 1 - bit_r // 32] |= (c ^ jnp.uint32(3)) << jnp.uint32(bit_r % 32)
+
+    if canonical:
+        lt = jnp.zeros((B, P), bool)
+        eq = jnp.ones((B, P), bool)
+        for w in range(W):
+            lt = lt | (eq & (fwd[w] < rev[w]))
+            eq = eq & (fwd[w] == rev[w])
+        use_fwd = lt | eq
+        out = [jnp.where(use_fwd, f, r) for f, r in zip(fwd, rev)]
+    else:
+        out = fwd
+
+    # window valid iff no invalid base among its k (exclusive-prefix-sum trick)
+    inv = (~valid).astype(jnp.int32)
+    csum = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(inv, axis=1)], axis=1
+    )
+    win_valid = (csum[:, k : k + P] - csum[:, :P]) == 0
+
+    kmers = jnp.stack(out, axis=-1)  # (B, P, W)
+    return kmers, win_valid

@@ -1,0 +1,104 @@
+"""Host-side 2-bit packing: read records → fixed-width device tensors.
+
+This is the host half of the feeder contract (BASELINE.json: "Reads are decoded into fixed-width
+2-bit-packed tensors"). Packing is numpy-vectorized; the C++ ingest shim produces the identical
+layout straight from BGZF blocks.
+
+Layout (per batch of B reads, padded length Lp = ceil(max_read_len/32)*32):
+- ``words``  (B, Lp//16) uint32 — base j of read i sits in word j//16, bits 2*(j%16)..+1 (LSB-first)
+- ``vwords`` (B, Lp//32) uint32 — validity bit j at bit j%32 of word j//32 (1 = valid ACGT base
+  passing the quality policy; padding beyond the read length is 0)
+- ``length`` (B,) int32 — read lengths (before padding)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from denovo_kmer_tpu.config import EngineConfig
+
+#: byte → 2-bit code LUT; 255 = invalid
+_CODE_LUT = np.full(256, 255, dtype=np.uint8)
+for i, ch in enumerate(b"ACGT"):
+    _CODE_LUT[ch] = i
+for i, ch in enumerate(b"acgt"):
+    _CODE_LUT[ch] = i
+
+
+@dataclasses.dataclass
+class PackedReads:
+    words: np.ndarray  # (B, Lp//16) uint32
+    vwords: np.ndarray  # (B, Lp//32) uint32
+    length: np.ndarray  # (B,) int32
+    n_reads: int  # actual reads in the batch (rest is padding)
+
+    @property
+    def padded_len(self) -> int:
+        return self.words.shape[1] * 16
+
+
+def padded_length(max_read_len: int) -> int:
+    return -(-max_read_len // 32) * 32
+
+
+def pack_seqs(
+    seqs: Sequence[str],
+    cfg: EngineConfig,
+    quals: Optional[Sequence[Optional[Sequence[int]]]] = None,
+    batch_size: Optional[int] = None,
+) -> PackedReads:
+    """Pack sequences (already record-filtered) into one PackedReads batch."""
+    Lp = padded_length(cfg.max_read_len)
+    B = batch_size if batch_size is not None else len(seqs)
+    if len(seqs) > B:
+        raise ValueError(f"batch overflow: {len(seqs)} > {B}")
+    codes = np.zeros((B, Lp), dtype=np.uint8)
+    valid = np.zeros((B, Lp), dtype=bool)
+    length = np.zeros(B, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        b = s.encode("ascii", "replace")[: cfg.max_read_len]
+        n = len(b)
+        c = _CODE_LUT[np.frombuffer(b, dtype=np.uint8)]
+        ok = c != 255
+        if cfg.min_base_quality > 0 and quals is not None and quals[i] is not None:
+            q = np.asarray(quals[i][: cfg.max_read_len], dtype=np.int32)
+            ok = ok & (q >= cfg.min_base_quality)
+        codes[i, :n] = np.where(ok, c, 0)
+        valid[i, :n] = ok
+        length[i] = n
+    return _pack_codes(codes, valid, length, len(seqs))
+
+
+def _pack_codes(
+    codes: np.ndarray, valid: np.ndarray, length: np.ndarray, n_reads: int
+) -> PackedReads:
+    B, Lp = codes.shape
+    c = codes.astype(np.uint32).reshape(B, Lp // 16, 16)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    words = np.bitwise_or.reduce(c << shifts, axis=2).astype(np.uint32)
+    v = valid.astype(np.uint32).reshape(B, Lp // 32, 32)
+    vshifts = np.arange(32, dtype=np.uint32)[None, None, :]
+    vwords = np.bitwise_or.reduce(v << vshifts, axis=2).astype(np.uint32)
+    return PackedReads(words=words, vwords=vwords, length=length, n_reads=n_reads)
+
+
+def pack_records(
+    records: Iterable,  # Iterable[BamRecord-like] with .seq/.qual/.flag
+    cfg: EngineConfig,
+) -> Iterator[PackedReads]:
+    """Apply the record filter (SPEC_SEMANTICS §4) and yield fixed-size packed batches."""
+    seqs: List[str] = []
+    quals: List[Optional[Sequence[int]]] = []
+    for rec in records:
+        if rec.flag & cfg.filter_flag_mask:
+            continue
+        seqs.append(rec.seq)
+        quals.append(rec.qual)
+        if len(seqs) == cfg.batch_reads:
+            yield pack_seqs(seqs, cfg, quals, batch_size=cfg.batch_reads)
+            seqs, quals = [], []
+    if seqs:
+        yield pack_seqs(seqs, cfg, quals, batch_size=cfg.batch_reads)

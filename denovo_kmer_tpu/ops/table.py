@@ -1,0 +1,164 @@
+"""Device k-mer table: sorted multi-word keys + counts, static capacity.
+
+TPU-native replacement for the reference's hash-map counter (`counter.rs`, SURVEY.md §1 L3):
+instead of pointer-chasing hash buckets, the table is a sorted array of W-word uint32 keys with
+a parallel count vector. Build/merge are sort + segment-aggregate (MXU-free, sort-unit bound);
+probes are vectorized branch-free binary searches (log2(C) rounds of W gathers). Every
+operation is static-shape: dynamic uniqueness becomes a capacity + mask (SURVEY.md §7.1).
+
+Invariants:
+- ``keys[:n]``  valid entries, strictly increasing in lexicographic word order
+- ``keys[n:]``  padding = all 0xFFFFFFFF, ``counts[n:] = 0``
+- lexicographic word order == integer order on the 2k-bit value (SPEC_SEMANTICS §2.1)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_PAD = jnp.uint32(0xFFFFFFFF)
+
+
+class KmerTable(NamedTuple):
+    keys: jnp.ndarray  # (C, W) uint32, sorted, padding last
+    counts: jnp.ndarray  # (C,) uint32
+    n: jnp.ndarray  # () int32 — number of valid entries
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def words(self) -> int:
+        return self.keys.shape[1]
+
+
+def empty_table(capacity: int, words: int) -> KmerTable:
+    return KmerTable(
+        keys=jnp.full((capacity, words), _PAD, jnp.uint32),
+        counts=jnp.zeros((capacity,), jnp.uint32),
+        n=jnp.zeros((), jnp.int32),
+    )
+
+
+def _aggregate(
+    kmers: jnp.ndarray,  # (N, W) uint32
+    weights: jnp.ndarray,  # (N,) uint32
+    valid: jnp.ndarray,  # (N,) bool
+    capacity: int,
+) -> KmerTable:
+    """Sort (invalid-last), group equal keys, segment-add weights → sorted table.
+
+    Returns a table whose ``n`` is the true unique count; if it exceeds ``capacity`` the
+    overflow groups are dropped (callers check ``n <= capacity`` host-side — see
+    pipeline.TableOverflowError).
+    """
+    N, W = kmers.shape
+    inv_key = (~valid).astype(jnp.uint32)
+    ops = [inv_key] + [kmers[:, w] for w in range(W)] + [weights]
+    sorted_ops = jax.lax.sort(ops, num_keys=W + 1)
+    s_inv = sorted_ops[0].astype(bool)
+    s_words = sorted_ops[1 : 1 + W]
+    s_wts = sorted_ops[1 + W]
+
+    diff = jnp.zeros((N,), bool).at[0].set(True)
+    for w in range(W):
+        diff = diff | jnp.concatenate(
+            [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
+        )
+    s_valid = ~s_inv
+    new_group = diff & s_valid
+    gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # -1 before first valid group
+    n_unique = gid[-1] + 1 if N > 0 else jnp.zeros((), jnp.int32)
+    n_unique = jnp.maximum(n_unique, 0)
+    gid = jnp.where(s_valid, gid, capacity)  # invalid → dropped
+
+    counts = jnp.zeros((capacity,), jnp.uint32).at[gid].add(
+        jnp.where(s_valid, s_wts, 0), mode="drop"
+    )
+    keys = jnp.full((capacity, W), _PAD, jnp.uint32)
+    skey = jnp.stack(s_words, axis=-1)
+    keys = keys.at[gid].set(skey, mode="drop")
+    # groups at gid >= capacity were dropped; also re-pad any slot beyond n_unique
+    slot = jax.lax.broadcasted_iota(jnp.int32, (capacity,), 0)
+    in_range = slot < jnp.minimum(n_unique, capacity)
+    keys = jnp.where(in_range[:, None], keys, _PAD)
+    counts = jnp.where(in_range, counts, 0)
+    return KmerTable(keys=keys, counts=counts, n=n_unique.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def build_table(
+    kmers: jnp.ndarray, valid: jnp.ndarray, capacity: int
+) -> KmerTable:
+    """Build a table from a k-mer stream; each valid k-mer contributes count 1."""
+    flat = kmers.reshape(-1, kmers.shape[-1])
+    v = valid.reshape(-1)
+    return _aggregate(flat, jnp.ones((flat.shape[0],), jnp.uint32), v, capacity)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def merge_tables(a: KmerTable, b: KmerTable, capacity: int) -> KmerTable:
+    """Merge two tables (count addition) into a table of the given capacity."""
+    keys = jnp.concatenate([a.keys, b.keys], axis=0)
+    wts = jnp.concatenate([a.counts, b.counts], axis=0)
+    ca, cb = a.keys.shape[0], b.keys.shape[0]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (ca + cb,), 0)
+    valid = jnp.where(slot < ca, slot < a.n, (slot - ca) < b.n)
+    return _aggregate(keys, wts, valid, capacity)
+
+
+@functools.partial(jax.jit, static_argnames=("accumulate_kmers_capacity",))
+def ingest_batch(
+    table: KmerTable,
+    kmers: jnp.ndarray,
+    valid: jnp.ndarray,
+    accumulate_kmers_capacity: int,
+) -> KmerTable:
+    """One incremental-build step: aggregate a batch and merge it into the running table."""
+    batch_tab = build_table(kmers, valid, accumulate_kmers_capacity)
+    return merge_tables(table, batch_tab, table.keys.shape[0])
+
+
+def _lex_less(a_words, b_words) -> jnp.ndarray:
+    lt = jnp.zeros(a_words[0].shape, bool)
+    eq = jnp.ones(a_words[0].shape, bool)
+    for aw, bw in zip(a_words, b_words):
+        lt = lt | (eq & (aw < bw))
+        eq = eq & (aw == bw)
+    return lt
+
+
+@jax.jit
+def probe_table(table: KmerTable, queries: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized lower-bound binary search: queries (..., W) → counts (...,) uint32.
+
+    Absent k-mers (and probes landing on padding) return 0, matching the oracle's
+    ``table.get(K, 0)`` (SPEC_SEMANTICS §6). This is the reference's `counter.rs` membership
+    probe (SURVEY.md §3.3 hot loop) as log2(C) rounds of branch-free compare/select.
+    """
+    C, W = table.keys.shape
+    q = queries.reshape(-1, W)
+    N = q.shape[0]
+    qw = [q[:, w] for w in range(W)]
+    lo = jnp.zeros((N,), jnp.int32)
+    hi = jnp.full((N,), C, jnp.int32)
+    steps = max(C.bit_length(), 1)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        mk = table.keys[mid]  # (N, W) gather
+        less = _lex_less([mk[:, w] for w in range(W)], qw)
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    idx = jnp.minimum(lo, C - 1)
+    hit = jnp.ones((N,), bool)
+    found_k = table.keys[idx]
+    for w in range(W):
+        hit = hit & (found_k[:, w] == q[:, w])
+    hit = hit & (lo < C) & (lo < table.n)
+    out = jnp.where(hit, table.counts[idx], 0).astype(jnp.uint32)
+    return out.reshape(queries.shape[:-1])

@@ -1,0 +1,80 @@
+"""Trio de novo candidate rule + on-device compaction (reference L4, SURVEY.md §1).
+
+Implements SPEC_SEMANTICS §6 over device tables: probe the child's unique k-mers against both
+parental tables and flag candidates. Compaction (sorting candidates to the front so only the
+small candidate set crosses back to host) fulfils the [SPEC] requirement that the
+candidate-site reporter runs on-device (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from denovo_kmer_tpu.ops.table import KmerTable, probe_table
+
+
+class Candidates(NamedTuple):
+    """Compacted candidate set: first ``n`` rows are real, in ascending k-mer order."""
+
+    keys: jnp.ndarray  # (C, W) uint32
+    child_counts: jnp.ndarray  # (C,) uint32
+    mom_counts: jnp.ndarray  # (C,) uint32
+    dad_counts: jnp.ndarray  # (C,) uint32
+    n: jnp.ndarray  # () int32
+
+
+@functools.partial(jax.jit, static_argnames=("tau_parent", "min_child_count"))
+def candidate_flags(
+    child: KmerTable,
+    mom: KmerTable,
+    dad: KmerTable,
+    tau_parent: int,
+    min_child_count: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Probe parents for every child unique k-mer → (flags (C,), mom_counts, dad_counts)."""
+    mom_counts = probe_table(mom, child.keys)
+    dad_counts = probe_table(dad, child.keys)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (child.keys.shape[0],), 0)
+    flags = (
+        (slot < child.n)
+        & (child.counts >= jnp.uint32(min_child_count))
+        & (mom_counts <= jnp.uint32(tau_parent))
+        & (dad_counts <= jnp.uint32(tau_parent))
+    )
+    return flags, mom_counts, dad_counts
+
+
+@functools.partial(jax.jit, static_argnames=("tau_parent", "min_child_count"))
+def call_candidates(
+    child: KmerTable,
+    mom: KmerTable,
+    dad: KmerTable,
+    tau_parent: int,
+    min_child_count: int,
+) -> Candidates:
+    """Full on-device candidate call: flag + compact-to-front (stable by k-mer order).
+
+    The child table is already sorted ascending, so a stable sort on (!flag) preserves k-mer
+    order within the candidate block — the report order of SPEC_SEMANTICS §7.
+    """
+    flags, mom_counts, dad_counts = candidate_flags(
+        child, mom, dad, tau_parent, min_child_count
+    )
+    not_flag = (~flags).astype(jnp.uint32)
+    W = child.keys.shape[1]
+    ops = [not_flag] + [child.keys[:, w] for w in range(W)] + [
+        child.counts, mom_counts, dad_counts
+    ]
+    s = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    keys = jnp.stack(s[1 : 1 + W], axis=-1)
+    return Candidates(
+        keys=keys,
+        child_counts=s[1 + W],
+        mom_counts=s[2 + W],
+        dad_counts=s[3 + W],
+        n=jnp.sum(flags).astype(jnp.int32),
+    )

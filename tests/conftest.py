@@ -1,15 +1,23 @@
-"""Test configuration: force an 8-device CPU mesh so sharding tests run hermetically
-(SURVEY.md §4.3), mirroring how the reference's `cargo test` runs on a bare runner."""
+"""Test configuration: force a local 8-device CPU mesh so all tests (including sharding tests)
+run hermetically and fast (SURVEY.md §4.3), mirroring how the reference's `cargo test` runs on a
+bare CI runner.
+
+Note: the axon TPU plugin prepends itself to ``jax_platforms`` at import, so the JAX_PLATFORMS
+env var alone cannot force CPU — we must override the config after importing jax.
+"""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before the CPU backend is initialized.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

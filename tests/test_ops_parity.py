@@ -1,0 +1,229 @@
+"""Device-ops parity tests vs the scalar oracle — the keystone tests (SURVEY.md §4.1).
+
+Random sequences (incl. Ns, mixed case), multiple k, exact comparison of extracted k-mer
+multisets, table counts, probes, and the trio candidate rule.
+"""
+
+import random
+from collections import Counter
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig, words_per_kmer
+from denovo_kmer_tpu.oracle import (
+    canonical_value,
+    count_reads,
+    encode_kmer,
+    read_kmers,
+    trio_candidates,
+    words_to_kmer_value,
+    kmer_value_to_words,
+)
+from denovo_kmer_tpu.ops import (
+    build_table,
+    candidate_flags,
+    empty_table,
+    extract_canonical_kmers,
+    merge_tables,
+    pack_seqs,
+    probe_table,
+)
+from denovo_kmer_tpu.ops.table import ingest_batch
+from denovo_kmer_tpu.ops.trio import call_candidates
+
+
+def rand_seq(rng, n, alphabet="ACGTN"):
+    return "".join(rng.choice(alphabet) for _ in range(n))
+
+
+def device_kmer_multiset(seqs, cfg):
+    """Extract on device, return Counter of k-mer values."""
+    packed = pack_seqs(seqs, cfg)
+    kmers, valid = extract_canonical_kmers(
+        jnp.asarray(packed.words), jnp.asarray(packed.vwords), cfg.k, cfg.max_read_len,
+        canonical=cfg.canonical,
+    )
+    km = np.asarray(kmers).reshape(-1, cfg.words)
+    va = np.asarray(valid).reshape(-1)
+    return Counter(words_to_kmer_value(km[i]) for i in range(km.shape[0]) if va[i])
+
+
+@pytest.mark.parametrize("k", [15, 16, 21, 31, 41, 63])
+def test_extract_matches_oracle(k):
+    rng = random.Random(k)
+    cfg = EngineConfig(k=k, max_read_len=100)
+    seqs = [rand_seq(rng, rng.randrange(k, 101)) for _ in range(20)]
+    seqs += ["N" * 100, "A" * 100, rand_seq(rng, k)]  # edge cases incl. min length
+    got = device_kmer_multiset(seqs, cfg)
+    want = Counter()
+    for s in seqs:
+        want.update(read_kmers(s, cfg))
+    assert got == want
+
+
+def test_extract_noncanonical_mode():
+    rng = random.Random(5)
+    cfg = EngineConfig(k=21, max_read_len=60, canonical=False)
+    seqs = [rand_seq(rng, 60, "ACGT") for _ in range(5)]
+    got = device_kmer_multiset(seqs, cfg)
+    want = Counter()
+    for s in seqs:
+        want.update(read_kmers(s, cfg))
+    assert got == want
+
+
+def test_extract_quality_masking():
+    rng = random.Random(6)
+    cfg = EngineConfig(k=11, max_read_len=64, min_base_quality=20)
+    seqs = [rand_seq(rng, 50, "ACGT") for _ in range(8)]
+    quals = [[rng.randrange(0, 41) for _ in s] for s in seqs]
+    packed = pack_seqs(seqs, cfg, quals)
+    kmers, valid = extract_canonical_kmers(
+        jnp.asarray(packed.words), jnp.asarray(packed.vwords), cfg.k, cfg.max_read_len
+    )
+    km = np.asarray(kmers).reshape(-1, cfg.words)
+    va = np.asarray(valid).reshape(-1)
+    got = Counter(words_to_kmer_value(km[i]) for i in range(km.shape[0]) if va[i])
+    want = Counter()
+    for s, q in zip(seqs, quals):
+        want.update(read_kmers(s, cfg, q))
+    assert got == want
+
+
+def table_to_dict(tab, k):
+    n = int(tab.n)
+    keys = np.asarray(tab.keys)[:n]
+    counts = np.asarray(tab.counts)[:n]
+    return {words_to_kmer_value(keys[i]): int(counts[i]) for i in range(n)}
+
+
+def build_from_seqs(seqs, cfg, capacity=4096):
+    packed = pack_seqs(seqs, cfg)
+    kmers, valid = extract_canonical_kmers(
+        jnp.asarray(packed.words), jnp.asarray(packed.vwords), cfg.k, cfg.max_read_len
+    )
+    return build_table(kmers, valid, capacity)
+
+
+@pytest.mark.parametrize("k", [15, 21, 31, 41])
+def test_table_counts_match_oracle(k):
+    rng = random.Random(k * 7)
+    cfg = EngineConfig(k=k, max_read_len=80)
+    seqs = [rand_seq(rng, 80) for _ in range(30)]
+    tab = build_from_seqs(seqs, cfg)
+    got = table_to_dict(tab, k)
+    want = count_reads([(s, None, 0) for s in seqs], cfg)
+    assert got == want
+    # table keys sorted strictly ascending
+    vals = sorted(got)
+    keys = np.asarray(tab.keys)[: int(tab.n)]
+    assert [words_to_kmer_value(keys[i]) for i in range(len(vals))] == vals
+
+
+def test_table_merge_and_ingest():
+    rng = random.Random(11)
+    cfg = EngineConfig(k=21, max_read_len=64)
+    seqs1 = [rand_seq(rng, 64) for _ in range(10)]
+    seqs2 = [rand_seq(rng, 64) for _ in range(10)]
+    t1 = build_from_seqs(seqs1, cfg, capacity=2048)
+    t2 = build_from_seqs(seqs2, cfg, capacity=2048)
+    merged = merge_tables(t1, t2, 4096)
+    want = count_reads([(s, None, 0) for s in seqs1 + seqs2], cfg)
+    assert table_to_dict(merged, 21) == want
+
+    # incremental ingest matches
+    tab = empty_table(4096, cfg.words)
+    for chunk in (seqs1, seqs2):
+        packed = pack_seqs(chunk, cfg)
+        kmers, valid = extract_canonical_kmers(
+            jnp.asarray(packed.words), jnp.asarray(packed.vwords), cfg.k, cfg.max_read_len
+        )
+        tab = ingest_batch(tab, kmers, valid, 2048)
+    assert table_to_dict(tab, 21) == want
+
+
+def test_probe_hits_and_misses():
+    rng = random.Random(12)
+    cfg = EngineConfig(k=31, max_read_len=64)
+    seqs = [rand_seq(rng, 64, "ACGT") for _ in range(20)]
+    tab = build_from_seqs(seqs, cfg)
+    want = count_reads([(s, None, 0) for s in seqs], cfg)
+    # probe every present kmer + some absent ones
+    present = list(want)[:50]
+    absent = []
+    while len(absent) < 20:
+        v = canonical_value(encode_kmer(rand_seq(rng, 31, "ACGT")), 31)
+        if v not in want:
+            absent.append(v)
+    queries = np.array(
+        [kmer_value_to_words(v, 31) for v in present + absent], dtype=np.uint32
+    )
+    got = np.asarray(probe_table(tab, jnp.asarray(queries)))
+    for i, v in enumerate(present):
+        assert got[i] == want[v]
+    for j in range(len(absent)):
+        assert got[len(present) + j] == 0
+
+
+def test_probe_empty_table_returns_zero():
+    tab = empty_table(1024, 2)
+    q = jnp.asarray(np.zeros((5, 2), np.uint32))
+    assert np.asarray(probe_table(tab, q)).tolist() == [0] * 5
+
+
+def test_probe_all_ones_kmer_even_k():
+    # k=16 → 2k == 32*W exactly; all-T kmer collides with the padding sentinel pattern
+    cfg = EngineConfig(k=16, max_read_len=32)
+    seqs = ["T" * 32, "T" * 32]
+    tab = build_from_seqs(seqs, cfg)
+    want = count_reads([(s, None, 0) for s in seqs], cfg)
+    assert table_to_dict(tab, 16) == want
+    # canonical(T^16) = A^16 so the all-ones value is absent; probe it explicitly
+    all_ones = np.full((1, cfg.words), 0xFFFFFFFF, np.uint32)
+    assert int(probe_table(tab, jnp.asarray(all_ones))[0]) == 0
+
+
+def test_trio_candidates_match_oracle():
+    rng = random.Random(13)
+    cfg = EngineConfig(k=21, max_read_len=64, tau_parent=0, min_child_count=2)
+    mom_seqs = [rand_seq(rng, 64, "ACGT") for _ in range(15)]
+    dad_seqs = [rand_seq(rng, 64, "ACGT") for _ in range(15)]
+    # child shares some parental reads and has unique ones (each twice, to pass min_child_count)
+    uniq = [rand_seq(rng, 64, "ACGT") for _ in range(4)]
+    child_seqs = mom_seqs[:5] + dad_seqs[:5] + uniq * 2
+
+    mom_t = build_from_seqs(mom_seqs, cfg)
+    dad_t = build_from_seqs(dad_seqs, cfg)
+    child_t = build_from_seqs(child_seqs, cfg)
+
+    want = trio_candidates(
+        count_reads([(s, None, 0) for s in mom_seqs], cfg),
+        count_reads([(s, None, 0) for s in dad_seqs], cfg),
+        count_reads([(s, None, 0) for s in child_seqs], cfg),
+        cfg,
+    )
+
+    cands = call_candidates(child_t, mom_t, dad_t, cfg.tau_parent, cfg.min_child_count)
+    n = int(cands.n)
+    got = [
+        (
+            words_to_kmer_value(np.asarray(cands.keys)[i]),
+            int(cands.child_counts[i]),
+            int(cands.mom_counts[i]),
+            int(cands.dad_counts[i]),
+        )
+        for i in range(n)
+    ]
+    assert got == want
+    assert n > 0  # the unique reads must produce candidates
+
+
+def test_table_overflow_reports_true_unique_count():
+    rng = random.Random(14)
+    cfg = EngineConfig(k=21, max_read_len=64)
+    seqs = [rand_seq(rng, 64, "ACGT") for _ in range(20)]
+    want = count_reads([(s, None, 0) for s in seqs], cfg)
+    tab = build_from_seqs(seqs, cfg, capacity=32)  # deliberately too small
+    assert int(tab.n) == len(want)  # n reports true uniques so the host can detect overflow
