@@ -1,0 +1,3 @@
+from denovo_kmer_tpu.cli import main
+
+raise SystemExit(main())

