@@ -1,0 +1,26 @@
+"""Distribution layer: device mesh, hash-sharded tables, all-to-all probe routing, multi-host.
+
+The reference is a single-process CPU tool with no distribution (SURVEY.md §2.2-2.3 [OBSERVED]);
+this layer is the TPU-native scaling design the build spec mandates (BASELINE.json north star):
+
+- mesh axes ``("reads", "table")``: read batches stream data-parallel over ``reads``; the
+  parental/child k-mer tables are sharded over ``table`` by a hash of the k-mer (EP-style —
+  table shards are the "experts", the hash is the router, SURVEY.md §2.2)
+- extracted k-mers are dispatched to their owner shard with ``jax.lax.all_to_all`` over ICI,
+  aggregated shard-locally, and per-row partial tables are merged across ``reads`` at
+  end-of-stream (all_gather + fold)
+- because all three samples share the same owner function, the trio candidate call is
+  embarrassingly shard-local: zero communication after the build
+"""
+
+from denovo_kmer_tpu.parallel.mesh import make_mesh
+from denovo_kmer_tpu.parallel.router import bucketize, owner_of, route_capacity
+from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
+
+__all__ = [
+    "make_mesh",
+    "owner_of",
+    "bucketize",
+    "route_capacity",
+    "ShardedKmerEngine",
+]

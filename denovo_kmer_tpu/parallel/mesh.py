@@ -1,0 +1,29 @@
+"""Device mesh construction (reads × table axes)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+AXIS_READS = "reads"
+AXIS_TABLE = "table"
+
+
+def make_mesh(
+    shape: Tuple[int, int], devices: Optional[Sequence] = None
+) -> Mesh:
+    """Mesh over (reads=R, table=T). R*T must equal the device count used.
+
+    On a pod slice the table axis should map to the innermost (fastest ICI) dimension so the
+    probe all-to-all rides ICI neighbors (SURVEY.md §2.3); jax's default device order already
+    gives that for the minor axis.
+    """
+    r, t = shape
+    devs = list(devices) if devices is not None else jax.devices()
+    if r * t > len(devs):
+        raise ValueError(f"mesh {shape} needs {r*t} devices, have {len(devs)}")
+    arr = np.array(devs[: r * t]).reshape(r, t)
+    return Mesh(arr, (AXIS_READS, AXIS_TABLE))

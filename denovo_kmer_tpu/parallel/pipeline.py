@@ -1,0 +1,76 @@
+"""Sharded trio pipeline: the multi-chip counterpart of ``denovo_kmer_tpu.pipeline.run_trio``.
+
+Same host feeder and report path; the device path streams global read batches over the full
+mesh, builds hash-sharded tables for all three samples, and runs the shard-local candidate
+call. Output is bit-identical to the single-chip path (sharding partitions, never approximates).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.oracle.scalar import decode_kmer
+from denovo_kmer_tpu.parallel.mesh import make_mesh
+from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
+from denovo_kmer_tpu.pipeline import TrioResult, _record_stream
+from denovo_kmer_tpu.ops.pack import pack_records
+from denovo_kmer_tpu.utils.metrics import Metrics
+
+
+def build_sample_table_sharded(
+    records,
+    cfg: EngineConfig,
+    engine: ShardedKmerEngine,
+    metrics: Optional[Metrics] = None,
+):
+    m = metrics or Metrics()
+    table = engine.empty_table()
+    for packed in pack_records(records, cfg):
+        m.count("reads_ingested", packed.n_reads)
+        with m.timer("extract_probe"):
+            table = engine.ingest(table, packed)
+        m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
+        m.count("batches", 1)
+    with m.timer("finalize"):
+        table = engine.finalize(table)
+    m.count("unique_kmers", engine.total_unique(table))
+    return table
+
+
+def run_trio_sharded(
+    mom_path: str,
+    dad_path: str,
+    child_path: str,
+    cfg: EngineConfig,
+    metrics: Optional[Metrics] = None,
+    mesh=None,
+) -> TrioResult:
+    m = metrics or Metrics()
+    mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape)
+    engine = ShardedKmerEngine(cfg, mesh)
+
+    tables = {}
+    for name, path in (("mom", mom_path), ("dad", dad_path), ("child", child_path)):
+        with m.timer(f"build_{name}"):
+            tables[name] = build_sample_table_sharded(
+                _record_stream(path, cfg), cfg, engine, m
+            )
+        m.event("table_built", sample=name, unique=engine.total_unique(tables[name]))
+
+    with m.timer("trio_call"):
+        cand_tuples = engine.call(tables["child"], tables["mom"], tables["dad"])
+
+    lines = ["#kmer\tchild_count\tmom_count\tdad_count"]
+    for v, c, mo, d in cand_tuples:
+        lines.append(f"{decode_kmer(v, cfg.k)}\t{c}\t{mo}\t{d}")
+    report = "\n".join(lines) + "\n"
+    m.count("candidates", len(cand_tuples))
+    return TrioResult(
+        candidates=cand_tuples,
+        report=report,
+        metrics=m,
+        tables_n={s: engine.total_unique(t) for s, t in tables.items()},
+    )

@@ -1,0 +1,84 @@
+"""Hash router: k-mer → owner table shard, and MoE-style capacity-bounded dispatch.
+
+The k-mer *value* space is not uniform under canonicalization (canonical = min(fwd, rc) skews
+density toward low values), so ownership uses a mixed hash, not the raw top bits: FNV-1a over
+the words followed by the murmur3 finalizer, then ``h mod T``. The same function runs at build
+and probe time on every device, so sharding never changes results — it only partitions them.
+
+Dispatch follows the MoE token-dispatch pattern (SURVEY.md §2.2 "expert parallel" row): per
+destination bucket positions via a cumulative sum over one-hot owners, a static per-(src,dst)
+capacity with an overflow counter (checked host-side; overflow → retry with a larger factor,
+never silent loss — exact parity is the contract).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def mix32(kmers: jnp.ndarray) -> jnp.ndarray:
+    """(N, W) uint32 k-mer words → (N,) uint32 well-mixed hash (FNV-1a + murmur3 fmix32)."""
+    h = jnp.full(kmers.shape[:-1], 0x811C9DC5, jnp.uint32)
+    for w in range(kmers.shape[-1]):
+        h = (h ^ kmers[..., w]) * jnp.uint32(0x01000193)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def owner_of(kmers: jnp.ndarray, num_shards: int) -> jnp.ndarray:
+    """(N, W) → (N,) int32 owner shard in [0, num_shards)."""
+    return (mix32(kmers) % jnp.uint32(num_shards)).astype(jnp.int32)
+
+
+def route_capacity(n_kmers: int, num_shards: int, factor: float) -> int:
+    """Per-(src,dst) dispatch capacity: even split × factor, 8-aligned, ≥8."""
+    cap = int(-(-n_kmers * factor // num_shards))
+    return max(-(-cap // 8) * 8, 8)
+
+
+def bucketize(
+    kmers: jnp.ndarray,  # (N, W) uint32
+    valid: jnp.ndarray,  # (N,) bool
+    num_shards: int,
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Scatter k-mers into per-destination buckets.
+
+    Returns (dispatch (T, cap, W), mask (T, cap) bool, slot (N,) int32, overflow () int32).
+    ``slot`` is each k-mer's flat position in the dispatch layout (T*cap), or -1 if it was
+    invalid or overflowed — callers use it to un-bucketize returned per-probe counts.
+    """
+    N, W = kmers.shape
+    owner = owner_of(kmers, num_shards)
+    owner = jnp.where(valid, owner, num_shards)  # invalid → virtual shard T (dropped)
+    onehot = (
+        owner[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, num_shards), 1)
+    )
+    pos = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1  # (N, T) position in bucket
+    my_pos = jnp.take_along_axis(
+        pos, jnp.minimum(owner, num_shards - 1)[:, None], axis=1
+    )[:, 0]
+    ok = valid & (my_pos < capacity)
+    slot = jnp.where(ok, owner * capacity + my_pos, -1)
+    scatter_idx = jnp.where(ok, slot, num_shards * capacity)  # drop row
+    disp = jnp.zeros((num_shards * capacity, W), jnp.uint32).at[scatter_idx].set(
+        kmers, mode="drop"
+    )
+    mask = jnp.zeros((num_shards * capacity,), bool).at[scatter_idx].set(
+        True, mode="drop"
+    )
+    overflow = jnp.sum((valid & (my_pos >= capacity)).astype(jnp.int32))
+    return (
+        disp.reshape(num_shards, capacity, W),
+        mask.reshape(num_shards, capacity),
+        slot,
+        overflow,
+    )

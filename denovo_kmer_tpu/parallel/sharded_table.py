@@ -1,0 +1,252 @@
+"""Hash-sharded k-mer table engine over a (reads × table) device mesh.
+
+Design (BASELINE.json north star; SURVEY.md §2.2, §7.4):
+
+- Global read batches are split over ALL devices (both mesh axes) — pure data parallelism on
+  the stream.
+- Each device extracts canonical k-mers locally (Pallas/XLA, L2), buckets them by owner shard
+  (hash router), and exchanges buckets with ``jax.lax.all_to_all`` over the ``table`` axis
+  (ICI). Each device aggregates what it received into its *row-partial* of table shard ``t``.
+- ``finalize``: row-partials are all-gathered over the ``reads`` axis and folded with
+  ``merge_tables``, leaving every row holding the complete shard ``t`` (replicated over rows).
+- Because mom/dad/child all use the same owner function, the trio candidate call is
+  shard-local: zero communication (the psum merge of the spec degenerates to a host-side
+  concat of per-shard candidate lists).
+
+Everything is a jitted ``shard_map`` over global arrays:
+  keys (R, T, C, W) · counts (R, T, C) · n (R, T)   sharded P('reads','table').
+
+Exactness: the router never drops k-mers silently — dispatch overflow is counted, psum-reduced,
+and checked host-side (ingest raises RouteOverflowError; the caller retries with a larger
+capacity factor). Sharding is a partition, not an approximation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jax import shard_map
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.extract import extract_canonical_kmers
+from denovo_kmer_tpu.ops.table import (
+    KmerTable,
+    _aggregate,
+    merge_tables,
+)
+from denovo_kmer_tpu.ops.trio import Candidates, call_candidates
+from denovo_kmer_tpu.parallel.mesh import AXIS_READS, AXIS_TABLE
+from denovo_kmer_tpu.parallel.router import bucketize, route_capacity
+
+
+class RouteOverflowError(RuntimeError):
+    """All-to-all dispatch overflowed its capacity — retry with a larger
+    route_capacity_factor (cfg) or a bigger batch split."""
+
+
+@dataclasses.dataclass
+class ShardedKmerEngine:
+    """Compiled sharded ops for one (cfg, mesh) pair. Reusable across samples/batches."""
+
+    cfg: EngineConfig
+    mesh: Mesh
+
+    def __post_init__(self):
+        cfg, mesh = self.cfg, self.mesh
+        self.R = mesh.shape[AXIS_READS]
+        self.T = mesh.shape[AXIS_TABLE]
+        n_dev = self.R * self.T
+        if cfg.batch_reads % n_dev:
+            raise ValueError(
+                f"batch_reads ({cfg.batch_reads}) must be divisible by mesh size {n_dev}"
+            )
+        self.local_reads = cfg.batch_reads // n_dev
+        self.local_kmers = self.local_reads * cfg.windows_per_read
+        self.route_cap = route_capacity(
+            self.local_kmers, self.T, cfg.route_capacity_factor
+        )
+        self.shard_capacity = -(-cfg.table_capacity // self.T)
+        self.W = cfg.words
+
+        spec_table = P(AXIS_READS, AXIS_TABLE)
+        self._sharding_reads = NamedSharding(mesh, P((AXIS_READS, AXIS_TABLE)))
+        self._sharding_table = NamedSharding(mesh, spec_table)
+
+        table_specs = KmerTable(
+            keys=P(AXIS_READS, AXIS_TABLE, None, None),
+            counts=P(AXIS_READS, AXIS_TABLE, None),
+            n=spec_table,
+        )
+        reads_spec = P((AXIS_READS, AXIS_TABLE))
+
+        C, W, T, R = self.shard_capacity, self.W, self.T, self.R
+        route_cap = self.route_cap
+        k, max_len, canonical = cfg.k, cfg.max_read_len, cfg.canonical
+
+        def _local(tab: KmerTable) -> KmerTable:
+            return KmerTable(tab.keys[0, 0], tab.counts[0, 0], tab.n[0, 0])
+
+        def _globalize(tab: KmerTable) -> KmerTable:
+            return KmerTable(
+                tab.keys[None, None], tab.counts[None, None], tab.n[None, None]
+            )
+
+        # ---- ingest one packed batch into row-partial shards ----
+        def ingest_dev(tab: KmerTable, words, vwords):
+            local = _local(tab)
+            kmers, valid = extract_canonical_kmers(
+                words, vwords, k, max_len, canonical=canonical
+            )
+            flat = kmers.reshape(-1, W)
+            v = valid.reshape(-1)
+            disp, mask, _slot, ovf = bucketize(flat, v, T, route_cap)
+            recv = jax.lax.all_to_all(
+                disp, AXIS_TABLE, split_axis=0, concat_axis=0, tiled=True
+            )
+            rmask = jax.lax.all_to_all(
+                mask, AXIS_TABLE, split_axis=0, concat_axis=0, tiled=True
+            )
+            batch_tab = _aggregate(
+                recv.reshape(-1, W),
+                jnp.ones((T * route_cap,), jnp.uint32),
+                rmask.reshape(-1),
+                T * route_cap,
+            )
+            merged = merge_tables(local, batch_tab, C)
+            ovf_tot = jax.lax.psum(ovf, (AXIS_READS, AXIS_TABLE))
+            return _globalize(merged), ovf_tot[None, None]
+
+        self._ingest = jax.jit(
+            shard_map(
+                ingest_dev,
+                mesh=mesh,
+                in_specs=(table_specs, reads_spec, reads_spec),
+                out_specs=(table_specs, spec_table),
+            ),
+            donate_argnums=(0,),
+        )
+
+        # ---- finalize: fold row-partials so every row holds the full shard ----
+        def finalize_dev(tab: KmerTable):
+            local = _local(tab)
+            keys_all = jax.lax.all_gather(local.keys, AXIS_READS)  # (R, C, W)
+            counts_all = jax.lax.all_gather(local.counts, AXIS_READS)
+            n_all = jax.lax.all_gather(local.n, AXIS_READS)
+            acc = KmerTable(keys_all[0], counts_all[0], n_all[0])
+            for r in range(1, R):
+                acc = merge_tables(
+                    acc, KmerTable(keys_all[r], counts_all[r], n_all[r]), C
+                )
+            return _globalize(acc)
+
+        self._finalize = jax.jit(
+            shard_map(
+                finalize_dev,
+                mesh=mesh,
+                in_specs=(table_specs,),
+                out_specs=table_specs,
+            ),
+            donate_argnums=(0,),
+        )
+
+        # ---- trio candidate call: shard-local, zero comms ----
+        tau, minc = cfg.tau_parent, cfg.min_child_count
+
+        def call_dev(child: KmerTable, mom: KmerTable, dad: KmerTable):
+            cands = call_candidates(
+                _local(child), _local(mom), _local(dad), tau, minc
+            )
+            return jax.tree.map(lambda x: x[None, None], cands)
+
+        cand_specs = Candidates(
+            keys=P(AXIS_READS, AXIS_TABLE, None, None),
+            child_counts=P(AXIS_READS, AXIS_TABLE, None),
+            mom_counts=P(AXIS_READS, AXIS_TABLE, None),
+            dad_counts=P(AXIS_READS, AXIS_TABLE, None),
+            n=spec_table,
+        )
+        self._call = jax.jit(
+            shard_map(
+                call_dev,
+                mesh=mesh,
+                in_specs=(table_specs, table_specs, table_specs),
+                out_specs=cand_specs,
+            )
+        )
+
+    # ---------- host API ----------
+
+    def empty_table(self) -> KmerTable:
+        """Global (R,T,·) empty table, placed with the table sharding."""
+        R, T, C, W = self.R, self.T, self.shard_capacity, self.W
+        keys = jnp.full((R, T, C, W), 0xFFFFFFFF, jnp.uint32)
+        counts = jnp.zeros((R, T, C), jnp.uint32)
+        n = jnp.zeros((R, T), jnp.int32)
+        put = lambda x, spec: jax.device_put(x, NamedSharding(self.mesh, spec))
+        return KmerTable(
+            keys=put(keys, P(AXIS_READS, AXIS_TABLE, None, None)),
+            counts=put(counts, P(AXIS_READS, AXIS_TABLE, None)),
+            n=put(n, P(AXIS_READS, AXIS_TABLE)),
+        )
+
+    def put_batch(self, packed) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        words = jax.device_put(packed.words, self._sharding_reads)
+        vwords = jax.device_put(packed.vwords, self._sharding_reads)
+        return words, vwords
+
+    def ingest(self, table: KmerTable, packed) -> KmerTable:
+        words, vwords = self.put_batch(packed)
+        table, ovf = self._ingest(table, words, vwords)
+        ovf_val = int(np.asarray(ovf)[0, 0])
+        if ovf_val:
+            raise RouteOverflowError(
+                f"{ovf_val} k-mers overflowed route capacity {self.route_cap}; "
+                f"increase route_capacity_factor (={self.cfg.route_capacity_factor})"
+            )
+        return table
+
+    def finalize(self, table: KmerTable) -> KmerTable:
+        table = self._finalize(table)
+        n_max = int(np.asarray(jnp.max(table.n)))
+        if n_max > self.shard_capacity:
+            raise RuntimeError(
+                f"table shard overflow: {n_max} uniques > shard capacity "
+                f"{self.shard_capacity}; raise --table-capacity"
+            )
+        return table
+
+    def total_unique(self, table: KmerTable) -> int:
+        """Total uniques across shards (rows are replicas after finalize)."""
+        return int(np.asarray(jnp.sum(table.n[0])))
+
+    def call(self, child: KmerTable, mom: KmerTable, dad: KmerTable):
+        """Run the shard-local candidate call; returns host-side candidate tuples
+        [(kmer_value, child, mom, dad), ...] sorted ascending by k-mer value."""
+        from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
+
+        cands = self._call(child, mom, dad)
+        keys = np.asarray(cands.keys)[0]  # (T, C, W) — row 0 (rows are replicas)
+        cc = np.asarray(cands.child_counts)[0]
+        mc = np.asarray(cands.mom_counts)[0]
+        dc = np.asarray(cands.dad_counts)[0]
+        ns = np.asarray(cands.n)[0]
+        out: List[Tuple[int, int, int, int]] = []
+        for t in range(self.T):
+            for i in range(int(ns[t])):
+                out.append(
+                    (
+                        words_to_kmer_value(keys[t, i]),
+                        int(cc[t, i]),
+                        int(mc[t, i]),
+                        int(dc[t, i]),
+                    )
+                )
+        out.sort()
+        return out

@@ -1,0 +1,108 @@
+"""Sharding tests on the 8-device CPU mesh (SURVEY.md §4.3): router properties, all-to-all
+build/probe exactness vs the single-device path and the oracle."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+from denovo_kmer_tpu.oracle.scalar import count_reads, trio_candidates
+from denovo_kmer_tpu.io.bam import read_bam_records
+from denovo_kmer_tpu.parallel.mesh import make_mesh
+from denovo_kmer_tpu.parallel.router import bucketize, mix32, owner_of, route_capacity
+from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
+from denovo_kmer_tpu.parallel.pipeline import run_trio_sharded
+from denovo_kmer_tpu.pipeline import run_trio
+
+
+def test_owner_deterministic_and_in_range():
+    rng = np.random.default_rng(0)
+    kmers = rng.integers(0, 2**32, size=(1000, 2), dtype=np.uint32)
+    for T in (2, 4, 7, 8):
+        o = np.asarray(owner_of(jnp.asarray(kmers), T))
+        assert o.min() >= 0 and o.max() < T
+        o2 = np.asarray(owner_of(jnp.asarray(kmers), T))
+        assert np.array_equal(o, o2)
+
+
+def test_owner_balanced():
+    rng = np.random.default_rng(1)
+    kmers = rng.integers(0, 2**32, size=(100_000, 2), dtype=np.uint32)
+    o = np.asarray(owner_of(jnp.asarray(kmers), 8))
+    counts = np.bincount(o, minlength=8)
+    assert counts.min() > 0.9 * 100_000 / 8  # hash balance within 10%
+
+
+def test_bucketize_roundtrip_and_overflow():
+    rng = np.random.default_rng(2)
+    N, W, T = 512, 2, 4
+    kmers = rng.integers(0, 2**32, size=(N, W), dtype=np.uint32)
+    valid = rng.random(N) < 0.8
+    cap = route_capacity(N, T, 1.5)
+    disp, mask, slot, ovf = jax.tree.map(
+        np.asarray, bucketize(jnp.asarray(kmers), jnp.asarray(valid), T, cap)
+    )
+    assert int(ovf) == 0
+    # every valid kmer appears exactly once at its slot
+    flat = disp.reshape(-1, W)
+    fmask = mask.reshape(-1)
+    assert fmask.sum() == valid.sum()
+    for i in range(N):
+        if valid[i]:
+            s = slot[i]
+            assert s >= 0 and fmask[s]
+            assert np.array_equal(flat[s], kmers[i])
+        else:
+            assert slot[i] == -1
+    # tiny capacity must overflow, and count it
+    _, _, _, ovf2 = bucketize(jnp.asarray(kmers), jnp.asarray(valid), T, 8)
+    assert int(ovf2) == int(valid.sum()) - min(4 * 8, int(valid.sum())) or int(ovf2) > 0
+
+
+SPEC = TrioSpec(genome_len=1500, read_len=50, coverage=6.0, seed=9,
+                n_inherited_snvs=6, n_denovo_snvs=2, n_rate=0.002)
+
+
+@pytest.fixture(scope="module")
+def trio_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("shard_trio")
+    trio = make_trio(SPEC)
+    return write_trio_bams(trio, str(d))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8), (8, 1)])
+def test_sharded_trio_matches_single_device(trio_paths, mesh_shape):
+    cfg = EngineConfig(
+        k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13,
+        mesh_shape=mesh_shape,
+    )
+    res_sharded = run_trio_sharded(
+        trio_paths["mom"], trio_paths["dad"], trio_paths["child"], cfg
+    )
+    cfg1 = EngineConfig(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13)
+    res_single = run_trio(
+        trio_paths["mom"], trio_paths["dad"], trio_paths["child"], cfg1
+    )
+    assert res_sharded.tables_n == res_single.tables_n
+    assert res_sharded.candidates == res_single.candidates
+    assert res_sharded.report == res_single.report
+
+
+def test_sharded_trio_matches_oracle(trio_paths):
+    cfg = EngineConfig(
+        k=31, max_read_len=64, batch_reads=64, table_capacity=1 << 13,
+        mesh_shape=(2, 4),
+    )
+    res = run_trio_sharded(
+        trio_paths["mom"], trio_paths["dad"], trio_paths["child"], cfg
+    )
+    tables = {}
+    for s, p in trio_paths.items():
+        recs = [(r.seq, r.qual, r.flag) for r in read_bam_records(p)]
+        tables[s] = count_reads(recs, cfg)
+    want = trio_candidates(tables["mom"], tables["dad"], tables["child"], cfg)
+    assert res.candidates == want
