@@ -1,0 +1,124 @@
+"""Benchmark harness — BASELINE.json primary metric: k-mers/s/chip (extract+probe).
+
+Runs the child-scoring inner loop (canonical extraction from 2-bit-packed read batches fused
+with membership probes against two parental tables) on the available accelerator and prints ONE
+JSON line. The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is computed against
+the driver-spec target of 1 Gk-mers/s aggregate on a v5p-16 (8 chips) → 125 Mk-mers/s/chip.
+
+Env knobs: BENCH_READS (batch size), BENCH_ITERS, BENCH_TABLE_BITS (parental table log2 size),
+BENCH_K.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+PER_CHIP_TARGET = 1e9 / 8  # BASELINE.json north star, v5p-16 aggregate / 8 chips
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.ops.extract import extract_canonical_kmers
+    from denovo_kmer_tpu.ops.table import KmerTable, probe_table
+
+    k = int(os.environ.get("BENCH_K", 31))
+    batch_reads = int(os.environ.get("BENCH_READS", 16384))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    table_bits = int(os.environ.get("BENCH_TABLE_BITS", 22))
+    max_read_len = 160
+
+    cfg = EngineConfig(k=k, max_read_len=max_read_len, batch_reads=batch_reads,
+                       table_capacity=1 << table_bits)
+    W = cfg.words
+    P = cfg.windows_per_read
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind}, k={k}, B={batch_reads}, P={P}, "
+          f"table=2^{table_bits}", file=sys.stderr)
+
+    # synthetic parental tables: sorted unique random keys (realistic probe density)
+    rng = np.random.default_rng(0)
+    C = 1 << table_bits
+
+    def synth_table(seed):
+        r = np.random.default_rng(seed)
+        keys = r.integers(0, 1 << 62, size=(C,), dtype=np.uint64)
+        keys = np.unique(keys)
+        n = keys.shape[0]
+        kw = np.empty((C, W), np.uint32)
+        kw.fill(0xFFFFFFFF)
+        for w in range(W):
+            sh = 32 * (W - 1 - w)
+            kw[:n, w] = ((keys >> sh) & 0xFFFFFFFF).astype(np.uint32)
+        counts = np.zeros(C, np.uint32)
+        counts[:n] = r.integers(1, 50, size=n)
+        return KmerTable(
+            keys=jax.device_put(jnp.asarray(kw)),
+            counts=jax.device_put(jnp.asarray(counts)),
+            n=jnp.asarray(n, jnp.int32),
+        )
+
+    mom = synth_table(1)
+    dad = synth_table(2)
+
+    # synthetic packed child reads
+    base = np.frombuffer(b"ACGT", dtype=np.uint8)
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+
+    seqs = [
+        bytes(base[rng.integers(0, 4, max_read_len)]).decode()
+        for _ in range(batch_reads)
+    ]
+    packed = pack_seqs(seqs, cfg, batch_size=batch_reads)
+    words = jax.device_put(jnp.asarray(packed.words))
+    vwords = jax.device_put(jnp.asarray(packed.vwords))
+
+    @jax.jit
+    def score_step(mom, dad, words, vwords, salt):
+        # salt defeats CSE across timing iterations without changing the workload shape
+        w = words ^ salt
+        kmers, valid = extract_canonical_kmers(w, vwords, cfg.k, cfg.max_read_len)
+        mc = probe_table(mom, kmers)
+        dc = probe_table(dad, kmers)
+        return (
+            jnp.sum(jnp.where(valid, mc, 0)),
+            jnp.sum(jnp.where(valid, dc, 0)),
+            jnp.sum(valid.astype(jnp.int32)),
+        )
+
+    # warmup/compile
+    salt = jnp.zeros((), jnp.uint32)
+    out = score_step(mom, dad, words, vwords, salt)
+    jax.block_until_ready(out)
+
+    # timed loop: each iteration's salt depends on the previous result, so no two
+    # dispatches are identical and the chain cannot be elided or result-cached
+    t0 = time.perf_counter()
+    for i in range(iters):
+        hm, hd, nk = score_step(mom, dad, words, vwords, salt)
+        salt = (nk.astype(jnp.uint32) & jnp.uint32(1))  # 0/1, keeps workload identical
+    jax.block_until_ready((hm, hd, nk, salt))
+    dt = time.perf_counter() - t0
+
+    kmers_total = batch_reads * P * iters
+    rate = kmers_total / dt
+    print(f"{iters} iters in {dt:.3f}s -> {rate:.3e} k-mers/s "
+          f"({kmers_total} k-mer positions)", file=sys.stderr)
+
+    result = {
+        "metric": "kmers_per_sec_per_chip_extract_probe",
+        "value": round(rate, 1),
+        "unit": "kmers/s/chip",
+        "vs_baseline": round(rate / PER_CHIP_TARGET, 4),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
