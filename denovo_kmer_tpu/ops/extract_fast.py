@@ -1,0 +1,125 @@
+"""Fast canonical k-mer extraction: O(1) work per window via packed-word assembly.
+
+The readable reference path (``ops.extract``) accumulates one plane per k-mer base — O(k)
+unaligned lane-slices over (B, P) planes, which on TPU each cost a lane rotation; measured at
+~36 ms per 2.1M-window batch on v5e. This path assembles each window directly from the packed
+2-bit words with *variable elementwise shifts* (VPU-native) instead:
+
+- ``mwords``: within-word big-endian repack of the 2-bit stream (4 shuffle steps). Reading the
+  concatenated mwords MSB-first reproduces the base stream, so the 32W-bit window starting at
+  base i is ``win[w] = (mw[q+w] << 2p) | (mw[q+w+1] >> (32-2p))`` with q = i//16, p = i%16;
+  the forward value is ``win >> (32W - 2k)``.
+- ``cwords``: the complemented little-endian stream (just ``words ^ ~0``). The rc value equals
+  the low-2k-bit little-endian field starting at bit 2i — same two-word assembly, opposite
+  shift direction, then reverse the word order and mask the top word.
+- The per-position q-indexing ``mw[:, i//16]`` is materialized with ``jnp.repeat(·, 16)``
+  (a broadcast+reshape, fully tile-aligned); the per-position shift ``2·(i%16)`` is a constant
+  (P,) vector broadcast over the batch — an elementwise variable shift on the VPU.
+- ``x >> (32-2p)`` is computed as ``(x >> 1) >> (31-2p)`` so the p=0 lanes shift by ≥32 safely
+  (result 0), branch-free.
+
+No data-dependent control flow, no k-proportional work, no unaligned slices except the two
+O(1) validity-prefix-sum slices. Bit-identical to ``ops.extract`` (property-tested).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denovo_kmer_tpu.config import words_per_kmer
+
+_U = jnp.uint32
+
+
+def _reverse_2bit_fields(x: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the order of the 16 2-bit fields within each uint32."""
+    x = ((x & _U(0x33333333)) << 2) | ((x >> 2) & _U(0x33333333))
+    x = ((x & _U(0x0F0F0F0F)) << 4) | ((x >> 4) & _U(0x0F0F0F0F))
+    x = ((x & _U(0x00FF00FF)) << 8) | ((x >> 8) & _U(0x00FF00FF))
+    x = (x << 16) | (x >> 16)
+    return x
+
+
+def extract_canonical_kmers_fast(
+    words: jnp.ndarray,
+    vwords: jnp.ndarray,
+    k: int,
+    max_read_len: int,
+    canonical: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed reads → (kmers (B, P, W) uint32 big-endian words, valid (B, P) bool).
+
+    Drop-in replacement for ``ops.extract.extract_canonical_kmers`` (SPEC_SEMANTICS §2-3).
+    """
+    B, Lw = words.shape
+    L = Lw * 16
+    P = max_read_len - k + 1
+    W = words_per_kmer(k)
+    R = 32 * W - 2 * k  # static right-shift aligning the window to 2k bits
+    pad = jnp.zeros((B, W + 1), _U)
+
+    mw = jnp.concatenate([_reverse_2bit_fields(words), pad], axis=1)  # big-endian stream
+    cw = jnp.concatenate([words ^ _U(0xFFFFFFFF), pad], axis=1)  # complemented LE stream
+
+    # per-position phase shifts (static vectors broadcast over B)
+    pos = np.arange(P)
+    sh = jnp.asarray((2 * (pos % 16)).astype(np.uint32))[None, :]  # 2p
+    shc = jnp.asarray((31 - 2 * (pos % 16)).astype(np.uint32))[None, :]  # 31-2p
+
+    def rep(a: jnp.ndarray, w: int) -> jnp.ndarray:
+        # column i of the result = a[:, i//16 + w]; aligned broadcast+reshape
+        return jnp.repeat(a[:, w : w + Lw + 1], 16, axis=1)[:, :P]
+
+    # forward: 32W-bit MSB-first window starting at base i, then >> R
+    win = []
+    for w in range(W):
+        hi = rep(mw, w) << sh
+        lo = (rep(mw, w + 1) >> 1) >> shc  # == >> (32-2p), safe at p=0
+        win.append(hi | lo)
+    if R == 0:
+        fwd = win
+    else:
+        fwd = [win[0] >> _U(R)]
+        for w in range(1, W):
+            fwd.append((win[w] >> _U(R)) | (win[w - 1] << _U(32 - R)))
+
+    # reverse-complement: little-endian field starting at bit 2i of the complemented stream
+    rc_le = []
+    for w in range(W):
+        lo = rep(cw, w) >> sh
+        hi = (rep(cw, w + 1) << 1) << (_U(31) - sh)  # == << (32-2p), safe at p=0
+        rc_le.append(lo | hi)
+    u = 2 * k - 32 * (W - 1)  # bits used in the top word
+    if u < 32:
+        rc_le[W - 1] = rc_le[W - 1] & _U((1 << u) - 1)
+    rc = rc_le[::-1]  # big-endian word order
+
+    if canonical:
+        lt = jnp.zeros((B, P), bool)
+        eq = jnp.ones((B, P), bool)
+        for w in range(W):
+            lt = lt | (eq & (fwd[w] < rc[w]))
+            eq = eq & (fwd[w] == rc[w])
+        use_fwd = lt | eq
+        out = [jnp.where(use_fwd, f, r) for f, r in zip(fwd, rc)]
+    else:
+        out = fwd
+
+    # validity: no invalid base among the k in the window (exclusive prefix sum)
+    vbits = (jnp.repeat(vwords, 32, axis=1) >> jnp.asarray(
+        (np.arange(L) % 32).astype(np.uint32)
+    )[None, :]) & _U(1)
+    inv = (vbits ^ _U(1)).astype(jnp.int32)
+    csum = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(inv, axis=1)], axis=1
+    )
+    win_valid = (csum[:, k : k + P] - csum[:, :P]) == 0
+
+    # Materialize here: without the barrier XLA fuses the whole extraction into every
+    # consumer of the k-mer array — e.g. each of the ~2·W·log2(C) probe gathers — turning an
+    # O(1) pipeline into O(gathers) recompute (measured 100x slower on v5e).
+    return jax.lax.optimization_barrier((jnp.stack(out, axis=-1), win_valid))

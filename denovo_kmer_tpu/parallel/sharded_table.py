@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from denovo_kmer_tpu.config import EngineConfig
-from denovo_kmer_tpu.ops.extract import extract_canonical_kmers
+from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast as extract_canonical_kmers
 from denovo_kmer_tpu.ops.table import (
     KmerTable,
     _aggregate,

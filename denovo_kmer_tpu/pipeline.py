@@ -21,7 +21,7 @@ import numpy as np
 from denovo_kmer_tpu.config import EngineConfig
 from denovo_kmer_tpu.io.bam import read_bam_records
 from denovo_kmer_tpu.io.fasta import read_fasta, read_fastq
-from denovo_kmer_tpu.ops.extract import extract_canonical_kmers
+from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast as extract_canonical_kmers
 from denovo_kmer_tpu.ops.pack import PackedReads, pack_records
 from denovo_kmer_tpu.ops.table import (
     KmerTable,

@@ -1,0 +1,35 @@
+"""extract_fast must be bit-identical to the readable reference extraction (and the oracle)."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.extract import extract_canonical_kmers
+from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast
+from denovo_kmer_tpu.ops.pack import pack_seqs
+
+
+def rand_seq(rng, n, alphabet="ACGTN"):
+    return "".join(rng.choice(alphabet) for _ in range(n))
+
+
+@pytest.mark.parametrize("k", [1, 2, 15, 16, 17, 21, 31, 32, 33, 41, 48, 63])
+@pytest.mark.parametrize("canonical", [True, False])
+def test_fast_extract_bit_identical(k, canonical):
+    rng = random.Random(k * 31 + canonical)
+    max_len = max(70, k + 5)
+    cfg = EngineConfig(k=k, max_read_len=max_len)
+    seqs = [rand_seq(rng, rng.randrange(k, max_len + 1)) for _ in range(12)]
+    seqs += ["A" * max_len, "T" * max_len, "N" * max_len]
+    packed = pack_seqs(seqs, cfg)
+    w, v = jnp.asarray(packed.words), jnp.asarray(packed.vwords)
+    k1, v1 = extract_canonical_kmers(w, v, k, max_len, canonical=canonical)
+    k2, v2 = extract_canonical_kmers_fast(w, v, k, max_len, canonical=canonical)
+    v1n, v2n = np.asarray(v1), np.asarray(v2)
+    assert np.array_equal(v1n, v2n)
+    k1n, k2n = np.asarray(k1), np.asarray(k2)
+    # compare only valid windows (invalid lanes may contain garbage in the fast path)
+    assert np.array_equal(k1n[v1n], k2n[v2n])
