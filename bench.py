@@ -24,7 +24,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from denovo_kmer_tpu.config import EngineConfig
-    from denovo_kmer_tpu.ops.extract import extract_canonical_kmers
+    from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast as extract_canonical_kmers
     from denovo_kmer_tpu.ops.table import KmerTable, probe_table
 
     k = int(os.environ.get("BENCH_K", 31))
@@ -78,9 +78,8 @@ def main() -> int:
     words = jax.device_put(jnp.asarray(packed.words))
     vwords = jax.device_put(jnp.asarray(packed.vwords))
 
-    @jax.jit
     def score_step(mom, dad, words, vwords, salt):
-        # salt defeats CSE across timing iterations without changing the workload shape
+        # salt (data-dependent, never provably constant) defeats loop-invariant hoisting
         w = words ^ salt
         kmers, valid = extract_canonical_kmers(w, vwords, cfg.k, cfg.max_read_len)
         mc = probe_table(mom, kmers)
@@ -91,19 +90,34 @@ def main() -> int:
             jnp.sum(valid.astype(jnp.int32)),
         )
 
-    # warmup/compile
-    salt = jnp.zeros((), jnp.uint32)
-    out = score_step(mom, dad, words, vwords, salt)
-    jax.block_until_ready(out)
+    import functools
 
-    # timed loop: each iteration's salt depends on the previous result, so no two
-    # dispatches are identical and the chain cannot be elided or result-cached
-    t0 = time.perf_counter()
-    for i in range(iters):
-        hm, hd, nk = score_step(mom, dad, words, vwords, salt)
-        salt = (nk.astype(jnp.uint32) & jnp.uint32(1))  # 0/1, keeps workload identical
-    jax.block_until_ready((hm, hd, nk, salt))
-    dt = time.perf_counter() - t0
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def timed_loop(mom, dad, words, vwords, seed, n):
+        # the whole timing loop runs device-side in ONE dispatch: host↔device round-trip
+        # latency (large under the axon tunnel) never pollutes the measurement, and the
+        # carry-chained salt serializes iterations so none can be elided
+        def body(i, carry):
+            hm, hd, nk = score_step(mom, dad, words, vwords,
+                                    carry.astype(jnp.uint32) & jnp.uint32(1))
+            return hm + hd + nk.astype(jnp.uint32)
+        return jax.lax.fori_loop(0, n, body, seed)
+
+    # warmup/compile both loop lengths, then time with FRESH seed inputs per call (the
+    # remote runtime caches results of identical (executable, inputs) calls); subtracting
+    # the short run removes dispatch + loop-setup overhead
+    def run(seed, n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            timed_loop(mom, dad, words, vwords, jnp.uint32(seed), n=n)
+        )
+        return time.perf_counter() - t0
+
+    run(0, 1)
+    run(1, iters + 1)
+    t_short = run(2, 1)
+    t_long = run(3, iters + 1)
+    dt = max(t_long - t_short, 1e-9)
 
     kmers_total = batch_reads * P * iters
     rate = kmers_total / dt

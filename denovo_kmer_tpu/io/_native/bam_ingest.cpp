@@ -1,0 +1,339 @@
+// bam_ingest — native host feeder: BGZF inflate + BAM record parse + 2-bit pack.
+//
+// TPU-native counterpart of the reference's HTSlib ingest layer (SURVEY.md §1 L0/L1, inferred
+// from its CI dependency set ci.yml:18-27). Decodes BAM records and packs read bases directly
+// into the engine's device-feed layout (see denovo_kmer_tpu/ops/pack.py):
+//   words  (B, Lp/16) u32 — base j at bits 2*(j%16) of word j/16 (LSB-first)
+//   vwords (B, Lp/32) u32 — validity bit j at bit j%32 of word j/32
+// applying the record flag filter and base-quality policy of SPEC_SEMANTICS.md §4 on the fly.
+//
+// Exposed as a plain C ABI for ctypes. Single stream per handle; one handle per thread.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+constexpr size_t kMaxBlock = 0x10000;  // 64 KiB BGZF uncompressed limit
+
+struct Reader {
+  FILE* f = nullptr;
+  std::string error;
+
+  // current inflated block
+  std::vector<uint8_t> block;
+  size_t within = 0;
+  long block_coffset = 0;
+  bool eof = false;
+
+  // spill buffer for records straddling blocks
+  std::vector<uint8_t> spill;
+
+  // config
+  int filter_flag_mask = 0;
+  int min_base_quality = 0;
+  int max_read_len = 0;
+
+  // header info
+  int64_t n_records_seen = 0;
+};
+
+// ---------------- BGZF ----------------
+
+bool read_block(Reader* r) {
+  r->block_coffset = ftell(r->f);
+  uint8_t hdr[12];
+  size_t got = fread(hdr, 1, 12, r->f);
+  if (got == 0) {
+    r->eof = true;
+    return false;
+  }
+  if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8 || !(hdr[3] & 4)) {
+    r->error = "bad BGZF block header";
+    return false;
+  }
+  uint16_t xlen = hdr[10] | (hdr[11] << 8);
+  std::vector<uint8_t> extra(xlen);
+  if (fread(extra.data(), 1, xlen, r->f) != xlen) {
+    r->error = "truncated BGZF extra field";
+    return false;
+  }
+  int bsize = -1;
+  for (size_t off = 0; off + 4 <= xlen;) {
+    uint8_t si1 = extra[off], si2 = extra[off + 1];
+    uint16_t slen = extra[off + 2] | (extra[off + 3] << 8);
+    if (si1 == 'B' && si2 == 'C' && slen == 2)
+      bsize = (extra[off + 4] | (extra[off + 5] << 8)) + 1;
+    off += 4 + slen;
+  }
+  if (bsize < 0) {
+    r->error = "missing BC subfield";
+    return false;
+  }
+  size_t cdata_len = bsize - 12 - xlen - 8;
+  std::vector<uint8_t> cdata(cdata_len);
+  uint8_t tail[8];
+  if (fread(cdata.data(), 1, cdata_len, r->f) != cdata_len ||
+      fread(tail, 1, 8, r->f) != 8) {
+    r->error = "truncated BGZF block body";
+    return false;
+  }
+  uint32_t isize;
+  memcpy(&isize, tail + 4, 4);
+  if (isize > kMaxBlock) {
+    r->error = "BGZF ISIZE too large";
+    return false;
+  }
+  r->block.resize(isize);
+  if (isize > 0) {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) {
+      r->error = "inflateInit2 failed";
+      return false;
+    }
+    zs.next_in = cdata.data();
+    zs.avail_in = (uInt)cdata_len;
+    zs.next_out = r->block.data();
+    zs.avail_out = isize;
+    int zret = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (zret != Z_STREAM_END || zs.total_out != isize) {
+      r->error = "BGZF inflate failed";
+      return false;
+    }
+  }
+  r->within = 0;
+  return true;
+}
+
+// read exactly n bytes of the uncompressed stream into dst; false on EOF/error
+bool uread(Reader* r, uint8_t* dst, size_t n) {
+  size_t need = n;
+  while (need > 0) {
+    size_t avail = r->block.size() - r->within;
+    if (avail == 0) {
+      if (r->eof || !read_block(r)) return false;
+      continue;
+    }
+    size_t take = avail < need ? avail : need;
+    memcpy(dst + (n - need), r->block.data() + r->within, take);
+    r->within += take;
+    need -= take;
+  }
+  return true;
+}
+
+bool uskip(Reader* r, size_t n) {
+  while (n > 0) {
+    size_t avail = r->block.size() - r->within;
+    if (avail == 0) {
+      if (r->eof || !read_block(r)) return false;
+      continue;
+    }
+    size_t take = avail < n ? avail : n;
+    r->within += take;
+    n -= take;
+  }
+  return true;
+}
+
+// at clean end-of-stream?
+bool at_eof(Reader* r) {
+  while (r->within >= r->block.size()) {
+    if (r->eof) return true;
+    if (!read_block(r)) return r->error.empty();
+  }
+  return false;
+}
+
+// ---------------- BAM nibble decode LUTs ----------------
+// BAM SEQ nibbles: 1=A 2=C 4=G 8=T, others invalid (SAMv1 §4.2.3); 2-bit codes A0 C1 G2 T3.
+
+struct NibLut {
+  uint8_t code4[256];  // low 2 bits: first base code; bits 2-3: second base code
+  uint8_t valid2[256]; // bit0: first base valid, bit1: second base valid
+};
+
+NibLut make_lut() {
+  NibLut lut{};
+  auto dec = [](int nib, uint8_t* code) -> bool {
+    switch (nib) {
+      case 1: *code = 0; return true;   // A
+      case 2: *code = 1; return true;   // C
+      case 4: *code = 2; return true;   // G
+      case 8: *code = 3; return true;   // T
+      default: *code = 0; return false; // N / ambiguity codes
+    }
+  };
+  for (int b = 0; b < 256; b++) {
+    uint8_t c0, c1;
+    bool v0 = dec(b >> 4, &c0);
+    bool v1 = dec(b & 0xF, &c1);
+    lut.code4[b] = (uint8_t)(c0 | (c1 << 2));
+    lut.valid2[b] = (uint8_t)((v0 ? 1 : 0) | (v1 ? 2 : 0));
+  }
+  return lut;
+}
+
+const NibLut kLut = make_lut();
+
+int32_t rd_i32(const uint8_t* p) {
+  int32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+uint16_t rd_u16(const uint8_t* p) {
+  uint16_t v;
+  memcpy(&v, p, 2);
+  return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open a BAM file; parses the header. Returns handle or nullptr.
+void* bam_ingest_open(const char* path, int filter_flag_mask, int min_base_quality,
+                      int max_read_len) {
+  Reader* r = new Reader();
+  r->filter_flag_mask = filter_flag_mask;
+  r->min_base_quality = min_base_quality;
+  r->max_read_len = max_read_len;
+  r->f = fopen(path, "rb");
+  if (!r->f) {
+    delete r;
+    return nullptr;
+  }
+  uint8_t magic[4];
+  if (!uread(r, magic, 4) || memcmp(magic, "BAM\x01", 4) != 0) {
+    fclose(r->f);
+    delete r;
+    return nullptr;
+  }
+  uint8_t b4[4];
+  if (!uread(r, b4, 4)) goto fail;
+  if (!uskip(r, (size_t)rd_i32(b4))) goto fail;  // header text
+  if (!uread(r, b4, 4)) goto fail;
+  {
+    int n_ref = rd_i32(b4);
+    for (int i = 0; i < n_ref; i++) {
+      if (!uread(r, b4, 4)) goto fail;
+      if (!uskip(r, (size_t)rd_i32(b4) + 4)) goto fail;  // name + l_ref
+    }
+  }
+  return r;
+fail:
+  fclose(r->f);
+  delete r;
+  return nullptr;
+}
+
+// Fill up to batch_reads packed reads. words: batch_reads*(lp/16) u32, vwords:
+// batch_reads*(lp/32) u32, lengths: batch_reads i32 — all caller-allocated and ZEROED by
+// this function. lp = padded length = ceil(max_read_len/32)*32.
+// Returns reads packed (record-filter already applied), 0 at EOF, -1 on error.
+int64_t bam_ingest_next_batch(void* handle, int64_t batch_reads, uint32_t* words,
+                              uint32_t* vwords, int32_t* lengths) {
+  Reader* r = (Reader*)handle;
+  const int lp = ((r->max_read_len + 31) / 32) * 32;
+  const int wpr = lp / 16;   // words per read
+  const int vpr = lp / 32;   // vwords per read
+  memset(words, 0, (size_t)batch_reads * wpr * 4);
+  memset(vwords, 0, (size_t)batch_reads * vpr * 4);
+  memset(lengths, 0, (size_t)batch_reads * 4);
+
+  std::vector<uint8_t> rec;
+  int64_t out = 0;
+  while (out < batch_reads) {
+    if (at_eof(r)) break;
+    uint8_t b4[4];
+    if (!uread(r, b4, 4)) {
+      if (r->error.empty()) break;  // clean EOF
+      return -1;
+    }
+    int32_t block_size = rd_i32(b4);
+    if (block_size < 32) {
+      r->error = "record block_size too small";
+      return -1;
+    }
+    rec.resize(block_size);
+    if (!uread(r, rec.data(), block_size)) {
+      r->error = "truncated record";
+      return -1;
+    }
+    r->n_records_seen++;
+
+    uint16_t flag = rd_u16(rec.data() + 14);
+    if (flag & r->filter_flag_mask) continue;
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar = rd_u16(rec.data() + 12);
+    int32_t l_seq = rd_i32(rec.data() + 16);
+    size_t off = 32 + l_read_name + 4ull * n_cigar;
+    size_t seq_bytes = ((size_t)l_seq + 1) / 2;
+    if (off + seq_bytes + (size_t)l_seq > rec.size()) {
+      r->error = "record SEQ/QUAL out of bounds";
+      return -1;
+    }
+    const uint8_t* seq = rec.data() + off;
+    const uint8_t* qual = seq + seq_bytes;
+
+    int n = l_seq < r->max_read_len ? l_seq : r->max_read_len;
+    uint32_t* wrow = words + out * wpr;
+    uint32_t* vrow = vwords + out * vpr;
+    for (int j = 0; j < n; j++) {
+      uint8_t byte = seq[j >> 1];
+      int half = j & 1;
+      uint32_t code = (kLut.code4[byte] >> (2 * half)) & 3u;
+      uint32_t valid = (kLut.valid2[byte] >> half) & 1u;
+      if (r->min_base_quality > 0 && qual[j] != 0xFF && qual[j] < r->min_base_quality)
+        valid = 0;
+      wrow[j >> 4] |= code << (2 * (j & 15));
+      vrow[j >> 5] |= valid << (j & 31);
+    }
+    lengths[out] = n;
+    out++;
+  }
+  return out;
+}
+
+// htslib-style virtual offsets for multi-host range sharding (SURVEY.md §5.8)
+int64_t bam_ingest_tell_virtual(void* handle) {
+  Reader* r = (Reader*)handle;
+  return ((int64_t)r->block_coffset << 16) | (int64_t)r->within;
+}
+
+int bam_ingest_seek_virtual(void* handle, int64_t voffset) {
+  Reader* r = (Reader*)handle;
+  long coff = (long)(voffset >> 16);
+  size_t within = (size_t)(voffset & 0xFFFF);
+  if (fseek(r->f, coff, SEEK_SET) != 0) return -1;
+  r->eof = false;
+  r->block.clear();
+  r->within = 0;
+  if (!read_block(r)) return -1;
+  if (within > r->block.size()) return -1;
+  r->within = within;
+  return 0;
+}
+
+int64_t bam_ingest_records_seen(void* handle) {
+  return ((Reader*)handle)->n_records_seen;
+}
+
+const char* bam_ingest_error(void* handle) {
+  return ((Reader*)handle)->error.c_str();
+}
+
+void bam_ingest_close(void* handle) {
+  Reader* r = (Reader*)handle;
+  if (r->f) fclose(r->f);
+  delete r;
+}
+
+}  // extern "C"

@@ -1,0 +1,151 @@
+"""ctypes wrapper for the C++ ingest shim (``_native/bam_ingest.cpp``).
+
+Compiles the shared library on first use (g++ -O3, linked against zlib) into
+``_native/build/``; falls back cleanly if no compiler is available — callers use
+``native_available()`` and fall back to the pure-Python feeder (identical output layout,
+property-tested in tests/test_native_ingest.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.pack import PackedReads, padded_length
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "_native", "bam_ingest.cpp")
+_BUILD_DIR = os.path.join(_HERE, "_native", "build")
+_SO = os.path.join(_BUILD_DIR, "libbam_ingest.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _SO, "-lz",
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        return f"compiler unavailable: {e}"
+    if proc.returncode != 0:
+        return f"build failed:\n{proc.stderr}"
+    return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            err = _build()
+            if err:
+                _build_error = err
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.bam_ingest_open.restype = ctypes.c_void_p
+        lib.bam_ingest_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.bam_ingest_next_batch.restype = ctypes.c_int64
+        lib.bam_ingest_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.bam_ingest_tell_virtual.restype = ctypes.c_int64
+        lib.bam_ingest_tell_virtual.argtypes = [ctypes.c_void_p]
+        lib.bam_ingest_seek_virtual.restype = ctypes.c_int
+        lib.bam_ingest_seek_virtual.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.bam_ingest_records_seen.restype = ctypes.c_int64
+        lib.bam_ingest_records_seen.argtypes = [ctypes.c_void_p]
+        lib.bam_ingest_error.restype = ctypes.c_char_p
+        lib.bam_ingest_error.argtypes = [ctypes.c_void_p]
+        lib.bam_ingest_close.restype = None
+        lib.bam_ingest_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def native_build_error() -> Optional[str]:
+    _load()
+    return _build_error
+
+
+class NativeBamFeeder:
+    """Streams PackedReads batches straight from a BAM file via the C++ shim."""
+
+    def __init__(self, path: str, cfg: EngineConfig):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native ingest unavailable: {_build_error}")
+        self._lib = lib
+        self._cfg = cfg
+        self._h = lib.bam_ingest_open(
+            path.encode(), cfg.filter_flag_mask, cfg.min_base_quality,
+            cfg.max_read_len,
+        )
+        if not self._h:
+            raise IOError(f"cannot open BAM: {path}")
+        self._lp = padded_length(cfg.max_read_len)
+
+    def next_batch(self) -> Optional[PackedReads]:
+        cfg = self._cfg
+        B, lp = cfg.batch_reads, self._lp
+        words = np.zeros((B, lp // 16), np.uint32)
+        vwords = np.zeros((B, lp // 32), np.uint32)
+        lengths = np.zeros(B, np.int32)
+        n = self._lib.bam_ingest_next_batch(
+            self._h, B,
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            vwords.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if n < 0:
+            raise IOError(
+                f"BAM ingest error: {self._lib.bam_ingest_error(self._h).decode()}"
+            )
+        if n == 0:
+            return None
+        return PackedReads(words=words, vwords=vwords, length=lengths, n_reads=int(n))
+
+    def __iter__(self) -> Iterator[PackedReads]:
+        while True:
+            b = self.next_batch()
+            if b is None:
+                return
+            yield b
+
+    def tell_virtual(self) -> int:
+        return int(self._lib.bam_ingest_tell_virtual(self._h))
+
+    def seek_virtual(self, voffset: int) -> None:
+        if self._lib.bam_ingest_seek_virtual(self._h, voffset) != 0:
+            raise IOError(f"seek_virtual({voffset:#x}) failed")
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.bam_ingest_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,60 @@
+"""C++ ingest shim parity: packed batches must be bit-identical to the pure-Python feeder."""
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.bam import read_bam_records
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+from denovo_kmer_tpu.io.native import NativeBamFeeder, native_available, native_build_error
+from denovo_kmer_tpu.ops.pack import pack_records
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason=f"native shim unavailable: {native_build_error()}"
+)
+
+SPEC = TrioSpec(genome_len=2000, read_len=80, coverage=6.0, seed=21, n_rate=0.01)
+
+
+@pytest.fixture(scope="module")
+def bam_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("native")
+    trio = make_trio(SPEC)
+    return write_trio_bams(trio, str(d))["child"]
+
+
+@pytest.mark.parametrize("minq", [0, 25])
+def test_native_matches_python_packer(bam_path, minq):
+    cfg = EngineConfig(k=21, max_read_len=96, batch_reads=64, min_base_quality=minq)
+    py_batches = list(pack_records(read_bam_records(bam_path), cfg))
+    with NativeBamFeeder(bam_path, cfg) as feeder:
+        nat_batches = list(feeder)
+    assert len(py_batches) == len(nat_batches)
+    for pb, nb in zip(py_batches, nat_batches):
+        assert pb.n_reads == nb.n_reads
+        assert np.array_equal(pb.words, nb.words)
+        assert np.array_equal(pb.vwords, nb.vwords)
+        assert np.array_equal(pb.length, nb.length)
+
+
+def test_native_truncates_long_reads(bam_path):
+    # max_read_len shorter than the read length: both paths truncate identically
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64)
+    py_batches = list(pack_records(read_bam_records(bam_path), cfg))
+    with NativeBamFeeder(bam_path, cfg) as feeder:
+        nat_batches = list(feeder)
+    for pb, nb in zip(py_batches, nat_batches):
+        assert np.array_equal(pb.words, nb.words)
+        assert np.array_equal(pb.vwords, nb.vwords)
+
+
+def test_native_virtual_seek(bam_path):
+    cfg = EngineConfig(k=21, max_read_len=96, batch_reads=32)
+    with NativeBamFeeder(bam_path, cfg) as feeder:
+        first = feeder.next_batch()
+        v = feeder.tell_virtual()
+        second = feeder.next_batch()
+        feeder.seek_virtual(v)
+        second_again = feeder.next_batch()
+        assert np.array_equal(second.words, second_again.words)
+        assert second.n_reads == second_again.n_reads
