@@ -104,8 +104,9 @@ def main() -> int:
         return jax.lax.fori_loop(0, n, body, seed)
 
     # warmup/compile both loop lengths, then time with FRESH seed inputs per call (the
-    # remote runtime caches results of identical (executable, inputs) calls); subtracting
-    # the short run removes dispatch + loop-setup overhead
+    # remote runtime caches results of identical (executable, inputs) calls). Per-call
+    # overhead under the axon tunnel is large and noisy, so take medians of repeated
+    # short/long runs and use the difference — pure device compute for `iters` batches.
     def run(seed, n):
         t0 = time.perf_counter()
         jax.block_until_ready(
@@ -115,8 +116,13 @@ def main() -> int:
 
     run(0, 1)
     run(1, iters + 1)
-    t_short = run(2, 1)
-    t_long = run(3, iters + 1)
+    reps = int(os.environ.get("BENCH_REPS", 5))
+    shorts = [run(100 + i, 1) for i in range(reps)]
+    longs = [run(200 + i, iters + 1) for i in range(reps)]
+    shorts.sort(), longs.sort()
+    t_short, t_long = shorts[reps // 2], longs[reps // 2]
+    print(f"short runs {['%.3f' % s for s in shorts]}, "
+          f"long runs {['%.3f' % s for s in longs]}", file=sys.stderr)
     dt = max(t_long - t_short, 1e-9)
 
     kmers_total = batch_reads * P * iters

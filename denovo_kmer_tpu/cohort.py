@@ -1,0 +1,166 @@
+"""Multi-k sweeps and cohort mode (BASELINE.json configs 4-5).
+
+- Multi-k: the packed-read layout is k-independent (2-bit words + validity), so one host
+  decode/pack pass feeds per-k extraction + per-k tables — exercising variable-width packing
+  (W = ceil(2k/32) words) without re-reading the BAM.
+- Cohort: N trios processed through ONE set of compiled steps (same cfg ⇒ same executables;
+  compile once, stream 3N samples), plus an optional shared parental superset table (the union
+  of all parents' k-mers) that cheap-prefilters each trio's candidate call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.pack import pack_records
+from denovo_kmer_tpu.ops.table import KmerTable, empty_table, merge_tables
+from denovo_kmer_tpu.ops.trio import call_candidates
+from denovo_kmer_tpu.pipeline import (
+    TrioResult,
+    _record_stream,
+    build_sample_table,
+    format_report_np,
+    make_ingest_step,
+)
+from denovo_kmer_tpu.utils.metrics import Metrics
+
+
+def run_trio_multi_k(
+    mom_path: str,
+    dad_path: str,
+    child_path: str,
+    base_cfg: EngineConfig,
+    ks: Sequence[int],
+    metrics: Optional[Metrics] = None,
+) -> Dict[int, TrioResult]:
+    """One decode pass per sample, one table per (sample, k); trio call per k.
+
+    All configs share every knob except k (SPEC_SEMANTICS: k changes the k-mer universe, so
+    each k gets its own parity-complete result).
+    """
+    m = metrics or Metrics()
+    cfgs = {k: dataclasses.replace(base_cfg, k=k) for k in ks}
+    steps = {k: make_ingest_step(cfgs[k]) for k in ks}
+
+    tables: Dict[str, Dict[int, KmerTable]] = {}
+    for name, path in (("mom", mom_path), ("dad", dad_path), ("child", child_path)):
+        per_k = {k: empty_table(cfgs[k].table_capacity, cfgs[k].words) for k in ks}
+        # pack once (k-independent), extract/ingest per k
+        for packed in pack_records(_record_stream(path, base_cfg), base_cfg):
+            m.count("reads_ingested", packed.n_reads)
+            words = jnp.asarray(packed.words)
+            vwords = jnp.asarray(packed.vwords)
+            for k in ks:
+                with m.timer("extract_probe"):
+                    per_k[k] = steps[k](per_k[k], words, vwords)
+                m.count("kmers_extracted", packed.n_reads * cfgs[k].windows_per_read)
+        tables[name] = per_k
+        for k in ks:
+            n = int(per_k[k].n)
+            if n > cfgs[k].table_capacity:
+                raise RuntimeError(
+                    f"table overflow at k={k}: {n} > {cfgs[k].table_capacity}"
+                )
+
+    from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
+
+    out: Dict[int, TrioResult] = {}
+    for k in ks:
+        cfg = cfgs[k]
+        cands = call_candidates(
+            tables["child"][k], tables["mom"][k], tables["dad"][k],
+            cfg.tau_parent, cfg.min_child_count,
+        )
+        n = int(cands.n)
+        keys = np.asarray(cands.keys)[:n]
+        cc = np.asarray(cands.child_counts)[:n]
+        mc = np.asarray(cands.mom_counts)[:n]
+        dc = np.asarray(cands.dad_counts)[:n]
+        out[k] = TrioResult(
+            candidates=[
+                (words_to_kmer_value(keys[i]), int(cc[i]), int(mc[i]), int(dc[i]))
+                for i in range(n)
+            ],
+            report=format_report_np(keys, cc, mc, dc, k),
+            metrics=m,
+            tables_n={s: int(tables[s][k].n) for s in tables},
+        )
+    return out
+
+
+@dataclasses.dataclass
+class TrioPaths:
+    name: str
+    mom: str
+    dad: str
+    child: str
+
+
+def run_cohort(
+    trios: Sequence[TrioPaths],
+    cfg: EngineConfig,
+    metrics: Optional[Metrics] = None,
+    build_parental_superset: bool = True,
+) -> Tuple[Dict[str, TrioResult], Optional[KmerTable]]:
+    """Cohort mode (BASELINE.json config 5): N trios through one compiled engine.
+
+    All samples share one jitted ingest step (one compile, 3N streams). If
+    ``build_parental_superset`` is set, the union of every trio's parental tables is also
+    merged into one superset table (cohort-level artifact: a k-mer absent from the superset is
+    de novo *cohort-wide*; per-trio candidate calls still use that trio's own parents, so
+    per-trio results are identical to running each trio alone).
+    """
+    m = metrics or Metrics()
+    step = make_ingest_step(cfg)
+
+    results: Dict[str, TrioResult] = {}
+    superset: Optional[KmerTable] = (
+        empty_table(cfg.table_capacity, cfg.words) if build_parental_superset else None
+    )
+
+    from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
+
+    for trio in trios:
+        tables = {}
+        for sample, path in (("mom", trio.mom), ("dad", trio.dad), ("child", trio.child)):
+            with m.timer(f"build"):
+                tables[sample] = build_sample_table(
+                    _record_stream(path, cfg), cfg, m, step
+                )
+        if superset is not None:
+            superset = merge_tables(superset, tables["mom"], cfg.table_capacity)
+            superset = merge_tables(superset, tables["dad"], cfg.table_capacity)
+
+        cands = call_candidates(
+            tables["child"], tables["mom"], tables["dad"],
+            cfg.tau_parent, cfg.min_child_count,
+        )
+        n = int(cands.n)
+        keys = np.asarray(cands.keys)[:n]
+        cc = np.asarray(cands.child_counts)[:n]
+        mc = np.asarray(cands.mom_counts)[:n]
+        dc = np.asarray(cands.dad_counts)[:n]
+        results[trio.name] = TrioResult(
+            candidates=[
+                (words_to_kmer_value(keys[i]), int(cc[i]), int(mc[i]), int(dc[i]))
+                for i in range(n)
+            ],
+            report=format_report_np(keys, cc, mc, dc, cfg.k),
+            metrics=m,
+            tables_n={s: int(t.n) for s, t in tables.items()},
+        )
+        m.count("trios", 1)
+
+    if superset is not None:
+        n_sup = int(superset.n)
+        if n_sup > cfg.table_capacity:
+            raise RuntimeError(
+                f"parental superset overflow: {n_sup} > {cfg.table_capacity}"
+            )
+        m.count("superset_unique_kmers", n_sup)
+    return results, superset

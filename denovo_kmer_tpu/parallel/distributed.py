@@ -1,0 +1,124 @@
+"""Multi-host execution (SURVEY.md §2.2 multi-host row, §5.8).
+
+The reference is single-process (SURVEY.md §0.1 item 7); multi-host is pure build-spec scope:
+- process bootstrap via ``jax.distributed.initialize`` (coordinator env vars or explicit args)
+- the device mesh spans all processes; per-host feeders supply their *local* slice of every
+  global batch via ``jax.make_array_from_process_local_data``
+- read-stream distribution is plain per-host record striping (record i goes to host
+  i mod n_hosts) — deterministic and correct for any BAM without an index; the native feeder's
+  virtual-offset ranges are the faster path once a split index exists (SURVEY.md §5.8).
+
+Everything downstream (all_to_all routing, table shards, candidate call) is the same
+``ShardedKmerEngine`` program — XLA emits ICI collectives inside a host's slice and DCN across
+hosts from the same code.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.pack import PackedReads, pack_records
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Bootstrap multi-host JAX. Arguments default to the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)."""
+    kwargs = {}
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kwargs["coordinator_address"] = (
+            coordinator_address or os.environ["JAX_COORDINATOR_ADDRESS"]
+        )
+    if num_processes or os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(
+            num_processes or os.environ["JAX_NUM_PROCESSES"]
+        )
+    if process_id is not None or os.environ.get("JAX_PROCESS_ID") is not None:
+        kwargs["process_id"] = int(
+            process_id if process_id is not None else os.environ["JAX_PROCESS_ID"]
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def striped_records(records: Iterable, host_id: int, n_hosts: int) -> Iterator:
+    """Deterministic record striping: host h keeps records with index ≡ h (mod n_hosts).
+
+    The union over hosts is exactly the input stream, so global results are bit-identical to
+    single-host (counting is order-independent)."""
+    return itertools.islice(records, host_id, None, n_hosts)
+
+
+def host_packed_stream(
+    path_records: Iterable,
+    cfg: EngineConfig,
+    host_id: int,
+    n_hosts: int,
+) -> Iterator[PackedReads]:
+    """This host's packed sub-batches: stripe records, pack B/n_hosts reads per batch so that
+    the concatenation over hosts forms the global batch of cfg.batch_reads."""
+    local_cfg_batch = cfg.batch_reads // n_hosts
+    if cfg.batch_reads % n_hosts:
+        raise ValueError(
+            f"batch_reads ({cfg.batch_reads}) must divide by n_hosts ({n_hosts})"
+        )
+    import dataclasses
+
+    local_cfg = dataclasses.replace(cfg, batch_reads=local_cfg_batch)
+    return pack_records(striped_records(path_records, host_id, n_hosts), local_cfg)
+
+
+def make_global_batch(engine, local_packed: PackedReads):
+    """Assemble the global sharded arrays for one step from this process's local slice.
+
+    In multi-process JAX each process only materializes its addressable shards;
+    ``jax.make_array_from_process_local_data`` stitches them into one global array matching
+    the engine's reads sharding."""
+    sharding = engine._sharding_reads
+    n_hosts = jax.process_count()
+    B_global = local_packed.words.shape[0] * n_hosts
+    words = jax.make_array_from_process_local_data(
+        sharding, local_packed.words, (B_global, local_packed.words.shape[1])
+    )
+    vwords = jax.make_array_from_process_local_data(
+        sharding, local_packed.vwords, (B_global, local_packed.vwords.shape[1])
+    )
+    return words, vwords
+
+
+def steps_aligned(host_batches: Iterator[PackedReads], cfg: EngineConfig):
+    """Multi-host streams must take the SAME number of ingest steps on every host (SPMD).
+    Yield local batches followed by empty padding batches until all hosts are done.
+
+    Uses a tiny all-reduce on 'any host still has data' via
+    jax.experimental.multihost_utils.process_allgather."""
+    from jax.experimental import multihost_utils
+
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+
+    empty = None
+    it = iter(host_batches)
+    while True:
+        batch = next(it, None)
+        have = np.array([batch is not None], dtype=np.int32)
+        anyone = multihost_utils.process_allgather(have).max()
+        if not anyone:
+            return
+        if batch is None:
+            if empty is None:
+                import dataclasses
+
+                local_cfg = dataclasses.replace(
+                    cfg, batch_reads=cfg.batch_reads // jax.process_count()
+                )
+                empty = pack_seqs([], local_cfg, batch_size=local_cfg.batch_reads)
+            batch = empty
+        yield batch

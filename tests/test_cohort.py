@@ -1,0 +1,73 @@
+"""Multi-k sweep and cohort-mode tests (BASELINE.json configs 4-5) vs the oracle."""
+
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.cohort import TrioPaths, run_cohort, run_trio_multi_k
+from denovo_kmer_tpu.io.bam import read_bam_records
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+from denovo_kmer_tpu.oracle.scalar import count_reads, trio_candidates
+from denovo_kmer_tpu.pipeline import run_trio
+
+
+@pytest.fixture(scope="module")
+def trios(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cohort")
+    out = []
+    for i in range(3):
+        spec = TrioSpec(genome_len=1200, read_len=50, coverage=5.0, seed=40 + i,
+                        n_inherited_snvs=5, n_denovo_snvs=2)
+        paths = write_trio_bams(make_trio(spec), str(d / f"t{i}"))
+        out.append(TrioPaths(name=f"t{i}", mom=paths["mom"], dad=paths["dad"],
+                             child=paths["child"]))
+    return out
+
+
+def oracle_cands(tp, cfg):
+    tabs = {}
+    for s, p in (("mom", tp.mom), ("dad", tp.dad), ("child", tp.child)):
+        tabs[s] = count_reads([(r.seq, r.qual, r.flag) for r in read_bam_records(p)], cfg)
+    return trio_candidates(tabs["mom"], tabs["dad"], tabs["child"], cfg)
+
+
+def test_multi_k_matches_per_k_oracle(trios):
+    tp = trios[0]
+    base = EngineConfig(k=31, max_read_len=64, batch_reads=64, table_capacity=1 << 13)
+    ks = [15, 21, 31]
+    results = run_trio_multi_k(tp.mom, tp.dad, tp.child, base, ks)
+    assert set(results) == set(ks)
+    import dataclasses
+
+    for k in ks:
+        cfg_k = dataclasses.replace(base, k=k)
+        assert results[k].candidates == oracle_cands(tp, cfg_k)
+
+
+def test_cohort_matches_individual_runs(trios):
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 14)
+    results, superset = run_cohort(trios, cfg)
+    assert set(results) == {t.name for t in trios}
+    total_parent_uniques = set()
+    for tp in trios:
+        solo = run_trio(tp.mom, tp.dad, tp.child, cfg)
+        assert results[tp.name].candidates == solo.candidates
+        assert results[tp.name].report == solo.report
+    # superset = union of all parents' k-mers
+    import numpy as np
+
+    from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
+
+    want_union = {}
+    for tp in trios:
+        for p in (tp.mom, tp.dad):
+            t = count_reads(
+                [(r.seq, r.qual, r.flag) for r in read_bam_records(p)], cfg
+            )
+            for v, c in t.items():
+                want_union[v] = want_union.get(v, 0) + c
+    n = int(superset.n)
+    got = {
+        words_to_kmer_value(np.asarray(superset.keys)[i]): int(superset.counts[i])
+        for i in range(n)
+    }
+    assert got == want_union
