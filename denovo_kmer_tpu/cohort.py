@@ -43,22 +43,43 @@ def run_trio_multi_k(
     All configs share every knob except k (SPEC_SEMANTICS: k changes the k-mer universe, so
     each k gets its own parity-complete result).
     """
+    from denovo_kmer_tpu.ops.stream import empty_accumulator
+
     m = metrics or Metrics()
     cfgs = {k: dataclasses.replace(base_cfg, k=k) for k in ks}
     steps = {k: make_ingest_step(cfgs[k]) for k in ks}
 
+    def fresh_acc(k):
+        c = cfgs[k]
+        return empty_accumulator(
+            c.accum_batches * c.batch_reads * c.windows_per_read, c.words
+        )
+
     tables: Dict[str, Dict[int, KmerTable]] = {}
     for name, path in (("mom", mom_path), ("dad", dad_path), ("child", child_path)):
         per_k = {k: empty_table(cfgs[k].table_capacity, cfgs[k].words) for k in ks}
-        # pack once (k-independent), extract/ingest per k
+        accs = {k: fresh_acc(k) for k in ks}
+        pending = 0
+        # pack once (k-independent), extract/append per k
         for packed in pack_records(_record_stream(path, base_cfg), base_cfg):
             m.count("reads_ingested", packed.n_reads)
             words = jnp.asarray(packed.words)
             vwords = jnp.asarray(packed.vwords)
+            pending += 1
             for k in ks:
+                extract_append, _ = steps[k]
                 with m.timer("extract_probe"):
-                    per_k[k] = steps[k](per_k[k], words, vwords)
+                    accs[k] = extract_append(accs[k], words, vwords)
                 m.count("kmers_extracted", packed.n_reads * cfgs[k].windows_per_read)
+            if pending == base_cfg.accum_batches:
+                for k in ks:
+                    _, flush_fn = steps[k]
+                    accs[k], per_k[k] = flush_fn(accs[k], per_k[k])
+                pending = 0
+        for k in ks:
+            if pending:
+                _, flush_fn = steps[k]
+                accs[k], per_k[k] = flush_fn(accs[k], per_k[k])
         tables[name] = per_k
         for k in ks:
             n = int(per_k[k].n)

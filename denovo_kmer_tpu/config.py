@@ -65,8 +65,9 @@ class EngineConfig:
     # --- table sizing ---
     #: capacity (slots) of a parental/child k-mer table per shard
     table_capacity: int = 1 << 20
-    #: capacity of the per-batch unique-kmer staging table used during incremental build
-    batch_unique_capacity: int = 1 << 19
+    #: batches appended to the raw staging buffer between LSM flushes (ops/stream.py);
+    #: staging memory = accum_batches * batch_reads * windows_per_read * (words+1) * 4 B
+    accum_batches: int = 8
 
     # --- mesh / sharding ---
     #: mesh axis sizes: (data-parallel 'reads' axis, table-shard 'table' axis)

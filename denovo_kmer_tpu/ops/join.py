@@ -1,0 +1,162 @@
+"""Gather-free sorted joins — the TPU-native replacement for random-access table probes.
+
+Measured on v5e: a 2M-row random gather from a 4M-row table costs ~15 ms per binary-search
+step (×22 steps ×2 tables ≈ 0.5 s per batch), while ``jax.lax.sort`` runs at ~227M rows/s.
+So bulk membership resolution is restructured as sort-merge joins (zero gathers):
+
+- ``join_tables_on_child``: the trio inner join. All three tables share the same sort order
+  (strictly increasing unique keys), so one stable sort of the tagged concatenation groups
+  equal keys into runs of ≤3 rows ordered (mom, dad, child) — each child row reads its
+  parents' counts from at most the two preceding rows (pure shift-compares, no scan).
+- ``probe_table_sorted``: general bulk probe for arbitrary (possibly duplicated, unordered)
+  queries: tag + sort + propagate-last-table-count via associative scan + scatter back.
+
+The log-time binary-search probe (``table.probe_table``) remains for small ad-hoc lookups.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from denovo_kmer_tpu.ops.table import KmerTable
+
+
+def _valid_rows(tab: KmerTable) -> jnp.ndarray:
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tab.keys.shape[0],), 0)
+    return slot < tab.n
+
+
+def join_tables_on_child(
+    child: KmerTable, mom: KmerTable, dad: KmerTable
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """For every child-table slot, the mom/dad counts of that key (0 when absent).
+
+    Returns (child_keys (Cc,W), child_counts, mom_counts, dad_counts, child_valid) in the
+    child table's order. Equality of the three tables' sort orders makes this one stable sort
+    + two shift-compares; no gathers, no scan.
+    """
+    W = child.keys.shape[1]
+    Cc, Cm, Cd = (t.keys.shape[0] for t in (child, mom, dad))
+    N = Cc + Cm + Cd
+
+    keys = jnp.concatenate([mom.keys, dad.keys, child.keys], axis=0)
+    counts = jnp.concatenate([mom.counts, dad.counts, child.counts], axis=0)
+    # source tag orders ties (mom=0, dad=1, child=2); padding rows must sort after all
+    # valid rows of the same key, and must never act as join partners
+    valid = jnp.concatenate(
+        [_valid_rows(mom), _valid_rows(dad), _valid_rows(child)], axis=0
+    )
+    src = jnp.concatenate(
+        [
+            jnp.zeros((Cm,), jnp.uint32),
+            jnp.ones((Cd,), jnp.uint32),
+            jnp.full((Cc,), 2, jnp.uint32),
+        ],
+        axis=0,
+    )
+    # child slot index for scatter-back (table rows -> dropped)
+    back = jnp.concatenate(
+        [
+            jnp.full((Cm + Cd,), Cc, jnp.int32),
+            jax.lax.broadcasted_iota(jnp.int32, (Cc,), 0),
+        ],
+        axis=0,
+    )
+
+    inv = (~valid).astype(jnp.uint32)
+    ops = (
+        [inv]
+        + [keys[:, w] for w in range(W)]
+        + [src, counts, back]
+    )
+    s = jax.lax.sort(ops, num_keys=W + 2, is_stable=False)
+    s_words = s[1 : 1 + W]
+    s_src, s_counts, s_back = s[1 + W], s[2 + W], s[3 + W]
+    s_valid = s[0] == 0
+
+    def shifted(a, by, fill):
+        return jnp.concatenate([jnp.full((by,), fill, a.dtype), a[:-by]])
+
+    def key_eq(shift):
+        eq = jnp.ones((N,), bool)
+        for w in range(W):
+            eq = eq & (s_words[w] == shifted(s_words[w], shift, 0xFFFFFFFF))
+        # shifted-in rows at the start never match (fill breaks ties by valid=False)
+        eq = eq & shifted(s_valid, shift, False) & s_valid
+        return eq
+
+    eq1, eq2 = key_eq(1), key_eq(2)
+    src1, src2 = shifted(s_src, 1, 9), shifted(s_src, 2, 9)
+    cnt1, cnt2 = shifted(s_counts, 1, 0), shifted(s_counts, 2, 0)
+
+    is_child = s_src == 2
+    momc = jnp.where(
+        eq1 & (src1 == 0), cnt1, jnp.where(eq2 & (src2 == 0), cnt2, 0)
+    )
+    dadc = jnp.where(eq1 & (src1 == 1), cnt1, 0)
+    # dad can only be at distance 1 (if mom also present, dad is the nearer neighbour);
+    # but when mom is present and dad absent, distance-1 is mom → handled above; when both
+    # present the run is (mom, dad, child): dad at 1, mom at 2.
+
+    momc = jnp.where(is_child, momc, 0).astype(jnp.uint32)
+    dadc = jnp.where(is_child, dadc, 0).astype(jnp.uint32)
+
+    out_mom = jnp.zeros((Cc,), jnp.uint32).at[
+        jnp.where(is_child, s_back, Cc)
+    ].set(momc, mode="drop")
+    out_dad = jnp.zeros((Cc,), jnp.uint32).at[
+        jnp.where(is_child, s_back, Cc)
+    ].set(dadc, mode="drop")
+    return child.keys, child.counts, out_mom, out_dad, _valid_rows(child)
+
+
+def probe_table_sorted(table: KmerTable, queries: jnp.ndarray) -> jnp.ndarray:
+    """Bulk probe for arbitrary queries (duplicates allowed): counts (...,) uint32.
+
+    Sort-join with a propagate-last-valid-table-row associative scan; one scatter restores
+    query order. Matches ``probe_table`` bit-for-bit (property-tested).
+    """
+    C, W = table.keys.shape
+    q = queries.reshape(-1, W)
+    N = q.shape[0]
+    M = C + N
+
+    keys = jnp.concatenate([table.keys, q], axis=0)
+    counts = jnp.concatenate([table.counts, jnp.zeros((N,), jnp.uint32)], axis=0)
+    is_tab = jnp.concatenate([_valid_rows(table), jnp.zeros((N,), bool)], axis=0)
+    src = jnp.concatenate(
+        [jnp.zeros((C,), jnp.uint32), jnp.ones((N,), jnp.uint32)], axis=0
+    )
+    back = jnp.concatenate(
+        [jnp.full((C,), N, jnp.int32), jax.lax.broadcasted_iota(jnp.int32, (N,), 0)],
+        axis=0,
+    )
+
+    ops = [keys[:, w] for w in range(W)] + [src, is_tab.astype(jnp.uint32), counts, back]
+    s = jax.lax.sort(ops, num_keys=W + 1, is_stable=False)
+    s_words = s[:W]
+    s_src, s_istab, s_counts, s_back = s[W], s[W + 1].astype(bool), s[W + 2], s[W + 3]
+
+    # propagate (key, count) of the last table row downward
+    def combine(a, b):
+        take_b = b[-1].astype(bool)
+        return tuple(jnp.where(take_b, bw, aw) for aw, bw in zip(a, b))
+
+    carried = jax.lax.associative_scan(
+        combine,
+        tuple(s_words) + (s_counts, s_istab.astype(jnp.uint32)),
+        axis=0,
+    )
+    c_words, c_count, c_valid = carried[:W], carried[W], carried[W + 1].astype(bool)
+    eq = c_valid
+    for w in range(W):
+        eq = eq & (c_words[w] == s_words[w])
+    res = jnp.where(eq & (s_src == 1), c_count, 0).astype(jnp.uint32)
+
+    out = jnp.zeros((N,), jnp.uint32).at[
+        jnp.where(s_src == 1, s_back, N)
+    ].set(res, mode="drop")
+    return out.reshape(queries.shape[:-1])

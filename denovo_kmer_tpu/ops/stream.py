@@ -1,0 +1,77 @@
+"""LSM-style streaming table builder: O(extract) per batch, amortized sort on flush.
+
+The naive ingest (aggregate every batch, merge into the full table every batch) re-sorts
+``table_capacity`` rows per batch — O(C log C) per 2M k-mers. Here raw extracted k-mers are
+appended to a device staging buffer with a single ``dynamic_update_slice`` (no sort, no sync),
+and only every ``accum_batches`` batches does one flush aggregate+merge run:
+
+  per-batch cost  = extract (elementwise) + append (copy)
+  amortized flush = sort(C + M·batch_kmers) / M
+
+This is the LSM-tree trade the k-mer-counting literature reaches via external-memory sorting
+(KMC2/MSPKmerCounter, PAPERS.md) — expressed here as static-shape device buffers. Everything
+stays exact: the flush aggregates with the same ``_aggregate`` as the direct path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from denovo_kmer_tpu.ops.table import KmerTable, _aggregate, merge_tables
+
+
+class KmerAccumulator(NamedTuple):
+    """Staging buffer of raw (unaggregated) k-mers awaiting a flush."""
+
+    kmers: jnp.ndarray  # (S, W) uint32
+    valid: jnp.ndarray  # (S,) bool
+    fill: jnp.ndarray  # () int32 — slots used
+
+
+def empty_accumulator(slots: int, words: int) -> KmerAccumulator:
+    return KmerAccumulator(
+        kmers=jnp.zeros((slots, words), jnp.uint32),
+        valid=jnp.zeros((slots,), bool),
+        fill=jnp.zeros((), jnp.int32),
+    )
+
+
+@jax.jit
+def append(acc: KmerAccumulator, kmers: jnp.ndarray, valid: jnp.ndarray) -> KmerAccumulator:
+    """Append one batch's raw k-mers ((..., W) + mask). Caller guarantees capacity
+    (static schedule: flush every accum_batches appends)."""
+    flat = kmers.reshape(-1, kmers.shape[-1])
+    v = valid.reshape(-1)
+    return KmerAccumulator(
+        kmers=jax.lax.dynamic_update_slice(acc.kmers, flat, (acc.fill, 0)),
+        valid=jax.lax.dynamic_update_slice(acc.valid, v, (acc.fill,)),
+        fill=acc.fill + flat.shape[0],
+    )
+
+
+@jax.jit
+def flush(acc: KmerAccumulator, table: KmerTable) -> Tuple[KmerAccumulator, KmerTable]:
+    """Aggregate the staging buffer and merge it into the table; reset the buffer.
+
+    One sort over (S + C) rows via concat-aggregate: table entries join the sort as
+    pre-weighted rows, so flush is a single ``_aggregate`` call.
+    """
+    C, W = table.keys.shape
+    S = acc.kmers.shape[0]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
+    acc_valid = acc.valid & (slot < acc.fill)
+
+    kmers = jnp.concatenate([table.keys, acc.kmers], axis=0)
+    weights = jnp.concatenate(
+        [table.counts, jnp.ones((S,), jnp.uint32)], axis=0
+    )
+    tslot = jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
+    valid = jnp.concatenate([tslot < table.n, acc_valid], axis=0)
+    new_table = _aggregate(kmers, weights, valid, C)
+    return empty_accumulator(S, W)._replace(
+        kmers=acc.kmers, valid=jnp.zeros((S,), bool)
+    ), new_table

@@ -14,7 +14,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from denovo_kmer_tpu.ops.table import KmerTable, probe_table
+from denovo_kmer_tpu.ops.table import KmerTable
 
 
 class Candidates(NamedTuple):
@@ -35,12 +35,17 @@ def candidate_flags(
     tau_parent: int,
     min_child_count: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Probe parents for every child unique k-mer → (flags (C,), mom_counts, dad_counts)."""
-    mom_counts = probe_table(mom, child.keys)
-    dad_counts = probe_table(dad, child.keys)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (child.keys.shape[0],), 0)
+    """Resolve parental counts for every child unique k-mer → (flags, mom_counts, dad_counts).
+
+    Uses the gather-free 3-way sorted join (ops.join): all three tables share the same sort
+    order, so membership is one stable sort + shift-compares — on TPU this is ~20x faster
+    than per-key binary-search gathers (see ops/join.py header).
+    """
+    from denovo_kmer_tpu.ops.join import join_tables_on_child
+
+    _, _, mom_counts, dad_counts, child_valid = join_tables_on_child(child, mom, dad)
     flags = (
-        (slot < child.n)
+        child_valid
         & (child.counts >= jnp.uint32(min_child_count))
         & (mom_counts <= jnp.uint32(tau_parent))
         & (dad_counts <= jnp.uint32(tau_parent))

@@ -27,15 +27,15 @@ def build_sample_table_sharded(
     metrics: Optional[Metrics] = None,
 ):
     m = metrics or Metrics()
-    table = engine.empty_table()
+    state = engine.new_build()
     for packed in pack_records(records, cfg):
         m.count("reads_ingested", packed.n_reads)
         with m.timer("extract_probe"):
-            table = engine.ingest(table, packed)
+            state = engine.ingest(state, packed)
         m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
         m.count("batches", 1)
     with m.timer("finalize"):
-        table = engine.finalize(table)
+        table = engine.finalize(state)
     m.count("unique_kmers", engine.total_unique(table))
     return table
 

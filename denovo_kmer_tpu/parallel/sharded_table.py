@@ -52,6 +52,16 @@ class RouteOverflowError(RuntimeError):
 
 
 @dataclasses.dataclass
+class ShardedBuildState:
+    """In-flight streaming build: staging accumulator + overflow counter + row-partial table."""
+
+    acc: object  # KmerAccumulator of global (R,T,·) arrays
+    ovf: jnp.ndarray  # (R,T) int32, psum-accumulated route overflow
+    table: KmerTable  # global (R,T,·) row-partial shards
+    pending: int  # host-side count of appends since last flush
+
+
+@dataclasses.dataclass
 class ShardedKmerEngine:
     """Compiled sharded ops for one (cfg, mesh) pair. Reusable across samples/batches."""
 
@@ -98,9 +108,30 @@ class ShardedKmerEngine:
                 tab.keys[None, None], tab.counts[None, None], tab.n[None, None]
             )
 
-        # ---- ingest one packed batch into row-partial shards ----
-        def ingest_dev(tab: KmerTable, words, vwords):
-            local = _local(tab)
+        # ---- streaming state: staging accumulator of routed raw k-mers (ops/stream.py) ----
+        from denovo_kmer_tpu.ops.stream import (
+            KmerAccumulator,
+            append as acc_append,
+            flush as acc_flush,
+        )
+
+        self.acc_slots = cfg.accum_batches * T * route_cap
+        S = self.acc_slots
+        acc_specs = KmerAccumulator(
+            kmers=P(AXIS_READS, AXIS_TABLE, None, None),
+            valid=P(AXIS_READS, AXIS_TABLE, None),
+            fill=spec_table,
+        )
+
+        def _local_acc(a: KmerAccumulator) -> KmerAccumulator:
+            return KmerAccumulator(a.kmers[0, 0], a.valid[0, 0], a.fill[0, 0])
+
+        def _glob_acc(a: KmerAccumulator) -> KmerAccumulator:
+            return jax.tree.map(lambda x: x[None, None], a)
+
+        # ---- ingest one packed batch: extract → route (all_to_all) → append ----
+        def ingest_dev(acc: KmerAccumulator, ovf_acc, words, vwords):
+            local = _local_acc(acc)
             kmers, valid = extract_canonical_kmers(
                 words, vwords, k, max_len, canonical=canonical
             )
@@ -113,24 +144,33 @@ class ShardedKmerEngine:
             rmask = jax.lax.all_to_all(
                 mask, AXIS_TABLE, split_axis=0, concat_axis=0, tiled=True
             )
-            batch_tab = _aggregate(
-                recv.reshape(-1, W),
-                jnp.ones((T * route_cap,), jnp.uint32),
-                rmask.reshape(-1),
-                T * route_cap,
-            )
-            merged = merge_tables(local, batch_tab, C)
+            new_acc = acc_append(local, recv.reshape(-1, W), rmask.reshape(-1))
             ovf_tot = jax.lax.psum(ovf, (AXIS_READS, AXIS_TABLE))
-            return _globalize(merged), ovf_tot[None, None]
+            return _glob_acc(new_acc), ovf_acc + ovf_tot[None, None]
 
         self._ingest = jax.jit(
             shard_map(
                 ingest_dev,
                 mesh=mesh,
-                in_specs=(table_specs, reads_spec, reads_spec),
-                out_specs=(table_specs, spec_table),
+                in_specs=(acc_specs, spec_table, reads_spec, reads_spec),
+                out_specs=(acc_specs, spec_table),
             ),
-            donate_argnums=(0,),
+            donate_argnums=(0, 1),
+        )
+
+        # ---- flush: aggregate staging buffer into the row-partial table shard ----
+        def flush_dev(acc: KmerAccumulator, tab: KmerTable):
+            new_acc, new_tab = acc_flush(_local_acc(acc), _local(tab))
+            return _glob_acc(new_acc), _globalize(new_tab)
+
+        self._flush = jax.jit(
+            shard_map(
+                flush_dev,
+                mesh=mesh,
+                in_specs=(acc_specs, table_specs),
+                out_specs=(acc_specs, table_specs),
+            ),
+            donate_argnums=(0, 1),
         )
 
         # ---- finalize: fold row-partials so every row holds the full shard ----
@@ -183,37 +223,65 @@ class ShardedKmerEngine:
 
     # ---------- host API ----------
 
+    def _put(self, x, spec):
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
     def empty_table(self) -> KmerTable:
         """Global (R,T,·) empty table, placed with the table sharding."""
         R, T, C, W = self.R, self.T, self.shard_capacity, self.W
-        keys = jnp.full((R, T, C, W), 0xFFFFFFFF, jnp.uint32)
-        counts = jnp.zeros((R, T, C), jnp.uint32)
-        n = jnp.zeros((R, T), jnp.int32)
-        put = lambda x, spec: jax.device_put(x, NamedSharding(self.mesh, spec))
         return KmerTable(
-            keys=put(keys, P(AXIS_READS, AXIS_TABLE, None, None)),
-            counts=put(counts, P(AXIS_READS, AXIS_TABLE, None)),
-            n=put(n, P(AXIS_READS, AXIS_TABLE)),
+            keys=self._put(
+                jnp.full((R, T, C, W), 0xFFFFFFFF, jnp.uint32),
+                P(AXIS_READS, AXIS_TABLE, None, None),
+            ),
+            counts=self._put(
+                jnp.zeros((R, T, C), jnp.uint32), P(AXIS_READS, AXIS_TABLE, None)
+            ),
+            n=self._put(jnp.zeros((R, T), jnp.int32), P(AXIS_READS, AXIS_TABLE)),
         )
+
+    def new_build(self) -> "ShardedBuildState":
+        from denovo_kmer_tpu.ops.stream import KmerAccumulator
+
+        R, T, S, W = self.R, self.T, self.acc_slots, self.W
+        acc = KmerAccumulator(
+            kmers=self._put(
+                jnp.zeros((R, T, S, W), jnp.uint32), P(AXIS_READS, AXIS_TABLE, None, None)
+            ),
+            valid=self._put(jnp.zeros((R, T, S), bool), P(AXIS_READS, AXIS_TABLE, None)),
+            fill=self._put(jnp.zeros((R, T), jnp.int32), P(AXIS_READS, AXIS_TABLE)),
+        )
+        ovf = self._put(jnp.zeros((self.R, self.T), jnp.int32), P(AXIS_READS, AXIS_TABLE))
+        return ShardedBuildState(acc=acc, ovf=ovf, table=self.empty_table(), pending=0)
 
     def put_batch(self, packed) -> Tuple[jnp.ndarray, jnp.ndarray]:
         words = jax.device_put(packed.words, self._sharding_reads)
         vwords = jax.device_put(packed.vwords, self._sharding_reads)
         return words, vwords
 
-    def ingest(self, table: KmerTable, packed) -> KmerTable:
+    def ingest(self, state: "ShardedBuildState", packed) -> "ShardedBuildState":
+        """Route + append one packed batch; flushes automatically when staging is full.
+        No host↔device sync — overflow counters are checked once at finalize."""
         words, vwords = self.put_batch(packed)
-        table, ovf = self._ingest(table, words, vwords)
-        ovf_val = int(np.asarray(ovf)[0, 0])
+        acc, ovf = self._ingest(state.acc, state.ovf, words, vwords)
+        state = ShardedBuildState(acc=acc, ovf=ovf, table=state.table,
+                                  pending=state.pending + 1)
+        if state.pending >= self.cfg.accum_batches:
+            acc, table = self._flush(state.acc, state.table)
+            state = ShardedBuildState(acc=acc, ovf=state.ovf, table=table, pending=0)
+        return state
+
+    def finalize(self, state: "ShardedBuildState") -> KmerTable:
+        if state.pending:
+            acc, table = self._flush(state.acc, state.table)
+            state = ShardedBuildState(acc=acc, ovf=state.ovf, table=table, pending=0)
+        ovf_val = int(np.asarray(state.ovf)[0, 0])
         if ovf_val:
             raise RouteOverflowError(
                 f"{ovf_val} k-mers overflowed route capacity {self.route_cap}; "
                 f"increase route_capacity_factor (={self.cfg.route_capacity_factor})"
             )
-        return table
-
-    def finalize(self, table: KmerTable) -> KmerTable:
-        table = self._finalize(table)
+        table = self._finalize(state.table)
         n_max = int(np.asarray(jnp.max(table.n)))
         if n_max > self.shard_capacity:
             raise RuntimeError(

@@ -73,23 +73,68 @@ class _FakeRec:
 
 
 def make_ingest_step(cfg: EngineConfig):
-    """One jitted device step: packed batch → extract → aggregate → merge into running table.
+    """Jitted streaming-ingest pair: (extract_append, flush_fn).
 
-    The per-batch staging aggregate uses the worst-case capacity (every window unique) so a
-    batch can never overflow silently; only the final table capacity is a real limit (checked
-    host-side via ``table.n``).
+    LSM design (ops/stream.py): per batch only extract + append raw k-mers to the staging
+    buffer (no sort, no host sync); every ``cfg.accum_batches`` batches one flush
+    aggregates+merges into the table. A flush can never lose k-mers: the staging buffer is
+    sized for exactly accum_batches worst-case batches.
     """
-    batch_kmers = cfg.batch_reads * cfg.windows_per_read
+    from denovo_kmer_tpu.ops.stream import append, flush
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(table: KmerTable, words, vwords) -> KmerTable:
+    def extract_append(acc, words, vwords):
         kmers, valid = extract_canonical_kmers(
             words, vwords, cfg.k, cfg.max_read_len, canonical=cfg.canonical
         )
-        batch_tab = build_table(kmers, valid, batch_kmers)
-        return merge_tables(table, batch_tab, cfg.table_capacity)
+        return append(acc, kmers, valid)
 
-    return step
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def flush_fn(acc, table):
+        return flush(acc, table)
+
+    return extract_append, flush_fn
+
+
+class SampleTableBuilder:
+    """Streaming builder for one sample's table; reusable compiled steps across samples."""
+
+    def __init__(self, cfg: EngineConfig, steps=None):
+        from denovo_kmer_tpu.ops.stream import empty_accumulator
+
+        self.cfg = cfg
+        self.extract_append, self.flush_fn = steps or make_ingest_step(cfg)
+        self._empty_acc = lambda: empty_accumulator(
+            cfg.accum_batches * cfg.batch_reads * cfg.windows_per_read, cfg.words
+        )
+
+    def build(self, packed_batches: Iterable, metrics: Optional[Metrics] = None) -> KmerTable:
+        m = metrics or Metrics()
+        acc = self._empty_acc()
+        table = empty_table(self.cfg.table_capacity, self.cfg.words)
+        pending = 0
+        for packed in packed_batches:
+            m.count("reads_ingested", packed.n_reads)
+            with m.timer("extract_probe"):
+                acc = self.extract_append(
+                    acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
+                )
+                pending += 1
+                if pending == self.cfg.accum_batches:
+                    acc, table = self.flush_fn(acc, table)
+                    pending = 0
+            m.count("kmers_extracted", packed.n_reads * self.cfg.windows_per_read)
+            m.count("batches", 1)
+        if pending:
+            with m.timer("extract_probe"):
+                acc, table = self.flush_fn(acc, table)
+        n = int(table.n)
+        if n > self.cfg.table_capacity:
+            raise TableOverflowError(
+                f"{n} unique k-mers exceed table capacity {self.cfg.table_capacity}"
+            )
+        m.count("unique_kmers", n)
+        return table
 
 
 def build_sample_table(
@@ -103,24 +148,8 @@ def build_sample_table(
     Raises TableOverflowError if unique k-mers exceed cfg.table_capacity (checked host-side;
     the device op reports the true unique count in ``table.n``).
     """
-    m = metrics or Metrics()
-    step = step or make_ingest_step(cfg)
-    table = empty_table(cfg.table_capacity, cfg.words)
-    for packed in pack_records(records, cfg):
-        m.count("reads_ingested", packed.n_reads)
-        with m.timer("extract_probe"):
-            table = step(
-                table, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
-            )
-        m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
-        m.count("batches", 1)
-    n = int(table.n)
-    if n > cfg.table_capacity:
-        raise TableOverflowError(
-            f"{n} unique k-mers exceed table capacity {cfg.table_capacity}"
-        )
-    m.count("unique_kmers", n)
-    return table
+    builder = step if isinstance(step, SampleTableBuilder) else SampleTableBuilder(cfg, step)
+    return builder.build(pack_records(records, cfg), metrics)
 
 
 def decode_kmers_np(keys: np.ndarray, k: int) -> List[str]:

@@ -27,4 +27,4 @@ def cfg21():
     from denovo_kmer_tpu.config import EngineConfig
 
     return EngineConfig(k=21, max_read_len=64, batch_reads=32,
-                        table_capacity=1 << 12, batch_unique_capacity=1 << 11)
+                        table_capacity=1 << 12)
