@@ -1,12 +1,20 @@
 """Benchmark harness — BASELINE.json primary metric: k-mers/s/chip (extract+probe).
 
-Runs the child-scoring inner loop (canonical extraction from 2-bit-packed read batches fused
-with membership probes against two parental tables) on the available accelerator and prints ONE
-JSON line. The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is computed against
-the driver-spec target of 1 Gk-mers/s aggregate on a v5p-16 (8 chips) → 125 Mk-mers/s/chip.
+Measures the engine's true child-scoring pipeline on realistic data: reads sampled at
+coverage from a synthetic genome (so uniques ≪ total k-mers, as in real trios), streamed
+through the LSM ingest (extract → append → amortized flush) and finished with the gather-free
+3-way sorted trio join against two parental tables. Reported rate = child k-mer windows
+processed per second of device time, end to end — extraction AND parental membership
+resolution included.
 
-Env knobs: BENCH_READS (batch size), BENCH_ITERS, BENCH_TABLE_BITS (parental table log2 size),
-BENCH_K.
+Timing methodology (axon tunnel): the remote runtime defers execution past
+``block_until_ready`` and caches results of identical (executable, inputs) pairs, so every
+timed call uses fresh salted inputs and the clock stops only after fetching a value
+(``np.asarray``). Host dispatch overhead is subtracted via a calibrated no-op chain.
+
+Env knobs: BENCH_READS (per batch), BENCH_BATCHES, BENCH_TABLE_BITS, BENCH_K, BENCH_GENOME.
+Prints ONE JSON line. ``vs_baseline`` is vs the driver-spec target of 1 Gk-mers/s aggregate
+on a v5p-16 (8 chips) → 125 Mk-mers/s/chip (the reference publishes no numbers, BASELINE.md).
 """
 
 import json
@@ -19,116 +27,138 @@ import numpy as np
 PER_CHIP_TARGET = 1e9 / 8  # BASELINE.json north star, v5p-16 aggregate / 8 chips
 
 
+def synth_genome_reads(rng, genome, n_reads, read_len):
+    """Sample reads uniformly from a genome string (coverage-realistic duplicate k-mers)."""
+    starts = rng.integers(0, len(genome) - read_len + 1, size=n_reads)
+    return [genome[s : s + read_len] for s in starts]
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
 
     from denovo_kmer_tpu.config import EngineConfig
-    from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast as extract_canonical_kmers
-    from denovo_kmer_tpu.ops.table import KmerTable, probe_table
+    from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+    from denovo_kmer_tpu.ops.stream import append, empty_accumulator, flush
+    from denovo_kmer_tpu.ops.table import empty_table
+    from denovo_kmer_tpu.ops.trio import call_candidates
 
     k = int(os.environ.get("BENCH_K", 31))
     batch_reads = int(os.environ.get("BENCH_READS", 16384))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
-    table_bits = int(os.environ.get("BENCH_TABLE_BITS", 22))
+    n_batches = int(os.environ.get("BENCH_BATCHES", 16))
+    table_bits = int(os.environ.get("BENCH_TABLE_BITS", 23))
+    genome_len = int(os.environ.get("BENCH_GENOME", 4_000_000))
     max_read_len = 160
 
-    cfg = EngineConfig(k=k, max_read_len=max_read_len, batch_reads=batch_reads,
-                       table_capacity=1 << table_bits)
-    W = cfg.words
+    cfg = EngineConfig(
+        k=k, max_read_len=max_read_len, batch_reads=batch_reads,
+        table_capacity=1 << table_bits, accum_batches=min(8, n_batches),
+    )
     P = cfg.windows_per_read
     dev = jax.devices()[0]
-    print(f"device: {dev.device_kind}, k={k}, B={batch_reads}, P={P}, "
-          f"table=2^{table_bits}", file=sys.stderr)
+    print(
+        f"device: {dev.device_kind}, k={k}, B={batch_reads}x{n_batches} batches, "
+        f"P={P}, genome={genome_len}, table=2^{table_bits}",
+        file=sys.stderr,
+    )
 
-    # synthetic parental tables: sorted unique random keys (realistic probe density)
+    # ---- synthetic trio data at ~30x child coverage over a shared genome ----
     rng = np.random.default_rng(0)
-    C = 1 << table_bits
-
-    def synth_table(seed):
-        r = np.random.default_rng(seed)
-        keys = r.integers(0, 1 << 62, size=(C,), dtype=np.uint64)
-        keys = np.unique(keys)
-        n = keys.shape[0]
-        kw = np.empty((C, W), np.uint32)
-        kw.fill(0xFFFFFFFF)
-        for w in range(W):
-            sh = 32 * (W - 1 - w)
-            kw[:n, w] = ((keys >> sh) & 0xFFFFFFFF).astype(np.uint32)
-        counts = np.zeros(C, np.uint32)
-        counts[:n] = r.integers(1, 50, size=n)
-        return KmerTable(
-            keys=jax.device_put(jnp.asarray(kw)),
-            counts=jax.device_put(jnp.asarray(counts)),
-            n=jnp.asarray(n, jnp.int32),
-        )
-
-    mom = synth_table(1)
-    dad = synth_table(2)
-
-    # synthetic packed child reads
     base = np.frombuffer(b"ACGT", dtype=np.uint8)
-    from denovo_kmer_tpu.ops.pack import pack_seqs
+    genome = bytes(base[rng.integers(0, 4, genome_len)]).decode()
 
-    seqs = [
-        bytes(base[rng.integers(0, 4, max_read_len)]).decode()
-        for _ in range(batch_reads)
-    ]
-    packed = pack_seqs(seqs, cfg, batch_size=batch_reads)
-    words = jax.device_put(jnp.asarray(packed.words))
-    vwords = jax.device_put(jnp.asarray(packed.vwords))
+    def packed_batches(n, seed):
+        r = np.random.default_rng(seed)
+        out = []
+        for _ in range(n):
+            seqs = synth_genome_reads(r, genome, batch_reads, max_read_len)
+            p = pack_seqs(seqs, cfg, batch_size=batch_reads)
+            out.append(
+                (jax.device_put(jnp.asarray(p.words)), jax.device_put(jnp.asarray(p.vwords)))
+            )
+        return out
 
-    def score_step(mom, dad, words, vwords, salt):
-        # salt (data-dependent, never provably constant) defeats loop-invariant hoisting
-        w = words ^ salt
-        kmers, valid = extract_canonical_kmers(w, vwords, cfg.k, cfg.max_read_len)
-        mc = probe_table(mom, kmers)
-        dc = probe_table(dad, kmers)
-        return (
-            jnp.sum(jnp.where(valid, mc, 0)),
-            jnp.sum(jnp.where(valid, dc, 0)),
-            jnp.sum(valid.astype(jnp.int32)),
+    child_batches = packed_batches(n_batches, seed=1)
+
+    # ---- compiled steps (shared with the production pipeline) ----
+    acc_slots = cfg.accum_batches * batch_reads * P
+
+    @jax.jit
+    def extract_append(acc, words, vwords, salt):
+        kmers, valid = extract_canonical_kmers_fast(
+            words ^ salt, vwords, cfg.k, cfg.max_read_len
         )
+        return append(acc, kmers, valid)
 
-    import functools
+    flush_j = jax.jit(flush, donate_argnums=(0, 1))
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def timed_loop(mom, dad, words, vwords, seed, n):
-        # the whole timing loop runs device-side in ONE dispatch: host↔device round-trip
-        # latency (large under the axon tunnel) never pollutes the measurement, and the
-        # carry-chained salt serializes iterations so none can be elided
-        def body(i, carry):
-            hm, hd, nk = score_step(mom, dad, words, vwords,
-                                    carry.astype(jnp.uint32) & jnp.uint32(1))
-            return hm + hd + nk.astype(jnp.uint32)
-        return jax.lax.fori_loop(0, n, body, seed)
+    def build(batches, salt):
+        acc = empty_accumulator(acc_slots, cfg.words)
+        table = empty_table(cfg.table_capacity, cfg.words)
+        pending = 0
+        for words, vwords in batches:
+            acc = extract_append(acc, words, vwords, salt)
+            pending += 1
+            if pending == cfg.accum_batches:
+                acc, table = flush_j(acc, table)
+                pending = 0
+        if pending:
+            acc, table = flush_j(acc, table)
+        return table
 
-    # warmup/compile both loop lengths, then time with FRESH seed inputs per call (the
-    # remote runtime caches results of identical (executable, inputs) calls). Per-call
-    # overhead under the axon tunnel is large and noisy, so take medians of repeated
-    # short/long runs and use the difference — pure device compute for `iters` batches.
-    def run(seed, n):
+    call_j = jax.jit(
+        lambda c, m, d: call_candidates(c, m, d, cfg.tau_parent, cfg.min_child_count)
+    )
+
+    # parental tables (built once, not timed — the parent pass has identical throughput)
+    mom = build(packed_batches(max(n_batches // 2, 1), seed=2), jnp.uint32(0))
+    dad = build(packed_batches(max(n_batches // 2, 1), seed=3), jnp.uint32(0))
+
+    def full_run(salt):
+        child = build(child_batches, salt)
+        cands = call_j(child, mom, dad)
+        return cands.n
+
+    def force(x):
+        return int(np.asarray(x))
+
+    # warmup/compile
+    force(full_run(jnp.uint32(1)))
+
+    # no-op calibration: same number of dispatches, trivial compute
+    @jax.jit
+    def noop(words, salt):
+        return jnp.sum(words ^ salt)
+
+    n_dispatch = n_batches + n_batches // cfg.accum_batches + 2
+
+    def cal_run(seed):
+        out = jnp.uint32(seed)
         t0 = time.perf_counter()
-        jax.block_until_ready(
-            timed_loop(mom, dad, words, vwords, jnp.uint32(seed), n=n)
-        )
+        for i in range(n_dispatch):
+            out = noop(child_batches[i % n_batches][0], out & jnp.uint32(1))
+        force(out)
         return time.perf_counter() - t0
 
-    run(0, 1)
-    run(1, iters + 1)
-    reps = int(os.environ.get("BENCH_REPS", 5))
-    shorts = [run(100 + i, 1) for i in range(reps)]
-    longs = [run(200 + i, iters + 1) for i in range(reps)]
-    shorts.sort(), longs.sort()
-    t_short, t_long = shorts[reps // 2], longs[reps // 2]
-    print(f"short runs {['%.3f' % s for s in shorts]}, "
-          f"long runs {['%.3f' % s for s in longs]}", file=sys.stderr)
-    dt = max(t_long - t_short, 1e-9)
+    cal_run(11)
+    overhead = min(cal_run(12), cal_run(13))
 
-    kmers_total = batch_reads * P * iters
+    def timed(seed):
+        t0 = time.perf_counter()
+        force(full_run(jnp.uint32(seed)))
+        return time.perf_counter() - t0
+
+    times = sorted(timed(100 + i) for i in range(3))
+    dt = max(times[len(times) // 2] - overhead, 1e-9)
+
+    kmers_total = batch_reads * P * n_batches
     rate = kmers_total / dt
-    print(f"{iters} iters in {dt:.3f}s -> {rate:.3e} k-mers/s "
-          f"({kmers_total} k-mer positions)", file=sys.stderr)
+    print(
+        f"median {times[len(times)//2]:.3f}s - overhead {overhead:.3f}s -> "
+        f"{rate:.3e} k-mers/s ({kmers_total} child k-mer windows)",
+        file=sys.stderr,
+    )
 
     result = {
         "metric": "kmers_per_sec_per_chip_extract_probe",

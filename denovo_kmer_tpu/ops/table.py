@@ -51,7 +51,15 @@ def _aggregate(
     valid: jnp.ndarray,  # (N,) bool
     capacity: int,
 ) -> KmerTable:
-    """Sort (invalid-last), group equal keys, segment-add weights → sorted table.
+    """Sort (invalid-last), group equal keys, sum weights per group → sorted table.
+
+    Scatter-free formulation (TPU scatters measured at ~17M rows/s vs ~150M rows/s sorts):
+      1. sort rows by (invalid, key words), weights as payload
+      2. exclusive prefix sum of weights (wraparound-safe: per-group counts are differences,
+         exact as long as each individual count < 2^32 — SPEC_SEMANTICS §5)
+      3. stable compaction sort on the one-bit "not a group head" key → group heads to the
+         front in key order, carrying their exclusive prefix
+      4. count of group j = next head's prefix − own prefix (shift-subtract)
 
     Returns a table whose ``n`` is the true unique count; if it exceeds ``capacity`` the
     overflow groups are dropped (callers check ``n <= capacity`` host-side — see
@@ -61,33 +69,47 @@ def _aggregate(
     inv_key = (~valid).astype(jnp.uint32)
     ops = [inv_key] + [kmers[:, w] for w in range(W)] + [weights]
     sorted_ops = jax.lax.sort(ops, num_keys=W + 1)
-    s_inv = sorted_ops[0].astype(bool)
+    s_valid = sorted_ops[0] == 0
     s_words = sorted_ops[1 : 1 + W]
-    s_wts = sorted_ops[1 + W]
+    s_wts = jnp.where(s_valid, sorted_ops[1 + W], 0)
 
-    diff = jnp.zeros((N,), bool).at[0].set(True)
+    diff = jnp.zeros((N,), bool)
     for w in range(W):
         diff = diff | jnp.concatenate(
             [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
         )
-    s_valid = ~s_inv
-    new_group = diff & s_valid
-    gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # -1 before first valid group
-    n_unique = gid[-1] + 1 if N > 0 else jnp.zeros((), jnp.int32)
-    n_unique = jnp.maximum(n_unique, 0)
-    gid = jnp.where(s_valid, gid, capacity)  # invalid → dropped
+    head = diff & s_valid  # first row of each valid group
 
-    counts = jnp.zeros((capacity,), jnp.uint32).at[gid].add(
-        jnp.where(s_valid, s_wts, 0), mode="drop"
-    )
-    keys = jnp.full((capacity, W), _PAD, jnp.uint32)
-    skey = jnp.stack(s_words, axis=-1)
-    keys = keys.at[gid].set(skey, mode="drop")
-    # groups at gid >= capacity were dropped; also re-pad any slot beyond n_unique
-    slot = jax.lax.broadcasted_iota(jnp.int32, (capacity,), 0)
+    csum_incl = jnp.cumsum(s_wts)  # uint32, wraparound-safe for differences
+    csum_excl = csum_incl - s_wts
+    total = csum_incl[-1] if N > 0 else jnp.zeros((), jnp.uint32)
+    n_unique = jnp.sum(head.astype(jnp.int32))
+
+    comp_key = (~head).astype(jnp.uint32)
+    ops2 = [comp_key] + list(s_words) + [csum_excl]
+    t = jax.lax.sort(ops2, num_keys=1, is_stable=True)
+    t_words = t[1 : 1 + W]
+    t_start = t[1 + W]
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    nxt = jnp.concatenate([t_start[1:], jnp.zeros((1,), jnp.uint32)])
+    counts_all = jnp.where(slot + 1 < n_unique, nxt - t_start, total - t_start)
+
     in_range = slot < jnp.minimum(n_unique, capacity)
-    keys = jnp.where(in_range[:, None], keys, _PAD)
-    counts = jnp.where(in_range, counts, 0)
+    keys_all = [jnp.where(in_range, tw, _PAD) for tw in t_words]
+    counts_all = jnp.where(in_range, counts_all, 0).astype(jnp.uint32)
+
+    if N >= capacity:
+        keys = jnp.stack([kw[:capacity] for kw in keys_all], axis=-1)
+        counts = counts_all[:capacity]
+    else:
+        pad_k = jnp.full((capacity - N, W), _PAD, jnp.uint32)
+        keys = jnp.concatenate(
+            [jnp.stack(keys_all, axis=-1), pad_k], axis=0
+        )
+        counts = jnp.concatenate(
+            [counts_all, jnp.zeros((capacity - N,), jnp.uint32)]
+        )
     return KmerTable(keys=keys, counts=counts, n=n_unique.astype(jnp.int32))
 
 
