@@ -152,6 +152,16 @@ def main() -> int:
     times = sorted(timed(100 + i) for i in range(3))
     dt = max(times[len(times) // 2] - overhead, 1e-9)
 
+    if os.environ.get("BENCH_PHASES"):
+        # phase breakdown (forces at phase boundaries; adds one RTT per phase)
+        t0 = time.perf_counter()
+        child = build(child_batches, jnp.uint32(222))
+        force(child.n)
+        t1 = time.perf_counter()
+        force(call_j(child, mom, dad).n)
+        t2 = time.perf_counter()
+        print(f"phase build(child)={t1-t0:.3f}s call={t2-t1:.3f}s", file=sys.stderr)
+
     kmers_total = batch_reads * P * n_batches
     rate = kmers_total / dt
     print(

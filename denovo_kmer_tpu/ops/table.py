@@ -66,19 +66,23 @@ def _aggregate(
     pipeline.TableOverflowError).
     """
     N, W = kmers.shape
-    inv_key = (~valid).astype(jnp.uint32)
-    ops = [inv_key] + [kmers[:, w] for w in range(W)] + [weights]
-    sorted_ops = jax.lax.sort(ops, num_keys=W + 1)
-    s_valid = sorted_ops[0] == 0
-    s_words = sorted_ops[1 : 1 + W]
-    s_wts = jnp.where(s_valid, sorted_ops[1 + W], 0)
+    # Invalid rows are remapped to the all-ones key with weight 0 instead of carrying a
+    # separate invalid sort key: one less operand in the hot sort. They sort last; if a real
+    # all-ones k-mer exists they join its group adding 0 to its count, otherwise they form a
+    # single weight-0 group that is stripped after compaction.
+    ops = [jnp.where(valid, kmers[:, w], _PAD) for w in range(W)] + [
+        jnp.where(valid, weights, 0)
+    ]
+    sorted_ops = jax.lax.sort(ops, num_keys=W)
+    s_words = sorted_ops[:W]
+    s_wts = sorted_ops[W]
 
     diff = jnp.zeros((N,), bool)
     for w in range(W):
         diff = diff | jnp.concatenate(
             [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
         )
-    head = diff & s_valid  # first row of each valid group
+    head = diff  # first row of each group (the possible all-zero-weight tail group incl.)
 
     csum_incl = jnp.cumsum(s_wts)  # uint32, wraparound-safe for differences
     csum_excl = csum_incl - s_wts
@@ -94,6 +98,15 @@ def _aggregate(
     slot = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
     nxt = jnp.concatenate([t_start[1:], jnp.zeros((1,), jnp.uint32)])
     counts_all = jnp.where(slot + 1 < n_unique, nxt - t_start, total - t_start)
+
+    # strip the weight-0 all-ones tail group formed by invalid rows (if any); a *real*
+    # all-ones k-mer group has count >= 1 and is kept
+    idx = jnp.maximum(n_unique - 1, 0)
+    last_ones = jnp.ones((), bool)
+    for w in range(W):
+        last_ones = last_ones & (t_words[w][idx] == _PAD)
+    strip = (n_unique > 0) & last_ones & (counts_all[idx] == 0)
+    n_unique = n_unique - strip.astype(jnp.int32)
 
     in_range = slot < jnp.minimum(n_unique, capacity)
     keys_all = [jnp.where(in_range, tw, _PAD) for tw in t_words]
