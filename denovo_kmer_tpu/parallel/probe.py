@@ -1,0 +1,137 @@
+"""Sharded bulk membership probe: all-to-all dispatch + ring-``ppermute`` fallback.
+
+SURVEY.md §5.7c prescribes two probe plans behind one router interface:
+
+- ``plan="alltoall"`` (default, Ulysses/MoE-style): bucketize queries by owner shard (hash
+  router), exchange buckets over the ``table`` axis with ``jax.lax.all_to_all``, probe
+  shard-locally, route the counts back, and un-bucketize. One probe per query; needs a
+  capacity factor and can overflow under hash skew (overflow is counted and surfaced —
+  exactness contract).
+- ``plan="ring"``: rotate each device's query block around the ``table`` axis with
+  ``jax.lax.ppermute``; at each of the T steps every device probes the visiting block against
+  its local shard and accumulates the counts into the block before passing it on. Every key
+  lives in exactly one shard, so the sum over visits equals the global count. T× the probe
+  compute, but *no* capacity factor, *no* overflow, immune to hash skew — the fallback when
+  all-to-all capacity planning fails (low-entropy k-mer sets).
+
+Both plans are bit-identical to the single-chip ``ops.table.probe_table`` (property-tested on
+the 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from denovo_kmer_tpu.ops.join import probe_table_sorted
+from denovo_kmer_tpu.ops.table import KmerTable
+from denovo_kmer_tpu.parallel.mesh import AXIS_TABLE
+from denovo_kmer_tpu.parallel.router import bucketize, owner_of, route_capacity
+
+
+def _probe_local(shard: KmerTable, q: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    counts = probe_table_sorted(shard, q)
+    return jnp.where(valid, counts, 0).astype(jnp.uint32)
+
+
+def probe_shard_alltoall(
+    shard: KmerTable,
+    queries: jnp.ndarray,  # (n, W) local queries
+    valid: jnp.ndarray,  # (n,) bool
+    num_shards: int,
+    capacity: int,
+    axis: str = AXIS_TABLE,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-device body (inside shard_map): counts (n,) uint32 + overflow () int32.
+
+    Overflowed queries return count 0 AND are tallied in the overflow counter — callers must
+    psum/check it host-side and retry with a larger factor (never silently wrong).
+    """
+    n, W = queries.shape
+    disp, mask, slot, ovf = bucketize(queries, valid, num_shards, capacity)
+    recv = jax.lax.all_to_all(disp, axis, split_axis=0, concat_axis=0, tiled=True)
+    rmask = jax.lax.all_to_all(mask, axis, split_axis=0, concat_axis=0, tiled=True)
+    counts = _probe_local(shard, recv.reshape(-1, W), rmask.reshape(-1))
+    back = jax.lax.all_to_all(
+        counts.reshape(num_shards, capacity), axis, split_axis=0, concat_axis=0,
+        tiled=True,
+    ).reshape(-1)
+    # un-bucketize: query i sits at flat slot[i] (or -1 if invalid/overflowed)
+    out = jnp.where(slot >= 0, back[jnp.maximum(slot, 0)], 0).astype(jnp.uint32)
+    return out, jax.lax.psum(ovf, axis)
+
+
+def probe_shard_ring(
+    shard: KmerTable,
+    queries: jnp.ndarray,  # (n, W) local queries
+    valid: jnp.ndarray,  # (n,) bool
+    num_shards: int,
+    axis: str = AXIS_TABLE,
+) -> jnp.ndarray:
+    """Per-device body (inside shard_map): ring-rotate the (queries, counts) block; every
+    shard adds its local matches. No capacity factor, no overflow — the skew-proof fallback."""
+    perm = [(i, (i + 1) % num_shards) for i in range(num_shards)]
+
+    def step(carry, _):
+        q, v, counts = carry
+        counts = counts + _probe_local(shard, q, v)
+        q = jax.lax.ppermute(q, axis, perm)
+        v = jax.lax.ppermute(v, axis, perm)
+        counts = jax.lax.ppermute(counts, axis, perm)
+        return (q, v, counts), None
+
+    # derive the zero counts from the queries so the scan carry keeps their
+    # varying-manual-axes type (plain zeros are unvarying → scan carry mismatch)
+    init = (queries, valid, queries[:, 0] & jnp.uint32(0))
+    (q, v, counts), _ = jax.lax.scan(step, init, None, length=num_shards)
+    # after T rotations the block is home again, carrying the summed counts
+    return counts
+
+
+def make_sharded_probe(mesh, cfg, plan: str = "alltoall"):
+    """Compiled bulk probe over a sharded table: (table, queries, valid) → (counts, overflow).
+
+    ``table``: global (R, T, C, W)-sharded KmerTable (engine layout, rows replicated);
+    ``queries``: (N, W) sharded over both axes flat; returns counts aligned with queries.
+    ``plan``: "alltoall" or "ring" (SURVEY.md §5.7c router interface).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from denovo_kmer_tpu.parallel.mesh import AXIS_READS
+
+    T = mesh.shape[AXIS_TABLE]
+    n_dev = T * mesh.shape[AXIS_READS]
+    table_specs = KmerTable(
+        keys=P(AXIS_READS, AXIS_TABLE, None, None),
+        counts=P(AXIS_READS, AXIS_TABLE, None),
+        n=P(AXIS_READS, AXIS_TABLE),
+    )
+    q_spec = P((AXIS_READS, AXIS_TABLE))
+
+    def body(tab, q, v):
+        shard = KmerTable(tab.keys[0, 0], tab.counts[0, 0], tab.n[0, 0])
+        if plan == "ring":
+            counts = probe_shard_ring(shard, q, v, T)
+            ovf = jnp.zeros((), jnp.int32)
+        elif plan == "alltoall":
+            cap = route_capacity(q.shape[0], T, cfg.route_capacity_factor)
+            counts, ovf = probe_shard_alltoall(shard, q, v, T, cap)
+        else:
+            raise ValueError(f"unknown probe plan: {plan!r}")
+        # global overflow total, replicated across the whole mesh (out spec P(None));
+        # probe_shard_alltoall already psum'd over the table axis → sum the row totals
+        ovf = jax.lax.psum(ovf, AXIS_READS)
+        return counts, ovf[None]
+
+    return jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(table_specs, q_spec, q_spec),
+            out_specs=(q_spec, P(None)),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Sharded bulk-probe router tests (SURVEY.md §5.7c): all-to-all and ring plans must be
+bit-identical to the single-chip ``probe_table`` on the 8-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.table import build_table, probe_table
+from denovo_kmer_tpu.parallel.mesh import AXIS_READS, AXIS_TABLE, make_mesh
+from denovo_kmer_tpu.parallel.probe import make_sharded_probe
+from denovo_kmer_tpu.parallel.router import owner_of
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _make_sharded_table(mesh, keys_np, counts_np, T, shard_cap, W):
+    """Place a host-built table into the engine layout: (R,T,C,W) hash-sharded, rows replicated."""
+    R = mesh.shape[AXIS_READS]
+    owners = np.asarray(owner_of(jnp.asarray(keys_np), T))
+    keys = np.full((R, T, shard_cap, W), 0xFFFFFFFF, np.uint32)
+    counts = np.zeros((R, T, shard_cap), np.uint32)
+    ns = np.zeros((R, T), np.int32)
+    for t in range(T):
+        sel = owners == t
+        k_t, c_t = keys_np[sel], counts_np[sel]
+        order = np.lexsort(tuple(k_t[:, w] for w in range(W - 1, -1, -1)))
+        k_t, c_t = k_t[order], c_t[order]
+        n = len(k_t)
+        assert n <= shard_cap
+        keys[:, t, :n] = k_t
+        counts[:, t, :n] = c_t
+        ns[:, t] = n
+    from denovo_kmer_tpu.ops.table import KmerTable
+
+    return KmerTable(
+        keys=jax.device_put(keys, NamedSharding(mesh, P(AXIS_READS, AXIS_TABLE, None, None))),
+        counts=jax.device_put(counts, NamedSharding(mesh, P(AXIS_READS, AXIS_TABLE, None))),
+        n=jax.device_put(ns, NamedSharding(mesh, P(AXIS_READS, AXIS_TABLE))),
+    )
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2)])
+@pytest.mark.parametrize("plan", ["alltoall", "ring"])
+def test_sharded_probe_matches_single_chip(mesh_shape, plan):
+    rng = np.random.default_rng(42)
+    W, T = 2, mesh_shape[1]
+    n_keys, n_queries = 3000, 4096
+
+    # reference table on one device
+    keys = rng.integers(0, 2**20, size=(n_keys, W), dtype=np.uint32)
+    tab = build_table(jnp.asarray(keys)[:, None, :], jnp.ones((n_keys, 1), bool), 4096)
+
+    # queries: half hits, half misses, some invalid
+    q_hit = keys[rng.integers(0, n_keys, n_queries // 2)]
+    q_miss = rng.integers(2**20, 2**21, size=(n_queries - n_queries // 2, W), dtype=np.uint32)
+    queries = np.concatenate([q_hit, q_miss]).astype(np.uint32)
+    rng.shuffle(queries)
+    valid = rng.random(n_queries) < 0.9
+
+    expect = np.asarray(probe_table(tab, jnp.asarray(queries)))
+    expect = np.where(valid, expect, 0)
+
+    mesh = make_mesh(mesh_shape)
+    cfg = EngineConfig(k=21, table_capacity=4096, route_capacity_factor=2.5)
+    n_tab = int(tab.n)
+    tab_np_keys = np.asarray(tab.keys)[:n_tab]
+    tab_np_counts = np.asarray(tab.counts)[:n_tab]
+    shard_cap = 2048
+    stab = _make_sharded_table(mesh, tab_np_keys, tab_np_counts, T, shard_cap, W)
+
+    probe_fn = make_sharded_probe(mesh, cfg, plan=plan)
+    qspec = NamedSharding(mesh, P((AXIS_READS, AXIS_TABLE)))
+    q_dev = jax.device_put(queries, qspec)
+    v_dev = jax.device_put(valid, qspec)
+    counts, ovf = probe_fn(stab, q_dev, v_dev)
+    assert int(np.asarray(ovf)[0]) == 0
+    np.testing.assert_array_equal(np.asarray(counts), expect)
+
+
+def test_ring_probe_no_overflow_under_skew():
+    """All queries hash to one shard: alltoall overflows at factor 1, ring stays exact."""
+    mesh = make_mesh((1, 8))
+    rng = np.random.default_rng(7)
+    W, T = 2, 8
+    # find keys all owned by shard 3
+    pool = rng.integers(0, 2**22, size=(200_000, W), dtype=np.uint32)
+    owners = np.asarray(owner_of(jnp.asarray(pool), T))
+    skewed = pool[owners == 3][:2048]
+    assert len(skewed) == 2048
+
+    tab = build_table(jnp.asarray(skewed)[:, None, :], jnp.ones((len(skewed), 1), bool), 4096)
+    n_tab = int(tab.n)
+    stab = _make_sharded_table(
+        mesh, np.asarray(tab.keys)[:n_tab], np.asarray(tab.counts)[:n_tab], T, 4096, W
+    )
+
+    queries = skewed[rng.integers(0, len(skewed), 4096)].astype(np.uint32)
+    valid = np.ones(4096, bool)
+    expect = np.asarray(probe_table(tab, jnp.asarray(queries)))
+
+    cfg = EngineConfig(k=21, table_capacity=4096, route_capacity_factor=1.0)
+    qspec = NamedSharding(mesh, P((AXIS_READS, AXIS_TABLE)))
+    q_dev = jax.device_put(queries, qspec)
+    v_dev = jax.device_put(valid, qspec)
+
+    counts_a2a, ovf = make_sharded_probe(mesh, cfg, plan="alltoall")(stab, q_dev, v_dev)
+    assert int(np.asarray(ovf)[0]) > 0  # skew defeats the even-split capacity
+
+    counts_ring, ovf_r = make_sharded_probe(mesh, cfg, plan="ring")(stab, q_dev, v_dev)
+    assert int(np.asarray(ovf_r)[0]) == 0
+    np.testing.assert_array_equal(np.asarray(counts_ring), expect)
