@@ -17,6 +17,7 @@ Prints ONE JSON line. ``vs_baseline`` is vs the driver-spec target of 1 Gk-mers/
 on a v5p-16 (8 chips) → 125 Mk-mers/s/chip (the reference publishes no numbers, BASELINE.md).
 """
 
+import functools
 import json
 import os
 import sys
@@ -40,9 +41,9 @@ def main() -> int:
     from denovo_kmer_tpu.config import EngineConfig
     from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast
     from denovo_kmer_tpu.ops.pack import pack_seqs
+    from denovo_kmer_tpu.ops.score import call_from_score, flush_score, seed_score_table
     from denovo_kmer_tpu.ops.stream import append, empty_accumulator, flush
     from denovo_kmer_tpu.ops.table import empty_table
-    from denovo_kmer_tpu.ops.trio import call_candidates
 
     k = int(os.environ.get("BENCH_K", 31))
     batch_reads = int(os.environ.get("BENCH_READS", 16384))
@@ -51,9 +52,12 @@ def main() -> int:
     genome_len = int(os.environ.get("BENCH_GENOME", 4_000_000))
     max_read_len = 160
 
+    # child scoring accumulates ALL batches into ONE flush (sort rows/k-mer is the cost
+    # driver — benchmarks/micro_sort.py); staging for 16x16384x130 k-mers is ~313 MB HBM
+    accum = int(os.environ.get("BENCH_ACCUM", n_batches))
     cfg = EngineConfig(
         k=k, max_read_len=max_read_len, batch_reads=batch_reads,
-        table_capacity=1 << table_bits, accum_batches=min(8, n_batches),
+        table_capacity=1 << table_bits, accum_batches=accum,
     )
     P = cfg.windows_per_read
     dev = jax.devices()[0]
@@ -84,7 +88,7 @@ def main() -> int:
     # ---- compiled steps (shared with the production pipeline) ----
     acc_slots = cfg.accum_batches * batch_reads * P
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def extract_append(acc, words, vwords, salt):
         kmers, valid = extract_canonical_kmers_fast(
             words ^ salt, vwords, cfg.k, cfg.max_read_len
@@ -92,32 +96,44 @@ def main() -> int:
         return append(acc, kmers, valid)
 
     flush_j = jax.jit(flush, donate_argnums=(0, 1))
+    flush_score_j = jax.jit(flush_score, donate_argnums=(0, 1))
 
-    def build(batches, salt):
+    copy_j = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+
+    def build(batches, salt, seed_tab=None):
         acc = empty_accumulator(acc_slots, cfg.words)
-        table = empty_table(cfg.table_capacity, cfg.words)
+        # fresh copy: the flush donates the table buffers, seed0 is reused across runs
+        table = copy_j(seed_tab) if seed_tab is not None else empty_table(
+            cfg.table_capacity, cfg.words
+        )
+        fl = flush_j if seed_tab is None else flush_score_j
         pending = 0
         for words, vwords in batches:
             acc = extract_append(acc, words, vwords, salt)
             pending += 1
             if pending == cfg.accum_batches:
-                acc, table = flush_j(acc, table)
+                acc, table = fl(acc, table)
                 pending = 0
         if pending:
-            acc, table = flush_j(acc, table)
+            acc, table = fl(acc, table)
         return table
 
     call_j = jax.jit(
-        lambda c, m, d: call_candidates(c, m, d, cfg.tau_parent, cfg.min_child_count)
+        lambda t: call_from_score(t, cfg.tau_parent, cfg.min_child_count)
     )
 
     # parental tables (built once, not timed — the parent pass has identical throughput)
     mom = build(packed_batches(max(n_batches // 2, 1), seed=2), jnp.uint32(0))
     dad = build(packed_batches(max(n_batches // 2, 1), seed=3), jnp.uint32(0))
+    seed0 = jax.jit(seed_score_table, static_argnums=(2,))(
+        mom, dad, cfg.table_capacity
+    )
 
     def full_run(salt):
-        child = build(child_batches, salt)
-        cands = call_j(child, mom, dad)
+        # the timed child-scoring pipeline: extract -> stage -> one fused
+        # aggregate-and-probe flush over the parent-seeded table -> candidate call
+        score = build(child_batches, salt, seed_tab=seed0)
+        cands = call_j(score)
         return cands.n
 
     def force(x):
@@ -155,10 +171,10 @@ def main() -> int:
     if os.environ.get("BENCH_PHASES"):
         # phase breakdown (forces at phase boundaries; adds one RTT per phase)
         t0 = time.perf_counter()
-        child = build(child_batches, jnp.uint32(222))
+        child = build(child_batches, jnp.uint32(222), seed_tab=seed0)
         force(child.n)
         t1 = time.perf_counter()
-        force(call_j(child, mom, dad).n)
+        force(call_j(child).n)
         t2 = time.perf_counter()
         print(f"phase build(child)={t1-t0:.3f}s call={t2-t1:.3f}s", file=sys.stderr)
 

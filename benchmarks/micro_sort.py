@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, reps=3):
+def timed(fn, *args, reps=2):
     fn_j = jax.jit(fn)
     out = fn_j(*args, jnp.uint32(0))
     jax.block_until_ready(out)
@@ -34,91 +34,71 @@ def timed(fn, *args, reps=3):
 
 
 def main():
+    import os
+    only = set(os.environ.get("MICRO_ONLY", "").split(",")) - {""}
+    def want(tag):
+        return not only or tag in only
     dev = jax.devices()[0]
-    print(f"device: {dev.device_kind}", file=sys.stderr)
+    print(f"device: {dev.device_kind}", file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
 
-    N = 26_000_000
+    N = 13_000_000
     base = jnp.asarray(rng.integers(0, 2**32, size=(6, N), dtype=np.uint32))
 
-    for nops in (2, 3, 4, 6):
+    for nops in (2, 3, 4) if want('sort') else ():
         def f(b, salt, nops=nops):
             ops = [b[i] ^ salt for i in range(nops)]
             s = jax.lax.sort(ops, num_keys=min(nops, 2))
             return s[0][:8]
         dt = timed(f, base)
-        print(f"sort flat N={N} ops={nops}: {N/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)")
+        print(f"sort flat N={N} ops={nops}: {N/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)", flush=True)
 
     # stable 1-key compaction sort (3 payload operands)
-    def comp(b, salt):
-        key = (b[0] ^ salt) & 1
-        s = jax.lax.sort([key, b[1], b[2], b[3]], num_keys=1, is_stable=True)
-        return s[1][:8]
-    dt = timed(comp, base)
-    print(f"compaction stable 1key+3pay N={N}: {N/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)")
+    if want('compact'):
+        def comp(b, salt):
+            key = (b[0] ^ salt) & 1
+            s = jax.lax.sort([key, b[1], b[2], b[3]], num_keys=1, is_stable=True)
+            return s[1][:8]
+        dt = timed(comp, base)
+        print(f"compaction stable 1key+3pay N={N}: {N/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)", flush=True)
 
-    # bucketed batched sort: same total rows, 256 buckets
-    Bk = 256
-    n = N // Bk
-    def fb(b, salt):
-        ops = [(b[i][: Bk * n] ^ salt).reshape(Bk, n) for i in range(3)]
-        s = jax.lax.sort(ops, dimension=1, num_keys=2)
-        return s[0][:, :1]
-    dt = timed(fb, base)
-    print(f"sort bucketed {Bk}x{n} ops=3: {N/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)")
+    if want('bucket'):
+        for Bk in (256, 1024):
+            n = N // Bk
+            def fb(b, salt, Bk=Bk, n=n):
+                ops = [(b[i][: Bk * n] ^ salt).reshape(Bk, n) for i in range(3)]
+                s = jax.lax.sort(ops, dimension=1, num_keys=2)
+                return s[0][:, :1]
+            dt = timed(fb, base)
+            print(f"sort bucketed {Bk}x{n} ops=3: {N/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)", flush=True)
 
-    Bk = 1024
-    n = N // Bk
-    def fb2(b, salt):
-        ops = [(b[i][: Bk * n] ^ salt).reshape(Bk, n) for i in range(3)]
-        s = jax.lax.sort(ops, dimension=1, num_keys=2)
-        return s[0][:, :1]
-    dt = timed(fb2, base)
-    print(f"sort bucketed {Bk}x{n} ops=3: {N/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)")
+    if want('cumsum'):
+        def fc(b, salt):
+            return jnp.cumsum(b[0] ^ salt)[:8]
+        dt = timed(fc, base)
+        print(f"cumsum N={N}: {N/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)", flush=True)
 
-    # cumsum + associative scan
-    def fc(b, salt):
-        return jnp.cumsum(b[0] ^ salt)[:8]
-    dt = timed(fc, base)
-    print(f"cumsum N={N}: {N/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)")
-
-    # scatter: M rows into M-slot output
     M = 8_000_000
-    idx = jnp.asarray(rng.permutation(M).astype(np.int32))
-    def fs(b, idx, salt):
-        vals = b[0][:M] ^ salt
-        return jnp.zeros((M,), jnp.uint32).at[idx].set(vals)[:8]
-    dt = timed(functools.partial(fs, base, idx))
-    print(f"scatter M={M}: {M/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)")
+    if want('scatter'):
+        idx = jnp.asarray(rng.permutation(M).astype(np.int32))
+        def fs(b, idx, salt):
+            vals = b[0][:M] ^ salt
+            return jnp.zeros((M,), jnp.uint32).at[idx].set(vals)[:8]
+        dt = timed(functools.partial(fs, base, idx))
+        print(f"scatter M={M}: {M/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)", flush=True)
 
-    # gather: 2M random rows from 8M table
-    Q = 2_000_000
-    gidx = jnp.asarray(rng.integers(0, M, size=Q).astype(np.int32))
-    def fg(b, gidx, salt):
-        tab = b[0][:M] ^ salt
-        return tab[gidx][:8]
-    dt = timed(functools.partial(fg, base, gidx))
-    print(f"gather Q={Q} from {M}: {Q/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)")
+    if want('gather'):
+        Q = 2_000_000
+        gidx = jnp.asarray(rng.integers(0, M, size=Q).astype(np.int32))
+        def fg(b, gidx, salt):
+            tab = b[0][:M] ^ salt
+            return tab[gidx][:8]
+        dt = timed(functools.partial(fg, base, gidx))
+        print(f"gather Q={Q} from {M}: {Q/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)", flush=True)
+        gidx_s = jnp.sort(gidx)
+        dt = timed(functools.partial(fg, base, gidx_s))
+        print(f"gather sorted-idx Q={Q} from {M}: {Q/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)", flush=True)
 
-    # sorted-idx gather (locality)
-    gidx_s = jnp.sort(gidx)
-    def fg2(b, gidx, salt):
-        tab = b[0][:M] ^ salt
-        return tab[gidx][:8]
-    dt = timed(functools.partial(fg2, base, gidx_s))
-    print(f"gather sorted-idx Q={Q} from {M}: {Q/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)")
-
-    # one-hot matmul probe: seg of 512 queries x 1024-row table chunk, f32 MXU
-    # emulate binary-search-free direct compare of query tile vs table tile
-    QT, TT = 2048, 8192
-    qs = jnp.asarray(rng.integers(0, 2**31, size=(128, QT), dtype=np.int32))
-    ts_ = jnp.asarray(rng.integers(0, 2**31, size=(128, TT), dtype=np.int32))
-    def fm(qs, ts_, salt):
-        eq = (qs[:, :, None] ^ salt.astype(jnp.int32)) == ts_[:, None, :]
-        return jnp.sum(eq, axis=-1)[:1, :8]
-    dt = timed(functools.partial(fm, qs, ts_))
-    tot = 128 * QT
-    print(f"cross-compare 128x({QT}x{TT}): {tot/dt/1e6:.1f} Mqueries/s  ({dt*1e3:.1f} ms)")
     return 0
 
 

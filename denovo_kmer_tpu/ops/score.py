@@ -1,0 +1,144 @@
+"""Parent-seeded scoring table: the trio call fused into the child LSM build.
+
+The separate 3-way sorted join (``ops.join.join_tables_on_child``) costs as much as the whole
+child ingest (one 3·C-row sort + scatters + a compaction sort — measured ~50% of bench time).
+This module removes it: the child's streaming aggregation runs over a table PRE-SEEDED with
+every parental key, carrying a second weight column ``pcounts`` that packs the parental counts
+(mom in bits 0..15, dad in bits 16..31, saturated at 0xFFFF). Sorting throughput on TPU is
+~independent of operand count (benchmarks/micro_sort.py), so the extra column rides the
+existing flush sorts for free, and the candidate call becomes one elementwise flag pass plus a
+single compaction sort over the final table — no join.
+
+Exactness: each parental key appears exactly once per parent table, so the per-group sum of
+``pcounts`` reconstructs (min(mom,0xFFFF) | min(dad,0xFFFF)<<16) exactly. The candidate rule
+compares parental counts against tau_parent < 0xFFFF (config-validated), where saturation is
+invisible; reported candidate parental counts are <= tau, i.e. always exact.
+
+Capacity note: the scoring table must hold |mom ∪ dad ∪ child| uniques (vs |child| for the
+plain path) — size ``table_capacity`` accordingly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from denovo_kmer_tpu.ops.stream import KmerAccumulator, empty_accumulator
+from denovo_kmer_tpu.ops.table import KmerTable, _aggregate_multi, _PAD
+from denovo_kmer_tpu.ops.trio import Candidates
+
+_SAT = jnp.uint32(0xFFFF)
+
+
+class ScoreTable(NamedTuple):
+    """Sorted (keys, child counts, packed parental counts), padding last, like KmerTable."""
+
+    keys: jnp.ndarray  # (C, W) uint32
+    counts: jnp.ndarray  # (C,) uint32 — child occurrence counts
+    pcounts: jnp.ndarray  # (C,) uint32 — min(mom,0xFFFF) | min(dad,0xFFFF) << 16
+    n: jnp.ndarray  # () int32
+
+
+def _valid_rows(n, capacity: int) -> jnp.ndarray:
+    slot = jax.lax.broadcasted_iota(jnp.int32, (capacity,), 0)
+    return slot < n
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def seed_score_table(mom: KmerTable, dad: KmerTable, capacity: int) -> ScoreTable:
+    """Union of the parental tables as a scoring table: child counts 0, pcounts packed."""
+    Cm, Cd = mom.keys.shape[0], dad.keys.shape[0]
+    keys = jnp.concatenate([mom.keys, dad.keys], axis=0)
+    zeros = jnp.zeros((Cm + Cd,), jnp.uint32)
+    pc = jnp.concatenate(
+        [jnp.minimum(mom.counts, _SAT), jnp.minimum(dad.counts, _SAT) << 16], axis=0
+    )
+    valid = jnp.concatenate(
+        [_valid_rows(mom.n, Cm), _valid_rows(dad.n, Cd)], axis=0
+    )
+    k, cols, n = _aggregate_multi(keys, [zeros, pc], valid, capacity)
+    return ScoreTable(keys=k, counts=cols[0], pcounts=cols[1], n=n)
+
+
+@jax.jit
+def flush_score(
+    acc: KmerAccumulator, tab: ScoreTable
+) -> Tuple[KmerAccumulator, ScoreTable]:
+    """Aggregate the raw-k-mer staging buffer into the scoring table; reset the buffer.
+
+    Identical structure to ``ops.stream.flush`` with the pcounts column riding along
+    (staged raw k-mers contribute pcounts 0; seeded rows carry the parental packs)."""
+    C, W = tab.keys.shape
+    S = acc.kmers.shape[0]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
+    acc_valid = acc.valid & (slot < acc.fill)
+
+    kmers = jnp.concatenate([tab.keys, acc.kmers], axis=0)
+    cnt_col = jnp.concatenate([tab.counts, jnp.ones((S,), jnp.uint32)], axis=0)
+    pc_col = jnp.concatenate([tab.pcounts, jnp.zeros((S,), jnp.uint32)], axis=0)
+    valid = jnp.concatenate([_valid_rows(tab.n, C), acc_valid], axis=0)
+
+    k, cols, n = _aggregate_multi(kmers, [cnt_col, pc_col], valid, C)
+    new_tab = ScoreTable(keys=k, counts=cols[0], pcounts=cols[1], n=n)
+    return (
+        empty_accumulator(S, W)._replace(kmers=acc.kmers, valid=jnp.zeros((S,), bool)),
+        new_tab,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def merge_score_tables(a: ScoreTable, b: ScoreTable, capacity: int) -> ScoreTable:
+    """Merge two scoring tables (both weight columns add). Used by the sharded engine to
+    fold per-row partials; the parental pack stays exact because seeds live on one row only."""
+    Ca, Cb = a.keys.shape[0], b.keys.shape[0]
+    keys = jnp.concatenate([a.keys, b.keys], axis=0)
+    cnt = jnp.concatenate([a.counts, b.counts], axis=0)
+    pc = jnp.concatenate([a.pcounts, b.pcounts], axis=0)
+    valid = jnp.concatenate([_valid_rows(a.n, Ca), _valid_rows(b.n, Cb)], axis=0)
+    k, cols, n = _aggregate_multi(keys, [cnt, pc], valid, capacity)
+    return ScoreTable(keys=k, counts=cols[0], pcounts=cols[1], n=n)
+
+
+def empty_score_table(capacity: int, words: int) -> ScoreTable:
+    return ScoreTable(
+        keys=jnp.full((capacity, words), _PAD, jnp.uint32),
+        counts=jnp.zeros((capacity,), jnp.uint32),
+        pcounts=jnp.zeros((capacity,), jnp.uint32),
+        n=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tau_parent", "min_child_count"))
+def call_from_score(
+    tab: ScoreTable, tau_parent: int, min_child_count: int
+) -> Candidates:
+    """Candidate call over a finished scoring table: elementwise flags + one compaction sort.
+
+    Same rule as SPEC_SEMANTICS §6 / ops.trio.call_candidates: child count >= min_child_count
+    and BOTH parental counts <= tau_parent. Parent-only seeded rows have child count 0 and are
+    excluded by min_child_count >= 1 (config-validated).
+    """
+    assert 0 <= tau_parent < 0xFFFF, "tau_parent must fit the 16-bit saturated pack"
+    assert min_child_count >= 1, "min_child_count < 1 would report parent-only seed rows"
+    C, W = tab.keys.shape
+    momc = tab.pcounts & _SAT
+    dadc = tab.pcounts >> 16
+    flags = (
+        _valid_rows(tab.n, C)
+        & (tab.counts >= jnp.uint32(min_child_count))
+        & (momc <= jnp.uint32(tau_parent))
+        & (dadc <= jnp.uint32(tau_parent))
+    )
+    not_flag = (~flags).astype(jnp.uint32)
+    ops = [not_flag] + [tab.keys[:, w] for w in range(W)] + [tab.counts, momc, dadc]
+    s = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    return Candidates(
+        keys=jnp.stack(s[1 : 1 + W], axis=-1),
+        child_counts=s[1 + W],
+        mom_counts=s[2 + W],
+        dad_counts=s[3 + W],
+        n=jnp.sum(flags).astype(jnp.int32),
+    )

@@ -45,37 +45,39 @@ def empty_table(capacity: int, words: int) -> KmerTable:
     )
 
 
-def _aggregate(
+def _aggregate_multi(
     kmers: jnp.ndarray,  # (N, W) uint32
-    weights: jnp.ndarray,  # (N,) uint32
+    weight_cols,  # sequence of (N,) uint32 — summed per group independently
     valid: jnp.ndarray,  # (N,) bool
     capacity: int,
-) -> KmerTable:
-    """Sort (invalid-last), group equal keys, sum weights per group → sorted table.
+):
+    """Sort (invalid-last), group equal keys, sum each weight column per group.
 
-    Scatter-free formulation (TPU scatters measured at ~17M rows/s vs ~150M rows/s sorts):
-      1. sort rows by (invalid, key words), weights as payload
-      2. exclusive prefix sum of weights (wraparound-safe: per-group counts are differences,
-         exact as long as each individual count < 2^32 — SPEC_SEMANTICS §5)
+    Returns (keys (capacity, W), cols [(capacity,) uint32 ...], n). Scatter-free formulation
+    (TPU scatters are slower than sorts; jax.lax.sort throughput is ~independent of operand
+    count — measured on v5e, benchmarks/micro_sort.py — so extra payload columns are free):
+      1. sort rows by key words, weight columns as payload
+      2. exclusive prefix sum of each weight column (wraparound-safe: per-group sums are
+         differences, exact while each true group sum < 2^32 — SPEC_SEMANTICS §5)
       3. stable compaction sort on the one-bit "not a group head" key → group heads to the
-         front in key order, carrying their exclusive prefix
-      4. count of group j = next head's prefix − own prefix (shift-subtract)
+         front in key order, carrying their exclusive prefixes
+      4. sum of group j = next head's prefix − own prefix (shift-subtract)
 
-    Returns a table whose ``n`` is the true unique count; if it exceeds ``capacity`` the
-    overflow groups are dropped (callers check ``n <= capacity`` host-side — see
-    pipeline.TableOverflowError).
+    ``n`` is the true unique count; if it exceeds ``capacity`` the overflow groups are
+    dropped (callers check host-side — see pipeline.TableOverflowError).
     """
     N, W = kmers.shape
+    K = len(weight_cols)
     # Invalid rows are remapped to the all-ones key with weight 0 instead of carrying a
     # separate invalid sort key: one less operand in the hot sort. They sort last; if a real
     # all-ones k-mer exists they join its group adding 0 to its count, otherwise they form a
     # single weight-0 group that is stripped after compaction.
     ops = [jnp.where(valid, kmers[:, w], _PAD) for w in range(W)] + [
-        jnp.where(valid, weights, 0)
+        jnp.where(valid, wc, 0) for wc in weight_cols
     ]
     sorted_ops = jax.lax.sort(ops, num_keys=W)
     s_words = sorted_ops[:W]
-    s_wts = sorted_ops[W]
+    s_wts = sorted_ops[W:]
 
     diff = jnp.zeros((N,), bool)
     for w in range(W):
@@ -84,46 +86,63 @@ def _aggregate(
         )
     head = diff  # first row of each group (the possible all-zero-weight tail group incl.)
 
-    csum_incl = jnp.cumsum(s_wts)  # uint32, wraparound-safe for differences
-    csum_excl = csum_incl - s_wts
-    total = csum_incl[-1] if N > 0 else jnp.zeros((), jnp.uint32)
+    csum_excl, totals = [], []
+    for wc in s_wts:
+        ci = jnp.cumsum(wc)  # uint32, wraparound-safe for differences
+        csum_excl.append(ci - wc)
+        totals.append(ci[-1] if N > 0 else jnp.zeros((), jnp.uint32))
     n_unique = jnp.sum(head.astype(jnp.int32))
 
     comp_key = (~head).astype(jnp.uint32)
-    ops2 = [comp_key] + list(s_words) + [csum_excl]
+    ops2 = [comp_key] + list(s_words) + csum_excl
     t = jax.lax.sort(ops2, num_keys=1, is_stable=True)
     t_words = t[1 : 1 + W]
-    t_start = t[1 + W]
+    t_starts = t[1 + W :]
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
-    nxt = jnp.concatenate([t_start[1:], jnp.zeros((1,), jnp.uint32)])
-    counts_all = jnp.where(slot + 1 < n_unique, nxt - t_start, total - t_start)
+    cols_all = []
+    for k in range(K):
+        nxt = jnp.concatenate([t_starts[k][1:], jnp.zeros((1,), jnp.uint32)])
+        cols_all.append(
+            jnp.where(slot + 1 < n_unique, nxt - t_starts[k], totals[k] - t_starts[k])
+        )
 
-    # strip the weight-0 all-ones tail group formed by invalid rows (if any); a *real*
-    # all-ones k-mer group has count >= 1 and is kept
+    # strip the all-zero-weight all-ones tail group formed by invalid rows (if any); a
+    # *real* all-ones k-mer group has some weight >= 1 and is kept
     idx = jnp.maximum(n_unique - 1, 0)
     last_ones = jnp.ones((), bool)
     for w in range(W):
         last_ones = last_ones & (t_words[w][idx] == _PAD)
-    strip = (n_unique > 0) & last_ones & (counts_all[idx] == 0)
+    last_zero = jnp.ones((), bool)
+    for c in cols_all:
+        last_zero = last_zero & (c[idx] == 0)
+    strip = (n_unique > 0) & last_ones & last_zero
     n_unique = n_unique - strip.astype(jnp.int32)
 
     in_range = slot < jnp.minimum(n_unique, capacity)
     keys_all = [jnp.where(in_range, tw, _PAD) for tw in t_words]
-    counts_all = jnp.where(in_range, counts_all, 0).astype(jnp.uint32)
+    cols_all = [jnp.where(in_range, c, 0).astype(jnp.uint32) for c in cols_all]
 
     if N >= capacity:
         keys = jnp.stack([kw[:capacity] for kw in keys_all], axis=-1)
-        counts = counts_all[:capacity]
+        cols = [c[:capacity] for c in cols_all]
     else:
         pad_k = jnp.full((capacity - N, W), _PAD, jnp.uint32)
-        keys = jnp.concatenate(
-            [jnp.stack(keys_all, axis=-1), pad_k], axis=0
-        )
-        counts = jnp.concatenate(
-            [counts_all, jnp.zeros((capacity - N,), jnp.uint32)]
-        )
-    return KmerTable(keys=keys, counts=counts, n=n_unique.astype(jnp.int32))
+        pad_c = jnp.zeros((capacity - N,), jnp.uint32)
+        keys = jnp.concatenate([jnp.stack(keys_all, axis=-1), pad_k], axis=0)
+        cols = [jnp.concatenate([c, pad_c]) for c in cols_all]
+    return keys, cols, n_unique.astype(jnp.int32)
+
+
+def _aggregate(
+    kmers: jnp.ndarray,  # (N, W) uint32
+    weights: jnp.ndarray,  # (N,) uint32
+    valid: jnp.ndarray,  # (N,) bool
+    capacity: int,
+) -> KmerTable:
+    """Single-weight-column aggregation → KmerTable (see ``_aggregate_multi``)."""
+    keys, cols, n = _aggregate_multi(kmers, [weights], valid, capacity)
+    return KmerTable(keys=keys, counts=cols[0], n=n)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))

@@ -1,0 +1,122 @@
+"""Multi-host trio workflow: the N-process counterpart of ``parallel.pipeline.run_trio_sharded``.
+
+Per SURVEY.md §2.2 (multi-host row) and §5.8: each process feeds its record stripe of every
+global batch (``distributed.host_packed_stream``), global arrays are stitched with
+``jax.make_array_from_process_local_data``, all processes execute the same SPMD step sequence
+(``distributed.steps_aligned``), and every host-side decision value (overflow counters, table
+sizes, candidates) is fetched through a replicated output so no process touches
+non-addressable shards.
+
+Failure model (SURVEY.md §5.3): a dead process surfaces as a collective error/timeout on the
+survivors — the supervisor (or the ``tests/test_multihost.py`` harness) re-launches the job,
+which resumes from persisted per-sample table checkpoints at sample granularity.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.bam import read_bam_records
+from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
+from denovo_kmer_tpu.parallel.distributed import (
+    host_packed_stream,
+    make_global_batch,
+    steps_aligned,
+)
+from denovo_kmer_tpu.parallel.mesh import make_mesh
+from denovo_kmer_tpu.parallel.sharded_table import ShardedBuildState, ShardedKmerEngine
+
+
+def _replicated(mesh, tree):
+    """All-gather a sharded pytree into fully-replicated (process-addressable) arrays."""
+    return jax.jit(
+        lambda t: t,
+        out_shardings=jax.tree.map(lambda _: NamedSharding(mesh, P()), tree),
+    )(tree)
+
+
+def build_sample_table_multihost(
+    path: str,
+    cfg: EngineConfig,
+    engine: ShardedKmerEngine,
+    fault_kill_after: Optional[int] = None,
+):
+    """Stream this host's stripe of ``path`` through the sharded engine (SPMD-aligned)."""
+    host_id, n_hosts = jax.process_index(), jax.process_count()
+    state = engine.new_build()
+    batches = host_packed_stream(read_bam_records(path), cfg, host_id, n_hosts)
+    for i, local_packed in enumerate(steps_aligned(batches, cfg)):
+        if fault_kill_after is not None and i >= fault_kill_after:
+            # fault injection (tests): die mid-build without cleanup
+            os._exit(17)
+        words, vwords = make_global_batch(engine, local_packed)
+        state = engine.ingest_global(state, words, vwords)
+    return engine.finalize(state, replicated_fetch=True)
+
+
+def run_trio_multihost(
+    mom_path: str,
+    dad_path: str,
+    child_path: str,
+    cfg: EngineConfig,
+    checkpoint_dir: Optional[str] = None,
+    fault: Optional[Tuple[str, int, int]] = None,
+) -> List[Tuple[int, int, int, int]]:
+    """Full trio on an already-initialized multi-process JAX runtime.
+
+    ``checkpoint_dir``: per-sample sharded-table checkpoints; samples whose checkpoint exists
+    are loaded, others are built and saved — restart-after-failure resumes here.
+    ``fault``: (sample, process_id, after_batches) — kill that process mid-build (tests only).
+    Returns candidate tuples (kmer_value, child, mom, dad) ascending; identical on all
+    processes.
+    """
+    mesh = make_mesh(cfg.mesh_shape)
+    engine = ShardedKmerEngine(cfg, mesh)
+    host_id = jax.process_index()
+
+    tables: Dict[str, object] = {}
+    for name, path in (("mom", mom_path), ("dad", dad_path), ("child", child_path)):
+        ckpt = (
+            os.path.join(checkpoint_dir, f"{name}.table.npz") if checkpoint_dir else None
+        )
+        if ckpt and os.path.exists(ckpt):
+            tables[name] = engine.load_table(ckpt)
+            continue
+        kill = None
+        if fault and fault[0] == name and fault[1] == host_id:
+            kill = fault[2]
+        tables[name] = build_sample_table_multihost(path, cfg, engine, kill)
+        if ckpt:
+            # collective: every process joins the gather; only host 0 writes the file
+            engine.save_table(ckpt, tables[name], source=path, write=host_id == 0)
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_{name}")
+
+    cands = engine._call(tables["child"], tables["mom"], tables["dad"])
+    cands = _replicated(engine.mesh, cands)
+    keys = np.asarray(cands.keys)[0]
+    cc = np.asarray(cands.child_counts)[0]
+    mc = np.asarray(cands.mom_counts)[0]
+    dc = np.asarray(cands.dad_counts)[0]
+    ns = np.asarray(cands.n)[0]
+    out: List[Tuple[int, int, int, int]] = []
+    for t in range(engine.T):
+        for i in range(int(ns[t])):
+            out.append(
+                (
+                    words_to_kmer_value(keys[t, i]),
+                    int(cc[t, i]),
+                    int(mc[t, i]),
+                    int(dc[t, i]),
+                )
+            )
+    out.sort()
+    return out

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from denovo_kmer_tpu.config import EngineConfig
@@ -53,15 +54,29 @@ def run_trio_sharded(
     engine = ShardedKmerEngine(cfg, mesh)
 
     tables = {}
-    for name, path in (("mom", mom_path), ("dad", dad_path), ("child", child_path)):
+    for name, path in (("mom", mom_path), ("dad", dad_path)):
         with m.timer(f"build_{name}"):
             tables[name] = build_sample_table_sharded(
                 _record_stream(path, cfg), cfg, engine, m
             )
         m.event("table_built", sample=name, unique=engine.total_unique(tables[name]))
 
+    # child: parent-seeded scored build (ops/score.py) — the trio join rides the flushes
+    with m.timer("build_child"):
+        state = engine.new_score_build(tables["mom"], tables["dad"])
+        for packed in pack_records(_record_stream(child_path, cfg), cfg):
+            m.count("reads_ingested", packed.n_reads)
+            with m.timer("extract_probe"):
+                state = engine.ingest_score(state, packed)
+            m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
+            m.count("batches", 1)
+        with m.timer("finalize"):
+            stab = engine.finalize_score(state)
+    child_uniques = int(np.asarray(jnp.sum(jnp.where(stab.counts >= 1, 1, 0)))) // engine.R
+    m.event("table_built", sample="child", unique=child_uniques)
+
     with m.timer("trio_call"):
-        cand_tuples = engine.call(tables["child"], tables["mom"], tables["dad"])
+        cand_tuples = engine.call_score(stab)
 
     lines = ["#kmer\tchild_count\tmom_count\tdad_count"]
     for v, c, mo, d in cand_tuples:
@@ -72,5 +87,7 @@ def run_trio_sharded(
         candidates=cand_tuples,
         report=report,
         metrics=m,
-        tables_n={s: engine.total_unique(t) for s, t in tables.items()},
+        tables_n={"mom": engine.total_unique(tables["mom"]),
+                  "dad": engine.total_unique(tables["dad"]),
+                  "child": child_uniques},
     )

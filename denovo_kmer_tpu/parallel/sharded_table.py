@@ -196,6 +196,91 @@ class ShardedKmerEngine:
             donate_argnums=(0,),
         )
 
+        # ---- scored child build (ops/score.py): seed on row 0, flush with pcounts ----
+        from denovo_kmer_tpu.ops.score import (
+            ScoreTable,
+            call_from_score,
+            empty_score_table,
+            flush_score,
+            merge_score_tables,
+            seed_score_table,
+        )
+
+        score_specs = ScoreTable(
+            keys=P(AXIS_READS, AXIS_TABLE, None, None),
+            counts=P(AXIS_READS, AXIS_TABLE, None),
+            pcounts=P(AXIS_READS, AXIS_TABLE, None),
+            n=spec_table,
+        )
+
+        def _local_sc(t: ScoreTable) -> ScoreTable:
+            return ScoreTable(t.keys[0, 0], t.counts[0, 0], t.pcounts[0, 0], t.n[0, 0])
+
+        def _glob_sc(t: ScoreTable) -> ScoreTable:
+            return jax.tree.map(lambda x: x[None, None], t)
+
+        def seed_dev(mom: KmerTable, dad: KmerTable):
+            # only row 0 carries the parental seed: finalize sums row-partials, so
+            # seeding every row would multiply the parental packs by R
+            row = jax.lax.axis_index(AXIS_READS)
+            seeded = seed_score_table(_local(mom), _local(dad), C)
+            empty = empty_score_table(C, W)
+            out = jax.tree.map(
+                lambda s, e: jnp.where(row == 0, s, e), seeded, empty
+            )
+            return _glob_sc(out)
+
+        self._seed_score = jax.jit(
+            shard_map(
+                seed_dev,
+                mesh=mesh,
+                in_specs=(table_specs, table_specs),
+                out_specs=score_specs,
+            )
+        )
+
+        def flush_sc_dev(acc, tab: ScoreTable):
+            new_acc, new_tab = flush_score(_local_acc(acc), _local_sc(tab))
+            return _glob_acc(new_acc), _glob_sc(new_tab)
+
+        self._flush_score = jax.jit(
+            shard_map(
+                flush_sc_dev,
+                mesh=mesh,
+                in_specs=(acc_specs, score_specs),
+                out_specs=(acc_specs, score_specs),
+            ),
+            donate_argnums=(0, 1),
+        )
+
+        def finalize_sc_dev(tab: ScoreTable):
+            local = _local_sc(tab)
+            g = jax.tree.map(lambda x: jax.lax.all_gather(x, AXIS_READS), local)
+            acc = jax.tree.map(lambda x: x[0], g)
+            for r in range(1, R):
+                acc = merge_score_tables(
+                    acc, jax.tree.map(lambda x: x[r], g), C
+                )
+            return _glob_sc(acc)
+
+        self._finalize_score = jax.jit(
+            shard_map(
+                finalize_sc_dev,
+                mesh=mesh,
+                in_specs=(score_specs,),
+                out_specs=score_specs,
+            ),
+            donate_argnums=(0,),
+        )
+
+        def call_sc_dev(tab: ScoreTable):
+            cands = call_from_score(
+                _local_sc(tab), cfg.tau_parent, cfg.min_child_count
+            )
+            return jax.tree.map(lambda x: x[None, None], cands)
+
+        self._score_specs = score_specs
+
         # ---- trio candidate call: shard-local, zero comms ----
         tau, minc = cfg.tau_parent, cfg.min_child_count
 
@@ -220,11 +305,24 @@ class ShardedKmerEngine:
                 out_specs=cand_specs,
             )
         )
+        self._call_score = jax.jit(
+            shard_map(
+                call_sc_dev,
+                mesh=mesh,
+                in_specs=(score_specs,),
+                out_specs=cand_specs,
+            )
+        )
 
     # ---------- host API ----------
 
     def _put(self, x, spec):
-        return jax.device_put(x, NamedSharding(self.mesh, spec))
+        """Place a host array with the given spec — multiprocess-safe: each process supplies
+        only its addressable shards (device_put of a full global array would throw when the
+        mesh spans processes, SURVEY.md §2.2 multi-host row)."""
+        x = np.asarray(x)
+        sharding = NamedSharding(self.mesh, spec)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
     def empty_table(self) -> KmerTable:
         """Global (R,T,·) empty table, placed with the table sharding."""
@@ -263,6 +361,13 @@ class ShardedKmerEngine:
         """Route + append one packed batch; flushes automatically when staging is full.
         No host↔device sync — overflow counters are checked once at finalize."""
         words, vwords = self.put_batch(packed)
+        return self.ingest_global(state, words, vwords)
+
+    def ingest_global(
+        self, state: "ShardedBuildState", words, vwords
+    ) -> "ShardedBuildState":
+        """Ingest from already-placed global arrays (multi-host path: each process built its
+        slice via jax.make_array_from_process_local_data — parallel.distributed)."""
         acc, ovf = self._ingest(state.acc, state.ovf, words, vwords)
         state = ShardedBuildState(acc=acc, ovf=ovf, table=state.table,
                                   pending=state.pending + 1)
@@ -271,11 +376,19 @@ class ShardedKmerEngine:
             state = ShardedBuildState(acc=acc, ovf=state.ovf, table=table, pending=0)
         return state
 
-    def finalize(self, state: "ShardedBuildState") -> KmerTable:
+    def finalize(
+        self, state: "ShardedBuildState", replicated_fetch: bool = False
+    ) -> KmerTable:
+        """Flush remainder, check overflow, fold row-partials. ``replicated_fetch`` reduces
+        the host-checked scalars to fully-replicated values first — required when the mesh
+        spans processes (a process may not address shard (0,0))."""
         if state.pending:
             acc, table = self._flush(state.acc, state.table)
             state = ShardedBuildState(acc=acc, ovf=state.ovf, table=table, pending=0)
-        ovf_val = int(np.asarray(state.ovf)[0, 0])
+        # every ovf entry already equals the global psum total (ingest_dev psums)
+        ovf_val = int(np.asarray(jnp.max(state.ovf))) if replicated_fetch else int(
+            np.asarray(state.ovf)[0, 0]
+        )
         if ovf_val:
             raise RouteOverflowError(
                 f"{ovf_val} k-mers overflowed route capacity {self.route_cap}; "
@@ -290,9 +403,160 @@ class ShardedKmerEngine:
             )
         return table
 
+    # ---------- engine-layout checkpoints (SURVEY.md §5.4, multi-host restart) ----------
+
+    def _replicated(self, tree):
+        from jax.sharding import PartitionSpec as _P
+
+        return jax.jit(
+            lambda t: t,
+            out_shardings=jax.tree.map(
+                lambda _: jax.sharding.NamedSharding(self.mesh, _P()), tree
+            ),
+        )(tree)
+
+    def save_table(
+        self,
+        path: str,
+        table: KmerTable,
+        source: Optional[str] = None,
+        write: bool = True,
+    ):
+        """Persist a finalized sharded table (all shards, engine layout) to one npz.
+
+        Multi-host: the internal all-gather is a COLLECTIVE — every process must call this
+        (same table, same order); pass ``write=jax.process_index()==0`` so one file is
+        written. Calling it on a single process of a multi-process mesh deadlocks/aborts the
+        collective (found by tests/test_multihost.py fault harness)."""
+        import json
+
+        rep = self._replicated(table)
+        if not write:
+            jax.block_until_ready(rep)
+            return
+        meta = {
+            "format_version": 1,
+            "config_hash": self.cfg.config_hash(),
+            "T": self.T,
+            "shard_capacity": self.shard_capacity,
+            "words": self.W,
+            "source": source,
+        }
+        np.savez_compressed(
+            path,
+            keys=np.asarray(rep.keys)[0],  # (T, C, W) — rows are replicas
+            counts=np.asarray(rep.counts)[0],
+            n=np.asarray(rep.n)[0],
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        )
+
+    def load_table(self, path: str) -> KmerTable:
+        """Load an engine-layout checkpoint; validates semantics hash and shard geometry."""
+        import json
+
+        from denovo_kmer_tpu.utils.checkpoint import CheckpointError
+
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            keys, counts, n = z["keys"], z["counts"], z["n"]
+        if meta["config_hash"] != self.cfg.config_hash():
+            raise CheckpointError(
+                f"checkpoint semantics mismatch: saved {meta['config_hash']}, "
+                f"current {self.cfg.config_hash()}"
+            )
+        if meta["T"] != self.T or meta["shard_capacity"] != self.shard_capacity:
+            raise CheckpointError(
+                f"shard geometry mismatch: saved T={meta['T']} C={meta['shard_capacity']}, "
+                f"engine T={self.T} C={self.shard_capacity}"
+            )
+        R = self.R
+        return KmerTable(
+            keys=self._put(
+                np.broadcast_to(keys[None], (R,) + keys.shape),
+                P(AXIS_READS, AXIS_TABLE, None, None),
+            ),
+            counts=self._put(
+                np.broadcast_to(counts[None], (R,) + counts.shape),
+                P(AXIS_READS, AXIS_TABLE, None),
+            ),
+            n=self._put(
+                np.broadcast_to(n[None], (R,) + n.shape), P(AXIS_READS, AXIS_TABLE)
+            ),
+        )
+
+    def new_score_build(self, mom: KmerTable, dad: KmerTable) -> "ShardedBuildState":
+        """Child-scoring build state: staging accumulator + parent-seeded score table
+        (seed on row 0 only; ingest/flush route and aggregate exactly like new_build)."""
+        base = self.new_build()
+        stab = self._seed_score(mom, dad)
+        return ShardedBuildState(acc=base.acc, ovf=base.ovf, table=stab, pending=0)
+
+    def ingest_score(self, state: "ShardedBuildState", packed) -> "ShardedBuildState":
+        words, vwords = self.put_batch(packed)
+        return self.ingest_score_global(state, words, vwords)
+
+    def ingest_score_global(
+        self, state: "ShardedBuildState", words, vwords
+    ) -> "ShardedBuildState":
+        acc, ovf = self._ingest(state.acc, state.ovf, words, vwords)
+        state = ShardedBuildState(acc=acc, ovf=ovf, table=state.table,
+                                  pending=state.pending + 1)
+        if state.pending >= self.cfg.accum_batches:
+            acc, table = self._flush_score(state.acc, state.table)
+            state = ShardedBuildState(acc=acc, ovf=state.ovf, table=table, pending=0)
+        return state
+
+    def finalize_score(
+        self, state: "ShardedBuildState", replicated_fetch: bool = False
+    ):
+        if state.pending:
+            acc, table = self._flush_score(state.acc, state.table)
+            state = ShardedBuildState(acc=acc, ovf=state.ovf, table=table, pending=0)
+        ovf_val = int(np.asarray(jnp.max(state.ovf))) if replicated_fetch else int(
+            np.asarray(state.ovf)[0, 0]
+        )
+        if ovf_val:
+            raise RouteOverflowError(
+                f"{ovf_val} k-mers overflowed route capacity {self.route_cap}; "
+                f"increase route_capacity_factor (={self.cfg.route_capacity_factor})"
+            )
+        stab = self._finalize_score(state.table)
+        n_max = int(np.asarray(jnp.max(stab.n)))
+        if n_max > self.shard_capacity:
+            raise RuntimeError(
+                f"score-table shard overflow: {n_max} uniques (child ∪ parents) > shard "
+                f"capacity {self.shard_capacity}; raise --table-capacity"
+            )
+        return stab
+
+    def call_score(self, stab) -> List[Tuple[int, int, int, int]]:
+        """Candidate call over a finalized sharded scoring table; same output contract as
+        ``call`` (host-side tuples sorted ascending by k-mer value)."""
+        from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
+
+        cands = self._call_score(stab)
+        keys = np.asarray(cands.keys)[0]
+        cc = np.asarray(cands.child_counts)[0]
+        mc = np.asarray(cands.mom_counts)[0]
+        dc = np.asarray(cands.dad_counts)[0]
+        ns = np.asarray(cands.n)[0]
+        out: List[Tuple[int, int, int, int]] = []
+        for t in range(self.T):
+            for i in range(int(ns[t])):
+                out.append(
+                    (
+                        words_to_kmer_value(keys[t, i]),
+                        int(cc[t, i]),
+                        int(mc[t, i]),
+                        int(dc[t, i]),
+                    )
+                )
+        out.sort()
+        return out
+
     def total_unique(self, table: KmerTable) -> int:
         """Total uniques across shards (rows are replicas after finalize)."""
-        return int(np.asarray(jnp.sum(table.n[0])))
+        return int(np.asarray(jnp.sum(table.n))) // self.R
 
     def call(self, child: KmerTable, mom: KmerTable, dad: KmerTable):
         """Run the shard-local candidate call; returns host-side candidate tuples

@@ -29,7 +29,7 @@ from denovo_kmer_tpu.ops.table import (
     empty_table,
     merge_tables,
 )
-from denovo_kmer_tpu.ops.trio import Candidates, call_candidates
+from denovo_kmer_tpu.ops.trio import Candidates
 from denovo_kmer_tpu.utils.metrics import Metrics
 
 _BASE = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -137,6 +137,56 @@ class SampleTableBuilder:
         return table
 
 
+class ScoringTableBuilder:
+    """Streaming child-scoring build over a parent-seeded ScoreTable (ops/score.py).
+
+    Same LSM ingest as SampleTableBuilder; the flush carries the packed parental-counts
+    column, so finishing the stream leaves candidates one elementwise pass away — the
+    standalone 3-way join (ops/join.py) is never needed on this path."""
+
+    def __init__(self, cfg: EngineConfig, extract_append=None):
+        from denovo_kmer_tpu.ops.score import flush_score
+        from denovo_kmer_tpu.ops.stream import empty_accumulator
+
+        self.cfg = cfg
+        self.extract_append = extract_append or make_ingest_step(cfg)[0]
+        self.flush_fn = jax.jit(flush_score, donate_argnums=(0, 1))
+        self._empty_acc = lambda: empty_accumulator(
+            cfg.accum_batches * cfg.batch_reads * cfg.windows_per_read, cfg.words
+        )
+
+    def build(self, mom: KmerTable, dad: KmerTable, packed_batches: Iterable,
+              metrics: Optional[Metrics] = None):
+        from denovo_kmer_tpu.ops.score import seed_score_table
+
+        m = metrics or Metrics()
+        acc = self._empty_acc()
+        table = seed_score_table(mom, dad, self.cfg.table_capacity)
+        pending = 0
+        for packed in packed_batches:
+            m.count("reads_ingested", packed.n_reads)
+            with m.timer("extract_probe"):
+                acc = self.extract_append(
+                    acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
+                )
+                pending += 1
+                if pending == self.cfg.accum_batches:
+                    acc, table = self.flush_fn(acc, table)
+                    pending = 0
+            m.count("kmers_extracted", packed.n_reads * self.cfg.windows_per_read)
+            m.count("batches", 1)
+        if pending:
+            with m.timer("extract_probe"):
+                acc, table = self.flush_fn(acc, table)
+        n = int(table.n)
+        if n > self.cfg.table_capacity:
+            raise TableOverflowError(
+                f"{n} unique k-mers (child ∪ parents) exceed table capacity "
+                f"{self.cfg.table_capacity}"
+            )
+        return table
+
+
 def build_sample_table(
     records: Iterable,
     cfg: EngineConfig,
@@ -194,16 +244,27 @@ def run_trio(
     m = metrics or Metrics()
     step = make_ingest_step(cfg)
     tables = {}
-    for name, path in (("mom", mom_path), ("dad", dad_path), ("child", child_path)):
+    for name, path in (("mom", mom_path), ("dad", dad_path)):
         with m.timer(f"build_{name}"):
             tables[name] = build_sample_table(_record_stream(path, cfg), cfg, m, step)
         m.event("table_built", sample=name, unique=int(tables[name].n))
 
-    with m.timer("trio_call"):
-        cands = call_candidates(
-            tables["child"], tables["mom"], tables["dad"],
-            cfg.tau_parent, cfg.min_child_count,
+    # child scoring: parent-seeded fused path (ops/score.py) — no standalone trio join
+    from denovo_kmer_tpu.ops.score import call_from_score
+
+    with m.timer("build_child"):
+        scorer = ScoringTableBuilder(cfg, extract_append=step[0])
+        score_tab = scorer.build(
+            tables["mom"], tables["dad"],
+            pack_records(_record_stream(child_path, cfg), cfg), m,
         )
+    child_uniques = int(jnp.sum((score_tab.counts >= 1)))
+    tables_n = {"mom": int(tables["mom"].n), "dad": int(tables["dad"].n),
+                "child": child_uniques}
+    m.event("table_built", sample="child", unique=child_uniques)
+
+    with m.timer("trio_call"):
+        cands = call_from_score(score_tab, cfg.tau_parent, cfg.min_child_count)
         n = int(cands.n)
 
     keys = np.asarray(cands.keys)[:n]
@@ -223,5 +284,5 @@ def run_trio(
         candidates=cand_tuples,
         report=report,
         metrics=m,
-        tables_n={s: int(t.n) for s, t in tables.items()},
+        tables_n=tables_n,
     )

@@ -1,0 +1,79 @@
+"""Worker process for the local multi-host harness (SURVEY.md §4.3): one JAX process of N,
+each owning a slice of a faked CPU device mesh, running the multi-host trio workflow.
+
+Invoked by tests/test_multihost.py as:
+    python tests/multihost_worker.py <proc_id> <n_procs> <port> <trio_dir> <out_tsv> \
+        [--devices-per-proc D] [--mesh RxT] [--ckpt-dir DIR] [--fault sample:proc:batch]
+"""
+
+import argparse
+import os
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("proc_id", type=int)
+    ap.add_argument("n_procs", type=int)
+    ap.add_argument("port", type=int)
+    ap.add_argument("trio_dir")
+    ap.add_argument("out_tsv")
+    ap.add_argument("--devices-per-proc", type=int, default=4)
+    ap.add_argument("--mesh", default="2x4")
+    ap.add_argument("--k", type=int, default=21)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--fault", default=None, help="sample:proc_id:after_batches")
+    args = ap.parse_args()
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.devices_per_proc}"
+    ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{args.port}",
+        num_processes=args.n_procs,
+        process_id=args.proc_id,
+        # local CPU workers: each process must claim only its own faked devices
+        local_device_ids=list(range(args.devices_per_proc)),
+    )
+
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.oracle.scalar import decode_kmer
+    from denovo_kmer_tpu.parallel.multihost import run_trio_multihost
+
+    r, t = (int(x) for x in args.mesh.lower().split("x"))
+    cfg = EngineConfig(
+        k=args.k,
+        max_read_len=64,
+        batch_reads=64,
+        table_capacity=1 << 13,
+        accum_batches=2,
+        mesh_shape=(r, t),
+    )
+    fault = None
+    if args.fault:
+        s, p, b = args.fault.split(":")
+        fault = (s, int(p), int(b))
+
+    cands = run_trio_multihost(
+        os.path.join(args.trio_dir, "mom.bam"),
+        os.path.join(args.trio_dir, "dad.bam"),
+        os.path.join(args.trio_dir, "child.bam"),
+        cfg,
+        checkpoint_dir=args.ckpt_dir,
+        fault=fault,
+    )
+    if args.proc_id == 0:
+        with open(args.out_tsv, "w") as f:
+            f.write("#kmer\tchild_count\tmom_count\tdad_count\n")
+            for v, c, m, d in cands:
+                f.write(f"{decode_kmer(v, cfg.k)}\t{c}\t{m}\t{d}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

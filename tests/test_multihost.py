@@ -1,0 +1,125 @@
+"""Local multi-host harness (SURVEY.md §4.3): N real OS processes with jax.distributed over
+faked CPU devices. Verifies (a) multi-host output is byte-identical to single-host, (b) a
+killed process surfaces as failure on the survivors (failure detection, §5.3), and (c) restart
+resumes from per-sample checkpoints and completes (elastic-recovery-by-restart)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+SPEC = TrioSpec(genome_len=1200, read_len=50, coverage=5.0, seed=31,
+                n_inherited_snvs=4, n_denovo_snvs=2)
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def trio_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mh_trio")
+    write_trio_bams(make_trio(SPEC), str(d))
+    return str(d)
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # workers set their own XLA_FLAGS device count; drop the conftest's
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    return env
+
+
+def _launch(n_procs, port, trio_dir, out, extra=()):
+    procs = []
+    for pid in range(n_procs):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, WORKER, str(pid), str(n_procs), str(port),
+                 trio_dir, out, *extra],
+                env=_env(),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    return procs
+
+
+def _wait_all(procs, timeout):
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            out, err = p.communicate()
+        outs.append((p.returncode, out.decode(), err.decode()))
+    return outs
+
+
+def _single_host_report(trio_dir, tmp_path):
+    from denovo_kmer_tpu.pipeline import run_trio
+
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                       table_capacity=1 << 13, accum_batches=2)
+    res = run_trio(
+        os.path.join(trio_dir, "mom.bam"),
+        os.path.join(trio_dir, "dad.bam"),
+        os.path.join(trio_dir, "child.bam"),
+        cfg,
+    )
+    return res.report
+
+
+@pytest.mark.slow
+def test_two_process_trio_matches_single_host(trio_dir, tmp_path):
+    out = str(tmp_path / "mh.tsv")
+    port = _free_port()
+    procs = _launch(2, port, trio_dir, out)
+    results = _wait_all(procs, timeout=420)
+    for rc, so, se in results:
+        assert rc == 0, f"worker failed rc={rc}\nstderr:\n{se[-3000:]}"
+    golden = _single_host_report(trio_dir, tmp_path)
+    with open(out) as f:
+        assert f.read() == golden
+
+
+@pytest.mark.slow
+def test_killed_process_surfaces_and_restart_recovers(trio_dir, tmp_path):
+    out = str(tmp_path / "mh_fault.tsv")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+    port = _free_port()
+
+    # process 1 dies mid-way through the dad build → survivors must NOT hang or succeed
+    procs = _launch(2, port, trio_dir, out,
+                    extra=("--ckpt-dir", ckpt, "--fault", "dad:1:1"))
+    results = _wait_all(procs, timeout=420)
+    assert results[1][0] == 17  # the injected death
+    assert results[0][0] != 0  # survivor errored out (collective failure), not silent success
+    assert not os.path.exists(out)
+    # the mom table checkpoint was persisted before the fault
+    assert os.path.exists(os.path.join(ckpt, "mom.table.npz"))
+
+    # supervisor restart: same command, resumes from checkpoints, completes
+    port2 = _free_port()
+    procs = _launch(2, port2, trio_dir, out, extra=("--ckpt-dir", ckpt))
+    results = _wait_all(procs, timeout=420)
+    for rc, so, se in results:
+        assert rc == 0, f"restart worker failed rc={rc}\nstderr:\n{se[-3000:]}"
+    golden = _single_host_report(trio_dir, tmp_path)
+    with open(out) as f:
+        assert f.read() == golden

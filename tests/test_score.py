@@ -1,0 +1,132 @@
+"""Parent-seeded scoring path (ops/score.py): must match the standalone 3-way join path and
+the scalar oracle bit-for-bit (same Candidates), including saturation and edge keys."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.score import call_from_score, flush_score, seed_score_table
+from denovo_kmer_tpu.ops.stream import append, empty_accumulator
+from denovo_kmer_tpu.ops.table import KmerTable, build_table
+from denovo_kmer_tpu.ops.trio import call_candidates
+
+
+def _rand_tables(seed, n_keys=400, W=2, cap=2048, hi=2**14):
+    rng = np.random.default_rng(seed)
+
+    def mk(n):
+        keys = rng.integers(0, hi, size=(n, W), dtype=np.uint32)
+        return build_table(jnp.asarray(keys)[:, None, :], jnp.ones((n, 1), bool), cap)
+
+    return mk(n_keys), mk(n_keys), rng
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("tau,minc", [(0, 2), (1, 1), (2, 3)])
+def test_score_path_matches_join_path(seed, tau, minc):
+    mom, dad, rng = _rand_tables(seed)
+    W, cap = 2, 2048
+
+    # child raw stream: mixture of parent keys and novel keys, with duplicates + invalids
+    n_raw = 3000
+    mom_keys = np.asarray(mom.keys)[: int(mom.n)]
+    pick = mom_keys[rng.integers(0, len(mom_keys), n_raw // 2)]
+    novel = rng.integers(2**14, 2**15, size=(n_raw - n_raw // 2, 2), dtype=np.uint32)
+    child_raw = np.concatenate([pick, novel]).astype(np.uint32)
+    rng.shuffle(child_raw)
+    # duplicate a block so min_child_count has bite
+    child_raw[: n_raw // 4] = child_raw[n_raw // 4 : n_raw // 2]
+    valid = rng.random(n_raw) < 0.9
+
+    # old path: aggregate child then 3-way join
+    child_tab = build_table(
+        jnp.asarray(child_raw)[:, None, :], jnp.asarray(valid)[:, None], cap
+    )
+    old = call_candidates(child_tab, mom, dad, tau, minc)
+
+    # new path: seed + stream through accumulator flushes
+    stab = seed_score_table(mom, dad, cap)
+    acc = empty_accumulator(1024, W)
+    for i in range(0, n_raw, 1024):
+        chunk = child_raw[i : i + 1024]
+        v = valid[i : i + 1024]
+        if len(chunk) < 1024:
+            pad = 1024 - len(chunk)
+            chunk = np.concatenate([chunk, np.zeros((pad, W), np.uint32)])
+            v = np.concatenate([v, np.zeros(pad, bool)])
+        acc = append(acc, jnp.asarray(chunk), jnp.asarray(v))
+        acc, stab = flush_score(acc, stab)
+    new = call_from_score(stab, tau, minc)
+
+    n_old, n_new = int(old.n), int(new.n)
+    assert n_old == n_new
+    np.testing.assert_array_equal(
+        np.asarray(old.keys)[:n_old], np.asarray(new.keys)[:n_new]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(old.child_counts)[:n_old], np.asarray(new.child_counts)[:n_new]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(old.mom_counts)[:n_old], np.asarray(new.mom_counts)[:n_new]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(old.dad_counts)[:n_old], np.asarray(new.dad_counts)[:n_new]
+    )
+
+
+def test_saturated_parent_counts_never_become_candidates():
+    """A parental count > 0xFFFF saturates in the pack but must still exclude the key."""
+    W, cap = 2, 64
+    key = np.array([[1, 7]], dtype=np.uint32)
+    mom = KmerTable(
+        keys=jnp.concatenate([jnp.asarray(key), jnp.full((cap - 1, W), 0xFFFFFFFF, jnp.uint32)]),
+        counts=jnp.concatenate([jnp.asarray([70000], jnp.uint32), jnp.zeros((cap - 1,), jnp.uint32)]),
+        n=jnp.asarray(1, jnp.int32),
+    )
+    dad = KmerTable(
+        keys=jnp.full((cap, W), 0xFFFFFFFF, jnp.uint32),
+        counts=jnp.zeros((cap,), jnp.uint32),
+        n=jnp.asarray(0, jnp.int32),
+    )
+    stab = seed_score_table(mom, dad, cap)
+    acc = empty_accumulator(8, W)
+    raws = jnp.asarray(np.repeat(key, 8, axis=0))
+    acc = append(acc, raws, jnp.ones((8,), bool))
+    acc, stab = flush_score(acc, stab)
+    cands = call_from_score(stab, 0, 2)
+    assert int(cands.n) == 0  # present in mom (saturated) → not a candidate
+
+    # sanity: a truly novel key IS a candidate
+    acc = empty_accumulator(8, W)
+    novel = jnp.asarray(np.repeat(np.array([[2, 9]], np.uint32), 8, axis=0))
+    acc = append(acc, novel, jnp.ones((8,), bool))
+    acc, stab = flush_score(acc, stab)
+    cands = call_from_score(stab, 0, 2)
+    assert int(cands.n) == 1
+    assert int(cands.child_counts[0]) == 8
+    assert int(cands.mom_counts[0]) == 0 and int(cands.dad_counts[0]) == 0
+
+
+def test_run_trio_scored_matches_oracle(tmp_path):
+    """End-to-end: the scored pipeline reproduces the oracle trio candidates byte-exact."""
+    from denovo_kmer_tpu.io.bam import read_bam_records
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+    from denovo_kmer_tpu.oracle.scalar import count_reads, format_report, trio_candidates
+    from denovo_kmer_tpu.pipeline import run_trio
+
+    spec = TrioSpec(genome_len=2000, read_len=60, coverage=7.0, seed=5,
+                    n_inherited_snvs=5, n_denovo_snvs=3, n_rate=0.003)
+    paths = write_trio_bams(make_trio(spec), str(tmp_path))
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                       table_capacity=1 << 13, accum_batches=3)
+
+    res = run_trio(paths["mom"], paths["dad"], paths["child"], cfg)
+
+    tabs = {
+        s: count_reads([(r.seq, r.qual, r.flag) for r in read_bam_records(p)], cfg)
+        for s, p in paths.items()
+    }
+    cands = trio_candidates(tabs["mom"], tabs["dad"], tabs["child"], cfg)
+    assert res.report == format_report(cands, cfg.k)
