@@ -1,0 +1,146 @@
+"""Prototype + microbenchmark: jnp strided bitonic merge of sorted runs vs jax.lax.sort.
+
+The engine's cost driver is group-by-sort over raw k-mer streams. XLA's sort runs at
+~160 Mrows/s regardless of operand count (micro_sort.py). A bitonic MERGE of two already-
+sorted runs needs only log2(m) compare-exchange stages (vs ~log2(m)^2/2 for a full sort),
+each an elementwise strided pass XLA can fuse — if this measures >=2x sort throughput, the
+LSM flush switches to sort-small-runs + hierarchical merge.
+
+MICRO_ONLY env: merge2 (two 2^24 runs), chain (16 runs of 2^21 -> one run), sortsmall
+(flat 2^21 sort), cumsum39.
+"""
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def lex_gt(a_words, b_words):
+    """a > b lexicographically on uint32 word lists."""
+    gt = jnp.zeros(a_words[0].shape, bool)
+    eq = jnp.ones(a_words[0].shape, bool)
+    for aw, bw in zip(a_words, b_words):
+        gt = gt | (eq & (aw > bw))
+        eq = eq & (aw == bw)
+    return gt
+
+
+def bitonic_merge(ops, n_keys: int):
+    """Merge a bitonic sequence (e.g. [A asc | B desc]) ascending. ops: list of (m,) arrays,
+    first n_keys are the lex key words. m must be a power of two."""
+    m = ops[0].shape[0]
+    assert m & (m - 1) == 0, "length must be a power of two"
+    s = m // 2
+    while s >= 1:
+        v = [o.reshape(-1, 2, s) for o in ops]
+        lo = [x[:, 0, :] for x in v]
+        hi = [x[:, 1, :] for x in v]
+        swap = lex_gt(lo[:n_keys], hi[:n_keys])
+        new = []
+        for l, h in zip(lo, hi):
+            nl = jnp.where(swap, h, l)
+            nh = jnp.where(swap, l, h)
+            new.append(jnp.stack([nl, nh], axis=1).reshape(m))
+        ops = new
+        s //= 2
+    return ops
+
+
+def merge_sorted_pair(ops_a, ops_b, n_keys: int):
+    """Merge two ascending sorted runs (equal pow2 length) into one ascending run."""
+    ops = [jnp.concatenate([a, b[::-1]]) for a, b in zip(ops_a, ops_b)]
+    return bitonic_merge(ops, n_keys)
+
+
+def timed(fn, *args, reps=2):
+    fn_j = jax.jit(fn)
+    out = fn_j(*args, jnp.uint32(0))
+    jax.block_until_ready(out)
+    ts = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        out = fn_j(*args, jnp.uint32(r + 1))
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    only = set(os.environ.get("MICRO_ONLY", "").split(",")) - {""}
+
+    def want(tag):
+        return not only or tag in only
+
+    print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr, flush=True)
+    rng = np.random.default_rng(0)
+
+    if want("merge2"):
+        n = 1 << 24  # two 16.8M runs
+        a0 = np.sort(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+        b0 = np.sort(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+        a = [jnp.asarray(a0), jnp.asarray(a0), jnp.asarray(a0), jnp.asarray(a0)]
+        b = [jnp.asarray(b0), jnp.asarray(b0), jnp.asarray(b0), jnp.asarray(b0)]
+
+        def fm(a, b, salt):
+            # salt only the payloads so the keys stay sorted
+            a = [a[0], a[1], a[2] ^ salt, a[3]]
+            merged = merge_sorted_pair(a, b, n_keys=2)
+            return merged[0][:4]
+
+        dt = timed(functools.partial(fm, a, b))
+        tot = 2 * n
+        print(f"bitonic merge2 2x{n} W2+2pay: {tot/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)",
+              flush=True)
+
+    if want("chain"):
+        # 16 sorted runs of 2^21 -> hierarchical pairwise merges (keys only, W=2)
+        R, n = 16, 1 << 21
+        runs0 = np.sort(
+            rng.integers(0, 2**32, size=(R, n), dtype=np.uint32), axis=1
+        )
+        runs = jnp.asarray(runs0)
+
+        def fc(runs, salt):
+            level = [[runs[i], runs[i]] for i in range(R)]  # W=2 (same words, fine)
+            while len(level) > 1:
+                nxt = []
+                for i in range(0, len(level), 2):
+                    nxt.append(merge_sorted_pair(level[i], level[i + 1], n_keys=2))
+                level = nxt
+            return level[0][0][:4] ^ salt
+
+        dt = timed(functools.partial(fc, runs))
+        tot = R * n
+        print(f"merge chain {R}x{n} keys-only: {tot/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)",
+              flush=True)
+
+    if want("sortsmall"):
+        n = 1 << 21
+        base = jnp.asarray(rng.integers(0, 2**32, size=(2, n), dtype=np.uint32))
+
+        def fs(b, salt):
+            s = jax.lax.sort([b[0] ^ salt, b[1]], num_keys=2)
+            return s[0][:4]
+
+        dt = timed(fs, base)
+        print(f"sort flat {n} ops=2: {n/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)", flush=True)
+
+    if want("cumsum39"):
+        n = 39_000_000
+        base = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+
+        def fc2(b, salt):
+            return jnp.cumsum(b ^ salt)[:4]
+
+        dt = timed(fc2, base)
+        print(f"cumsum {n}: {n/dt/1e6:.1f} Mrows/s  ({dt*1e3:.1f} ms)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -31,9 +31,13 @@ _build_error: Optional[str] = None
 
 def _build() -> Optional[str]:
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    # DENOVO_KMER_SANITIZE=address[,undefined] builds an ASan/UBSan shim for the CI
+    # sanitizer job (SURVEY.md §5.2); production builds stay plain -O3.
+    san = os.environ.get("DENOVO_KMER_SANITIZE", "")
+    san_flags = [f"-fsanitize={san}", "-fno-omit-frame-pointer", "-g"] if san else []
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _SO, "-lz",
+        *san_flags, _SRC, "-o", _SO, "-lz",
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)

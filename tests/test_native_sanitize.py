@@ -1,0 +1,57 @@
+"""ASan/UBSan harness for the C++ ingest shim (SURVEY.md §5.2).
+
+The shim is the only imperative native code in the engine; Rust's ownership model played this
+role in the reference. jaxlib is incompatible with ASan preload, so the sanitized build is a
+standalone binary (io/_native/selftest.cpp) driven over a generated fixture BAM.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+_NATIVE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "denovo_kmer_tpu", "io", "_native",
+)
+
+
+@pytest.mark.slow
+def test_ingest_shim_clean_under_asan_ubsan(tmp_path):
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=3000, read_len=90, coverage=6.0, seed=11,
+                           n_rate=0.01)),
+        str(tmp_path),
+    )
+
+    exe = str(tmp_path / "selftest")
+    build = subprocess.run(
+        ["g++", "-O1", "-g", "-std=c++17", "-fsanitize=address,undefined",
+         "-fno-omit-frame-pointer", os.path.join(_NATIVE, "selftest.cpp"),
+         "-o", exe, "-lz"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert build.returncode == 0, build.stderr
+
+    env = dict(os.environ,
+               ASAN_OPTIONS="detect_leaks=1:abort_on_error=1",
+               UBSAN_OPTIONS="halt_on_error=1")
+    run = subprocess.run([exe, paths["child"], "96"], capture_output=True,
+                         text=True, timeout=300, env=env)
+    assert run.returncode == 0, f"stdout:{run.stdout}\nstderr:{run.stderr}"
+    assert "selftest ok" in run.stdout
+
+    # truncated/corrupt input must fail cleanly (no sanitizer report, nonzero exit)
+    blob = open(paths["child"], "rb").read()
+    bad = tmp_path / "trunc.bam"
+    bad.write_bytes(blob[: len(blob) // 3])
+    run2 = subprocess.run([exe, str(bad), "96"], capture_output=True, text=True,
+                          timeout=300, env=env)
+    assert "ERROR: AddressSanitizer" not in run2.stderr
+    assert "runtime error" not in run2.stderr
