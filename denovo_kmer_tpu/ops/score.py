@@ -63,14 +63,17 @@ def seed_score_table(mom: KmerTable, dad: KmerTable, capacity: int) -> ScoreTabl
     return ScoreTable(keys=k, counts=cols[0], pcounts=cols[1], n=n)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("out_capacity",))
 def flush_score(
-    acc: KmerAccumulator, tab: ScoreTable
+    acc: KmerAccumulator, tab: ScoreTable, out_capacity: int = 0
 ) -> Tuple[KmerAccumulator, ScoreTable]:
     """Aggregate the raw-k-mer staging buffer into the scoring table; reset the buffer.
 
     Identical structure to ``ops.stream.flush`` with the pcounts column riding along
-    (staged raw k-mers contribute pcounts 0; seeded rows carry the parental packs)."""
+    (staged raw k-mers contribute pcounts 0; seeded rows carry the parental packs).
+    ``out_capacity`` (default: same as input) lets a single-flush pipeline seed at a tight
+    |mom ∪ dad| capacity and grow to |union ∪ child| on the one flush — the seed capacity is
+    re-sorted every flush, so keeping it tight shaves sort rows (the cost driver)."""
     C, W = tab.keys.shape
     S = acc.kmers.shape[0]
     slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
@@ -81,7 +84,7 @@ def flush_score(
     pc_col = jnp.concatenate([tab.pcounts, jnp.zeros((S,), jnp.uint32)], axis=0)
     valid = jnp.concatenate([_valid_rows(tab.n, C), acc_valid], axis=0)
 
-    k, cols, n = _aggregate_multi(kmers, [cnt_col, pc_col], valid, C)
+    k, cols, n = _aggregate_multi(kmers, [cnt_col, pc_col], valid, out_capacity or C)
     new_tab = ScoreTable(keys=k, counts=cols[0], pcounts=cols[1], n=n)
     return (
         empty_accumulator(S, W)._replace(kmers=acc.kmers, valid=jnp.zeros((S,), bool)),

@@ -142,3 +142,14 @@ def format_report(
     for v, c, m, d in candidates:
         lines.append(f"{decode_kmer(v, k)}\t{c}\t{m}\t{d}")
     return "\n".join(lines) + "\n"
+
+
+def format_fasta(candidates: List[Tuple[int, int, int, int]], k: int) -> str:
+    """Candidate k-mers as FASTA, counts in the headers — secondary reporter format
+    (SURVEY.md C8: upstream format unobservable; TSV stays the parity artifact, FASTA feeds
+    downstream aligners/assemblers)."""
+    lines = []
+    for i, (v, c, m, d) in enumerate(candidates):
+        lines.append(f">denovo_{i} child={c} mom={m} dad={d}")
+        lines.append(decode_kmer(v, k))
+    return "\n".join(lines) + ("\n" if lines else "")

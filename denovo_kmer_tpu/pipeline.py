@@ -245,8 +245,17 @@ def run_trio(
     step = make_ingest_step(cfg)
     tables = {}
     for name, path in (("mom", mom_path), ("dad", dad_path)):
-        with m.timer(f"build_{name}"):
-            tables[name] = build_sample_table(_record_stream(path, cfg), cfg, m, step)
+        if path.endswith(".npz"):
+            # precomputed `count` checkpoint (SURVEY.md §5.4): skip the parent pass
+            from denovo_kmer_tpu.utils.checkpoint import load_table
+
+            tables[name] = load_table(path, cfg)
+            m.event("table_loaded", sample=name, path=path)
+        else:
+            with m.timer(f"build_{name}"):
+                tables[name] = build_sample_table(
+                    _record_stream(path, cfg), cfg, m, step
+                )
         m.event("table_built", sample=name, unique=int(tables[name].n))
 
     # child scoring: parent-seeded fused path (ops/score.py) — no standalone trio join
