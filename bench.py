@@ -95,6 +95,17 @@ def main() -> int:
     # ---- compiled steps (shared with the production pipeline) ----
     acc_slots = cfg.accum_batches * batch_reads * P
 
+    if os.environ.get("BENCH_EXTRACTOR", "fast") == "pallas":
+        from denovo_kmer_tpu.ops.extract_pallas import extract_canonical_kmers_pallas
+
+        def _extract(words, vwords):
+            return extract_canonical_kmers_pallas(words, vwords, cfg.k, cfg.max_read_len)
+    else:
+        def _extract(words, vwords):
+            return extract_canonical_kmers_fast(
+                words, vwords, cfg.k, cfg.max_read_len, barrier=False
+            )
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def extract_append(acc, words, vwords, salt):
         # salt-derived de novo edit: flip one base of one read (salt=0 -> no edit)
@@ -102,9 +113,7 @@ def main() -> int:
         flip = jnp.where(salt == 0, jnp.uint32(0),
                          jnp.uint32(1) << (2 * (salt % jnp.uint32(13))))
         words = words.at[row, 3].set(words[row, 3] ^ flip)
-        kmers, valid = extract_canonical_kmers_fast(
-            words, vwords, cfg.k, cfg.max_read_len, barrier=False
-        )
+        kmers, valid = _extract(words, vwords)
         return append(acc, kmers, valid)
 
     flush_j = jax.jit(flush, donate_argnums=(0, 1))

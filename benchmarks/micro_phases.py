@@ -1,0 +1,118 @@
+"""Phase-isolated timing of the child-scoring pipeline pieces on the real chip.
+
+Times (salted, fetch-forced): 16x extract_append alone; flush_score alone (pre-filled
+staging); call_from_score alone. Guides which piece deserves a Pallas kernel.
+"""
+
+import functools
+import os
+import sys
+import time
+
+# repo root importable without PYTHONPATH (setting PYTHONPATH breaks axon plugin discovery)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast
+from denovo_kmer_tpu.ops.pack import pack_seqs
+from denovo_kmer_tpu.ops.score import call_from_score, flush_score, seed_score_table
+from denovo_kmer_tpu.ops.stream import append, empty_accumulator
+from denovo_kmer_tpu.ops.table import build_table
+
+
+def main():
+    k, B, nb, L = 31, 16384, 16, 160
+    cfg = EngineConfig(k=k, max_read_len=L, batch_reads=B,
+                       table_capacity=1 << 23, accum_batches=nb)
+    P = cfg.windows_per_read
+    print(f"device: {jax.devices()[0].device_kind} P={P}", file=sys.stderr, flush=True)
+    rng = np.random.default_rng(0)
+    base = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bytes(base[rng.integers(0, 4, 4_000_000)]).decode()
+    starts = rng.integers(0, len(genome) - L + 1, size=B)
+    seqs = [genome[s : s + L] for s in starts]
+    p = pack_seqs(seqs, cfg, batch_size=B)
+    words = jax.device_put(jnp.asarray(p.words))
+    vwords = jax.device_put(jnp.asarray(p.vwords))
+
+    S = nb * B * P
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def extract_append(acc, words, vwords, salt):
+        row = (salt % jnp.uint32(words.shape[0])).astype(jnp.int32)
+        flip = jnp.uint32(1) << (2 * (salt % jnp.uint32(13)))
+        words = words.at[row, 3].set(words[row, 3] ^ flip)
+        kmers, valid = extract_canonical_kmers_fast(words, vwords, k, L, barrier=False)
+        return append(acc, kmers, valid)
+
+    def run_appends(salt):
+        acc = empty_accumulator(S, cfg.words)
+        for i in range(nb):
+            acc = extract_append(acc, words, vwords, salt + jnp.uint32(i))
+        return acc
+
+    def force(x):
+        return np.asarray(jax.tree.leaves(x)[0].ravel()[0] if hasattr(x, 'ravel') else jax.tree.leaves(x)[0]).ravel()[0]
+
+    # warm
+    acc_w = run_appends(jnp.uint32(1))
+    jax.block_until_ready(acc_w)
+
+    ts = []
+    accs = []
+    for r in range(2):
+        t0 = time.perf_counter()
+        acc = run_appends(jnp.uint32(100 + 16 * r))
+        int(np.asarray(acc.fill))
+        ts.append(time.perf_counter() - t0)
+        accs.append(acc)
+    print(f"extract_append x{nb} (34M kmers): {min(ts)*1e3:.1f} ms "
+          f"({min(ts)/ (nb*B*P) * 1e9:.2f} ns/kmer)", flush=True)
+
+    # seed table (realistic occupancy)
+    kmers1, valid1 = jax.jit(
+        lambda w, v: extract_canonical_kmers_fast(w, v, k, L)
+    )(words, vwords)
+    par = build_table(kmers1, valid1, 1 << 22)
+    seed = jax.jit(seed_score_table, static_argnums=(2,))(par, par, 1 << 22)
+    jax.block_until_ready(seed)
+
+    fl = jax.jit(
+        lambda a, t: flush_score(a, t, out_capacity=1 << 23), donate_argnums=(0, 1)
+    )
+    copy_j = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+    # warm
+    acc2, tab2 = fl(copy_j(accs[0]), copy_j(seed))
+    jax.block_until_ready(tab2)
+    ts2 = []
+    tabs = []
+    for r in range(2):
+        a = copy_j(accs[r % len(accs)])
+        s = copy_j(seed)
+        jax.block_until_ready((a, s))
+        t0 = time.perf_counter()
+        acc3, tab3 = fl(a, s)
+        int(np.asarray(tab3.n))
+        ts2.append(time.perf_counter() - t0)
+        tabs.append(tab3)
+    print(f"flush_score (34.8M + 4.2M seed): {min(ts2)*1e3:.1f} ms", flush=True)
+
+    cj = jax.jit(lambda t: call_from_score(t, 0, 2))
+    c0 = cj(tabs[0])
+    jax.block_until_ready(c0)
+    ts3 = []
+    for r in range(2):
+        t0 = time.perf_counter()
+        c = cj(tabs[r % len(tabs)])
+        int(np.asarray(c.n))
+        ts3.append(time.perf_counter() - t0)
+    print(f"call_from_score (8.4M): {min(ts3)*1e3:.1f} ms", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

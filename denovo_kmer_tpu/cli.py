@@ -43,6 +43,8 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     e.add_argument("--table-capacity", type=int, default=1 << 20)
     e.add_argument("--mesh", type=str, default="1x1",
                    help="mesh shape READSxTABLE, e.g. 4x2 (multi-chip)")
+    e.add_argument("--extractor", choices=("fast", "pallas"), default="fast",
+                   help="extraction kernel (jnp packed-word assembly / Pallas blockwise)")
     e.add_argument("--output-format", choices=("tsv", "fasta"), default="tsv",
                    help="candidate report format (tsv is the parity artifact)")
     e.add_argument("--json-metrics", action="store_true")
@@ -63,6 +65,7 @@ def _cfg_from_args(args) -> EngineConfig:
         max_read_len=args.max_read_len,
         table_capacity=args.table_capacity,
         mesh_shape=(reads_ax, table_ax),
+        extractor=args.extractor,
         json_metrics=args.json_metrics,
     )
 
@@ -113,14 +116,26 @@ def cmd_call(args) -> int:
 
 
 def cmd_count(args) -> int:
-    from denovo_kmer_tpu.pipeline import _record_stream, build_sample_table
+    from denovo_kmer_tpu.pipeline import (
+        _record_stream,
+        build_sample_table,
+        build_sample_table_resumable,
+    )
     from denovo_kmer_tpu.utils.checkpoint import save_table
     from denovo_kmer_tpu.utils.metrics import Metrics
 
     cfg = _cfg_from_args(args)
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
     with metrics.timer("build"):
-        table = build_sample_table(_record_stream(args.reads, cfg), cfg, metrics)
+        if args.resume:
+            if not args.reads.lower().endswith(".bam"):
+                raise SystemExit("--resume needs a BAM input (virtual-offset cursor)")
+            table = build_sample_table_resumable(
+                args.reads, cfg, args.output + ".resume.npz", metrics,
+                save_every_flushes=args.ckpt_every,
+            )
+        else:
+            table = build_sample_table(_record_stream(args.reads, cfg), cfg, metrics)
     save_table(args.output, table, cfg, source=args.reads)
     print(metrics.summary(), file=sys.stderr)
     print(f"unique k-mers: {int(table.n)} -> {args.output}", file=sys.stderr)
@@ -222,6 +237,10 @@ def main(argv=None) -> int:
     pk = sub.add_parser("count", help="build and persist one sample's k-mer table")
     pk.add_argument("reads")
     pk.add_argument("-o", "--output", required=True)
+    pk.add_argument("--resume", action="store_true",
+                    help="mid-pass resume via <output>.resume.npz (table + BAM cursor)")
+    pk.add_argument("--ckpt-every", type=int, default=4,
+                    help="flushes between resume checkpoints (default %(default)s)")
     _add_engine_args(pk)
     pk.set_defaults(fn=cmd_count)
 

@@ -75,6 +75,12 @@ class EngineConfig:
     #: per-(src,dst) all-to-all routing capacity factor over the even split
     route_capacity_factor: float = 1.25
 
+    # --- kernels ---
+    #: extraction kernel: "fast" (jnp packed-word assembly — XLA fuses it optimally,
+    #: measured fastest) or "pallas" (blockwise Pallas kernel, ops/extract_pallas.py —
+    #: bit-identical; select-cascade gather makes it ~par on v5e)
+    extractor: str = "fast"
+
     # --- misc ---
     #: emit structured JSON metrics
     json_metrics: bool = False

@@ -199,7 +199,10 @@ class BamWriter:
 
 
 def read_bam_records(path: str) -> Iterator[BamRecord]:
-    """Convenience: iterate all records of a BAM file path."""
-    with open(path, "rb") as f:
+    """Convenience: iterate all records of a BAM file path or http(s) URL (remote access —
+    the reference's HTSlib/libcurl capability, SURVEY.md §0.1 item 4)."""
+    from denovo_kmer_tpu.io.remote import open_binary
+
+    with open_binary(path) as f:
         reader = BamReader(f)
         yield from reader

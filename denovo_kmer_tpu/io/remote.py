@@ -1,0 +1,95 @@
+"""Remote BAM access over http(s) — the TPU-build counterpart of the reference's
+HTSlib/libcurl remote-file backend (SURVEY.md §0.1 item 4: `ci.yml:26` installs libcurl for
+remote BAM URLs, not IPC).
+
+A minimal sequential binary stream via urllib with:
+- buffered ``read(n)`` / ``tell()`` for streaming BGZF decode,
+- ``seek(offset)`` via HTTP Range re-open (used by BGZF ``seek_virtual`` → mid-pass resume
+  and per-host range sharding work on URLs exactly like on local files).
+
+No third-party deps; servers without Range support raise on seek (streaming still works).
+"""
+
+from __future__ import annotations
+
+import io
+import urllib.request
+from typing import Optional
+
+_CHUNK = 1 << 20
+
+
+class HttpStream(io.RawIOBase):
+    def __init__(self, url: str, timeout: float = 60.0):
+        self.url = url
+        self.timeout = timeout
+        self._pos = 0
+        self._resp = None
+        self._buf = b""
+        self._open_at(0)
+
+    def _open_at(self, offset: int) -> None:
+        if self._resp is not None:
+            self._resp.close()
+        req = urllib.request.Request(self.url)
+        if offset:
+            req.add_header("Range", f"bytes={offset}-")
+        self._resp = urllib.request.urlopen(req, timeout=self.timeout)
+        if offset and self._resp.status != 206:
+            raise IOError(
+                f"server does not support Range requests (status {self._resp.status})"
+            )
+        self._pos = offset
+        self._buf = b""
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            chunks = [self._buf]
+            self._buf = b""
+            while True:
+                c = self._resp.read(_CHUNK)
+                if not c:
+                    break
+                chunks.append(c)
+            out = b"".join(chunks)
+            self._pos += len(out)
+            return out
+        while len(self._buf) < n:
+            c = self._resp.read(max(_CHUNK, n - len(self._buf)))
+            if not c:
+                break
+            self._buf += c
+        out, self._buf = self._buf[:n], self._buf[n:]
+        self._pos += len(out)
+        return out
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 1:
+            offset += self._pos
+        elif whence == 2:
+            raise IOError("seek from end not supported over http")
+        if offset != self._pos:
+            self._open_at(offset)
+        return self._pos
+
+    def close(self) -> None:
+        if self._resp is not None:
+            self._resp.close()
+            self._resp = None
+        super().close()
+
+
+def open_binary(path: str):
+    """Open a local path or http(s) URL as a sequential+seekable binary stream."""
+    if path.startswith(("http://", "https://")):
+        return HttpStream(path)
+    return open(path, "rb")

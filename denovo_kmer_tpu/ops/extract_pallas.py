@@ -1,0 +1,182 @@
+"""Blockwise Pallas TPU kernel for canonical k-mer extraction (SURVEY.md §5.7b).
+
+Same O(1)-per-window packed-word-assembly math as ``ops.extract_fast`` (see its module
+docstring for the bit layout), expressed as a Pallas kernel so the whole window pipeline —
+big-endian repack, two-word variable-shift assembly for forward and reverse-complement,
+canonical select, and windowed validity — runs VMEM-resident per read tile with exactly one
+HBM read of the packed bases and one HBM write per output plane.
+
+Blockwise/halo structure: each grid program owns a (TB reads × all positions) tile; the
+(k-1)-base halo a window needs beyond its position is covered by loading the read's full
+packed row (reads are short — SURVEY.md §5.7: the halo lives *within* the row, so no
+cross-program exchange is needed; long-sequence inputs are pre-chunked by the feeder into
+max_read_len rows with (k-1) overlap).
+
+Validity uses a bit-window assembly instead of the jnp path's prefix-sum: the k validity
+BITS at position i are assembled with the same two-word variable shift and compared against
+the all-ones mask — no scan primitive inside the kernel.
+
+Bit-identical to ``extract_canonical_kmers_fast`` (property-tested in interpret mode on CPU
+and compiled on TPU: tests/test_extract_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from denovo_kmer_tpu.config import words_per_kmer
+
+_U = jnp.uint32
+
+
+def _reverse_2bit_fields(x):
+    x = ((x & _U(0x33333333)) << 2) | ((x >> 2) & _U(0x33333333))
+    x = ((x & _U(0x0F0F0F0F)) << 4) | ((x >> 4) & _U(0x0F0F0F0F))
+    x = ((x & _U(0x00FF00FF)) << 8) | ((x >> 8) & _U(0x00FF00FF))
+    return (x << 16) | (x >> 16)
+
+
+def _extract_kernel(words_ref, vwords_ref, *out_refs, k: int, P: int, W: int):
+    TB, Lw = words_ref.shape
+    Vw = vwords_ref.shape[1]
+    R = 32 * W - 2 * k
+    Wv = (k + 31) // 32  # words per validity window
+
+    words = words_ref[:, :]
+    pad = jnp.zeros((TB, W + 1), _U)
+    mw = jnp.concatenate([_reverse_2bit_fields(words), pad], axis=1)
+    cw = jnp.concatenate([words ^ _U(0xFFFFFFFF), pad], axis=1)
+
+    # per-position phase shifts (lane-constant vectors)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    sh = (2 * (pos % 16)).astype(_U)
+    shc = (31 - 2 * (pos % 16)).astype(_U)
+
+    # column gather out[:, i] = a[:, i//16 + w] as a select cascade: neither jnp.repeat
+    # (no Mosaic lowering) nor pltpu.repeat (tiles, i%n semantics) expresses i//16, so each
+    # source column is broadcast across lanes and selected where lane//16 matches — a
+    # handful of VPU selects per packed word, fully vectorized
+    lane16 = pos // 16  # (1, P)
+    lane32 = pos // 32
+
+    def _cascade(a, w, lane_idx, ncols):
+        out = jnp.zeros((TB, P), _U)
+        for q in range(ncols):
+            out = jnp.where(lane_idx == q, a[:, q + w][:, None], out)
+        return out
+
+    def rep16(a, w):
+        return _cascade(a, w, lane16, (P - 1) // 16 + 1)
+
+    win = []
+    for w in range(W):
+        hi = rep16(mw, w) << sh
+        lo = (rep16(mw, w + 1) >> 1) >> shc  # == >> (32-2p), safe at p=0
+        win.append(hi | lo)
+    if R == 0:
+        fwd = win
+    else:
+        fwd = [win[0] >> _U(R)]
+        for w in range(1, W):
+            fwd.append((win[w] >> _U(R)) | (win[w - 1] << _U(32 - R)))
+
+    rc_le = []
+    for w in range(W):
+        lo = rep16(cw, w) >> sh
+        hi = (rep16(cw, w + 1) << 1) << (_U(31) - sh)  # == << (32-2p)
+        rc_le.append(lo | hi)
+    u = 2 * k - 32 * (W - 1)
+    if u < 32:
+        rc_le[W - 1] = rc_le[W - 1] & _U((1 << u) - 1)
+    rc = rc_le[::-1]
+
+    lt = jnp.zeros((TB, P), bool)
+    eq = jnp.ones((TB, P), bool)
+    for w in range(W):
+        lt = lt | (eq & (fwd[w] < rc[w]))
+        eq = eq & (fwd[w] == rc[w])
+    use_fwd = lt | eq
+    outs = [jnp.where(use_fwd, f, r) for f, r in zip(fwd, rc)]
+
+    # windowed validity: assemble the k validity bits at position i (LSB-first stream,
+    # phase i%32, word i//32) and compare to all-ones — no prefix sum needed
+    vpad = jnp.zeros((TB, Wv + 1), _U)
+    vw = jnp.concatenate([vwords_ref[:, :], vpad], axis=1)
+    vsh = (pos % 32).astype(_U)
+    vshc = (31 - (pos % 32)).astype(_U)
+
+    def rep32(a, w):
+        return _cascade(a, w, lane32, (P - 1) // 32 + 1)
+
+    ok = jnp.ones((TB, P), bool)
+    rem = k
+    for w in range(Wv):
+        bits = (rep32(vw, w) >> vsh) | ((rep32(vw, w + 1) << 1) << vshc)
+        take = min(rem, 32)
+        mask = _U(0xFFFFFFFF if take == 32 else (1 << take) - 1)
+        ok = ok & ((bits & mask) == mask)
+        rem -= take
+
+    for w in range(W):
+        out_refs[w][:, :] = outs[w]
+    out_refs[W][:, :] = ok.astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_read_len", "canonical", "interpret", "block_reads")
+)
+def extract_canonical_kmers_pallas(
+    words: jnp.ndarray,
+    vwords: jnp.ndarray,
+    k: int,
+    max_read_len: int,
+    canonical: bool = True,
+    interpret: bool = False,
+    block_reads: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in for ``extract_canonical_kmers_fast`` via a blockwise Pallas kernel.
+
+    ``canonical=False`` is not kernelized (rare path) — falls back to the jnp extractor.
+    """
+    if not canonical:
+        from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast
+
+        return extract_canonical_kmers_fast(
+            words, vwords, k, max_read_len, canonical=False
+        )
+    B, Lw = words.shape
+    Vw = vwords.shape[1]
+    P = max_read_len - k + 1
+    W = words_per_kmer(k)
+    TB = min(block_reads, B)
+    if B % TB:
+        raise ValueError(f"batch ({B}) must divide block_reads ({TB})")
+
+    kernel = functools.partial(_extract_kernel, k=k, P=P, W=W)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, Lw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Vw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((TB, P), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(W + 1)
+        ),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((B, P), jnp.uint32) for _ in range(W)]
+            + [jax.ShapeDtypeStruct((B, P), jnp.uint8)]
+        ),
+        interpret=interpret,
+    )(words, vwords)
+    kmers = jnp.stack(outs[:W], axis=-1)
+    valid = outs[W].astype(bool)
+    return kmers, valid

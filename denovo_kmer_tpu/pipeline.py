@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -82,11 +83,24 @@ def make_ingest_step(cfg: EngineConfig):
     """
     from denovo_kmer_tpu.ops.stream import append, flush
 
+    if cfg.extractor == "pallas":
+        from denovo_kmer_tpu.ops.extract_pallas import extract_canonical_kmers_pallas
+
+        def _extract(words, vwords):
+            return extract_canonical_kmers_pallas(
+                words, vwords, cfg.k, cfg.max_read_len, canonical=cfg.canonical,
+                block_reads=min(256, cfg.batch_reads),
+            )
+    else:
+        def _extract(words, vwords):
+            return extract_canonical_kmers(
+                words, vwords, cfg.k, cfg.max_read_len, canonical=cfg.canonical,
+                barrier=False,
+            )
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def extract_append(acc, words, vwords):
-        kmers, valid = extract_canonical_kmers(
-            words, vwords, cfg.k, cfg.max_read_len, canonical=cfg.canonical
-        )
+        kmers, valid = _extract(words, vwords)
         return append(acc, kmers, valid)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -135,6 +149,131 @@ class SampleTableBuilder:
             )
         m.count("unique_kmers", n)
         return table
+
+
+def packed_stream_with_cursor(path: str, cfg: EngineConfig):
+    """Yield (PackedReads, virtual_offset_after_batch) from a BAM, resumable via
+    ``seek``: the returned generator object has ``.seek(voffset)`` (call before first
+    ``next``). Uses the C++ feeder when available, else the pure-Python reader —
+    identical layouts (tests/test_native_ingest.py)."""
+    from denovo_kmer_tpu.io.native import native_available
+
+    if native_available():
+        from denovo_kmer_tpu.io.native import NativeBamFeeder
+
+        class _Native:
+            def __init__(self):
+                self.feeder = NativeBamFeeder(path, cfg)
+
+            def seek(self, voffset: int):
+                self.feeder.seek_virtual(voffset)
+
+            def __iter__(self):
+                while True:
+                    packed = self.feeder.next_batch()
+                    if packed is None:
+                        return
+                    yield packed, self.feeder.tell_virtual()
+
+        return _Native()
+
+    from denovo_kmer_tpu.io.bam import BamReader
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+
+    class _Pure:
+        def __init__(self):
+            self.reader = BamReader(open(path, "rb"))
+
+        def seek(self, voffset: int):
+            self.reader.seek_virtual(voffset)
+
+        def __iter__(self):
+            while True:
+                seqs, quals = [], []
+                for rec in self.reader:
+                    if rec.flag & cfg.filter_flag_mask:
+                        continue
+                    seqs.append(rec.seq)
+                    quals.append(rec.qual)
+                    if len(seqs) == cfg.batch_reads:
+                        break
+                if not seqs:
+                    return
+                yield (
+                    pack_seqs(seqs, cfg, quals, batch_size=cfg.batch_reads),
+                    self.reader.tell_virtual(),
+                )
+                if len(seqs) < cfg.batch_reads:
+                    return
+
+    return _Pure()
+
+
+def build_sample_table_resumable(
+    path: str,
+    cfg: EngineConfig,
+    resume_path: str,
+    metrics: Optional[Metrics] = None,
+    save_every_flushes: int = 4,
+) -> KmerTable:
+    """Streaming table build with mid-pass resume (SURVEY.md §5.4 stream cursor).
+
+    Every ``save_every_flushes`` flushes the running table plus the BAM virtual-offset
+    cursor is persisted to ``resume_path``; a killed run restarted with the same arguments
+    seeks past the already-folded reads and continues. Checkpoints are only taken at flush
+    boundaries (empty staging), so the table + cursor pair is exact. Counting is
+    order/batch-boundary independent, so the resumed result is bit-identical.
+    """
+    import jax.numpy as _jnp
+
+    from denovo_kmer_tpu.ops.stream import empty_accumulator
+    from denovo_kmer_tpu.utils.checkpoint import load_resume, save_resume
+
+    m = metrics or Metrics()
+    extract_append, flush_fn = make_ingest_step(cfg)
+    acc = empty_accumulator(
+        cfg.accum_batches * cfg.batch_reads * cfg.windows_per_read, cfg.words
+    )
+    stream = packed_stream_with_cursor(path, cfg)
+    table = None
+    if os.path.exists(resume_path):
+        table, cursor, done = load_resume(resume_path, cfg)
+        if done:
+            return table
+        stream.seek(cursor)
+        m.event("resume", path=resume_path, cursor=cursor)
+    if table is None:
+        table = empty_table(cfg.table_capacity, cfg.words)
+
+    pending = 0
+    flushes_since_save = 0
+    last_cursor = None
+    for packed, cursor in stream:
+        m.count("reads_ingested", packed.n_reads)
+        with m.timer("extract_probe"):
+            acc = extract_append(
+                acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
+            )
+            pending += 1
+            if pending == cfg.accum_batches:
+                acc, table = flush_fn(acc, table)
+                pending = 0
+                flushes_since_save += 1
+                last_cursor = cursor
+        if flushes_since_save >= save_every_flushes:
+            save_resume(resume_path, table, cfg, cursor=last_cursor, done=False)
+            m.event("resume_saved", cursor=last_cursor)
+            flushes_since_save = 0
+    if pending:
+        acc, table = flush_fn(acc, table)
+    n = int(table.n)
+    if n > cfg.table_capacity:
+        raise TableOverflowError(
+            f"{n} unique k-mers exceed table capacity {cfg.table_capacity}"
+        )
+    save_resume(resume_path, table, cfg, cursor=-1, done=True)
+    m.count("unique_kmers", n)
+    return table
 
 
 class ScoringTableBuilder:

@@ -14,6 +14,7 @@ in the metadata, so a resharded load can re-route entries.
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -91,3 +92,36 @@ def load_table(
 def table_meta(path: str) -> dict:
     with np.load(path) as z:
         return json.loads(bytes(z["meta"]).decode())
+
+
+def save_resume(path: str, table: KmerTable, cfg: EngineConfig,
+                cursor: int, done: bool) -> None:
+    """Mid-pass build checkpoint (SURVEY.md §5.4): running table + BAM virtual-offset
+    cursor. Written atomically (tmp + rename) so a crash during save keeps the previous
+    checkpoint valid."""
+    n = int(table.n)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "config_hash": cfg.config_hash(),
+        "n": n,
+        "words": int(table.keys.shape[1]),
+        "cursor": int(cursor),
+        "done": bool(done),
+    }
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(
+        tmp,
+        keys=np.asarray(table.keys)[:n],
+        counts=np.asarray(table.counts)[:n],
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+    )
+    os.replace(tmp, path)
+
+
+def load_resume(path: str, cfg: EngineConfig):
+    """→ (table, cursor, done); validates the semantics hash like load_table."""
+    table = load_table(path, cfg)
+    meta = table_meta(path)
+    if "cursor" not in meta:
+        raise CheckpointError(f"{path} is not a resume checkpoint")
+    return table, int(meta["cursor"]), bool(meta["done"])

@@ -1,0 +1,94 @@
+"""Mid-pass stream-cursor resume (SURVEY.md §5.4): a build interrupted after a checkpoint
+must restart from the cursor and produce a bit-identical table; the cursored packed stream
+itself must reproduce the plain stream exactly from any flush boundary."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+from denovo_kmer_tpu.pipeline import (
+    _record_stream,
+    build_sample_table,
+    build_sample_table_resumable,
+    packed_stream_with_cursor,
+)
+
+CFG = EngineConfig(k=21, max_read_len=64, batch_reads=32,
+                   table_capacity=1 << 13, accum_batches=2)
+
+
+@pytest.fixture(scope="module")
+def bam_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("resume_trio")
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=2500, read_len=50, coverage=6.0, seed=17)),
+        str(d),
+    )
+    return paths["child"]
+
+
+def test_cursor_stream_replays_exactly(bam_path):
+    stream = packed_stream_with_cursor(bam_path, CFG)
+    batches = list(stream)
+    assert len(batches) >= 4
+    # re-open, seek to the cursor after batch 1, stream must equal batches[2:]
+    stream2 = packed_stream_with_cursor(bam_path, CFG)
+    stream2.seek(batches[1][1])
+    rest = list(stream2)
+    assert len(rest) == len(batches) - 2
+    for (p_exp, off_exp), (p_got, off_got) in zip(batches[2:], rest):
+        np.testing.assert_array_equal(p_exp.words, p_got.words)
+        np.testing.assert_array_equal(p_exp.vwords, p_got.vwords)
+        assert off_exp == off_got
+
+
+def test_interrupted_build_resumes_bit_identical(bam_path, tmp_path):
+    golden = build_sample_table(_record_stream(bam_path, CFG), CFG)
+
+    resume_path = str(tmp_path / "child.resume.npz")
+
+    # run 1: crash (exception) right after the first checkpoint is written
+    class Boom(RuntimeError):
+        pass
+
+    import unittest.mock as mock
+
+    from denovo_kmer_tpu.utils import checkpoint as ck
+
+    saves = {"n": 0}
+    real_save = ck.save_resume
+
+    def crashing_save(path, table, cfg, cursor, done):
+        real_save(path, table, cfg, cursor, done)
+        if not done:
+            saves["n"] += 1
+            raise Boom()
+
+    # the pipeline imports save_resume lazily at call time, so patching the module works
+    with mock.patch.object(ck, "save_resume", crashing_save):
+        with pytest.raises(Boom):
+            build_sample_table_resumable(
+                bam_path, CFG, resume_path, save_every_flushes=1
+            )
+    assert saves["n"] == 1
+
+    # run 2: resume and finish
+    table = build_sample_table_resumable(bam_path, CFG, resume_path,
+                                         save_every_flushes=1)
+    assert int(table.n) == int(golden.n)
+    n = int(golden.n)
+    np.testing.assert_array_equal(
+        np.asarray(table.keys)[:n], np.asarray(golden.keys)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(table.counts)[:n], np.asarray(golden.counts)[:n]
+    )
+
+    # run 3: already done -> instant load, still identical
+    table2 = build_sample_table_resumable(bam_path, CFG, resume_path)
+    np.testing.assert_array_equal(
+        np.asarray(table2.keys)[:n], np.asarray(golden.keys)[:n]
+    )
