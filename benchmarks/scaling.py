@@ -1,0 +1,111 @@
+"""Scaling-efficiency benchmark (BASELINE.json north star: >=85% reads/s 1->N hosts).
+
+Runs the sharded child-scoring pipeline (extract -> all_to_all route -> scored flush ->
+shard-local call) over growing meshes of the available devices and reports throughput and
+efficiency vs the 1-device run. On a real pod slice this produces the 1->N chip curve; under
+XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu it validates the
+scaling *plumbing* (CPU numbers measure collective overhead, not TPU ICI bandwidth).
+Multi-HOST scaling uses the same engine via tests/multihost_worker.py (jax.distributed);
+each host runs this same SPMD program, so per-chip efficiency transfers.
+
+Prints one JSON line per mesh: {"devices": D, "mesh": [R,T], "kmers_per_sec": x, "eff": e}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+    from denovo_kmer_tpu.parallel.mesh import make_mesh
+    from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
+
+    n_dev = len(jax.devices())
+    k = int(os.environ.get("BENCH_K", 31))
+    reads_per_dev = int(os.environ.get("BENCH_READS_PER_DEV", 2048))
+    n_batches = int(os.environ.get("BENCH_BATCHES", 8))
+    L = 160
+    rng = np.random.default_rng(0)
+    base = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bytes(base[rng.integers(0, 4, 1_000_000)]).decode()
+
+    meshes = []
+    d = 1
+    while d <= n_dev:
+        meshes.append((max(d // 2, 1), 2 if d > 1 else 1))
+        d *= 2
+
+    base_rate = None
+    for shape in meshes:
+        D = shape[0] * shape[1]
+        # scored-table capacity: |mom ∪ dad ∪ child| is bounded by the child draw count
+        # plus the parents' — 2x the child draws is always enough, rounded to shards
+        P0 = L - k + 1
+        draws = n_batches * reads_per_dev * D * P0
+        cap = -(-2 * draws // shape[1]) * shape[1]
+        cfg = EngineConfig(
+            k=k, max_read_len=L, batch_reads=reads_per_dev * D,
+            table_capacity=cap,
+            accum_batches=n_batches, mesh_shape=shape,
+            route_capacity_factor=1.6,
+        )
+        P = cfg.windows_per_read
+        mesh = make_mesh(shape, jax.devices()[:D])
+        engine = ShardedKmerEngine(cfg, mesh)
+
+        def batches(n, seed):
+            r = np.random.default_rng(seed)
+            out = []
+            for _ in range(n):
+                starts = r.integers(0, len(genome) - L + 1, size=cfg.batch_reads)
+                seqs = [genome[s : s + L] for s in starts]
+                out.append(pack_seqs(seqs, cfg, batch_size=cfg.batch_reads))
+            return out
+
+        def build(bs, scored_seed=None):
+            if scored_seed is not None:
+                st = engine.new_score_build(*scored_seed)
+                ing, fin = engine.ingest_score, engine.finalize_score
+            else:
+                st = engine.new_build()
+                ing, fin = engine.ingest, engine.finalize
+            for b in bs:
+                st = ing(st, b)
+            return fin(st)
+
+        par = build(batches(max(n_batches // 2, 1), seed=2))
+        child_bs = batches(n_batches, seed=1)
+        # warm
+        stab = build(child_bs, scored_seed=(par, par))
+        engine.call_score(stab)
+
+        ts = []
+        for r in range(2):
+            t0 = time.perf_counter()
+            stab = build(batches(n_batches, seed=10 + r), scored_seed=(par, par))
+            engine.call_score(stab)
+            ts.append(time.perf_counter() - t0)
+        total = cfg.batch_reads * P * n_batches
+        rate = total / min(ts)
+        if base_rate is None:
+            base_rate = rate
+        print(json.dumps({
+            "devices": D, "mesh": list(shape),
+            "kmers_per_sec": round(rate, 1),
+            "eff": round(rate / (base_rate * D), 4),
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -185,3 +185,49 @@ def run_cohort(
             )
         m.count("superset_unique_kmers", n_sup)
     return results, superset
+
+
+def run_cohort_sharded(
+    trios: Sequence[TrioPaths],
+    cfg: EngineConfig,
+    metrics: Optional[Metrics] = None,
+    mesh=None,
+    build_parental_superset: bool = True,
+):
+    """Cohort mode on a device mesh (BASELINE.json config 5: 8 trios on a v5p-32):
+    ONE ShardedKmerEngine (one set of compiled collectives) streams all 3N samples; the
+    parental superset is folded shard-locally (same hash owner everywhere). Child scoring
+    uses the parent-seeded scored build, so per-trio candidate calls stay shard-local and
+    bit-identical to running each trio alone.
+
+    Returns ({trio_name: [(kmer_value, child, mom, dad), ...]}, superset | None).
+    """
+    from denovo_kmer_tpu.parallel.mesh import make_mesh
+    from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
+
+    m = metrics or Metrics()
+    mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape)
+    engine = ShardedKmerEngine(cfg, mesh)
+
+    def build(path):
+        state = engine.new_build()
+        for packed in pack_records(_record_stream(path, cfg), cfg):
+            state = engine.ingest(state, packed)
+        return engine.finalize(state)
+
+    results = {}
+    superset = engine.empty_table() if build_parental_superset else None
+    for trio in trios:
+        mom, dad = build(trio.mom), build(trio.dad)
+        if superset is not None:
+            superset = engine.merge_sharded_tables(superset, mom)
+            superset = engine.merge_sharded_tables(superset, dad)
+        state = engine.new_score_build(mom, dad)
+        for packed in pack_records(_record_stream(trio.child, cfg), cfg):
+            state = engine.ingest_score(state, packed)
+        stab = engine.finalize_score(state)
+        results[trio.name] = engine.call_score(stab)
+        m.count("trios", 1)
+    if superset is not None:
+        m.count("superset_unique_kmers", engine.total_unique(superset))
+    return results, superset

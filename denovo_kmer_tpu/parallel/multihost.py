@@ -47,18 +47,27 @@ def build_sample_table_multihost(
     cfg: EngineConfig,
     engine: ShardedKmerEngine,
     fault_kill_after: Optional[int] = None,
+    score_seed: Optional[Tuple] = None,
 ):
-    """Stream this host's stripe of ``path`` through the sharded engine (SPMD-aligned)."""
+    """Stream this host's stripe of ``path`` through the sharded engine (SPMD-aligned).
+
+    ``score_seed``: (mom_table, dad_table) — use the parent-seeded scored build
+    (ops/score.py) instead of a plain table build (the child-scoring fast path)."""
     host_id, n_hosts = jax.process_index(), jax.process_count()
-    state = engine.new_build()
+    if score_seed is not None:
+        state = engine.new_score_build(*score_seed)
+        ingest, finalize = engine.ingest_score_global, engine.finalize_score
+    else:
+        state = engine.new_build()
+        ingest, finalize = engine.ingest_global, engine.finalize
     batches = host_packed_stream(read_bam_records(path), cfg, host_id, n_hosts)
     for i, local_packed in enumerate(steps_aligned(batches, cfg)):
         if fault_kill_after is not None and i >= fault_kill_after:
             # fault injection (tests): die mid-build without cleanup
             os._exit(17)
         words, vwords = make_global_batch(engine, local_packed)
-        state = engine.ingest_global(state, words, vwords)
-    return engine.finalize(state, replicated_fetch=True)
+        state = ingest(state, words, vwords)
+    return finalize(state, replicated_fetch=True)
 
 
 def run_trio_multihost(
@@ -82,7 +91,7 @@ def run_trio_multihost(
     host_id = jax.process_index()
 
     tables: Dict[str, object] = {}
-    for name, path in (("mom", mom_path), ("dad", dad_path), ("child", child_path)):
+    for name, path in (("mom", mom_path), ("dad", dad_path)):
         ckpt = (
             os.path.join(checkpoint_dir, f"{name}.table.npz") if checkpoint_dir else None
         )
@@ -100,7 +109,15 @@ def run_trio_multihost(
 
             multihost_utils.sync_global_devices(f"ckpt_{name}")
 
-    cands = engine._call(tables["child"], tables["mom"], tables["dad"])
+    # child: parent-seeded scored build — trio resolution rides the flushes
+    kill = None
+    if fault and fault[0] == "child" and fault[1] == host_id:
+        kill = fault[2]
+    stab = build_sample_table_multihost(
+        child_path, cfg, engine, kill, score_seed=(tables["mom"], tables["dad"])
+    )
+
+    cands = engine._call_score(stab)
     cands = _replicated(engine.mesh, cands)
     keys = np.asarray(cands.keys)[0]
     cc = np.asarray(cands.child_counts)[0]

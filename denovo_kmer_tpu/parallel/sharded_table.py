@@ -196,6 +196,20 @@ class ShardedKmerEngine:
             donate_argnums=(0,),
         )
 
+        # ---- shard-local merge of two finalized tables (cohort superset folding) ----
+        def merge_dev(a: KmerTable, b: KmerTable):
+            return _globalize(merge_tables(_local(a), _local(b), C))
+
+        self._merge = jax.jit(
+            shard_map(
+                merge_dev,
+                mesh=mesh,
+                in_specs=(table_specs, table_specs),
+                out_specs=table_specs,
+            ),
+            donate_argnums=(0,),
+        )
+
         # ---- scored child build (ops/score.py): seed on row 0, flush with pcounts ----
         from denovo_kmer_tpu.ops.score import (
             ScoreTable,
@@ -483,6 +497,11 @@ class ShardedKmerEngine:
                 np.broadcast_to(n[None], (R,) + n.shape), P(AXIS_READS, AXIS_TABLE)
             ),
         )
+
+    def merge_sharded_tables(self, a: KmerTable, b: KmerTable) -> KmerTable:
+        """Shard-local count-merge of two finalized sharded tables (same owner function
+        everywhere → no communication). Used for the cohort parental superset."""
+        return self._merge(a, b)
 
     def new_score_build(self, mom: KmerTable, dad: KmerTable) -> "ShardedBuildState":
         """Child-scoring build state: staging accumulator + parent-seeded score table

@@ -71,3 +71,30 @@ def test_cohort_matches_individual_runs(trios):
         for i in range(n)
     }
     assert got == want_union
+
+
+def test_cohort_sharded_matches_single_chip(trios):
+    """run_cohort_sharded on a 2x4 mesh must reproduce the oracle per-trio candidates and
+    fold a superset identical in total uniques to the single-chip cohort's."""
+    import dataclasses
+
+    from denovo_kmer_tpu.cohort import run_cohort_sharded
+    from denovo_kmer_tpu.parallel.mesh import make_mesh
+
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                       table_capacity=1 << 13, accum_batches=2,
+                       mesh_shape=(2, 4), route_capacity_factor=2.0)
+    results, superset = run_cohort_sharded(trios, cfg, mesh=make_mesh((2, 4)))
+    for tp in trios:
+        assert results[tp.name] == oracle_cands(tp, cfg)
+
+    cfg1 = dataclasses.replace(cfg, mesh_shape=(1, 1))
+    ref_results, ref_superset = run_cohort(trios, cfg1)
+    from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
+
+    # superset parity: same total unique count and total mass
+    import jax.numpy as jnp
+    import numpy as np
+
+    tot_sharded = int(np.asarray(jnp.sum(superset.n))) // 2  # rows are replicas (R=2)
+    assert tot_sharded == int(ref_superset.n)
