@@ -156,6 +156,14 @@ def run_cohort(
         if superset is not None:
             superset = merge_tables(superset, tables["mom"], cfg.table_capacity)
             superset = merge_tables(superset, tables["dad"], cfg.table_capacity)
+            n_sup = int(superset.n)
+            if n_sup > cfg.table_capacity:
+                # check per fold: a later merge recomputes n from the surviving rows,
+                # which would mask the overflow drop
+                raise RuntimeError(
+                    f"parental superset overflow at trio {trio.name}: "
+                    f"{n_sup} > {cfg.table_capacity}"
+                )
 
         cands = call_candidates(
             tables["child"], tables["mom"], tables["dad"],
@@ -222,6 +230,16 @@ def run_cohort_sharded(
         if superset is not None:
             superset = engine.merge_sharded_tables(superset, mom)
             superset = engine.merge_sharded_tables(superset, dad)
+            # overflow drops rows silently inside the merge and a LATER merge would
+            # recompute n from survivors, masking it — check per fold
+            import jax.numpy as _jnp
+
+            n_max = int(np.asarray(_jnp.max(superset.n)))
+            if n_max > engine.shard_capacity:
+                raise RuntimeError(
+                    f"parental superset shard overflow at trio {trio.name}: "
+                    f"{n_max} > {engine.shard_capacity}; raise --table-capacity"
+                )
         state = engine.new_score_build(mom, dad)
         for packed in pack_records(_record_stream(trio.child, cfg), cfg):
             state = engine.ingest_score(state, packed)

@@ -115,3 +115,16 @@ class EngineConfig:
             )
         if self.mesh_shape[0] < 1 or self.mesh_shape[1] < 1:
             raise ValueError(f"bad mesh_shape {self.mesh_shape}")
+        if not 0 <= self.tau_parent < 0xFFFF:
+            # the scored path packs saturated parental counts into 16-bit fields
+            raise ValueError(
+                f"tau_parent ({self.tau_parent}) must be in [0, 65534]"
+            )
+        if self.min_child_count < 1:
+            raise ValueError(
+                f"min_child_count ({self.min_child_count}) must be >= 1"
+            )
+        if self.extractor not in ("fast", "pallas"):
+            raise ValueError(f"unknown extractor {self.extractor!r}")
+        if self.accum_batches < 1:
+            raise ValueError("accum_batches must be >= 1")

@@ -1,0 +1,54 @@
+"""Double-buffered host→device feeding (SURVEY.md §2.2 pipeline-parallel row).
+
+The host decode/pack path (BGZF inflate + BAM parse + 2-bit pack — C++ shim or pure Python)
+and the device pipeline (extract → append → flush) run on different resources; without
+overlap the chip idles during host work and vice versa. ``prefetch_batches`` wraps any
+packed-batch iterator with a daemon thread + bounded queue so batch N+1 is decoded while
+batch N computes — the host↔device analog of pipeline parallelism (the reference is a
+single-threaded CPU loop with nothing to overlap, SURVEY.md §1).
+
+Exceptions raised by the producer are re-raised in the consumer at the point of ``next()``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, TypeVar
+
+T = TypeVar("T")
+
+_DONE = object()
+
+
+class _Failure:
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def prefetch_batches(batches: Iterable[T], depth: int = 2) -> Iterator[T]:
+    """Iterate ``batches`` with a background producer thread and a bounded queue.
+
+    ``depth`` bounds host memory: at most ``depth`` packed batches are in flight beyond the
+    one being consumed. Order is preserved; the producer thread is a daemon, so an abandoned
+    consumer never blocks interpreter exit."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+
+    def produce():
+        try:
+            for b in batches:
+                q.put(b)
+        except BaseException as e:  # re-raised consumer-side
+            q.put(_Failure(e))
+            return
+        q.put(_DONE)
+
+    t = threading.Thread(target=produce, daemon=True, name="denovo-kmer-prefetch")
+    t.start()
+    while True:
+        item = q.get()
+        if item is _DONE:
+            return
+        if isinstance(item, _Failure):
+            raise item.exc
+        yield item

@@ -27,9 +27,11 @@ def build_sample_table_sharded(
     engine: ShardedKmerEngine,
     metrics: Optional[Metrics] = None,
 ):
+    from denovo_kmer_tpu.io.prefetch import prefetch_batches
+
     m = metrics or Metrics()
     state = engine.new_build()
-    for packed in pack_records(records, cfg):
+    for packed in prefetch_batches(pack_records(records, cfg)):
         m.count("reads_ingested", packed.n_reads)
         with m.timer("extract_probe"):
             state = engine.ingest(state, packed)
@@ -62,9 +64,11 @@ def run_trio_sharded(
         m.event("table_built", sample=name, unique=engine.total_unique(tables[name]))
 
     # child: parent-seeded scored build (ops/score.py) — the trio join rides the flushes
+    from denovo_kmer_tpu.io.prefetch import prefetch_batches
+
     with m.timer("build_child"):
         state = engine.new_score_build(tables["mom"], tables["dad"])
-        for packed in pack_records(_record_stream(child_path, cfg), cfg):
+        for packed in prefetch_batches(pack_records(_record_stream(child_path, cfg), cfg)):
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
                 state = engine.ingest_score(state, packed)

@@ -63,6 +63,11 @@ def _record_stream(path: str, cfg: EngineConfig) -> Iterator:
             for name, seq in read_fasta(path):
                 yield _FakeRec(seq, None, 0)
         return gen()
+    if low.endswith(".cram"):
+        raise ValueError(
+            "CRAM input is not decoded natively yet (README 'Gaps'); convert with "
+            "`samtools view -b in.cram -T ref.fa -o out.bam` and pass the BAM"
+        )
     raise ValueError(f"unrecognized reads file extension: {path}")
 
 
@@ -123,11 +128,13 @@ class SampleTableBuilder:
         )
 
     def build(self, packed_batches: Iterable, metrics: Optional[Metrics] = None) -> KmerTable:
+        from denovo_kmer_tpu.io.prefetch import prefetch_batches
+
         m = metrics or Metrics()
         acc = self._empty_acc()
         table = empty_table(self.cfg.table_capacity, self.cfg.words)
         pending = 0
-        for packed in packed_batches:
+        for packed in prefetch_batches(packed_batches):
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
                 acc = self.extract_append(
@@ -224,8 +231,6 @@ def build_sample_table_resumable(
     boundaries (empty staging), so the table + cursor pair is exact. Counting is
     order/batch-boundary independent, so the resumed result is bit-identical.
     """
-    import jax.numpy as _jnp
-
     from denovo_kmer_tpu.ops.stream import empty_accumulator
     from denovo_kmer_tpu.utils.checkpoint import load_resume, save_resume
 
@@ -296,13 +301,14 @@ class ScoringTableBuilder:
 
     def build(self, mom: KmerTable, dad: KmerTable, packed_batches: Iterable,
               metrics: Optional[Metrics] = None):
+        from denovo_kmer_tpu.io.prefetch import prefetch_batches
         from denovo_kmer_tpu.ops.score import seed_score_table
 
         m = metrics or Metrics()
         acc = self._empty_acc()
         table = seed_score_table(mom, dad, self.cfg.table_capacity)
         pending = 0
-        for packed in packed_batches:
+        for packed in prefetch_batches(packed_batches):
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
                 acc = self.extract_append(

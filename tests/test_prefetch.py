@@ -1,0 +1,43 @@
+"""Double-buffered feeder (io/prefetch.py): order preservation, bounded queue, exception
+propagation — the host↔device overlap layer must never reorder or swallow batches."""
+
+import time
+
+import pytest
+
+from denovo_kmer_tpu.io.prefetch import prefetch_batches
+
+
+def test_order_and_completeness():
+    assert list(prefetch_batches(iter(range(100)), depth=3)) == list(range(100))
+
+
+def test_producer_exception_reraised_in_consumer():
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("decode failed")
+
+    it = prefetch_batches(gen(), depth=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(ValueError, match="decode failed"):
+        next(it)
+
+
+def test_producer_runs_ahead_bounded():
+    produced = []
+
+    def gen():
+        for i in range(10):
+            produced.append(i)
+            yield i
+
+    it = prefetch_batches(gen(), depth=2)
+    first = next(it)
+    time.sleep(0.2)  # give the producer time to run ahead
+    # queue depth 2 + the one being handed over bounds the run-ahead
+    assert first == 0
+    assert len(produced) <= 5
+    assert list(it) == list(range(1, 10))
+    assert produced == list(range(10))
