@@ -43,6 +43,8 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     e.add_argument("--table-capacity", type=int, default=1 << 20)
     e.add_argument("--mesh", type=str, default="1x1",
                    help="mesh shape READSxTABLE, e.g. 4x2 (multi-chip)")
+    e.add_argument("--reference", default=None,
+                   help="reference FASTA (required for reference-based CRAM inputs)")
     e.add_argument("--extractor", choices=("fast", "pallas"), default="fast",
                    help="extraction kernel (jnp packed-word assembly / Pallas blockwise)")
     e.add_argument("--output-format", choices=("tsv", "fasta"), default="tsv",
@@ -65,6 +67,7 @@ def _cfg_from_args(args) -> EngineConfig:
         max_read_len=args.max_read_len,
         table_capacity=args.table_capacity,
         mesh_shape=(reads_ax, table_ax),
+        reference_fasta=args.reference,
         extractor=args.extractor,
         json_metrics=args.json_metrics,
     )

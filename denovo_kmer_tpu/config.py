@@ -81,6 +81,10 @@ class EngineConfig:
     #: bit-identical; select-cascade gather makes it ~par on v5e)
     extractor: str = "fast"
 
+    # --- I/O ---
+    #: reference FASTA for CRAM inputs (reference-based slices); not a semantic knob
+    reference_fasta: "str | None" = None
+
     # --- misc ---
     #: emit structured JSON metrics
     json_metrics: bool = False

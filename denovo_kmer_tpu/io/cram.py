@@ -1,0 +1,1018 @@
+"""CRAM 3.0 reader/writer — native CRAM support for the feeder (SURVEY.md §2.1 C3).
+
+The reference consumes CRAM via vendored HTSlib (inferred from its CI dependency set,
+ci.yml:18-27); here the container format is implemented directly: itf8/ltf8 varints,
+containers → compression header (preservation map, data-series encodings, tag encodings) →
+slices (header + core + external blocks), block codecs raw/gzip/bzip2/lzma (stdlib) and
+rANS 4x8 (io/rans.py), record decode over the data series, and sequence reconstruction from
+the reference (or embedded-reference blocks) with substitution-matrix decoding.
+
+Scope (documented): reader supports the encodings EXTERNAL, HUFFMAN (single-symbol /
+canonical codes in the core block), BETA, BYTE_ARRAY_STOP and BYTE_ARRAY_LEN; read features
+X/S/I/D/N/H/P/i/b/q/Q/B; AP-delta coding; per-slice embedded references; detached and
+next-fragment mates (mate data is parsed, not joined). The writer emits a deliberately
+*different* (all-EXTERNAL, single-slice-per-container) encoding profile so reader bugs
+cannot be mirrored by construction; fixtures round-trip mapped (feature-coded) and unmapped
+(BA-coded) reads through gzip and rANS blocks.
+
+Only seq/qual/flag surface to the engine (BamRecord-compatible), matching the feeder
+contract (SPEC_SEMANTICS §4).
+"""
+
+from __future__ import annotations
+
+import bz2
+import dataclasses
+import io as _io
+import lzma
+import struct
+import zlib
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+from denovo_kmer_tpu.io import rans
+
+CRAM_MAGIC = b"CRAM"
+
+# block content types
+CT_FILE_HEADER = 0
+CT_COMPRESSION_HEADER = 1
+CT_SLICE_HEADER = 2
+CT_EXTERNAL = 4
+CT_CORE = 5
+
+# block compression methods
+M_RAW, M_GZIP, M_BZIP2, M_LZMA, M_RANS = 0, 1, 2, 3, 4
+
+# encoding codec ids
+E_NULL, E_EXTERNAL, E_GOLOMB, E_HUFFMAN, E_BYTE_ARRAY_LEN, E_BYTE_ARRAY_STOP, E_BETA = (
+    0, 1, 2, 3, 4, 5, 6,
+)
+
+_SUB_BASES = "ACGTN"
+
+
+# ---------------------------------------------------------------------------
+# varints
+# ---------------------------------------------------------------------------
+
+def itf8_encode(v: int) -> bytes:
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 0x200000:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    if v < 0x10000000:
+        return bytes([0xE0 | (v >> 24), (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF])
+    return bytes([
+        0xF0 | (v >> 28), (v >> 20) & 0xFF, (v >> 12) & 0xFF, (v >> 4) & 0xFF, v & 0x0F,
+    ])
+
+
+def itf8_decode(buf, pos: int) -> Tuple[int, int]:
+    b0 = buf[pos]
+    if b0 < 0x80:
+        v, pos = b0, pos + 1
+    elif b0 < 0xC0:
+        v = ((b0 & 0x3F) << 8) | buf[pos + 1]
+        pos += 2
+    elif b0 < 0xE0:
+        v = ((b0 & 0x1F) << 16) | (buf[pos + 1] << 8) | buf[pos + 2]
+        pos += 3
+    elif b0 < 0xF0:
+        v = ((b0 & 0x0F) << 24) | (buf[pos + 1] << 16) | (buf[pos + 2] << 8) | buf[pos + 3]
+        pos += 4
+    else:
+        v = ((b0 & 0x0F) << 28) | (buf[pos + 1] << 20) | (buf[pos + 2] << 12) | (
+            buf[pos + 3] << 4) | (buf[pos + 4] & 0x0F)
+        pos += 5
+    if v & 0x80000000:
+        v -= 1 << 32  # itf8 is a signed 32-bit value
+    return v, pos
+
+
+def ltf8_encode(v: int) -> bytes:
+    v &= (1 << 64) - 1
+    for extra in range(8):
+        if v < (1 << (7 * (extra + 1))) and extra < 7:
+            lead = (0xFF << (8 - extra)) & 0xFF
+            out = bytearray()
+            for i in range(extra, -1, -1):
+                out.append((v >> (8 * i)) & 0xFF)
+            out[0] |= lead
+            if extra < 7 and out[0] & (1 << (7 - extra)):
+                # value bleeds into the tag bit — promote to one more byte
+                continue
+            return bytes(out)
+    return bytes([0xFF]) + struct.pack(">Q", v)
+
+
+def ltf8_decode(buf, pos: int) -> Tuple[int, int]:
+    b0 = buf[pos]
+    extra = 0
+    while extra < 8 and (b0 << extra) & 0x80:
+        extra += 1
+    if extra == 8:
+        v = struct.unpack_from(">Q", buf, pos + 1)[0]
+        pos += 9
+    else:
+        v = b0 & (0xFF >> extra) if extra else b0
+        pos += 1
+        for _ in range(extra):
+            v = (v << 8) | buf[pos]
+            pos += 1
+    if v & (1 << 63):
+        v -= 1 << 64
+    return v, pos
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Block:
+    method: int
+    content_type: int
+    content_id: int
+    data: bytes  # uncompressed
+
+
+def _compress(data: bytes, method: int, rans_order: int = 0) -> bytes:
+    if method == M_RAW:
+        return data
+    if method == M_GZIP:
+        return zlib.compress(data, 6, wbits=31) if False else _gzip(data)
+    if method == M_BZIP2:
+        return bz2.compress(data)
+    if method == M_LZMA:
+        return lzma.compress(data, format=lzma.FORMAT_XZ)
+    if method == M_RANS:
+        return rans.encode(data, order=rans_order)
+    raise ValueError(f"unknown compression method {method}")
+
+
+def _gzip(data: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
+
+
+def _decompress(data: bytes, method: int, raw_size: int) -> bytes:
+    if method == M_RAW:
+        return data
+    if method == M_GZIP:
+        return zlib.decompress(data, wbits=47)
+    if method == M_BZIP2:
+        return bz2.decompress(data)
+    if method == M_LZMA:
+        return lzma.decompress(data)
+    if method == M_RANS:
+        return rans.decode(data)
+    raise ValueError(f"unknown compression method {method}")
+
+
+def write_block(out, method: int, ctype: int, cid: int, data: bytes,
+                rans_order: int = 0) -> None:
+    comp = _compress(data, method, rans_order)
+    if len(comp) >= len(data) and method != M_RAW:
+        method, comp = M_RAW, data
+    body = bytearray()
+    body.append(method)
+    body.append(ctype)
+    body += itf8_encode(cid)
+    body += itf8_encode(len(comp))
+    body += itf8_encode(len(data))
+    body += comp
+    body += struct.pack("<I", zlib.crc32(bytes(body)))
+    out.write(bytes(body))
+
+
+def read_block(buf: bytes, pos: int) -> Tuple[Block, int]:
+    start = pos
+    method = buf[pos]
+    ctype = buf[pos + 1]
+    pos += 2
+    cid, pos = itf8_decode(buf, pos)
+    comp_size, pos = itf8_decode(buf, pos)
+    raw_size, pos = itf8_decode(buf, pos)
+    comp = buf[pos : pos + comp_size]
+    pos += comp_size
+    crc = struct.unpack_from("<I", buf, pos)[0]
+    if zlib.crc32(buf[start:pos]) != crc:
+        raise ValueError("CRAM block CRC mismatch")
+    pos += 4
+    data = _decompress(comp, method, raw_size)
+    if len(data) != raw_size:
+        raise ValueError(f"block raw size mismatch: {len(data)} != {raw_size}")
+    return Block(method, ctype, cid, data), pos
+
+
+# ---------------------------------------------------------------------------
+# encodings (readers over core/external streams)
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos]
+            v = (v << 1) | ((byte >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+
+class _ByteStream:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def byte(self) -> int:
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def take(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        if len(b) != n:
+            raise ValueError("external stream underrun")
+        self.pos += n
+        return b
+
+    def itf8(self) -> int:
+        v, self.pos = itf8_decode(self.data, self.pos)
+        return v
+
+    def until(self, stop: int) -> bytes:
+        end = self.data.index(stop, self.pos)
+        b = self.data[self.pos : end]
+        self.pos = end + 1
+        return b
+
+
+@dataclasses.dataclass
+class Encoding:
+    codec: int
+    params: bytes
+
+    def parse(self):
+        """→ (codec, parsed params tuple)."""
+        p = self.params
+        if self.codec == E_EXTERNAL:
+            cid, _ = itf8_decode(p, 0)
+            return ("external", cid)
+        if self.codec == E_HUFFMAN:
+            pos = 0
+            n, pos = itf8_decode(p, pos)
+            alphabet = []
+            for _ in range(n):
+                v, pos = itf8_decode(p, pos)
+                alphabet.append(v)
+            m, pos = itf8_decode(p, pos)
+            lens = []
+            for _ in range(m):
+                v, pos = itf8_decode(p, pos)
+                lens.append(v)
+            return ("huffman", alphabet, lens)
+        if self.codec == E_BETA:
+            pos = 0
+            offset, pos = itf8_decode(p, pos)
+            nbits, pos = itf8_decode(p, pos)
+            return ("beta", offset, nbits)
+        if self.codec == E_BYTE_ARRAY_STOP:
+            stop = p[0]
+            cid, _ = itf8_decode(p, 1)
+            return ("byte_array_stop", stop, cid)
+        if self.codec == E_BYTE_ARRAY_LEN:
+            pos = 0
+            lcodec, pos = itf8_decode(p, pos)
+            llen, pos = itf8_decode(p, pos)
+            len_enc = Encoding(lcodec, p[pos : pos + llen])
+            pos += llen
+            vcodec, pos = itf8_decode(p, pos)
+            vlen, pos = itf8_decode(p, pos)
+            val_enc = Encoding(vcodec, p[pos : pos + vlen])
+            return ("byte_array_len", len_enc, val_enc)
+        if self.codec == E_NULL:
+            return ("null",)
+        raise ValueError(f"unsupported CRAM encoding codec {self.codec}")
+
+
+class _Decoder:
+    """Reads one data series through its encoding from core/external streams."""
+
+    def __init__(self, enc: Encoding, core: _BitReader,
+                 externals: Dict[int, _ByteStream]):
+        self.kind = enc.parse()
+        self.core = core
+        self.externals = externals
+        if self.kind[0] == "huffman":
+            alphabet, lens = self.kind[1], self.kind[2]
+            if len(alphabet) == 1 and lens[0] == 0:
+                self.const = alphabet[0]
+            else:
+                # canonical Huffman codes, shortest first, ties by alphabet order
+                order = sorted(range(len(alphabet)), key=lambda i: (lens[i], i))
+                code = 0
+                prev_len = lens[order[0]]
+                table = {}
+                for i in order:
+                    code <<= lens[i] - prev_len
+                    prev_len = lens[i]
+                    table[(lens[i], code)] = alphabet[i]
+                    code += 1
+                self.table = table
+                self.maxlen = max(lens)
+        elif self.kind[0] == "byte_array_len":
+            self.len_dec = _Decoder(self.kind[1], core, externals)
+            self.val_dec = _Decoder(self.kind[2], core, externals)
+
+    def _ext(self, cid) -> _ByteStream:
+        try:
+            return self.externals[cid]
+        except KeyError:
+            raise ValueError(f"missing external block {cid}") from None
+
+    def read_int(self) -> int:
+        k = self.kind
+        if k[0] == "external":
+            return self._ext(k[1]).itf8()
+        if k[0] == "huffman":
+            if hasattr(self, "const"):
+                return self.const
+            ln = 0
+            code = 0
+            while ln <= self.maxlen:
+                code = (code << 1) | self.core.read_bits(1)
+                ln += 1
+                if (ln, code) in self.table:
+                    return self.table[(ln, code)]
+            raise ValueError("bad huffman code")
+        if k[0] == "beta":
+            return self.core.read_bits(k[2]) - k[1]
+        raise ValueError(f"encoding {k[0]} cannot produce ints")
+
+    def read_byte(self) -> int:
+        k = self.kind
+        if k[0] == "external":
+            return self._ext(k[1]).byte()
+        return self.read_int()
+
+    def read_bytes(self, n: Optional[int] = None) -> bytes:
+        k = self.kind
+        if k[0] == "byte_array_stop":
+            return self._ext(k[2]).until(k[1])
+        if k[0] == "byte_array_len":
+            m = self.len_dec.read_int()
+            return bytes(self.val_dec.read_byte() for _ in range(m))
+        if k[0] == "external":
+            assert n is not None, "external byte array needs an explicit length"
+            return self._ext(k[1]).take(n)
+        raise ValueError(f"encoding {k[0]} cannot produce byte arrays")
+
+
+# ---------------------------------------------------------------------------
+# compression header / slice header
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class CompressionHeader:
+    preservation: Dict[str, object]
+    data_series: Dict[str, Encoding]
+    tag_encodings: Dict[int, Encoding]
+
+    @property
+    def ap_delta(self) -> bool:
+        return bool(self.preservation.get("AP", True))
+
+    @property
+    def read_names_included(self) -> bool:
+        return bool(self.preservation.get("RN", True))
+
+    @property
+    def sub_matrix(self) -> bytes:
+        return self.preservation.get("SM", bytes([0x1B] * 5))
+
+
+def _parse_compression_header(data: bytes) -> CompressionHeader:
+    pos = 0
+    pres: Dict[str, object] = {}
+    _size, pos = itf8_decode(data, pos)
+    n, pos = itf8_decode(data, pos)
+    for _ in range(n):
+        key = data[pos : pos + 2].decode()
+        pos += 2
+        if key in ("RN", "AP", "RR"):
+            pres[key] = bool(data[pos])
+            pos += 1
+        elif key == "SM":
+            pres[key] = data[pos : pos + 5]
+            pos += 5
+        elif key == "TD":
+            ln, pos = itf8_decode(data, pos)
+            pres[key] = data[pos : pos + ln]
+            pos += ln
+        else:
+            raise ValueError(f"unknown preservation key {key}")
+
+    series: Dict[str, Encoding] = {}
+    _size, pos = itf8_decode(data, pos)
+    n, pos = itf8_decode(data, pos)
+    for _ in range(n):
+        key = data[pos : pos + 2].decode()
+        pos += 2
+        codec, pos = itf8_decode(data, pos)
+        ln, pos = itf8_decode(data, pos)
+        series[key] = Encoding(codec, data[pos : pos + ln])
+        pos += ln
+
+    tags: Dict[int, Encoding] = {}
+    _size, pos = itf8_decode(data, pos)
+    n, pos = itf8_decode(data, pos)
+    for _ in range(n):
+        key, pos = itf8_decode(data, pos)
+        codec, pos = itf8_decode(data, pos)
+        ln, pos = itf8_decode(data, pos)
+        tags[key] = Encoding(codec, data[pos : pos + ln])
+        pos += ln
+    return CompressionHeader(pres, series, tags)
+
+
+@dataclasses.dataclass
+class SliceHeader:
+    ref_id: int
+    start: int
+    span: int
+    n_records: int
+    record_counter: int
+    n_blocks: int
+    block_ids: List[int]
+    embedded_ref_id: int
+
+
+def _parse_slice_header(data: bytes) -> SliceHeader:
+    pos = 0
+    ref_id, pos = itf8_decode(data, pos)
+    start, pos = itf8_decode(data, pos)
+    span, pos = itf8_decode(data, pos)
+    n_records, pos = itf8_decode(data, pos)
+    record_counter, pos = ltf8_decode(data, pos)
+    n_blocks, pos = itf8_decode(data, pos)
+    n_ids, pos = itf8_decode(data, pos)
+    ids = []
+    for _ in range(n_ids):
+        v, pos = itf8_decode(data, pos)
+        ids.append(v)
+    emb, pos = itf8_decode(data, pos)
+    # 16-byte MD5 follows; optional tags after — not needed
+    return SliceHeader(ref_id, start, span, n_records, record_counter,
+                       n_blocks, ids, emb)
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class CramRecord:
+    seq: str
+    qual: Optional[Sequence[int]]
+    flag: int
+    name: Optional[str] = None
+
+
+BAM_FUNMAP = 0x4
+
+
+class CramReader:
+    """Iterate CRAM records (seq/qual/flag). ``reference`` maps ref id → sequence string
+    (build with ``load_reference``); required for reference-based slices without an
+    embedded reference."""
+
+    def __init__(self, f, reference: Optional[Dict[int, str]] = None):
+        self._f = f
+        self.reference = reference or {}
+        magic = f.read(4)
+        if magic != CRAM_MAGIC:
+            raise ValueError("not a CRAM file")
+        ver = f.read(2)
+        self.version = (ver[0], ver[1])
+        if ver[0] != 3:
+            raise ValueError(f"unsupported CRAM major version {ver[0]}")
+        f.read(20)  # file id
+        self.sam_header = self._read_file_header()
+
+    # --- container plumbing (varints parsed straight off the stream, no over-read) ---
+
+    def _stream_itf8(self) -> int:
+        b0 = self._f.read(1)[0]
+        extra = 0 if b0 < 0x80 else 1 if b0 < 0xC0 else 2 if b0 < 0xE0 else 3 if b0 < 0xF0 else 4
+        buf = bytes([b0]) + (self._f.read(extra) if extra else b"")
+        v, _ = itf8_decode(buf, 0)
+        return v
+
+    def _stream_ltf8(self) -> int:
+        b0 = self._f.read(1)[0]
+        extra = 0
+        while extra < 8 and (b0 << extra) & 0x80:
+            extra += 1
+        buf = bytes([b0]) + (self._f.read(extra) if extra else b"")
+        v, _ = ltf8_decode(buf, 0)
+        return v
+
+    def _read_container(self):
+        head = self._f.read(4)
+        if len(head) < 4:
+            return None
+        length = struct.unpack("<i", head)[0]
+        ref_id = self._stream_itf8()
+        self._stream_itf8()  # start
+        self._stream_itf8()  # span
+        n_rec = self._stream_itf8()
+        self._stream_ltf8()  # record counter
+        self._stream_ltf8()  # bases
+        n_blocks = self._stream_itf8()
+        n_land = self._stream_itf8()
+        for _ in range(n_land):
+            self._stream_itf8()
+        self._f.read(4)  # header CRC32
+        body = self._f.read(length)
+        if len(body) != length:
+            raise ValueError("truncated CRAM container body")
+        return dict(ref_id=ref_id, n_rec=n_rec, n_blocks=n_blocks, body=body,
+                    eof=(ref_id == -1 and n_rec == 0 and n_blocks == 1
+                         and length < 40))
+
+    def _read_file_header(self) -> str:
+        c = self._read_container()
+        if c is None:
+            raise ValueError("truncated CRAM: no header container")
+        blk, _ = read_block(c["body"], 0)
+        if blk.content_type != CT_FILE_HEADER:
+            raise ValueError("first CRAM container is not the SAM header")
+        ln = struct.unpack_from("<i", blk.data, 0)[0]
+        return blk.data[4 : 4 + ln].decode()
+
+    def __iter__(self) -> Iterator[CramRecord]:
+        while True:
+            c = self._read_container()
+            if c is None or c["eof"]:
+                return
+            yield from self._decode_container(c)
+
+    # --- record decode ---
+
+    def _decode_container(self, c) -> Iterator[CramRecord]:
+        body = c["body"]
+        pos = 0
+        blk, pos = read_block(body, pos)
+        if blk.content_type != CT_COMPRESSION_HEADER:
+            raise ValueError("expected compression header block")
+        ch = _parse_compression_header(blk.data)
+        while pos < len(body):
+            sblk, pos = read_block(body, pos)
+            if sblk.content_type != CT_SLICE_HEADER:
+                raise ValueError("expected slice header block")
+            sh = _parse_slice_header(sblk.data)
+            core = None
+            externals: Dict[int, _ByteStream] = {}
+            embedded_ref = None
+            for _ in range(sh.n_blocks):
+                b, pos = read_block(body, pos)
+                if b.content_type == CT_CORE:
+                    core = _BitReader(b.data)
+                elif b.content_type == CT_EXTERNAL:
+                    externals[b.content_id] = _ByteStream(b.data)
+                    if b.content_id == sh.embedded_ref_id:
+                        embedded_ref = b.data
+            yield from self._decode_slice(ch, sh, core, externals, embedded_ref,
+                                          c["ref_id"])
+
+    def _decode_slice(self, ch, sh, core, externals, embedded_ref, cont_ref):
+        dec: Dict[str, _Decoder] = {}
+
+        def D(key) -> Optional[_Decoder]:
+            if key not in dec:
+                enc = ch.data_series.get(key)
+                dec[key] = _Decoder(enc, core, externals) if enc else None
+            return dec[key]
+
+        sm = ch.sub_matrix
+        # substitution matrix (spec §10.6): row per reference base ACGTN; the 2-bit field
+        # at alt position j holds the BS code assigned to that alternative base, so BS code
+        # v under reference base rb selects the alt whose field equals v
+        sub = {}
+        for ri, rb in enumerate(_SUB_BASES):
+            alts = [b for b in _SUB_BASES if b != rb]
+            row = sm[ri]
+            for j, alt in enumerate(alts):
+                v = (row >> (6 - 2 * j)) & 3
+                sub[(rb, v)] = alt
+
+        ap = sh.start
+        last_pos = sh.start
+        for _ in range(sh.n_records):
+            bf = D("BF").read_int()
+            cf = D("CF").read_int() if D("CF") else 0
+            ref_id = cont_ref
+            if cont_ref == -2 and D("RI"):
+                ref_id = D("RI").read_int()
+            rl = D("RL").read_int()
+            if ch.ap_delta:
+                delta = D("AP").read_int()
+                last_pos = last_pos + delta
+                pos0 = last_pos
+            else:
+                pos0 = D("AP").read_int()
+            if D("RG"):
+                D("RG").read_int()
+            name = None
+            if ch.read_names_included and D("RN"):
+                name = D("RN").read_bytes().decode("ascii", "replace")
+            # mate
+            if cf & 2:  # detached
+                D("MF").read_int()
+                if not ch.read_names_included and D("RN"):
+                    name = D("RN").read_bytes().decode("ascii", "replace")
+                D("NS").read_int()
+                D("NP").read_int()
+                D("TS").read_int()
+            elif cf & 4:  # mate downstream
+                D("NF").read_int()
+            # tags
+            tl = D("TL").read_int() if D("TL") else 0
+            self._skip_tags(ch, tl, core, externals)
+
+            unmapped = bool(bf & BAM_FUNMAP)
+            if not unmapped:
+                seq = self._reconstruct(ch, sh, D, sub, pos0, rl, embedded_ref, ref_id)
+                if D("MQ"):
+                    D("MQ").read_int()
+                # CF bit 0 = per-base qualities stored as an RL-byte QS run
+                quals = list(D("QS").read_bytes(rl)) if (cf & 1) and D("QS") else None
+            else:
+                ba = D("BA")
+                bases = bytes(ba.read_byte() for _ in range(rl))
+                seq = bases.decode("ascii", "replace")
+                quals = list(D("QS").read_bytes(rl)) if (cf & 1) and D("QS") else None
+            yield CramRecord(seq=seq, qual=quals, flag=bf, name=name)
+
+    def _skip_tags(self, ch, tl, core, externals):
+        td = ch.preservation.get("TD", b"\x00")
+        lines = td.split(b"\x00")
+        if tl >= len(lines):
+            return
+        line = lines[tl]
+        # each tag is 3 bytes: two-letter key + type
+        for i in range(0, len(line) - 2, 3):
+            key = (line[i] << 16) | (line[i + 1] << 8) | line[i + 2]
+            enc = ch.tag_encodings.get(key)
+            if enc is None:
+                raise ValueError(f"tag {line[i:i+3]!r} has no encoding")
+            _Decoder(enc, core, externals).read_bytes()
+
+    def _reconstruct(self, ch, sh, D, sub, pos0, rl, embedded_ref, ref_id) -> str:
+        if embedded_ref is not None:
+            ref = embedded_ref.decode("ascii", "replace")
+            ref_off = sh.start  # embedded ref starts at the slice start
+        else:
+            ref = self.reference.get(ref_id)
+            if ref is None:
+                raise ValueError(
+                    f"slice needs reference sequence {ref_id}; pass reference="
+                )
+            ref_off = 1  # CRAM positions are 1-based
+        fn = D("FN").read_int()
+        feats = []
+        fpos = 0
+        for _ in range(fn):
+            code = chr(D("FC").read_byte())
+            fpos += D("FP").read_int()
+            feats.append((code, fpos, self._feat_operand(code, D)))
+        out = []
+        rp = pos0  # 1-based reference position
+        i = 1  # 1-based read position
+        fi = 0
+        while i <= rl:
+            if fi < len(feats) and feats[fi][1] == i:
+                code, _, op = feats[fi]
+                fi += 1
+                if code == "X":  # substitution
+                    rb = ref[rp - ref_off] if 0 <= rp - ref_off < len(ref) else "N"
+                    out.append(sub.get((rb.upper(), op), "N"))
+                    rp += 1
+                    i += 1
+                elif code == "S":  # soft clip
+                    out.append(op.decode("ascii", "replace"))
+                    i += len(op)
+                elif code == "I":  # insertion
+                    out.append(op.decode("ascii", "replace"))
+                    i += len(op)
+                elif code == "i":  # single-base insertion
+                    out.append(chr(op))
+                    i += 1
+                elif code == "b":  # stretch of bases
+                    out.append(op.decode("ascii", "replace"))
+                    rp += len(op)
+                    i += len(op)
+                elif code == "D":  # deletion
+                    rp += op
+                elif code == "N":  # ref skip
+                    rp += op
+                elif code in ("H", "P"):  # hard clip / pad: no read bases
+                    pass
+                elif code == "B":  # base + qual
+                    out.append(chr(op[0]))
+                    rp += 1
+                    i += 1
+                elif code in ("q", "Q"):  # qual-only features
+                    pass
+                else:
+                    raise ValueError(f"unsupported read feature {code!r}")
+            else:
+                idx = rp - ref_off
+                out.append(ref[idx] if 0 <= idx < len(ref) else "N")
+                rp += 1
+                i += 1
+        return "".join(out)[:rl]
+
+    def _feat_operand(self, code, D):
+        if code == "X":
+            return D("BS").read_byte()
+        if code == "S":
+            return D("SC").read_bytes()
+        if code == "I":
+            return D("IN").read_bytes()
+        if code == "i":
+            return D("BA").read_byte()
+        if code == "b":
+            return D("BB").read_bytes()
+        if code == "D":
+            return D("DL").read_int()
+        if code == "N":
+            return D("RS").read_int()
+        if code == "H":
+            return D("HC").read_int()
+        if code == "P":
+            return D("PD").read_int()
+        if code == "B":
+            return (D("BA").read_byte(), D("QS").read_byte())
+        if code == "q":
+            return D("QQ").read_bytes()
+        if code == "Q":
+            return D("QS").read_byte()
+        raise ValueError(f"unsupported read feature {code!r}")
+
+
+def load_reference(fasta_path: str) -> Dict[int, str]:
+    """FASTA → {ref index: sequence} (index = @SQ order = FASTA order)."""
+    from denovo_kmer_tpu.io.fasta import read_fasta
+
+    return {i: seq for i, (_name, seq) in enumerate(read_fasta(fasta_path))}
+
+
+def read_cram_records(path: str, reference: Optional[str] = None):
+    """Iterate CRAM records from a path/URL, BamRecord-compatible (seq/qual/flag)."""
+    from denovo_kmer_tpu.io.remote import open_binary
+
+    ref = load_reference(reference) if reference else None
+    with open_binary(path) as f:
+        yield from CramReader(f, reference=ref)
+
+
+# ---------------------------------------------------------------------------
+# writer (fixture-grade, deliberately different profile from the reader's general path:
+# all-EXTERNAL encodings, absolute AP, one slice per container)
+# ---------------------------------------------------------------------------
+
+class _ExtBuf:
+    def __init__(self):
+        self.buf = bytearray()
+
+    def itf8(self, v: int):
+        self.buf += itf8_encode(v)
+
+    def byte(self, b: int):
+        self.buf.append(b & 0xFF)
+
+    def raw(self, b: bytes):
+        self.buf += b
+
+
+# fixed external content ids per data series (writer profile)
+_W_IDS = {
+    "BF": 1, "CF": 2, "RL": 3, "AP": 4, "RG": 5, "RN": 6, "MF": 7, "NS": 8,
+    "NP": 9, "TS": 10, "TL": 11, "FN": 12, "FP": 13, "FC": 14, "BS": 15,
+    "DL": 16, "BA": 17, "QS": 18, "MQ": 19, "SC": 20, "IN": 21,
+}
+
+
+def _enc_external(cid: int) -> bytes:
+    params = itf8_encode(cid)
+    return itf8_encode(E_EXTERNAL) + itf8_encode(len(params)) + params
+
+
+def _enc_byte_array_stop(stop: int, cid: int) -> bytes:
+    params = bytes([stop]) + itf8_encode(cid)
+    return itf8_encode(E_BYTE_ARRAY_STOP) + itf8_encode(len(params)) + params
+
+
+def _compression_header_blob(mapped: bool) -> bytes:
+    # preservation map: RN=1 (names kept), AP=0 (absolute positions), RR per mode,
+    # SM default matrix, TD = one empty tag line
+    pres = bytearray()
+    entries = [(b"RN", bytes([1])), (b"AP", bytes([0])), (b"RR", bytes([1 if mapped else 0])),
+               (b"SM", bytes([0x1B] * 5)), (b"TD", itf8_encode(1) + b"\x00")]
+    pres += itf8_encode(len(entries))
+    for k, v in entries:
+        pres += k + v
+
+    series = bytearray()
+    encs: List[Tuple[bytes, bytes]] = []
+    for key in ("BF", "CF", "RL", "AP", "MF", "NS", "NP", "TS", "TL",
+                "FN", "FP", "BS", "DL", "BA", "QS", "MQ", "FC"):
+        encs.append((key.encode(), _enc_external(_W_IDS[key])))
+    encs.append((b"RN", _enc_byte_array_stop(0, _W_IDS["RN"])))
+    encs.append((b"SC", _enc_byte_array_stop(0, _W_IDS["SC"])))
+    encs.append((b"IN", _enc_byte_array_stop(0, _W_IDS["IN"])))
+    series += itf8_encode(len(encs))
+    for k, e in encs:
+        series += k + e
+
+    tags = itf8_encode(0)
+
+    out = bytearray()
+    for part in (bytes(pres), bytes(series), bytes(tags)):
+        out += itf8_encode(len(part)) + part
+    return bytes(out)
+
+
+def _slice_header_blob(ref_id, start, span, n_records, counter, n_blocks, ids):
+    out = bytearray()
+    out += itf8_encode(ref_id)
+    out += itf8_encode(start)
+    out += itf8_encode(span)
+    out += itf8_encode(n_records)
+    out += ltf8_encode(counter)
+    out += itf8_encode(n_blocks)
+    out += itf8_encode(len(ids))
+    for i in ids:
+        out += itf8_encode(i)
+    out += itf8_encode(-1)  # no embedded reference
+    out += b"\x00" * 16  # md5 (unchecked)
+    return bytes(out)
+
+
+def _container(out, body_blocks: bytes, ref_id: int, start: int, span: int,
+               n_rec: int, counter: int, n_blocks: int, landmarks: List[int]):
+    head = bytearray()
+    head += struct.pack("<i", len(body_blocks))
+    head += itf8_encode(ref_id)
+    head += itf8_encode(start)
+    head += itf8_encode(span)
+    head += itf8_encode(n_rec)
+    head += ltf8_encode(counter)
+    head += ltf8_encode(0)  # bases
+    head += itf8_encode(n_blocks)
+    head += itf8_encode(len(landmarks))
+    for l in landmarks:
+        head += itf8_encode(l)
+    head += struct.pack("<I", zlib.crc32(bytes(head)))
+    out.write(bytes(head))
+    out.write(body_blocks)
+
+
+def write_cram(
+    path: str,
+    records,  # iterable of (seq, qual|None, flag) — unmapped profile
+    sam_header: str = "@HD\tVN:1.6\n",
+    mapped: Optional[List[Tuple[str, int]]] = None,  # [(seq, 1-based pos)] vs reference
+    reference: Optional[str] = None,  # reference sequence string (mapped profile)
+    method: int = M_GZIP,
+    rans_order: int = 0,
+    reads_per_container: int = 1000,
+) -> None:
+    """Write a CRAM 3.0 file. Two profiles:
+
+    - unmapped (``records``): sequences via the BA series — no reference needed.
+    - mapped (``mapped`` + ``reference``): X-substitution features computed against the
+      reference; exercises the reader's reconstruction path.
+    """
+    counter = 0
+    with open(path, "wb") as f:
+        f.write(CRAM_MAGIC + bytes([3, 0]) + b"\x00" * 20)
+        hdr = sam_header.encode()
+        blob = struct.pack("<i", len(hdr)) + hdr
+        bio = _io.BytesIO()
+        write_block(bio, M_RAW, CT_FILE_HEADER, 0, blob)
+        _container(f, bio.getvalue(), 0, 0, 0, 0, 0, 1, [0])
+
+        if mapped is not None:
+            assert reference is not None, "mapped profile needs the reference"
+            chunks = [mapped[i : i + reads_per_container]
+                      for i in range(0, len(mapped), reads_per_container)]
+            for chunk in chunks:
+                _write_mapped_container(f, chunk, reference, counter, method, rans_order)
+                counter += len(chunk)
+        else:
+            recs = list(records)
+            chunks = [recs[i : i + reads_per_container]
+                      for i in range(0, len(recs), reads_per_container)]
+            for chunk in chunks:
+                _write_unmapped_container(f, chunk, counter, method, rans_order)
+                counter += len(chunk)
+
+        # EOF container: ref -1, no records, single empty compression-header block
+        bio = _io.BytesIO()
+        write_block(bio, M_RAW, CT_COMPRESSION_HEADER, 0,
+                    itf8_encode(1) + itf8_encode(0)
+                    + itf8_encode(1) + itf8_encode(0)
+                    + itf8_encode(1) + itf8_encode(0))
+        _container(f, bio.getvalue(), -1, 4542278, 0, 0, 0, 1, [0])
+
+
+def _sub_code(ref_base: str, alt_base: str) -> int:
+    row = 0x1B  # default matrix row: codes 0,1,2,3 in alt order
+    alts = [b for b in _SUB_BASES if b != ref_base]
+    j = alts.index(alt_base)
+    return (row >> (6 - 2 * j)) & 3
+
+
+def _write_series_blocks(f, ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int,
+                         start: int, span: int, counter: int, method: int,
+                         rans_order: int, mapped: bool):
+    used = [(k, b) for k, b in ext.items() if b.buf]
+    ids = [_W_IDS[k] for k, _ in used]
+    sh = _slice_header_blob(ref_id, start, span, n_rec, counter, 1 + len(used), ids)
+    bio = _io.BytesIO()
+    write_block(bio, M_RAW, CT_COMPRESSION_HEADER, 0, _compression_header_blob(mapped))
+    write_block(bio, M_RAW, CT_SLICE_HEADER, 0, sh)
+    write_block(bio, M_RAW, CT_CORE, 0, b"")
+    for k, b in used:
+        write_block(bio, method, CT_EXTERNAL, _W_IDS[k], bytes(b.buf),
+                    rans_order=rans_order)
+    body = bio.getvalue()
+    _container(f, body, ref_id, start, span, n_rec, counter, 3 + len(used), [0])
+
+
+def _write_unmapped_container(f, chunk, counter, method, rans_order):
+    ext: Dict[str, _ExtBuf] = {k: _ExtBuf() for k in _W_IDS}
+    for i, (seq, qual, flag) in enumerate(chunk):
+        ext["BF"].itf8(flag | BAM_FUNMAP)
+        cf = 2 | (1 if qual is not None else 0)  # detached (+ quals)
+        ext["CF"].itf8(cf)
+        ext["RL"].itf8(len(seq))
+        ext["AP"].itf8(0)
+        ext["RN"].raw(f"r{counter + i}".encode() + b"\x00")
+        ext["MF"].itf8(0)
+        ext["NS"].itf8(-1)
+        ext["NP"].itf8(0)
+        ext["TS"].itf8(0)
+        ext["TL"].itf8(0)
+        for ch_ in seq:
+            ext["BA"].byte(ord(ch_))
+        if qual is not None:
+            ext["QS"].raw(bytes(qual))
+    _write_series_blocks(f, ext, len(chunk), -1, 0, 0, counter, method,
+                         rans_order, mapped=False)
+
+
+def _write_mapped_container(f, chunk, reference, counter, method, rans_order):
+    ext: Dict[str, _ExtBuf] = {k: _ExtBuf() for k in _W_IDS}
+    start = min(p for _, p in chunk)
+    end = max(p + len(s) - 1 for s, p in chunk)
+    for i, (seq, pos1) in enumerate(chunk):
+        ext["BF"].itf8(0)
+        ext["CF"].itf8(2)  # detached, no stored quals
+        ext["RL"].itf8(len(seq))
+        ext["AP"].itf8(pos1)
+        ext["RN"].raw(f"m{counter + i}".encode() + b"\x00")
+        ext["MF"].itf8(0)
+        ext["NS"].itf8(-1)
+        ext["NP"].itf8(0)
+        ext["TS"].itf8(0)
+        ext["TL"].itf8(0)
+        # X features for every mismatch vs the reference
+        feats = []
+        for j, b in enumerate(seq):
+            rb = reference[pos1 - 1 + j]
+            if b != rb:
+                feats.append((j + 1, rb, b))
+        ext["FN"].itf8(len(feats))
+        last = 0
+        for rpos, rb, alt in feats:
+            ext["FP"].itf8(rpos - last)
+            ext["FC"].byte(ord("X"))
+            ext["BS"].byte(_sub_code(rb, alt))
+            last = rpos
+        ext["MQ"].itf8(30)
+    _write_series_blocks(f, ext, len(chunk), 0, start, end - start + 1, counter,
+                         method, rans_order, mapped=True)

@@ -64,10 +64,9 @@ def _record_stream(path: str, cfg: EngineConfig) -> Iterator:
                 yield _FakeRec(seq, None, 0)
         return gen()
     if low.endswith(".cram"):
-        raise ValueError(
-            "CRAM input is not decoded natively yet (README 'Gaps'); convert with "
-            "`samtools view -b in.cram -T ref.fa -o out.bam` and pass the BAM"
-        )
+        from denovo_kmer_tpu.io.cram import read_cram_records
+
+        return read_cram_records(path, reference=cfg.reference_fasta)
     raise ValueError(f"unrecognized reads file extension: {path}")
 
 

@@ -1,0 +1,117 @@
+"""CRAM 3.0 I/O (io/cram.py + io/rans.py): varint properties, rANS roundtrips, unmapped and
+mapped (reference-reconstruction) record roundtrips through gzip/rANS blocks, and pipeline
+parity: the same trio as CRAM and as BAM must produce byte-identical candidate reports."""
+
+import random
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.io import rans
+from denovo_kmer_tpu.io.cram import (
+    CramReader,
+    itf8_decode,
+    itf8_encode,
+    ltf8_decode,
+    ltf8_encode,
+    write_cram,
+    M_GZIP,
+    M_RANS,
+)
+
+
+@pytest.mark.parametrize("v", [0, 1, 127, 128, 5000, 1 << 20, 1 << 27, (1 << 31) - 1,
+                               -1, -2, -100000])
+def test_itf8_roundtrip(v):
+    enc = itf8_encode(v)
+    got, pos = itf8_decode(enc, 0)
+    assert got == v and pos == len(enc)
+
+
+@pytest.mark.parametrize("v", [0, 1, 127, 200, 1 << 14, 1 << 30, 1 << 45, (1 << 62),
+                               -1, -12345])
+def test_ltf8_roundtrip(v):
+    enc = ltf8_encode(v)
+    got, pos = ltf8_decode(enc, 0)
+    assert got == v and pos == len(enc)
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_rans_roundtrip_random(order):
+    rng = random.Random(order)
+    for n in (0, 1, 2, 3, 4, 5, 255, 4096, 10001):
+        data = bytes(rng.choice(b"ACGTN!#Fq") for _ in range(n))
+        assert rans.decode(rans.encode(data, order=order)) == data
+
+
+def _synth_reads(rng, n, L=80):
+    return [
+        ("".join(rng.choice("ACGT") for _ in range(L)),
+         [rng.randrange(10, 40) for _ in range(L)],
+         0)
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("method,order", [(M_GZIP, 0), (M_RANS, 0), (M_RANS, 1)])
+def test_unmapped_roundtrip(tmp_path, method, order):
+    rng = random.Random(7)
+    reads = _synth_reads(rng, 137)
+    path = str(tmp_path / f"u{method}{order}.cram")
+    write_cram(path, reads, method=method, rans_order=order, reads_per_container=50)
+    with open(path, "rb") as f:
+        got = list(CramReader(f))
+    assert len(got) == len(reads)
+    for (seq, qual, flag), rec in zip(reads, got):
+        assert rec.seq == seq
+        assert rec.qual == qual
+        assert rec.flag & 0x4  # writer marks unmapped profile reads unmapped
+
+
+def test_mapped_reconstruction_roundtrip(tmp_path):
+    rng = random.Random(11)
+    ref = "".join(rng.choice("ACGT") for _ in range(5000))
+    reads = []
+    for _ in range(97):
+        pos = rng.randrange(0, len(ref) - 100)
+        seq = list(ref[pos : pos + 100])
+        for _ in range(rng.randrange(0, 4)):  # up to 3 substitutions
+            j = rng.randrange(100)
+            seq[j] = rng.choice([b for b in "ACGT" if b != seq[j]])
+        reads.append(("".join(seq), pos + 1))  # CRAM positions are 1-based
+    path = str(tmp_path / "m.cram")
+    write_cram(path, [], mapped=reads, reference=ref, method=M_RANS, rans_order=1,
+               reads_per_container=40)
+    with open(path, "rb") as f:
+        got = list(CramReader(f, reference={0: ref}))
+    assert len(got) == len(reads)
+    for (seq, _pos), rec in zip(reads, got):
+        assert rec.seq == seq
+        assert not (rec.flag & 0x4)
+
+
+def test_pipeline_cram_matches_bam(tmp_path):
+    """End-to-end: trio stored as CRAM produces the identical candidate report as BAM."""
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.io.bam import read_bam_records
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+    from denovo_kmer_tpu.pipeline import run_trio
+
+    spec = TrioSpec(genome_len=1500, read_len=50, coverage=5.0, seed=77,
+                    n_inherited_snvs=4, n_denovo_snvs=2)
+    paths = write_trio_bams(make_trio(spec), str(tmp_path))
+    cram_paths = {}
+    for s, p in paths.items():
+        recs = [(r.seq, r.qual, r.flag) for r in read_bam_records(p)]
+        cp = str(tmp_path / f"{s}.cram")
+        write_cram(cp, recs, method=M_RANS, rans_order=0)
+        cram_paths[s] = cp
+
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                       table_capacity=1 << 13, accum_batches=2,
+                       # unmapped-profile CRAM reads carry the UNMAP flag: don't filter it
+                       filter_flag_mask=0x100 | 0x200 | 0x400 | 0x800)
+    bam_res = run_trio(paths["mom"], paths["dad"], paths["child"], cfg)
+    cram_res = run_trio(cram_paths["mom"], cram_paths["dad"], cram_paths["child"], cfg)
+    assert cram_res.report == bam_res.report
+    assert len(cram_res.candidates) > 0
