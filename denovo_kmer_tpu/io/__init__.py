@@ -20,4 +20,7 @@ __all__ = [
     "BgzfWriter",
     "read_fasta",
     "read_fastq",
+    # imported lazily by consumers (keep module import light):
+    #   io.cram (CramReader, write_cram, read_cram_records), io.rans,
+    #   io.remote (HttpStream, open_binary), io.prefetch, io.native, io.synth
 ]

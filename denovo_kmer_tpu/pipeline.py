@@ -104,12 +104,17 @@ def make_ingest_step(cfg: EngineConfig):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def extract_append(acc, words, vwords):
-        kmers, valid = _extract(words, vwords)
-        return append(acc, kmers, valid)
+        # named scopes label the device timeline per stage (jax.profiler traces via
+        # --profile-dir, SURVEY.md §5.1)
+        with jax.named_scope("kmer_extract"):
+            kmers, valid = _extract(words, vwords)
+        with jax.named_scope("staging_append"):
+            return append(acc, kmers, valid)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def flush_fn(acc, table):
-        return flush(acc, table)
+        with jax.named_scope("lsm_flush"):
+            return flush(acc, table)
 
     return extract_append, flush_fn
 

@@ -115,3 +115,37 @@ def test_pipeline_cram_matches_bam(tmp_path):
     cram_res = run_trio(cram_paths["mom"], cram_paths["dad"], cram_paths["child"], cfg)
     assert cram_res.report == bam_res.report
     assert len(cram_res.candidates) > 0
+
+
+def test_core_block_codecs_huffman_beta():
+    """Unit-level coverage for the core-bit-stream decoders (no writer profile uses them):
+    canonical Huffman over a 4-symbol alphabet and BETA with offset, byte-aligned mix."""
+    from denovo_kmer_tpu.io.cram import Encoding, E_HUFFMAN, E_BETA, _BitReader, _Decoder
+
+    # canonical huffman: symbols 5,6,7 with lens 1,2,2 -> codes 0,10,11
+    params = (itf8_encode(3) + itf8_encode(5) + itf8_encode(6) + itf8_encode(7)
+              + itf8_encode(3) + itf8_encode(1) + itf8_encode(2) + itf8_encode(2))
+    enc = Encoding(E_HUFFMAN, params)
+    #  bits for [5,7,6,5,5]: 0 11 10 0 0 -> 01110 00(pad) = 0x70
+    core = _BitReader(bytes([0b01110000]))
+    d = _Decoder(enc, core, {})
+    assert [d.read_int() for _ in range(5)] == [5, 7, 6, 5, 5]
+
+    # constant huffman (single symbol, zero length) consumes no bits
+    enc_const = Encoding(E_HUFFMAN, itf8_encode(1) + itf8_encode(42)
+                         + itf8_encode(1) + itf8_encode(0))
+    d2 = _Decoder(enc_const, _BitReader(b""), {})
+    assert [d2.read_int() for _ in range(3)] == [42, 42, 42]
+
+    # beta: offset 10, 5 bits — stored field = value + offset, decoder subtracts
+    enc_beta = Encoding(E_BETA, itf8_encode(10) + itf8_encode(5))
+    vals = [12, 0, 21]
+    acc = 0
+    nbits = 0
+    for v in vals:
+        acc = (acc << 5) | (v + 10)
+        nbits += 5
+    acc <<= (8 - nbits % 8) % 8
+    blob = acc.to_bytes((nbits + 7) // 8, "big")
+    d3 = _Decoder(enc_beta, _BitReader(blob), {})
+    assert [d3.read_int() for _ in range(3)] == vals
