@@ -435,15 +435,25 @@ class ShardedKmerEngine:
         table: KmerTable,
         source: Optional[str] = None,
         write: bool = True,
+        backend: str = "npz",
     ):
-        """Persist a finalized sharded table (all shards, engine layout) to one npz.
+        """Persist a finalized sharded table (all shards, engine layout).
 
-        Multi-host: the internal all-gather is a COLLECTIVE — every process must call this
-        (same table, same order); pass ``write=jax.process_index()==0`` so one file is
-        written. Calling it on a single process of a multi-process mesh deadlocks/aborts the
-        collective (found by tests/test_multihost.py fault harness)."""
+        ``backend="npz"``: one gathered npz file (portable, small tables).
+        ``backend="orbax"``: TensorStore/OCDBT directory, per-shard parallel I/O, no
+        host-side gather — the pod-scale path (SURVEY.md §5.4).
+
+        Multi-host: BOTH backends are COLLECTIVE — every process must call this (same
+        table, same order); for npz pass ``write=jax.process_index()==0`` so one file is
+        written (orbax coordinates writes itself). Calling on a single process of a
+        multi-process mesh deadlocks/aborts (found by tests/test_multihost.py)."""
         import json
 
+        if backend == "orbax":
+            from denovo_kmer_tpu.utils.checkpoint_orbax import save_table_orbax
+
+            save_table_orbax(path, table, self.cfg, source=source)
+            return
         rep = self._replicated(table)
         if not write:
             jax.block_until_ready(rep)
@@ -464,11 +474,16 @@ class ShardedKmerEngine:
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         )
 
-    def load_table(self, path: str) -> KmerTable:
+    def load_table(self, path: str, backend: str = "npz") -> KmerTable:
         """Load an engine-layout checkpoint; validates semantics hash and shard geometry."""
         import json
 
         from denovo_kmer_tpu.utils.checkpoint import CheckpointError
+
+        if backend == "orbax":
+            from denovo_kmer_tpu.utils.checkpoint_orbax import load_table_orbax
+
+            return load_table_orbax(path, self.cfg, like=self.empty_table())
 
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta"]).decode())

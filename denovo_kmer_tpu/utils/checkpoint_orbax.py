@@ -1,0 +1,98 @@
+"""Orbax/TensorStore table checkpoints (SURVEY.md §5.4: "serialize per-shard arrays with
+TensorStore/OCDBT (orbax-style)").
+
+The default ``utils.checkpoint`` npz format is simple and portable; this backend targets
+pod-scale tables: orbax writes through TensorStore (OCDBT), shards I/O across hosts, and
+restores directly onto the engine's device sharding without materializing the table on one
+host. Same semantics-hash validation as the npz path.
+
+Use through ``ShardedKmerEngine.save_table(..., backend="orbax")`` / ``load_table`` or the
+functions below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.table import KmerTable
+from denovo_kmer_tpu.utils.checkpoint import CheckpointError
+
+FORMAT_VERSION = 1
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_table_orbax(
+    path: str, table: KmerTable, cfg: EngineConfig, source: Optional[str] = None
+) -> None:
+    """Persist a (possibly sharded, global) KmerTable via orbax/TensorStore.
+
+    Multi-host safe: every process must call this (collective); orbax coordinates the
+    per-shard writes. ``path`` becomes a checkpoint directory.
+    """
+    path = os.path.abspath(path)
+    ckptr = _checkpointer()
+    ckptr.save(
+        path,
+        {
+            "keys": table.keys,
+            "counts": table.counts,
+            "n": table.n,
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "config_hash": cfg.config_hash(),
+        "k": cfg.k,
+        "source": source,
+        "shape": {
+            "keys": list(table.keys.shape),
+            "counts": list(table.counts.shape),
+            "n": list(np.shape(table.n)),
+        },
+    }
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "denovo_kmer_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+
+def load_table_orbax(
+    path: str, cfg: EngineConfig, like: Optional[KmerTable] = None
+) -> KmerTable:
+    """Restore a table; ``like`` provides the target sharding/shape pytree (e.g. an empty
+    engine-layout table) so shards restore straight onto their devices."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "denovo_kmer_meta.json")) as f:
+        meta = json.load(f)
+    if meta["format_version"] != FORMAT_VERSION:
+        raise CheckpointError(f"unsupported orbax table version {meta['format_version']}")
+    if meta["config_hash"] != cfg.config_hash():
+        raise CheckpointError(
+            f"checkpoint semantics mismatch: saved under config {meta['config_hash']}, "
+            f"current is {cfg.config_hash()}"
+        )
+    ckptr = _checkpointer()
+    if like is not None:
+        target = {
+            "keys": like.keys,
+            "counts": like.counts,
+            "n": like.n,
+        }
+        restored = ckptr.restore(path, target)
+    else:
+        restored = ckptr.restore(path)
+    return KmerTable(keys=restored["keys"], counts=restored["counts"], n=restored["n"])

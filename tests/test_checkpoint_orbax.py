@@ -1,0 +1,67 @@
+"""Orbax/TensorStore table checkpoints (SURVEY.md §5.4): roundtrip on single-device and
+engine-layout sharded tables, restoring onto the target sharding; semantics-hash guard."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.table import KmerTable, build_table
+from denovo_kmer_tpu.utils.checkpoint import CheckpointError
+from denovo_kmer_tpu.utils.checkpoint_orbax import load_table_orbax, save_table_orbax
+
+CFG = EngineConfig(k=21, table_capacity=1 << 12)
+
+
+def _table(seed=0):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 2**20, size=(500, 2), dtype=np.uint32)
+    return build_table(jnp.asarray(keys)[:, None, :], jnp.ones((500, 1), bool), 4096)
+
+
+def test_roundtrip_single_device(tmp_path):
+    tab = _table()
+    p = str(tmp_path / "tab.orbax")
+    save_table_orbax(p, tab, CFG, source="test")
+    got = load_table_orbax(p, CFG)
+    assert int(got.n) == int(tab.n)
+    np.testing.assert_array_equal(np.asarray(got.keys), np.asarray(tab.keys))
+    np.testing.assert_array_equal(np.asarray(got.counts), np.asarray(tab.counts))
+
+
+def test_semantics_hash_guard(tmp_path):
+    tab = _table(1)
+    p = str(tmp_path / "tab2.orbax")
+    save_table_orbax(p, tab, CFG)
+    other = dataclasses.replace(CFG, k=31)
+    with pytest.raises(CheckpointError, match="semantics mismatch"):
+        load_table_orbax(p, other)
+
+
+def test_roundtrip_sharded_layout(tmp_path):
+    """Engine-layout (R,T,·) table saved and restored onto the mesh sharding."""
+    from denovo_kmer_tpu.parallel.mesh import make_mesh
+    from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
+
+    cfg = dataclasses.replace(CFG, mesh_shape=(2, 4), batch_reads=64)
+    mesh = make_mesh((2, 4))
+    engine = ShardedKmerEngine(cfg, mesh)
+    state = engine.new_build()
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+
+    rng = np.random.default_rng(3)
+    seqs = ["".join(rng.choice(list("ACGT"), 60)) for _ in range(64)]
+    state = engine.ingest(state, pack_seqs(seqs, cfg, batch_size=64))
+    tab = engine.finalize(state)
+
+    p = str(tmp_path / "sharded.orbax")
+    save_table_orbax(p, tab, cfg)
+    like = engine.empty_table()
+    got = load_table_orbax(p, cfg, like=like)
+    # restored shards carry the engine sharding and identical contents
+    assert got.keys.sharding == like.keys.sharding
+    np.testing.assert_array_equal(np.asarray(got.keys), np.asarray(tab.keys))
+    np.testing.assert_array_equal(np.asarray(got.n), np.asarray(tab.n))
