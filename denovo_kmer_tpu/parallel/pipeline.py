@@ -50,6 +50,39 @@ def run_trio_sharded(
     cfg: EngineConfig,
     metrics: Optional[Metrics] = None,
     mesh=None,
+    max_route_retries: int = 3,
+) -> TrioResult:
+    """Sharded trio with automatic routing-capacity retry (SURVEY.md §7.4): when hash skew
+    overflows the all-to-all dispatch capacity, the run restarts with a doubled
+    route_capacity_factor (exactness contract: overflow raises, never drops) up to
+    ``max_route_retries`` times."""
+    import dataclasses as _dc
+
+    from denovo_kmer_tpu.parallel.sharded_table import RouteOverflowError
+
+    last_err = None
+    for attempt in range(max_route_retries):
+        try:
+            return _run_trio_sharded_once(
+                mom_path, dad_path, child_path, cfg, metrics, mesh
+            )
+        except RouteOverflowError as e:
+            last_err = e
+            new_factor = cfg.route_capacity_factor * 2
+            (metrics or Metrics()).event(
+                "route_overflow_retry", attempt=attempt, factor=new_factor
+            )
+            cfg = _dc.replace(cfg, route_capacity_factor=new_factor)
+    raise last_err
+
+
+def _run_trio_sharded_once(
+    mom_path: str,
+    dad_path: str,
+    child_path: str,
+    cfg: EngineConfig,
+    metrics: Optional[Metrics] = None,
+    mesh=None,
 ) -> TrioResult:
     m = metrics or Metrics()
     mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape)

@@ -1,0 +1,44 @@
+"""Routing-capacity auto-retry (SURVEY.md §7.4): a run that overflows the all-to-all
+dispatch capacity must retry with a doubled factor and still produce the exact result."""
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+from denovo_kmer_tpu.parallel.pipeline import run_trio_sharded
+from denovo_kmer_tpu.parallel.sharded_table import RouteOverflowError
+from denovo_kmer_tpu.pipeline import run_trio
+
+
+@pytest.fixture(scope="module")
+def trio_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("retry_trio")
+    return write_trio_bams(
+        make_trio(TrioSpec(genome_len=1200, read_len=50, coverage=5.0, seed=51)), str(d)
+    )
+
+
+def test_overflow_retries_to_exact_result(trio_paths):
+    # a deliberately starved capacity factor: the even-split capacity is far below what
+    # hash variance needs at this tiny batch size, guaranteeing at least one overflow
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                       table_capacity=1 << 13, accum_batches=2,
+                       mesh_shape=(1, 8), route_capacity_factor=0.05)
+    res = run_trio_sharded(
+        trio_paths["mom"], trio_paths["dad"], trio_paths["child"], cfg,
+        max_route_retries=8,
+    )
+    golden = run_trio(
+        trio_paths["mom"], trio_paths["dad"], trio_paths["child"],
+        EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                     table_capacity=1 << 13, accum_batches=2),
+    )
+    assert res.report == golden.report
+
+    # and with retries disabled it must surface the overflow, not silently drop
+    with pytest.raises(RouteOverflowError):
+        run_trio_sharded(
+            trio_paths["mom"], trio_paths["dad"], trio_paths["child"], cfg,
+            max_route_retries=1,
+        )
