@@ -154,16 +154,16 @@ def run_cohort(
                     _record_stream(path, cfg), cfg, m, step
                 )
         if superset is not None:
-            superset = merge_tables(superset, tables["mom"], cfg.table_capacity)
-            superset = merge_tables(superset, tables["dad"], cfg.table_capacity)
-            n_sup = int(superset.n)
-            if n_sup > cfg.table_capacity:
-                # check per fold: a later merge recomputes n from the surviving rows,
-                # which would mask the overflow drop
-                raise RuntimeError(
-                    f"parental superset overflow at trio {trio.name}: "
-                    f"{n_sup} > {cfg.table_capacity}"
-                )
+            # check after EVERY merge: a later merge recomputes n from the surviving
+            # rows, which would mask an earlier overflow drop
+            for parent in ("mom", "dad"):
+                superset = merge_tables(superset, tables[parent], cfg.table_capacity)
+                n_sup = int(superset.n)
+                if n_sup > cfg.table_capacity:
+                    raise RuntimeError(
+                        f"parental superset overflow at trio {trio.name} ({parent}): "
+                        f"{n_sup} > {cfg.table_capacity}"
+                    )
 
         cands = call_candidates(
             tables["child"], tables["mom"], tables["dad"],
@@ -211,39 +211,38 @@ def run_cohort_sharded(
     Returns ({trio_name: [(kmer_value, child, mom, dad), ...]}, superset | None).
     """
     from denovo_kmer_tpu.parallel.mesh import make_mesh
+    from denovo_kmer_tpu.parallel.pipeline import (
+        build_sample_table_sharded,
+        build_score_table_sharded,
+    )
     from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
 
     m = metrics or Metrics()
     mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape)
     engine = ShardedKmerEngine(cfg, mesh)
 
-    def build(path):
-        state = engine.new_build()
-        for packed in pack_records(_record_stream(path, cfg), cfg):
-            state = engine.ingest(state, packed)
-        return engine.finalize(state)
-
     results = {}
     superset = engine.empty_table() if build_parental_superset else None
     for trio in trios:
-        mom, dad = build(trio.mom), build(trio.dad)
+        mom = build_sample_table_sharded(_record_stream(trio.mom, cfg), cfg, engine, m)
+        dad = build_sample_table_sharded(_record_stream(trio.dad, cfg), cfg, engine, m)
         if superset is not None:
-            superset = engine.merge_sharded_tables(superset, mom)
-            superset = engine.merge_sharded_tables(superset, dad)
             # overflow drops rows silently inside the merge and a LATER merge would
-            # recompute n from survivors, masking it — check per fold
+            # recompute n from survivors, masking it — check after EVERY fold
             import jax.numpy as _jnp
 
-            n_max = int(np.asarray(_jnp.max(superset.n)))
-            if n_max > engine.shard_capacity:
-                raise RuntimeError(
-                    f"parental superset shard overflow at trio {trio.name}: "
-                    f"{n_max} > {engine.shard_capacity}; raise --table-capacity"
-                )
-        state = engine.new_score_build(mom, dad)
-        for packed in pack_records(_record_stream(trio.child, cfg), cfg):
-            state = engine.ingest_score(state, packed)
-        stab = engine.finalize_score(state)
+            for parent_tab, pname in ((mom, "mom"), (dad, "dad")):
+                superset = engine.merge_sharded_tables(superset, parent_tab)
+                n_max = int(np.asarray(_jnp.max(superset.n)))
+                if n_max > engine.shard_capacity:
+                    raise RuntimeError(
+                        f"parental superset shard overflow at trio {trio.name} "
+                        f"({pname}): {n_max} > {engine.shard_capacity}; "
+                        f"raise --table-capacity"
+                    )
+        stab = build_score_table_sharded(
+            _record_stream(trio.child, cfg), cfg, engine, mom, dad, m
+        )
         results[trio.name] = engine.call_score(stab)
         m.count("trios", 1)
     if superset is not None:

@@ -143,7 +143,7 @@ def _compress(data: bytes, method: int, rans_order: int = 0) -> bytes:
     if method == M_RAW:
         return data
     if method == M_GZIP:
-        return zlib.compress(data, 6, wbits=31) if False else _gzip(data)
+        return _gzip(data)
     if method == M_BZIP2:
         return bz2.compress(data)
     if method == M_LZMA:
@@ -320,7 +320,9 @@ class _Decoder:
                 self.const = alphabet[0]
             else:
                 # canonical Huffman codes, shortest first, ties by alphabet order
-                order = sorted(range(len(alphabet)), key=lambda i: (lens[i], i))
+                # canonical code assignment orders by (bit length, SYMBOL VALUE) — the
+                # alphabet's serialization order is not significant (CRAM spec §12.4)
+                order = sorted(range(len(alphabet)), key=lambda i: (lens[i], alphabet[i]))
                 code = 0
                 prev_len = lens[order[0]]
                 table = {}
@@ -493,11 +495,12 @@ BAM_FUNMAP = 0x4
 
 
 class CramReader:
-    """Iterate CRAM records (seq/qual/flag). ``reference`` maps ref id → sequence string
-    (build with ``load_reference``); required for reference-based slices without an
-    embedded reference."""
+    """Iterate CRAM records (seq/qual/flag). ``reference`` maps @SQ sequence NAME →
+    sequence string (build with ``load_reference``; integer-keyed dicts are accepted and
+    matched by @SQ ordinal); required for reference-based slices without an embedded
+    reference."""
 
-    def __init__(self, f, reference: Optional[Dict[int, str]] = None):
+    def __init__(self, f, reference: Optional[Dict[object, str]] = None):
         self._f = f
         self.reference = reference or {}
         magic = f.read(4)
@@ -509,6 +512,22 @@ class CramReader:
             raise ValueError(f"unsupported CRAM major version {ver[0]}")
         f.read(20)  # file id
         self.sam_header = self._read_file_header()
+        # ref id → name from the @SQ lines, in order (the CRAM's authoritative mapping)
+        self._sq_names: List[str] = []
+        for line in self.sam_header.splitlines():
+            if line.startswith("@SQ"):
+                for field in line.split("\t"):
+                    if field.startswith("SN:"):
+                        self._sq_names.append(field[3:])
+                        break
+
+    def _ref_seq(self, ref_id: int) -> Optional[str]:
+        """Resolve a reference id to its sequence by @SQ NAME first, ordinal second."""
+        if 0 <= ref_id < len(self._sq_names):
+            seq = self.reference.get(self._sq_names[ref_id])
+            if seq is not None:
+                return seq
+        return self.reference.get(ref_id)
 
     # --- container plumbing (varints parsed straight off the stream, no over-read) ---
 
@@ -622,8 +641,13 @@ class CramReader:
         for _ in range(sh.n_records):
             bf = D("BF").read_int()
             cf = D("CF").read_int() if D("CF") else 0
-            ref_id = cont_ref
-            if cont_ref == -2 and D("RI"):
+            # multi-reference is a SLICE property: RI is consumed per record only when
+            # the slice header says -2; single-ref slices inside a -2 container use the
+            # slice's own ref id (spec §8.5)
+            ref_id = sh.ref_id
+            if sh.ref_id == -2:
+                if D("RI") is None:
+                    raise ValueError("multi-ref slice without an RI data series")
                 ref_id = D("RI").read_int()
             rl = D("RL").read_int()
             if ch.ap_delta:
@@ -684,7 +708,7 @@ class CramReader:
             ref = embedded_ref.decode("ascii", "replace")
             ref_off = sh.start  # embedded ref starts at the slice start
         else:
-            ref = self.reference.get(ref_id)
+            ref = self._ref_seq(ref_id)
             if ref is None:
                 raise ValueError(
                     f"slice needs reference sequence {ref_id}; pass reference="
@@ -772,11 +796,13 @@ class CramReader:
         raise ValueError(f"unsupported read feature {code!r}")
 
 
-def load_reference(fasta_path: str) -> Dict[int, str]:
-    """FASTA → {ref index: sequence} (index = @SQ order = FASTA order)."""
+def load_reference(fasta_path: str) -> Dict[str, str]:
+    """FASTA → {sequence name: sequence}. Names (first whitespace-delimited token of each
+    header) are matched against the CRAM's @SQ SN: names — NOT file order, which need not
+    agree between the FASTA and the CRAM header."""
     from denovo_kmer_tpu.io.fasta import read_fasta
 
-    return {i: seq for i, (_name, seq) in enumerate(read_fasta(fasta_path))}
+    return {name.split()[0]: seq for name, seq in read_fasta(fasta_path)}
 
 
 def read_cram_records(path: str, reference: Optional[str] = None):

@@ -30,14 +30,23 @@ def prefetch_batches(batches: Iterable[T], depth: int = 2) -> Iterator[T]:
     """Iterate ``batches`` with a background producer thread and a bounded queue.
 
     ``depth`` bounds host memory: at most ``depth`` packed batches are in flight beyond the
-    one being consumed. Order is preserved; the producer thread is a daemon, so an abandoned
-    consumer never blocks interpreter exit."""
+    one being consumed. Order is preserved. If the consumer exits early (exception in the
+    processing loop, ``break``, generator close), the producer is signalled to stop — it
+    never stays blocked on a full queue holding the input stream open."""
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
 
     def produce():
         try:
             for b in batches:
-                q.put(b)
+                while not stop.is_set():
+                    try:
+                        q.put(b, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # re-raised consumer-side
             q.put(_Failure(e))
             return
@@ -45,10 +54,17 @@ def prefetch_batches(batches: Iterable[T], depth: int = 2) -> Iterator[T]:
 
     t = threading.Thread(target=produce, daemon=True, name="denovo-kmer-prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is _DONE:
-            return
-        if isinstance(item, _Failure):
-            raise item.exc
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, _Failure):
+                raise item.exc
+            yield item
+    finally:
+        stop.set()
+        try:  # unblock a producer waiting on a full queue
+            q.get_nowait()
+        except queue.Empty:
+            pass

@@ -43,6 +43,30 @@ def build_sample_table_sharded(
     return table
 
 
+def build_score_table_sharded(
+    child_records,
+    cfg: EngineConfig,
+    engine: ShardedKmerEngine,
+    mom,
+    dad,
+    metrics: Optional[Metrics] = None,
+):
+    """Child-scoring build over the mesh: parent-seeded scored ingest with host prefetch.
+    Shared by the trio and cohort pipelines."""
+    from denovo_kmer_tpu.io.prefetch import prefetch_batches
+
+    m = metrics or Metrics()
+    state = engine.new_score_build(mom, dad)
+    for packed in prefetch_batches(pack_records(child_records, cfg)):
+        m.count("reads_ingested", packed.n_reads)
+        with m.timer("extract_probe"):
+            state = engine.ingest_score(state, packed)
+        m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
+        m.count("batches", 1)
+    with m.timer("finalize"):
+        return engine.finalize_score(state)
+
+
 def run_trio_sharded(
     mom_path: str,
     dad_path: str,
@@ -55,23 +79,32 @@ def run_trio_sharded(
     """Sharded trio with automatic routing-capacity retry (SURVEY.md §7.4): when hash skew
     overflows the all-to-all dispatch capacity, the run restarts with a doubled
     route_capacity_factor (exactness contract: overflow raises, never drops) up to
-    ``max_route_retries`` times."""
+    ``max_route_retries`` times. Failed attempts use a scratch Metrics object so the
+    reported counters/timers reflect only the successful run."""
     import dataclasses as _dc
 
     from denovo_kmer_tpu.parallel.sharded_table import RouteOverflowError
 
+    if max_route_retries < 1:
+        raise ValueError(f"max_route_retries must be >= 1, got {max_route_retries}")
     last_err = None
     for attempt in range(max_route_retries):
+        final = attempt == max_route_retries - 1
+        attempt_metrics = metrics if final else Metrics()
         try:
-            return _run_trio_sharded_once(
-                mom_path, dad_path, child_path, cfg, metrics, mesh
+            res = _run_trio_sharded_once(
+                mom_path, dad_path, child_path, cfg, attempt_metrics, mesh
             )
+            if metrics is not None and not final:
+                metrics.merge_from(res.metrics)
+                res.metrics = metrics
+            return res
         except RouteOverflowError as e:
             last_err = e
             new_factor = cfg.route_capacity_factor * 2
-            (metrics or Metrics()).event(
-                "route_overflow_retry", attempt=attempt, factor=new_factor
-            )
+            if metrics is not None:
+                metrics.event("route_overflow_retry", attempt=attempt,
+                              factor=new_factor)
             cfg = _dc.replace(cfg, route_capacity_factor=new_factor)
     raise last_err
 
@@ -97,18 +130,11 @@ def _run_trio_sharded_once(
         m.event("table_built", sample=name, unique=engine.total_unique(tables[name]))
 
     # child: parent-seeded scored build (ops/score.py) — the trio join rides the flushes
-    from denovo_kmer_tpu.io.prefetch import prefetch_batches
-
     with m.timer("build_child"):
-        state = engine.new_score_build(tables["mom"], tables["dad"])
-        for packed in prefetch_batches(pack_records(_record_stream(child_path, cfg), cfg)):
-            m.count("reads_ingested", packed.n_reads)
-            with m.timer("extract_probe"):
-                state = engine.ingest_score(state, packed)
-            m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
-            m.count("batches", 1)
-        with m.timer("finalize"):
-            stab = engine.finalize_score(state)
+        stab = build_score_table_sharded(
+            _record_stream(child_path, cfg), cfg, engine,
+            tables["mom"], tables["dad"], m,
+        )
     child_uniques = int(np.asarray(jnp.sum(jnp.where(stab.counts >= 1, 1, 0)))) // engine.R
     m.event("table_built", sample="child", unique=child_uniques)
 

@@ -36,6 +36,14 @@ class Metrics:
         finally:
             self.add_seconds(name, time.perf_counter() - t0)
 
+    def merge_from(self, other: "Metrics") -> None:
+        """Fold another Metrics' counters/timers into this one (e.g. the successful
+        attempt of a retry loop)."""
+        for k, v in other.counters.items():
+            self.counters[k] += v
+        for k, v in other.seconds.items():
+            self.seconds[k] += v
+
     def event(self, name: str, **fields) -> None:
         if self._json is not None:
             rec = {"event": name, "t": time.time(), **fields}

@@ -149,3 +149,18 @@ def test_core_block_codecs_huffman_beta():
     blob = acc.to_bytes((nbits + 7) // 8, "big")
     d3 = _Decoder(enc_beta, _BitReader(blob), {})
     assert [d3.read_int() for _ in range(3)] == vals
+
+
+def test_reference_resolved_by_sq_name_not_order(tmp_path):
+    """@SQ names, not FASTA file order, map ref ids to sequences (review finding)."""
+    rng = random.Random(5)
+    ref = "".join(rng.choice("ACGT") for _ in range(800))
+    decoy = "".join(rng.choice("ACGT") for _ in range(800))
+    reads = [(ref[100:160], 101), (ref[300:360], 301)]
+    path = str(tmp_path / "named.cram")
+    write_cram(path, [], mapped=reads, reference=ref,
+               sam_header="@HD\tVN:1.6\n@SQ\tSN:chrX\tLN:800\n")
+    # name-keyed dict with a decoy under a different name: must pick chrX by name
+    with open(path, "rb") as f:
+        got = list(CramReader(f, reference={"decoy": decoy, "chrX": ref}))
+    assert [r.seq for r in got] == [s for s, _ in reads]
