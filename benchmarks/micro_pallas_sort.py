@@ -1,0 +1,166 @@
+"""Feasibility probe: in-VMEM bitonic sort as a Pallas kernel vs jax.lax.sort.
+
+The pipeline's cost floor is lax.sort's ~160 Mrows/s. A VMEM-blocked sort would fuse all
+low-stride bitonic stages into one HBM round-trip per block; if the per-block Pallas sort
+beats batched lax.sort at the same block size by >=2x, a full hierarchical sort kernel is
+worth building (benchmarks/README.md "next step"). This probes a (BLOCKS x R)-row batched
+sort of 1 uint32 key + 1 payload.
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+R = int(os.environ.get('MICRO_R', 1 << 11))  # rows per block
+BLOCKS = (1 << 22) // R  # ~4.2M rows total
+
+
+def _stage(key, pay, s, asc_mask=None):
+    """One compare-exchange stage at stride s over axis 0 of (R, L) arrays."""
+    kk = key.reshape(-1, 2, s, key.shape[-1])
+    pp = pay.reshape(-1, 2, s, pay.shape[-1])
+    lo_k, hi_k = kk[:, 0], kk[:, 1]
+    lo_p, hi_p = pp[:, 0], pp[:, 1]
+    swap = lo_k > hi_k
+    if asc_mask is not None:
+        swap = swap ^ asc_mask.reshape(-1, s, 1 if asc_mask.ndim == 1 else asc_mask.shape[-1])[: kk.shape[0]]
+    nlo_k = jnp.where(swap, hi_k, lo_k)
+    nhi_k = jnp.where(swap, lo_k, hi_k)
+    nlo_p = jnp.where(swap, hi_p, lo_p)
+    nhi_p = jnp.where(swap, lo_p, hi_p)
+    key = jnp.stack([nlo_k, nhi_k], axis=1).reshape(key.shape)
+    pay = jnp.stack([nlo_p, nhi_p], axis=1).reshape(pay.shape)
+    return key, pay
+
+
+def _bitonic_sort_block(key, pay):
+    """Full ascending bitonic sort of (R, L) columns independently?? NO — we sort along
+    axis 0 with L independent lanes, which is exactly a batched sort of L columns."""
+    n = key.shape[0]
+    size = 2
+    while size <= n:
+        # direction alternates per size-block to form bitonic sequences
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        desc = ((idx // size) & 1) == 1  # descending blocks
+        s = size // 2
+        while s >= 1:
+            kk = key.reshape(-1, 2, s, key.shape[-1])
+            pp = pay.reshape(-1, 2, s, pay.shape[-1])
+            dd = desc.reshape(-1, 2, s, 1)[:, 0]
+            lo_k, hi_k = kk[:, 0], kk[:, 1]
+            lo_p, hi_p = pp[:, 0], pp[:, 1]
+            swap = (lo_k > hi_k) ^ dd
+            nlo_k = jnp.where(swap, hi_k, lo_k)
+            nhi_k = jnp.where(swap, lo_k, hi_k)
+            nlo_p = jnp.where(swap, hi_p, lo_p)
+            nhi_p = jnp.where(swap, lo_p, hi_p)
+            key = jnp.stack([nlo_k, nhi_k], axis=1).reshape(key.shape)
+            pay = jnp.stack([nlo_p, nhi_p], axis=1).reshape(pay.shape)
+            s //= 2
+        size *= 2
+    return key, pay
+
+
+def _kernel(key_ref, pay_ref, ok_ref, op_ref):
+    k, p = _bitonic_sort_block(key_ref[:, :], pay_ref[:, :])
+    ok_ref[:, :] = k
+    op_ref[:, :] = p
+
+
+def pallas_block_sort(keys, pays, interpret=False):
+    """(BLOCKS*R, 128) keys+payloads; sorts each (R,128) block's COLUMNS independently."""
+    return pl.pallas_call(
+        _kernel,
+        grid=(BLOCKS,),
+        in_specs=[
+            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BLOCKS * R, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((BLOCKS * R, 128), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(keys, pays)
+
+
+def timed(fn, *args, reps=2):
+    fn_j = jax.jit(fn)
+    out = fn_j(*args, jnp.uint32(0))
+    jax.block_until_ready(out)
+    ts = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        out = fn_j(*args, jnp.uint32(r + 1))
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    rng = np.random.default_rng(0)
+
+    # correctness on one small block in interpret mode (no big allocations)
+    if os.environ.get("MICRO_CHECK"):
+        sk = rng.integers(0, 2**32, size=(R, 2), dtype=np.uint32)
+        sp = rng.integers(0, 2**32, size=(R, 2), dtype=np.uint32)
+        got_k, got_p = jax.tree.map(
+            np.asarray,
+            pl.pallas_call(
+                _kernel,
+                out_shape=(jax.ShapeDtypeStruct((R, 2), jnp.uint32),) * 2,
+                interpret=True,
+            )(jnp.asarray(sk), jnp.asarray(sp)),
+        )
+        assert np.array_equal(got_k, np.sort(sk, axis=0)), "pallas sort wrong"
+        # payload pairing preserved
+        order = np.argsort(sk[:, 0], kind="stable")
+        assert sorted(map(tuple, np.stack([sk[:, 0], sp[:, 0]], 1))) == sorted(
+            map(tuple, np.stack([got_k[:, 0], got_p[:, 0]], 1))
+        )
+        print("correctness ok", flush=True)
+        return 0
+
+    total = BLOCKS * R  # rows; each row has 128 lanes = 128 independent sorts
+    keys = jnp.asarray(rng.integers(0, 2**32, size=(total, 128), dtype=np.uint32))
+    pays = jnp.asarray(rng.integers(0, 2**32, size=(total, 128), dtype=np.uint32))
+
+    n_elems = total * 128  # total sorted elements (each lane independent)
+
+    def fp(keys, pays, salt):
+        k, p = pallas_block_sort(keys ^ (salt & 0) ^ salt, pays)
+        return k[:1, :1]
+
+    dt = timed(fp, keys, pays)
+    print(f"pallas block-sort {BLOCKS}x{R}x128 lanes: "
+          f"{n_elems/dt/1e6:.1f} Melems/s ({dt*1e3:.1f} ms)", flush=True)
+
+    # XLA reference: batched sort along axis 0 of the same data = sort each column of each
+    # block. lax.sort sorts along ONE axis; reshape to (BLOCKS, R, 128) sort axis 1.
+    def fx(keys, pays, salt):
+        k3 = (keys ^ salt).reshape(BLOCKS, R, 128)
+        p3 = pays.reshape(BLOCKS, R, 128)
+        ks, ps = jax.lax.sort([k3, p3], dimension=1, num_keys=1)
+        return ks[:1, :1, :1]
+
+    dt = timed(fx, keys, pays)
+    print(f"lax.sort same shape (axis=1): {n_elems/dt/1e6:.1f} Melems/s ({dt*1e3:.1f} ms)",
+          flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
