@@ -19,7 +19,6 @@ import numpy as np
 from denovo_kmer_tpu.config import EngineConfig
 from denovo_kmer_tpu.ops.pack import pack_records
 from denovo_kmer_tpu.ops.table import KmerTable, empty_table, merge_tables
-from denovo_kmer_tpu.ops.trio import call_candidates
 from denovo_kmer_tpu.pipeline import (
     TrioResult,
     _record_stream,
@@ -55,12 +54,17 @@ def run_trio_multi_k(
             c.accum_batches * c.batch_reads * c.windows_per_read, c.words
         )
 
-    tables: Dict[str, Dict[int, KmerTable]] = {}
-    for name, path in (("mom", mom_path), ("dad", dad_path), ("child", child_path)):
-        per_k = {k: empty_table(cfgs[k].table_capacity, cfgs[k].words) for k in ks}
-        accs = {k: fresh_acc(k) for k in ks}
+    import jax as _jax
+
+    from denovo_kmer_tpu.ops.score import (
+        call_from_score,
+        flush_score,
+        seed_score_table,
+    )
+
+    def stream_per_k(path, per_k_sink, flushers, accs):
+        """One decode pass; extract/append per k; flush at accumulation boundaries."""
         pending = 0
-        # pack once (k-independent), extract/append per k
         for packed in pack_records(_record_stream(path, base_cfg), base_cfg):
             m.count("reads_ingested", packed.n_reads)
             words = jnp.asarray(packed.words)
@@ -73,13 +77,17 @@ def run_trio_multi_k(
                 m.count("kmers_extracted", packed.n_reads * cfgs[k].windows_per_read)
             if pending == base_cfg.accum_batches:
                 for k in ks:
-                    _, flush_fn = steps[k]
-                    accs[k], per_k[k] = flush_fn(accs[k], per_k[k])
+                    accs[k], per_k_sink[k] = flushers[k](accs[k], per_k_sink[k])
                 pending = 0
         for k in ks:
             if pending:
-                _, flush_fn = steps[k]
-                accs[k], per_k[k] = flush_fn(accs[k], per_k[k])
+                accs[k], per_k_sink[k] = flushers[k](accs[k], per_k_sink[k])
+
+    tables: Dict[str, Dict[int, KmerTable]] = {}
+    for name, path in (("mom", mom_path), ("dad", dad_path)):
+        per_k = {k: empty_table(cfgs[k].table_capacity, cfgs[k].words) for k in ks}
+        stream_per_k(path, per_k, {k: steps[k][1] for k in ks},
+                     {k: fresh_acc(k) for k in ks})
         tables[name] = per_k
         for k in ks:
             n = int(per_k[k].n)
@@ -88,20 +96,32 @@ def run_trio_multi_k(
                     f"table overflow at k={k}: {n} > {cfgs[k].table_capacity}"
                 )
 
+    # child: parent-seeded scored build per k (same fused path as the trio pipeline)
+    score_k = {
+        k: seed_score_table(tables["mom"][k], tables["dad"][k], cfgs[k].table_capacity)
+        for k in ks
+    }
+    flush_sc = {k: _jax.jit(flush_score, donate_argnums=(0, 1)) for k in ks}
+    stream_per_k(child_path, score_k, flush_sc, {k: fresh_acc(k) for k in ks})
+    for k in ks:
+        n = int(score_k[k].n)
+        if n > cfgs[k].table_capacity:
+            raise RuntimeError(
+                f"score table overflow at k={k}: {n} > {cfgs[k].table_capacity}"
+            )
+
     from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
 
     out: Dict[int, TrioResult] = {}
     for k in ks:
         cfg = cfgs[k]
-        cands = call_candidates(
-            tables["child"][k], tables["mom"][k], tables["dad"][k],
-            cfg.tau_parent, cfg.min_child_count,
-        )
+        cands = call_from_score(score_k[k], cfg.tau_parent, cfg.min_child_count)
         n = int(cands.n)
         keys = np.asarray(cands.keys)[:n]
         cc = np.asarray(cands.child_counts)[:n]
         mc = np.asarray(cands.mom_counts)[:n]
         dc = np.asarray(cands.dad_counts)[:n]
+        child_uniques = int(jnp.sum(score_k[k].counts >= 1))
         out[k] = TrioResult(
             candidates=[
                 (words_to_kmer_value(keys[i]), int(cc[i]), int(mc[i]), int(dc[i]))
@@ -109,7 +129,8 @@ def run_trio_multi_k(
             ],
             report=format_report_np(keys, cc, mc, dc, k),
             metrics=m,
-            tables_n={s: int(tables[s][k].n) for s in tables},
+            tables_n={"mom": int(tables["mom"][k].n),
+                      "dad": int(tables["dad"][k].n), "child": child_uniques},
         )
     return out
 
@@ -146,10 +167,14 @@ def run_cohort(
 
     from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
 
+    from denovo_kmer_tpu.ops.score import call_from_score
+    from denovo_kmer_tpu.pipeline import ScoringTableBuilder
+
+    scorer = ScoringTableBuilder(cfg, extract_append=step[0])
     for trio in trios:
         tables = {}
-        for sample, path in (("mom", trio.mom), ("dad", trio.dad), ("child", trio.child)):
-            with m.timer(f"build"):
+        for sample, path in (("mom", trio.mom), ("dad", trio.dad)):
+            with m.timer("build"):
                 tables[sample] = build_sample_table(
                     _record_stream(path, cfg), cfg, m, step
                 )
@@ -165,10 +190,12 @@ def run_cohort(
                         f"{n_sup} > {cfg.table_capacity}"
                     )
 
-        cands = call_candidates(
-            tables["child"], tables["mom"], tables["dad"],
-            cfg.tau_parent, cfg.min_child_count,
-        )
+        with m.timer("build"):
+            score_tab = scorer.build(
+                tables["mom"], tables["dad"],
+                pack_records(_record_stream(trio.child, cfg), cfg), m,
+            )
+        cands = call_from_score(score_tab, cfg.tau_parent, cfg.min_child_count)
         n = int(cands.n)
         keys = np.asarray(cands.keys)[:n]
         cc = np.asarray(cands.child_counts)[:n]
@@ -181,7 +208,8 @@ def run_cohort(
             ],
             report=format_report_np(keys, cc, mc, dc, cfg.k),
             metrics=m,
-            tables_n={s: int(t.n) for s, t in tables.items()},
+            tables_n={"mom": int(tables["mom"].n), "dad": int(tables["dad"].n),
+                      "child": int(jnp.sum(score_tab.counts >= 1))},
         )
         m.count("trios", 1)
 
