@@ -1,0 +1,97 @@
+"""CLI surface regression tests: every subcommand drives end-to-end through main(argv) on
+tiny synthetic data (hermetic, CPU mesh from conftest). Guards the argv wiring — the device
+paths themselves are covered by the op/pipeline parity suites."""
+
+import json
+import os
+
+import pytest
+
+from denovo_kmer_tpu.cli import main
+
+ENGINE_ARGS = ["-k", "21", "--max-read-len", "64", "--batch-reads", "64",
+               "--table-capacity", str(1 << 13)]
+
+
+@pytest.fixture(scope="module")
+def trio_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_trio")
+    rc = main(["synth-trio", str(d), "--genome-len", "1500", "--coverage", "6",
+               "--read-len", "50", "--denovo", "3"])
+    assert rc == 0
+    assert (d / "trio.json").exists()
+    return d
+
+
+def test_call_tsv_and_fasta(trio_dir, tmp_path):
+    out = tmp_path / "c.tsv"
+    rc = main(["call", "--mom", str(trio_dir / "mom.bam"),
+               "--dad", str(trio_dir / "dad.bam"),
+               "--child", str(trio_dir / "child.bam"),
+               "-o", str(out), *ENGINE_ARGS])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert lines[0] == "#kmer\tchild_count\tmom_count\tdad_count"
+    assert len(lines) > 1  # planted de novo sites produce candidates
+
+    fa = tmp_path / "c.fa"
+    rc = main(["call", "--mom", str(trio_dir / "mom.bam"),
+               "--dad", str(trio_dir / "dad.bam"),
+               "--child", str(trio_dir / "child.bam"),
+               "--output-format", "fasta", "-o", str(fa), *ENGINE_ARGS])
+    assert rc == 0
+    fa_lines = fa.read_text().splitlines()
+    assert fa_lines[0].startswith(">denovo_0 ")
+    assert len(fa_lines) == 2 * (len(lines) - 1)
+
+
+def test_count_then_call_from_checkpoints(trio_dir, tmp_path):
+    mom_npz = tmp_path / "mom.npz"
+    rc = main(["count", str(trio_dir / "mom.bam"), "-o", str(mom_npz), *ENGINE_ARGS])
+    assert rc == 0 and mom_npz.exists()
+
+    out = tmp_path / "from_ckpt.tsv"
+    rc = main(["call", "--mom", str(mom_npz),
+               "--dad", str(trio_dir / "dad.bam"),
+               "--child", str(trio_dir / "child.bam"),
+               "-o", str(out), *ENGINE_ARGS])
+    assert rc == 0
+    ref = tmp_path / "from_bam.tsv"
+    main(["call", "--mom", str(trio_dir / "mom.bam"),
+          "--dad", str(trio_dir / "dad.bam"),
+          "--child", str(trio_dir / "child.bam"),
+          "-o", str(ref), *ENGINE_ARGS])
+    assert out.read_text() == ref.read_text()
+
+
+def test_sweep(trio_dir, tmp_path):
+    pattern = str(tmp_path / "c.k{k}.tsv")
+    rc = main(["sweep", "--mom", str(trio_dir / "mom.bam"),
+               "--dad", str(trio_dir / "dad.bam"),
+               "--child", str(trio_dir / "child.bam"),
+               "--ks", "15,21", "-o", pattern, *ENGINE_ARGS])
+    assert rc == 0
+    for k in (15, 21):
+        assert os.path.exists(pattern.format(k=k))
+
+
+def test_cohort(trio_dir, tmp_path):
+    man = tmp_path / "man.tsv"
+    man.write_text(
+        f"t1\t{trio_dir/'mom.bam'}\t{trio_dir/'dad.bam'}\t{trio_dir/'child.bam'}\n"
+    )
+    outdir = tmp_path / "coh"
+    rc = main(["cohort", str(man), "-o", str(outdir), *ENGINE_ARGS])
+    assert rc == 0
+    assert (outdir / "t1.candidates.tsv").exists()
+    assert (outdir / "parental_superset.npz").exists()
+
+
+def test_call_sharded_mesh_matches_single(trio_dir, tmp_path):
+    a, b = tmp_path / "one.tsv", tmp_path / "mesh.tsv"
+    args = ["call", "--mom", str(trio_dir / "mom.bam"),
+            "--dad", str(trio_dir / "dad.bam"),
+            "--child", str(trio_dir / "child.bam"), *ENGINE_ARGS]
+    assert main([*args, "-o", str(a)]) == 0
+    assert main([*args, "-o", str(b), "--mesh", "2x4"]) == 0
+    assert a.read_text() == b.read_text()
