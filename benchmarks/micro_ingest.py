@@ -1,0 +1,67 @@
+"""Host feeder benchmark: BAM decode + 2-bit pack rate, C++ shim vs pure Python.
+
+The chip consumes ~50 Mk-mers/s ≈ 400 Kreads/s at 130 windows/read; the host feeder must
+keep up (SURVEY.md §7.4 'host ingest bandwidth'). Generates a synthetic BAM on the fly.
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+
+    n_target = int(os.environ.get("BENCH_READS", 200_000))
+    cfg = EngineConfig(k=31, max_read_len=160, batch_reads=4096)
+
+    with tempfile.TemporaryDirectory() as d:
+        # coverage chosen to produce ~n_target child reads
+        genome_len = 2_000_000
+        cov = n_target * 150 / genome_len
+        paths = write_trio_bams(
+            make_trio(TrioSpec(genome_len=genome_len, read_len=150, coverage=cov,
+                               seed=1)),
+            d,
+        )
+        bam = paths["child"]
+        size_mb = os.path.getsize(bam) / 1e6
+        print(f"BAM: {size_mb:.1f} MB", file=sys.stderr, flush=True)
+
+        from denovo_kmer_tpu.io.native import native_available
+
+        if native_available():
+            from denovo_kmer_tpu.io.native import NativeBamFeeder
+
+            t0 = time.perf_counter()
+            n = 0
+            feeder = NativeBamFeeder(bam, cfg)
+            for packed in feeder:
+                n += packed.n_reads
+            dt = time.perf_counter() - t0
+            print(f"native shim: {n} reads in {dt:.2f}s = {n/dt/1e3:.0f} Kreads/s "
+                  f"({size_mb/dt:.0f} MB/s)", flush=True)
+        else:
+            print("native shim unavailable", flush=True)
+
+        from denovo_kmer_tpu.io.bam import read_bam_records
+        from denovo_kmer_tpu.ops.pack import pack_records
+
+        t0 = time.perf_counter()
+        n = 0
+        for packed in pack_records(read_bam_records(bam), cfg):
+            n += packed.n_reads
+        dt = time.perf_counter() - t0
+        print(f"pure python: {n} reads in {dt:.2f}s = {n/dt/1e3:.0f} Kreads/s "
+              f"({size_mb/dt:.0f} MB/s)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

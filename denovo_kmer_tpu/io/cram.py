@@ -925,6 +925,7 @@ def write_cram(
     method: int = M_GZIP,
     rans_order: int = 0,
     reads_per_container: int = 1000,
+    slices_per_container: int = 1,
 ) -> None:
     """Write a CRAM 3.0 file. Two profiles:
 
@@ -950,11 +951,13 @@ def write_cram(
                 counter += len(chunk)
         else:
             recs = list(records)
-            chunks = [recs[i : i + reads_per_container]
-                      for i in range(0, len(recs), reads_per_container)]
-            for chunk in chunks:
-                _write_unmapped_container(f, chunk, counter, method, rans_order)
-                counter += len(chunk)
+            per_slice = max(reads_per_container // max(slices_per_container, 1), 1)
+            chunks = [recs[i : i + per_slice]
+                      for i in range(0, len(recs), per_slice)]
+            for g in range(0, len(chunks), slices_per_container):
+                group = chunks[g : g + slices_per_container]
+                _write_unmapped_container(f, group, counter, method, rans_order)
+                counter += sum(len(c) for c in group)
 
         # EOF container: ref -1, no records, single empty compression-header block
         bio = _io.BytesIO()
@@ -972,24 +975,41 @@ def _sub_code(ref_base: str, alt_base: str) -> int:
     return (row >> (6 - 2 * j)) & 3
 
 
-def _write_series_blocks(f, ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int,
-                         start: int, span: int, counter: int, method: int,
-                         rans_order: int, mapped: bool):
+def _slice_blob(ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int, start: int,
+                span: int, counter: int, method: int, rans_order: int) -> Tuple[bytes, int]:
+    """One slice's blocks (slice header + empty core + used externals) → (bytes, n_blocks)."""
     used = [(k, b) for k, b in ext.items() if b.buf]
     ids = [_W_IDS[k] for k, _ in used]
     sh = _slice_header_blob(ref_id, start, span, n_rec, counter, 1 + len(used), ids)
     bio = _io.BytesIO()
-    write_block(bio, M_RAW, CT_COMPRESSION_HEADER, 0, _compression_header_blob(mapped))
     write_block(bio, M_RAW, CT_SLICE_HEADER, 0, sh)
     write_block(bio, M_RAW, CT_CORE, 0, b"")
     for k, b in used:
         write_block(bio, method, CT_EXTERNAL, _W_IDS[k], bytes(b.buf),
                     rans_order=rans_order)
+    return bio.getvalue(), 2 + len(used)
+
+
+def _write_series_blocks(f, ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int,
+                         start: int, span: int, counter: int, method: int,
+                         rans_order: int, mapped: bool, extra_slices=()):
+    """Emit one container: compression header + one slice from ``ext`` (+ any pre-built
+    ``extra_slices`` sharing the same compression header — multi-slice containers)."""
+    bio = _io.BytesIO()
+    write_block(bio, M_RAW, CT_COMPRESSION_HEADER, 0, _compression_header_blob(mapped))
+    blob, n_blocks = _slice_blob(ext, n_rec, ref_id, start, span, counter, method,
+                                 rans_order)
+    bio.write(blob)
+    total_rec, total_blocks = n_rec, 1 + n_blocks
+    for s_blob, s_blocks, s_rec in extra_slices:
+        bio.write(s_blob)
+        total_blocks += s_blocks
+        total_rec += s_rec
     body = bio.getvalue()
-    _container(f, body, ref_id, start, span, n_rec, counter, 3 + len(used), [0])
+    _container(f, body, ref_id, start, span, total_rec, counter, total_blocks, [0])
 
 
-def _write_unmapped_container(f, chunk, counter, method, rans_order):
+def _unmapped_ext(chunk, counter) -> Dict[str, _ExtBuf]:
     ext: Dict[str, _ExtBuf] = {k: _ExtBuf() for k in _W_IDS}
     for i, (seq, qual, flag) in enumerate(chunk):
         ext["BF"].itf8(flag | BAM_FUNMAP)
@@ -1007,8 +1027,22 @@ def _write_unmapped_container(f, chunk, counter, method, rans_order):
             ext["BA"].byte(ord(ch_))
         if qual is not None:
             ext["QS"].raw(bytes(qual))
-    _write_series_blocks(f, ext, len(chunk), -1, 0, 0, counter, method,
-                         rans_order, mapped=False)
+    return ext
+
+
+def _write_unmapped_container(f, chunks, counter, method, rans_order):
+    """One container holding one slice per chunk (multi-slice when len(chunks) > 1)."""
+    first, rest = chunks[0], chunks[1:]
+    ext0 = _unmapped_ext(first, counter)
+    c = counter + len(first)
+    extras = []
+    for ch in rest:
+        blob, n_blocks = _slice_blob(_unmapped_ext(ch, c), len(ch), -1, 0, 0, c,
+                                     method, rans_order)
+        extras.append((blob, n_blocks, len(ch)))
+        c += len(ch)
+    _write_series_blocks(f, ext0, len(first), -1, 0, 0, counter, method,
+                         rans_order, mapped=False, extra_slices=extras)
 
 
 def _write_mapped_container(f, chunk, reference, counter, method, rans_order):

@@ -95,3 +95,15 @@ def test_call_sharded_mesh_matches_single(trio_dir, tmp_path):
     assert main([*args, "-o", str(a)]) == 0
     assert main([*args, "-o", str(b), "--mesh", "2x4"]) == 0
     assert a.read_text() == b.read_text()
+
+
+def test_profile_dir_writes_trace(trio_dir, tmp_path):
+    prof = tmp_path / "prof"
+    rc = main(["call", "--mom", str(trio_dir / "mom.bam"),
+               "--dad", str(trio_dir / "dad.bam"),
+               "--child", str(trio_dir / "child.bam"),
+               "-o", str(tmp_path / "p.tsv"), "--profile-dir", str(prof),
+               *ENGINE_ARGS])
+    assert rc == 0
+    files = [p for p in prof.rglob("*") if p.is_file()]
+    assert files, "profiler trace directory is empty"

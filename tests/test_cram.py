@@ -164,3 +164,16 @@ def test_reference_resolved_by_sq_name_not_order(tmp_path):
     with open(path, "rb") as f:
         got = list(CramReader(f, reference={"decoy": decoy, "chrX": ref}))
     assert [r.seq for r in got] == [s for s, _ in reads]
+
+
+def test_multi_slice_containers_roundtrip(tmp_path):
+    """Containers holding several slices under one compression header decode correctly."""
+    rng = random.Random(19)
+    reads = _synth_reads(rng, 90, L=60)
+    path = str(tmp_path / "ms.cram")
+    write_cram(path, reads, method=M_RANS, rans_order=0,
+               reads_per_container=40, slices_per_container=4)
+    with open(path, "rb") as f:
+        got = list(CramReader(f))
+    assert [r.seq for r in got] == [s for s, _, _ in reads]
+    assert [r.qual for r in got] == [q for _, q, _ in reads]
