@@ -123,3 +123,19 @@ def test_killed_process_surfaces_and_restart_recovers(trio_dir, tmp_path):
     golden = _single_host_report(trio_dir, tmp_path)
     with open(out) as f:
         assert f.read() == golden
+
+
+@pytest.mark.slow
+def test_four_process_trio_matches_single_host(trio_dir, tmp_path):
+    """4 jax.distributed processes x 2 faked devices each (2x4 mesh): byte-identical to
+    the single-host run — exercises striping/allgather at process counts > 2."""
+    out = str(tmp_path / "mh4.tsv")
+    port = _free_port()
+    procs = _launch(4, port, trio_dir, out,
+                    extra=("--devices-per-proc", "2", "--mesh", "2x4"))
+    results = _wait_all(procs, timeout=420)
+    for rc, so, se in results:
+        assert rc == 0, f"worker failed rc={rc}\nstderr:\n{se[-3000:]}"
+    golden = _single_host_report(trio_dir, tmp_path)
+    with open(out) as f:
+        assert f.read() == golden
