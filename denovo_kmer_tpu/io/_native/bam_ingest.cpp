@@ -316,7 +316,12 @@ int bam_ingest_seek_virtual(void* handle, int64_t voffset) {
   r->eof = false;
   r->block.clear();
   r->within = 0;
-  if (!read_block(r)) return -1;
+  if (!read_block(r)) {
+    // a cursor taken at end-of-stream points at the EOF marker / file end with
+    // within == 0 — a valid "at EOF" position (resume checkpoints persist it)
+    if (r->eof && within == 0) return 0;
+    return -1;
+  }
   if (within > r->block.size()) return -1;
   r->within = within;
   return 0;

@@ -18,7 +18,6 @@ BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000"
 )
 
-_HDR = struct.Struct("<4BI2B2H")  # magic..XLEN plus first subfield header read separately
 MAX_BLOCK_UNCOMPRESSED = 65280  # htslib convention: leave headroom under 64 KiB
 
 
@@ -52,6 +51,10 @@ def _read_block(f: BinaryIO) -> Optional[Tuple[bytes, int]]:
     if bsize is None:
         raise BgzfError("missing BC subfield in BGZF block")
     cdata_len = bsize - 12 - xlen - 8
+    if cdata_len < 0:
+        raise BgzfError(
+            f"corrupt BGZF block: BSIZE {bsize} smaller than its own headers"
+        )
     cdata = f.read(cdata_len)
     tail = f.read(8)
     if len(cdata) < cdata_len or len(tail) < 8:
@@ -119,6 +122,13 @@ class BgzfReader:
         self._f.seek(coffset)
         self._eof = False
         if not self._advance():
+            # a cursor taken at end-of-stream (tell_virtual after the last block) points
+            # at the EOF marker / file end with within == 0 — a valid "at EOF" position
+            # (resume checkpoints persist it; the resumed stream just reads nothing)
+            if within == 0:
+                self._block = b""
+                self._within = 0
+                return
             raise BgzfError(f"virtual offset {voffset:#x} past EOF")
         if within > len(self._block):
             raise BgzfError(f"virtual offset {voffset:#x} beyond block")

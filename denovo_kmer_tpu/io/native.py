@@ -53,34 +53,47 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            err = _build()
-            if err:
-                _build_error = err
-                return None
-        lib = ctypes.CDLL(_SO)
-        lib.bam_ingest_open.restype = ctypes.c_void_p
-        lib.bam_ingest_open.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.bam_ingest_next_batch.restype = ctypes.c_int64
-        lib.bam_ingest_next_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.bam_ingest_tell_virtual.restype = ctypes.c_int64
-        lib.bam_ingest_tell_virtual.argtypes = [ctypes.c_void_p]
-        lib.bam_ingest_seek_virtual.restype = ctypes.c_int
-        lib.bam_ingest_seek_virtual.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-        lib.bam_ingest_records_seen.restype = ctypes.c_int64
-        lib.bam_ingest_records_seen.argtypes = [ctypes.c_void_p]
-        lib.bam_ingest_error.restype = ctypes.c_char_p
-        lib.bam_ingest_error.argtypes = [ctypes.c_void_p]
-        lib.bam_ingest_close.restype = None
-        lib.bam_ingest_close.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return _lib
+        try:
+            return _load_locked()
+        except OSError as e:
+            # missing source next to a prebuilt .so, corrupt/ABI-mismatched cached .so,
+            # etc. — the contract is a clean fallback to the pure-Python feeder
+            _build_error = f"native shim unusable: {e}"
+            return None
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    global _lib, _build_error
+    if not os.path.exists(_SO) or (
+        os.path.exists(_SRC) and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+    ):
+        err = _build()
+        if err:
+            _build_error = err
+            return None
+    lib = ctypes.CDLL(_SO)
+    lib.bam_ingest_open.restype = ctypes.c_void_p
+    lib.bam_ingest_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.bam_ingest_next_batch.restype = ctypes.c_int64
+    lib.bam_ingest_next_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.bam_ingest_tell_virtual.restype = ctypes.c_int64
+    lib.bam_ingest_tell_virtual.argtypes = [ctypes.c_void_p]
+    lib.bam_ingest_seek_virtual.restype = ctypes.c_int
+    lib.bam_ingest_seek_virtual.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.bam_ingest_records_seen.restype = ctypes.c_int64
+    lib.bam_ingest_records_seen.argtypes = [ctypes.c_void_p]
+    lib.bam_ingest_error.restype = ctypes.c_char_p
+    lib.bam_ingest_error.argtypes = [ctypes.c_void_p]
+    lib.bam_ingest_close.restype = None
+    lib.bam_ingest_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
 
 
 def native_available() -> bool:

@@ -35,12 +35,8 @@ from denovo_kmer_tpu.config import words_per_kmer
 
 _U = jnp.uint32
 
-
-def _reverse_2bit_fields(x):
-    x = ((x & _U(0x33333333)) << 2) | ((x >> 2) & _U(0x33333333))
-    x = ((x & _U(0x0F0F0F0F)) << 4) | ((x >> 4) & _U(0x0F0F0F0F))
-    x = ((x & _U(0x00FF00FF)) << 8) | ((x >> 8) & _U(0x00FF00FF))
-    return (x << 16) | (x >> 16)
+# shared with the jnp path — both kernels must keep the exact same bit layout
+from denovo_kmer_tpu.ops.extract_fast import _reverse_2bit_fields  # noqa: E402
 
 
 def _extract_kernel(words_ref, vwords_ref, *out_refs, k: int, P: int, W: int):
@@ -155,9 +151,10 @@ def extract_canonical_kmers_pallas(
     Vw = vwords.shape[1]
     P = max_read_len - k + 1
     W = words_per_kmer(k)
+    # largest tile <= block_reads that divides the batch (grid must cover B exactly)
     TB = min(block_reads, B)
-    if B % TB:
-        raise ValueError(f"batch ({B}) must divide block_reads ({TB})")
+    while B % TB:
+        TB -= 1
 
     kernel = functools.partial(_extract_kernel, k=k, P=P, W=W)
     outs = pl.pallas_call(

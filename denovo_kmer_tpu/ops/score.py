@@ -84,7 +84,12 @@ def flush_score(
     pc_col = jnp.concatenate([tab.pcounts, jnp.zeros((S,), jnp.uint32)], axis=0)
     valid = jnp.concatenate([_valid_rows(tab.n, C), acc_valid], axis=0)
 
-    k, cols, n = _aggregate_multi(kmers, [cnt_col, pc_col], valid, out_capacity or C)
+    cap_out = out_capacity or C
+    k, cols, n = _aggregate_multi(kmers, [cnt_col, pc_col], valid, cap_out)
+    from denovo_kmer_tpu.ops.table import _sticky_overflow_n
+
+    # overflow is sticky across flushes (see table.merge_tables)
+    n = _sticky_overflow_n(n, cap_out, tab.n > C)
     new_tab = ScoreTable(keys=k, counts=cols[0], pcounts=cols[1], n=n)
     return (
         empty_accumulator(S, W)._replace(kmers=acc.kmers, valid=jnp.zeros((S,), bool)),
@@ -102,6 +107,9 @@ def merge_score_tables(a: ScoreTable, b: ScoreTable, capacity: int) -> ScoreTabl
     pc = jnp.concatenate([a.pcounts, b.pcounts], axis=0)
     valid = jnp.concatenate([_valid_rows(a.n, Ca), _valid_rows(b.n, Cb)], axis=0)
     k, cols, n = _aggregate_multi(keys, [cnt, pc], valid, capacity)
+    from denovo_kmer_tpu.ops.table import _sticky_overflow_n
+
+    n = _sticky_overflow_n(n, capacity, a.n > Ca, b.n > Cb)
     return ScoreTable(keys=k, counts=cols[0], pcounts=cols[1], n=n)
 
 

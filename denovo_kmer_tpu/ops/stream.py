@@ -72,6 +72,12 @@ def flush(acc: KmerAccumulator, table: KmerTable) -> Tuple[KmerAccumulator, Kmer
     tslot = jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
     valid = jnp.concatenate([tslot < table.n, acc_valid], axis=0)
     new_table = _aggregate(kmers, weights, valid, C)
+    # overflow is sticky across flushes: a past drop must surface at the final host check
+    from denovo_kmer_tpu.ops.table import _sticky_overflow_n
+
+    new_table = new_table._replace(
+        n=_sticky_overflow_n(new_table.n, C, table.n > C)
+    )
     return empty_accumulator(S, W)._replace(
         kmers=acc.kmers, valid=jnp.zeros((S,), bool)
     ), new_table

@@ -155,6 +155,16 @@ def build_table(
     return _aggregate(flat, jnp.ones((flat.shape[0],), jnp.uint32), v, capacity)
 
 
+def _sticky_overflow_n(n_out, capacity: int, *input_overflows):
+    """Overflow drops rows silently inside _aggregate and a LATER aggregate would recompute
+    ``n`` from the survivors, masking the loss — so once any input has overflowed its own
+    capacity, pin the output ``n`` above ``capacity`` so the host-side check always fires."""
+    sticky = jnp.zeros((), bool)
+    for ov in input_overflows:
+        sticky = sticky | ov
+    return jnp.where(sticky, jnp.maximum(n_out, capacity + 1), n_out).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def merge_tables(a: KmerTable, b: KmerTable, capacity: int) -> KmerTable:
     """Merge two tables (count addition) into a table of the given capacity."""
@@ -163,7 +173,10 @@ def merge_tables(a: KmerTable, b: KmerTable, capacity: int) -> KmerTable:
     ca, cb = a.keys.shape[0], b.keys.shape[0]
     slot = jax.lax.broadcasted_iota(jnp.int32, (ca + cb,), 0)
     valid = jnp.where(slot < ca, slot < a.n, (slot - ca) < b.n)
-    return _aggregate(keys, wts, valid, capacity)
+    out = _aggregate(keys, wts, valid, capacity)
+    return out._replace(
+        n=_sticky_overflow_n(out.n, capacity, a.n > ca, b.n > cb)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("accumulate_kmers_capacity",))

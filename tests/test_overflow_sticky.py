@@ -1,0 +1,72 @@
+"""Review-finding regressions: (a) a transient mid-stream capacity overflow must stay
+visible at the final host check even if later flushes shrink back to <= capacity; (b) a
+resume cursor taken at end-of-stream must be seekable (not a permanent crash loop)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.stream import append, empty_accumulator, flush
+from denovo_kmer_tpu.ops.table import empty_table, merge_tables, build_table
+
+
+def _append_keys(acc, keys_np):
+    W = keys_np.shape[1]
+    pad = np.zeros((acc.kmers.shape[0] - len(keys_np), W), np.uint32)
+    kmers = np.concatenate([keys_np, pad])
+    valid = np.zeros(len(kmers), bool)
+    valid[: len(keys_np)] = True
+    return append(empty_accumulator(len(kmers), W), jnp.asarray(kmers),
+                  jnp.asarray(valid))
+
+
+def test_transient_overflow_stays_visible_through_flushes():
+    W, C = 2, 8
+    table = empty_table(C, W)
+    # flush 1: 12 unique keys > capacity 8 → overflow (4 groups dropped)
+    k1 = np.stack([np.zeros(12, np.uint32), np.arange(12, dtype=np.uint32)], 1)
+    acc = _append_keys(empty_accumulator(16, W), k1)
+    acc, table = flush(acc, table)
+    assert int(table.n) > C
+    # flush 2: only keys that SURVIVED flush 1 (the 8 smallest) → naive n would be 8
+    k2 = np.stack([np.zeros(4, np.uint32), np.arange(4, dtype=np.uint32)], 1)
+    acc = _append_keys(empty_accumulator(16, W), k2)
+    acc, table = flush(acc, table)
+    assert int(table.n) > C, "earlier overflow was masked by a later flush"
+
+
+def test_merge_overflow_sticky():
+    W, C = 2, 8
+    keys = np.stack([np.zeros(12, np.uint32), np.arange(12, dtype=np.uint32)], 1)
+    a = build_table(jnp.asarray(keys)[:, None, :], jnp.ones((12, 1), bool), C)
+    assert int(a.n) > C
+    b = empty_table(C, W)
+    merged = merge_tables(a, b, C)
+    assert int(merged.n) > C, "merge masked the input overflow"
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_resume_cursor_at_eof_is_seekable(tmp_path, monkeypatch, force_python):
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+    from denovo_kmer_tpu.pipeline import packed_stream_with_cursor
+
+    if force_python:
+        import denovo_kmer_tpu.io.native as native
+
+        monkeypatch.setattr(native, "native_available", lambda: False)
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=1000, read_len=50, coverage=4.0, seed=9)),
+        str(tmp_path),
+    )
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=32)
+    stream = packed_stream_with_cursor(paths["child"], cfg)
+    last_cursor = None
+    for _packed, cur in stream:
+        last_cursor = cur
+    assert last_cursor is not None
+    # the cursor after the final batch points at end-of-stream: seeking there must
+    # succeed and yield nothing (NOT raise — it lands in resume checkpoints)
+    stream2 = packed_stream_with_cursor(paths["child"], cfg)
+    stream2.seek(last_cursor)
+    assert list(stream2) == []
