@@ -20,7 +20,6 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from denovo_kmer_tpu.config import EngineConfig
 from denovo_kmer_tpu.io.bam import read_bam_records
@@ -34,12 +33,12 @@ from denovo_kmer_tpu.parallel.mesh import make_mesh
 from denovo_kmer_tpu.parallel.sharded_table import ShardedBuildState, ShardedKmerEngine
 
 
-def _replicated(mesh, tree):
-    """All-gather a sharded pytree into fully-replicated (process-addressable) arrays."""
-    return jax.jit(
-        lambda t: t,
-        out_shardings=jax.tree.map(lambda _: NamedSharding(mesh, P()), tree),
-    )(tree)
+def _all_processes_see(path: str) -> bool:
+    """Collective existence check: True iff EVERY process sees the file."""
+    from jax.experimental import multihost_utils
+
+    have = np.array([1 if os.path.exists(path) else 0], dtype=np.int32)
+    return bool(multihost_utils.process_allgather(have).min())
 
 
 def build_sample_table_multihost(
@@ -95,7 +94,10 @@ def run_trio_multihost(
         ckpt = (
             os.path.join(checkpoint_dir, f"{name}.table.npz") if checkpoint_dir else None
         )
-        if ckpt and os.path.exists(ckpt):
+        if ckpt and _all_processes_see(ckpt):
+            # the load-vs-build decision must be COLLECTIVE: if the checkpoint is only
+            # visible on some filesystems, a split decision deadlocks the collectives —
+            # so load only when every process sees the file, else all rebuild
             tables[name] = engine.load_table(ckpt)
             continue
         kill = None
@@ -118,7 +120,7 @@ def run_trio_multihost(
     )
 
     cands = engine._call_score(stab)
-    cands = _replicated(engine.mesh, cands)
+    cands = engine._replicated(cands)
     keys = np.asarray(cands.keys)[0]
     cc = np.asarray(cands.child_counts)[0]
     mc = np.asarray(cands.mom_counts)[0]

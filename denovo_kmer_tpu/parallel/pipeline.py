@@ -89,23 +89,28 @@ def run_trio_sharded(
         raise ValueError(f"max_route_retries must be >= 1, got {max_route_retries}")
     last_err = None
     for attempt in range(max_route_retries):
-        final = attempt == max_route_retries - 1
-        attempt_metrics = metrics if final else Metrics()
+        # every attempt runs on scratch counters (failed attempts must not pollute the
+        # caller's numbers) but SHARES the caller's event stream (events are a live log);
+        # counters/timers fold into the caller only on success
+        attempt_metrics = Metrics(
+            json_stream=metrics._json if metrics is not None else None
+        )
         try:
             res = _run_trio_sharded_once(
                 mom_path, dad_path, child_path, cfg, attempt_metrics, mesh
             )
-            if metrics is not None and not final:
+            if metrics is not None:
                 metrics.merge_from(res.metrics)
                 res.metrics = metrics
             return res
         except RouteOverflowError as e:
             last_err = e
-            new_factor = cfg.route_capacity_factor * 2
-            if metrics is not None:
-                metrics.event("route_overflow_retry", attempt=attempt,
-                              factor=new_factor)
-            cfg = _dc.replace(cfg, route_capacity_factor=new_factor)
+            if attempt + 1 < max_route_retries:
+                new_factor = cfg.route_capacity_factor * 2
+                if metrics is not None:
+                    metrics.event("route_overflow_retry", attempt=attempt,
+                                  factor=new_factor)
+                cfg = _dc.replace(cfg, route_capacity_factor=new_factor)
     raise last_err
 
 

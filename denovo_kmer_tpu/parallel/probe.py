@@ -20,7 +20,6 @@ the 8-device CPU mesh).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -29,7 +28,7 @@ import jax.numpy as jnp
 from denovo_kmer_tpu.ops.join import probe_table_sorted
 from denovo_kmer_tpu.ops.table import KmerTable
 from denovo_kmer_tpu.parallel.mesh import AXIS_TABLE
-from denovo_kmer_tpu.parallel.router import bucketize, owner_of, route_capacity
+from denovo_kmer_tpu.parallel.router import bucketize, route_capacity
 
 
 def _probe_local(shard: KmerTable, q: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -104,7 +103,6 @@ def make_sharded_probe(mesh, cfg, plan: str = "alltoall"):
     from denovo_kmer_tpu.parallel.mesh import AXIS_READS
 
     T = mesh.shape[AXIS_TABLE]
-    n_dev = T * mesh.shape[AXIS_READS]
     table_specs = KmerTable(
         keys=P(AXIS_READS, AXIS_TABLE, None, None),
         counts=P(AXIS_READS, AXIS_TABLE, None),

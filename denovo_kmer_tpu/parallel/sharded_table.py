@@ -352,7 +352,7 @@ class ShardedKmerEngine:
             n=self._put(jnp.zeros((R, T), jnp.int32), P(AXIS_READS, AXIS_TABLE)),
         )
 
-    def new_build(self) -> "ShardedBuildState":
+    def _new_acc_state(self):
         from denovo_kmer_tpu.ops.stream import KmerAccumulator
 
         R, T, S, W = self.R, self.T, self.acc_slots, self.W
@@ -363,7 +363,11 @@ class ShardedKmerEngine:
             valid=self._put(jnp.zeros((R, T, S), bool), P(AXIS_READS, AXIS_TABLE, None)),
             fill=self._put(jnp.zeros((R, T), jnp.int32), P(AXIS_READS, AXIS_TABLE)),
         )
-        ovf = self._put(jnp.zeros((self.R, self.T), jnp.int32), P(AXIS_READS, AXIS_TABLE))
+        ovf = self._put(jnp.zeros((R, T), jnp.int32), P(AXIS_READS, AXIS_TABLE))
+        return acc, ovf
+
+    def new_build(self) -> "ShardedBuildState":
+        acc, ovf = self._new_acc_state()
         return ShardedBuildState(acc=acc, ovf=ovf, table=self.empty_table(), pending=0)
 
     def put_batch(self, packed) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -521,9 +525,9 @@ class ShardedKmerEngine:
     def new_score_build(self, mom: KmerTable, dad: KmerTable) -> "ShardedBuildState":
         """Child-scoring build state: staging accumulator + parent-seeded score table
         (seed on row 0 only; ingest/flush route and aggregate exactly like new_build)."""
-        base = self.new_build()
+        acc, ovf = self._new_acc_state()
         stab = self._seed_score(mom, dad)
-        return ShardedBuildState(acc=base.acc, ovf=base.ovf, table=stab, pending=0)
+        return ShardedBuildState(acc=acc, ovf=ovf, table=stab, pending=0)
 
     def ingest_score(self, state: "ShardedBuildState", packed) -> "ShardedBuildState":
         words, vwords = self.put_batch(packed)

@@ -394,7 +394,7 @@ def run_trio(
     step = make_ingest_step(cfg)
     tables = {}
     for name, path in (("mom", mom_path), ("dad", dad_path)):
-        if path.endswith(".npz"):
+        if path.lower().endswith(".npz"):
             # precomputed `count` checkpoint (SURVEY.md §5.4): skip the parent pass
             from denovo_kmer_tpu.utils.checkpoint import load_table
 

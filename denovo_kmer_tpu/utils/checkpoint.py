@@ -57,9 +57,11 @@ def save_table(
 
 
 def load_table(
-    path: str, cfg: EngineConfig, capacity: Optional[int] = None
-) -> KmerTable:
-    """Load a table checkpoint; validates the semantic config hash."""
+    path: str, cfg: EngineConfig, capacity: Optional[int] = None,
+    with_meta: bool = False,
+):
+    """Load a table checkpoint; validates the semantic config hash.
+    ``with_meta=True`` → (table, meta) without re-opening the archive."""
     import jax.numpy as jnp
 
     with np.load(path) as z:
@@ -82,11 +84,12 @@ def load_table(
     full_counts = np.zeros((cap,), np.uint32)
     full_keys[:n] = keys
     full_counts[:n] = counts
-    return KmerTable(
+    table = KmerTable(
         keys=jnp.asarray(full_keys),
         counts=jnp.asarray(full_counts),
         n=jnp.asarray(n, jnp.int32),
     )
+    return (table, meta) if with_meta else table
 
 
 def table_meta(path: str) -> dict:
@@ -100,6 +103,13 @@ def save_resume(path: str, table: KmerTable, cfg: EngineConfig,
     cursor. Written atomically (tmp + rename) so a crash during save keeps the previous
     checkpoint valid."""
     n = int(table.n)
+    if n > table.keys.shape[0]:
+        # sticky overflow: the table dropped groups — persisting it would wedge every
+        # future resume (meta n > saved rows). Fail fast with the real remedy instead.
+        raise CheckpointError(
+            f"table overflowed its capacity ({n} > {table.keys.shape[0]}); resume "
+            f"checkpoint not written — raise --table-capacity and restart the build"
+        )
     meta = {
         "format_version": FORMAT_VERSION,
         "config_hash": cfg.config_hash(),
@@ -120,8 +130,7 @@ def save_resume(path: str, table: KmerTable, cfg: EngineConfig,
 
 def load_resume(path: str, cfg: EngineConfig):
     """→ (table, cursor, done); validates the semantics hash like load_table."""
-    table = load_table(path, cfg)
-    meta = table_meta(path)
+    table, meta = load_table(path, cfg, with_meta=True)
     if "cursor" not in meta:
         raise CheckpointError(f"{path} is not a resume checkpoint")
     return table, int(meta["cursor"]), bool(meta["done"])
