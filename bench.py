@@ -171,7 +171,7 @@ def main() -> int:
     def noop(words, salt):
         return jnp.sum(words ^ salt)
 
-    n_dispatch = n_batches + n_batches // cfg.accum_batches + 2
+    n_dispatch = n_batches + -(-n_batches // cfg.accum_batches) + 2
 
     def cal_run(seed):
         out = jnp.uint32(seed)

@@ -26,6 +26,23 @@ def _int_maybe_hex(s: str) -> int:
     return int(s, 0)
 
 
+def _mesh_shape(s: str):
+    import argparse
+
+    parts = s.lower().split("x")
+    try:
+        if len(parts) != 2:
+            raise ValueError
+        r, t = int(parts[0]), int(parts[1])
+        if r < 1 or t < 1:
+            raise ValueError
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"mesh must be READSxTABLE with positive ints (e.g. 4x2), got {s!r}"
+        ) from None
+    return (r, t)
+
+
 def _add_engine_args(p: argparse.ArgumentParser) -> None:
     g = p.add_argument_group("semantics (SPEC_SEMANTICS.md)")
     g.add_argument("-k", "--kmer-size", type=int, default=31)
@@ -41,7 +58,7 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     e.add_argument("--batch-reads", type=int, default=4096)
     e.add_argument("--max-read-len", type=int, default=160)
     e.add_argument("--table-capacity", type=int, default=1 << 20)
-    e.add_argument("--mesh", type=str, default="1x1",
+    e.add_argument("--mesh", type=_mesh_shape, default=(1, 1),
                    help="mesh shape READSxTABLE, e.g. 4x2 (multi-chip)")
     e.add_argument("--reference", default=None,
                    help="reference FASTA (required for reference-based CRAM inputs)")
@@ -55,7 +72,7 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
 
 
 def _cfg_from_args(args) -> EngineConfig:
-    reads_ax, table_ax = (int(x) for x in args.mesh.lower().split("x"))
+    reads_ax, table_ax = args.mesh
     return EngineConfig(
         k=args.kmer_size,
         canonical=not args.no_canonical,
@@ -151,6 +168,11 @@ def cmd_sweep(args) -> int:
     from denovo_kmer_tpu.utils.metrics import Metrics
 
     cfg = _cfg_from_args(args)
+    if "{k}" not in args.output_pattern:
+        raise SystemExit(
+            "--output-pattern must contain '{k}' (e.g. candidates.k{k}.tsv) — "
+            "otherwise every k would overwrite the same file"
+        )
     ks = [int(x) for x in args.ks.split(",")]
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
     results = run_trio_multi_k(args.mom, args.dad, args.child, cfg, ks, metrics)

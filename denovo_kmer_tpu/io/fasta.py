@@ -24,7 +24,8 @@ def read_fasta(path: str) -> Iterator[Tuple[str, str]]:
             if line.startswith(">"):
                 if name is not None:
                     yield name, "".join(seq)
-                name = line[1:].split()[0]
+                fields = line[1:].split()
+                name = fields[0] if fields else ""  # bare '>' header: unnamed record
                 seq = []
             else:
                 seq.append(line)
@@ -33,13 +34,31 @@ def read_fasta(path: str) -> Iterator[Tuple[str, str]]:
 
 
 def read_fastq(path: str) -> Iterator[Tuple[str, str, Tuple[int, ...]]]:
-    """Yield (name, sequence, phred_qualities)."""
+    """Yield (name, sequence, phred_qualities). Malformed records (non-'@' header,
+    truncated 4-line group, seq/qual length mismatch) raise ValueError; blank trailing
+    lines are tolerated."""
     with _open_text(path) as f:
+        lineno = 0
         while True:
             hdr = f.readline()
+            lineno += 1
             if not hdr:
                 return
+            if not hdr.strip():
+                continue  # blank line (e.g. trailing newline at EOF)
+            if not hdr.startswith("@"):
+                raise ValueError(f"{path}:{lineno}: FASTQ header must start with '@'")
             seq = f.readline().strip()
-            f.readline()  # '+'
+            plus = f.readline()
             qual = f.readline().strip()
-            yield hdr.strip()[1:].split()[0], seq, tuple(ord(c) - 33 for c in qual)
+            lineno += 3
+            if not plus.startswith("+"):
+                raise ValueError(f"{path}:{lineno - 1}: truncated FASTQ record")
+            if len(qual) != len(seq):
+                raise ValueError(
+                    f"{path}:{lineno}: quality length {len(qual)} != sequence "
+                    f"length {len(seq)}"
+                )
+            fields = hdr.strip()[1:].split()
+            name = fields[0] if fields else ""
+            yield name, seq, tuple(ord(c) - 33 for c in qual)

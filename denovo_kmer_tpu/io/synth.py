@@ -16,12 +16,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from denovo_kmer_tpu.io.bam import BamRecord, BamWriter
 
 _BASES = "ACGT"
-_RC = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
-
-
-def rc(s: str) -> str:
-    return "".join(_RC[c] for c in reversed(s))
-
 
 @dataclasses.dataclass
 class TrioSpec:

@@ -65,7 +65,12 @@ def pack_seqs(
         ok = c != 255
         if cfg.min_base_quality > 0 and quals is not None and quals[i] is not None:
             q = np.asarray(quals[i][: cfg.max_read_len], dtype=np.int32)
-            ok = ok & (q >= cfg.min_base_quality)
+            if len(q) < n:
+                raise ValueError(
+                    f"quality string shorter than sequence ({len(q)} < {n}) "
+                    f"in read {i} of the batch — malformed input record"
+                )
+            ok = ok & (q[:n] >= cfg.min_base_quality)
         codes[i, :n] = np.where(ok, c, 0)
         valid[i, :n] = ok
         length[i] = n

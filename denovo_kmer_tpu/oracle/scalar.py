@@ -79,6 +79,12 @@ def read_kmers(
     n = len(seq)
     codes = [encode_base(ch) for ch in seq]
     if qual is not None and cfg.min_base_quality > 0:
+        if len(qual) < n:
+            # zip() would silently truncate and fabricate short windows — a malformed
+            # record must be an error, matching the device feeder's contract
+            raise ValueError(
+                f"quality string shorter than sequence ({len(qual)} < {n})"
+            )
         codes = [
             c if (c >= 0 and q >= cfg.min_base_quality) else -1
             for c, q in zip(codes, qual)

@@ -128,10 +128,17 @@ def _run_trio_sharded_once(
 
     tables = {}
     for name, path in (("mom", mom_path), ("dad", dad_path)):
-        with m.timer(f"build_{name}"):
-            tables[name] = build_sample_table_sharded(
-                _record_stream(path, cfg), cfg, engine, m
-            )
+        if path.lower().endswith(".npz"):
+            # precomputed `count` checkpoint: load flat, hash-partition onto the mesh
+            from denovo_kmer_tpu.utils.checkpoint import load_table
+
+            tables[name] = engine.place_flat_table(load_table(path, cfg))
+            m.event("table_loaded", sample=name, path=path)
+        else:
+            with m.timer(f"build_{name}"):
+                tables[name] = build_sample_table_sharded(
+                    _record_stream(path, cfg), cfg, engine, m
+                )
         m.event("table_built", sample=name, unique=engine.total_unique(tables[name]))
 
     # child: parent-seeded scored build (ops/score.py) — the trio join rides the flushes

@@ -517,6 +517,42 @@ class ShardedKmerEngine:
             ),
         )
 
+    def place_flat_table(self, table: KmerTable) -> KmerTable:
+        """Hash-partition a single-chip table (e.g. a `count` .npz checkpoint) into the
+        engine's (R,T,·) sharded layout. The input is sorted, so each shard's subset stays
+        sorted; rows are replicated (the finalize invariant)."""
+        from denovo_kmer_tpu.parallel.router import owner_of
+
+        n = int(table.n)
+        R, T, C, W = self.R, self.T, self.shard_capacity, self.W
+        keys = np.asarray(table.keys)[:n]
+        counts = np.asarray(table.counts)[:n]
+        owners = (
+            np.asarray(owner_of(jnp.asarray(keys), T)) if n else np.zeros(0, np.int32)
+        )
+        k_out = np.full((T, C, W), 0xFFFFFFFF, np.uint32)
+        c_out = np.zeros((T, C), np.uint32)
+        n_out = np.zeros((T,), np.int32)
+        for t in range(T):
+            sel = owners == t
+            kt, ct = keys[sel], counts[sel]
+            if len(kt) > C:
+                raise RuntimeError(
+                    f"flat table shard {t} holds {len(kt)} uniques > shard capacity "
+                    f"{C}; raise --table-capacity"
+                )
+            k_out[t, : len(kt)] = kt
+            c_out[t, : len(kt)] = ct
+            n_out[t] = len(kt)
+        return KmerTable(
+            keys=self._put(np.broadcast_to(k_out[None], (R, T, C, W)),
+                           P(AXIS_READS, AXIS_TABLE, None, None)),
+            counts=self._put(np.broadcast_to(c_out[None], (R, T, C)),
+                             P(AXIS_READS, AXIS_TABLE, None)),
+            n=self._put(np.broadcast_to(n_out[None], (R, T)),
+                        P(AXIS_READS, AXIS_TABLE)),
+        )
+
     def merge_sharded_tables(self, a: KmerTable, b: KmerTable) -> KmerTable:
         """Shard-local count-merge of two finalized sharded tables (same owner function
         everywhere → no communication). Used for the cohort parental superset."""

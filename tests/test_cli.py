@@ -107,3 +107,34 @@ def test_profile_dir_writes_trace(trio_dir, tmp_path):
     assert rc == 0
     files = [p for p in prof.rglob("*") if p.is_file()]
     assert files, "profiler trace directory is empty"
+
+
+def test_call_sharded_with_npz_parents(trio_dir, tmp_path):
+    """Review finding: .npz parent checkpoints must work in sharded mode too."""
+    mom_npz = tmp_path / "mom.npz"
+    dad_npz = tmp_path / "dad.npz"
+    assert main(["count", str(trio_dir / "mom.bam"), "-o", str(mom_npz), *ENGINE_ARGS]) == 0
+    assert main(["count", str(trio_dir / "dad.bam"), "-o", str(dad_npz), *ENGINE_ARGS]) == 0
+    out = tmp_path / "mesh_npz.tsv"
+    rc = main(["call", "--mom", str(mom_npz), "--dad", str(dad_npz),
+               "--child", str(trio_dir / "child.bam"),
+               "-o", str(out), "--mesh", "2x4", *ENGINE_ARGS])
+    assert rc == 0
+    ref = tmp_path / "one_bam.tsv"
+    main(["call", "--mom", str(trio_dir / "mom.bam"),
+          "--dad", str(trio_dir / "dad.bam"),
+          "--child", str(trio_dir / "child.bam"), "-o", str(ref), *ENGINE_ARGS])
+    assert out.read_text() == ref.read_text()
+
+
+def test_bad_mesh_and_sweep_pattern_rejected(trio_dir, tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["call", "--mom", "x.bam", "--dad", "y.bam", "--child", "z.bam",
+              "--mesh", "4", *ENGINE_ARGS])
+    with pytest.raises(SystemExit, match="output-pattern"):
+        main(["sweep", "--mom", str(trio_dir / "mom.bam"),
+              "--dad", str(trio_dir / "dad.bam"),
+              "--child", str(trio_dir / "child.bam"),
+              "--ks", "15", "-o", str(tmp_path / "flat.tsv"), *ENGINE_ARGS])
