@@ -27,8 +27,6 @@ def _int_maybe_hex(s: str) -> int:
 
 
 def _mesh_shape(s: str):
-    import argparse
-
     parts = s.lower().split("x")
     try:
         if len(parts) != 2:
@@ -168,10 +166,14 @@ def cmd_sweep(args) -> int:
     from denovo_kmer_tpu.utils.metrics import Metrics
 
     cfg = _cfg_from_args(args)
-    if "{k}" not in args.output_pattern:
+    try:
+        distinct = (args.output_pattern.format(k=1) != args.output_pattern.format(k=2))
+    except (KeyError, IndexError, ValueError):
+        distinct = False
+    if not distinct:
         raise SystemExit(
-            "--output-pattern must contain '{k}' (e.g. candidates.k{k}.tsv) — "
-            "otherwise every k would overwrite the same file"
+            "--output-pattern must contain a '{k}' placeholder (e.g. "
+            "candidates.k{k}.tsv) — otherwise every k would overwrite the same file"
         )
     ks = [int(x) for x in args.ks.split(",")]
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)

@@ -172,8 +172,14 @@ def run_cohort(
 
     scorer = ScoringTableBuilder(cfg, extract_append=step[0])
     for trio in trios:
+        from denovo_kmer_tpu.utils.checkpoint import maybe_load_flat_table
+
         tables = {}
         for sample, path in (("mom", trio.mom), ("dad", trio.dad)):
+            loaded = maybe_load_flat_table(path, cfg)
+            if loaded is not None:
+                tables[sample] = loaded
+                continue
             with m.timer("build"):
                 tables[sample] = build_sample_table(
                     _record_stream(path, cfg), cfg, m, step
@@ -240,8 +246,8 @@ def run_cohort_sharded(
     """
     from denovo_kmer_tpu.parallel.mesh import make_mesh
     from denovo_kmer_tpu.parallel.pipeline import (
-        build_sample_table_sharded,
         build_score_table_sharded,
+        load_or_build_parent_sharded,
     )
     from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
 
@@ -252,8 +258,8 @@ def run_cohort_sharded(
     results = {}
     superset = engine.empty_table() if build_parental_superset else None
     for trio in trios:
-        mom = build_sample_table_sharded(_record_stream(trio.mom, cfg), cfg, engine, m)
-        dad = build_sample_table_sharded(_record_stream(trio.dad, cfg), cfg, engine, m)
+        mom = load_or_build_parent_sharded(trio.mom, cfg, engine, m)
+        dad = load_or_build_parent_sharded(trio.dad, cfg, engine, m)
         if superset is not None:
             # overflow drops rows silently inside the merge and a LATER merge would
             # recompute n from survivors, masking it — check after EVERY fold

@@ -802,7 +802,8 @@ def load_reference(fasta_path: str) -> Dict[str, str]:
     agree between the FASTA and the CRAM header."""
     from denovo_kmer_tpu.io.fasta import read_fasta
 
-    return {name.split()[0]: seq for name, seq in read_fasta(fasta_path)}
+    # read_fasta already yields the first whitespace-delimited token ('' for bare '>')
+    return {name: seq for name, seq in read_fasta(fasta_path)}
 
 
 def read_cram_records(path: str, reference: Optional[str] = None):

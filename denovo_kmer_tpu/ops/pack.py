@@ -64,12 +64,14 @@ def pack_seqs(
         c = _CODE_LUT[np.frombuffer(b, dtype=np.uint8)]
         ok = c != 255
         if cfg.min_base_quality > 0 and quals is not None and quals[i] is not None:
-            q = np.asarray(quals[i][: cfg.max_read_len], dtype=np.int32)
-            if len(q) < n:
+            if len(quals[i]) < len(s):
+                # same contract as the oracle (scalar.read_kmers): a malformed record
+                # errors, before any max_read_len truncation can mask it
                 raise ValueError(
-                    f"quality string shorter than sequence ({len(q)} < {n}) "
-                    f"in read {i} of the batch — malformed input record"
+                    f"quality string shorter than sequence ({len(quals[i])} < "
+                    f"{len(s)}) in read {i} of the batch — malformed input record"
                 )
+            q = np.asarray(quals[i][: cfg.max_read_len], dtype=np.int32)
             ok = ok & (q[:n] >= cfg.min_base_quality)
         codes[i, :n] = np.where(ok, c, 0)
         valid[i, :n] = ok

@@ -43,6 +43,20 @@ def build_sample_table_sharded(
     return table
 
 
+def load_or_build_parent_sharded(path, cfg: EngineConfig, engine: ShardedKmerEngine,
+                                 metrics: Optional[Metrics] = None):
+    """Parent table from a `count` .npz checkpoint (hash-partitioned onto the mesh) or by
+    streaming the reads — the one dispatch shared by the trio and cohort pipelines."""
+    from denovo_kmer_tpu.utils.checkpoint import maybe_load_flat_table
+
+    m = metrics or Metrics()
+    loaded = maybe_load_flat_table(path, cfg)
+    if loaded is not None:
+        m.event("table_loaded", path=path)
+        return engine.place_flat_table(loaded)
+    return build_sample_table_sharded(_record_stream(path, cfg), cfg, engine, m)
+
+
 def build_score_table_sharded(
     child_records,
     cfg: EngineConfig,
@@ -128,17 +142,8 @@ def _run_trio_sharded_once(
 
     tables = {}
     for name, path in (("mom", mom_path), ("dad", dad_path)):
-        if path.lower().endswith(".npz"):
-            # precomputed `count` checkpoint: load flat, hash-partition onto the mesh
-            from denovo_kmer_tpu.utils.checkpoint import load_table
-
-            tables[name] = engine.place_flat_table(load_table(path, cfg))
-            m.event("table_loaded", sample=name, path=path)
-        else:
-            with m.timer(f"build_{name}"):
-                tables[name] = build_sample_table_sharded(
-                    _record_stream(path, cfg), cfg, engine, m
-                )
+        with m.timer(f"build_{name}"):
+            tables[name] = load_or_build_parent_sharded(path, cfg, engine, m)
         m.event("table_built", sample=name, unique=engine.total_unique(tables[name]))
 
     # child: parent-seeded scored build (ops/score.py) — the trio join rides the flushes

@@ -393,12 +393,13 @@ def run_trio(
     m = metrics or Metrics()
     step = make_ingest_step(cfg)
     tables = {}
-    for name, path in (("mom", mom_path), ("dad", dad_path)):
-        if path.lower().endswith(".npz"):
-            # precomputed `count` checkpoint (SURVEY.md §5.4): skip the parent pass
-            from denovo_kmer_tpu.utils.checkpoint import load_table
+    from denovo_kmer_tpu.utils.checkpoint import maybe_load_flat_table
 
-            tables[name] = load_table(path, cfg)
+    for name, path in (("mom", mom_path), ("dad", dad_path)):
+        loaded = maybe_load_flat_table(path, cfg)
+        if loaded is not None:
+            # precomputed `count` checkpoint (SURVEY.md §5.4): skip the parent pass
+            tables[name] = loaded
             m.event("table_loaded", sample=name, path=path)
         else:
             with m.timer(f"build_{name}"):

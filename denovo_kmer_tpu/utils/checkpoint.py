@@ -92,6 +92,14 @@ def load_table(
     return (table, meta) if with_meta else table
 
 
+def maybe_load_flat_table(path: str, cfg: EngineConfig):
+    """→ KmerTable if ``path`` is a `count` .npz checkpoint, else None (treat as reads).
+    The single shared load-vs-build dispatch for every pipeline (trio, sharded, cohort)."""
+    if path.lower().endswith(".npz"):
+        return load_table(path, cfg)
+    return None
+
+
 def table_meta(path: str) -> dict:
     with np.load(path) as z:
         return json.loads(bytes(z["meta"]).decode())
