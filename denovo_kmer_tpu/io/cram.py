@@ -636,7 +636,11 @@ class CramReader:
                 v = (row >> (6 - 2 * j)) & 3
                 sub[(rb, v)] = alt
 
-        ap = sh.start
+        # decode the embedded reference ONCE per slice (was once per record)
+        emb_ref_str = (
+            embedded_ref.decode("ascii", "replace") if embedded_ref is not None else None
+        )
+        tag_state = self._tag_state(ch)
         last_pos = sh.start
         for _ in range(sh.n_records):
             bf = D("BF").read_int()
@@ -673,11 +677,18 @@ class CramReader:
                 D("NF").read_int()
             # tags
             tl = D("TL").read_int() if D("TL") else 0
-            self._skip_tags(ch, tl, core, externals)
+            self._skip_tags(ch, tl, core, externals, tag_state)
 
             unmapped = bool(bf & BAM_FUNMAP)
-            if not unmapped:
-                seq = self._reconstruct(ch, sh, D, sub, pos0, rl, embedded_ref, ref_id)
+            if cf & 8:
+                # CF bit 3: sequence is unknown ('*') — no base or quality series were
+                # written for this record; fabricating bases from the reference (or
+                # consuming series that are not there) would desync the whole slice
+                if not unmapped and D("MQ"):
+                    D("MQ").read_int()
+                seq, quals = "", None
+            elif not unmapped:
+                seq = self._reconstruct(ch, sh, D, sub, pos0, rl, emb_ref_str, ref_id)
                 if D("MQ"):
                     D("MQ").read_int()
                 # CF bit 0 = per-base qualities stored as an RL-byte QS run
@@ -689,31 +700,49 @@ class CramReader:
                 quals = list(D("QS").read_bytes(rl)) if (cf & 1) and D("QS") else None
             yield CramRecord(seq=seq, qual=quals, flag=bf, name=name)
 
-    def _skip_tags(self, ch, tl, core, externals):
+    @staticmethod
+    def _tag_state(ch):
+        """Per-slice tag machinery: TD lines split once, decoders cached per tag key."""
         td = ch.preservation.get("TD", b"\x00")
         lines = td.split(b"\x00")
+        if td.endswith(b"\x00"):
+            lines = lines[:-1]  # trailing NUL terminator, not a phantom extra line
+        return {"lines": lines, "decoders": {}}
+
+    def _skip_tags(self, ch, tl, core, externals, tag_state):
+        lines = tag_state["lines"]
         if tl >= len(lines):
-            return
+            # silently skipping would leave the record's tag bytes unconsumed and desync
+            # every later record in the slice
+            raise ValueError(f"TL {tl} out of range ({len(lines)} tag-dictionary lines)")
         line = lines[tl]
+        decoders = tag_state["decoders"]
         # each tag is 3 bytes: two-letter key + type
         for i in range(0, len(line) - 2, 3):
             key = (line[i] << 16) | (line[i + 1] << 8) | line[i + 2]
-            enc = ch.tag_encodings.get(key)
-            if enc is None:
-                raise ValueError(f"tag {line[i:i+3]!r} has no encoding")
-            _Decoder(enc, core, externals).read_bytes()
+            d = decoders.get(key)
+            if d is None:
+                enc = ch.tag_encodings.get(key)
+                if enc is None:
+                    raise ValueError(f"tag {line[i:i+3]!r} has no encoding")
+                d = decoders[key] = _Decoder(enc, core, externals)
+            d.read_bytes()
 
-    def _reconstruct(self, ch, sh, D, sub, pos0, rl, embedded_ref, ref_id) -> str:
-        if embedded_ref is not None:
-            ref = embedded_ref.decode("ascii", "replace")
+    def _reconstruct(self, ch, sh, D, sub, pos0, rl, emb_ref_str, ref_id) -> str:
+        if emb_ref_str is not None:
+            ref = emb_ref_str
             ref_off = sh.start  # embedded ref starts at the slice start
         else:
             ref = self._ref_seq(ref_id)
-            if ref is None:
-                raise ValueError(
-                    f"slice needs reference sequence {ref_id}; pass reference="
-                )
             ref_off = 1  # CRAM positions are 1-based
+            if ref is None:
+                if ch.preservation.get("RR", True):
+                    raise ValueError(
+                        f"slice needs reference sequence {ref_id}; pass reference="
+                    )
+                # RR=false (no-ref CRAM, e.g. samtools --output-fmt-option no_ref):
+                # every base is feature-coded; positions the features miss decode as N
+                ref = ""
         fn = D("FN").read_int()
         feats = []
         fpos = 0
@@ -995,28 +1024,37 @@ def _write_series_blocks(f, ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int,
                          start: int, span: int, counter: int, method: int,
                          rans_order: int, mapped: bool, extra_slices=()):
     """Emit one container: compression header + one slice from ``ext`` (+ any pre-built
-    ``extra_slices`` sharing the same compression header — multi-slice containers)."""
+    ``extra_slices`` sharing the same compression header — multi-slice containers).
+    Landmarks: one byte offset per SLICE HEADER within the container body (spec §9;
+    htslib derives the slice count from the landmark count)."""
     bio = _io.BytesIO()
     write_block(bio, M_RAW, CT_COMPRESSION_HEADER, 0, _compression_header_blob(mapped))
+    landmarks = [bio.tell()]
     blob, n_blocks = _slice_blob(ext, n_rec, ref_id, start, span, counter, method,
                                  rans_order)
     bio.write(blob)
     total_rec, total_blocks = n_rec, 1 + n_blocks
     for s_blob, s_blocks, s_rec in extra_slices:
+        landmarks.append(bio.tell())
         bio.write(s_blob)
         total_blocks += s_blocks
         total_rec += s_rec
     body = bio.getvalue()
-    _container(f, body, ref_id, start, span, total_rec, counter, total_blocks, [0])
+    _container(f, body, ref_id, start, span, total_rec, counter, total_blocks,
+               landmarks)
 
 
 def _unmapped_ext(chunk, counter) -> Dict[str, _ExtBuf]:
     ext: Dict[str, _ExtBuf] = {k: _ExtBuf() for k in _W_IDS}
     for i, (seq, qual, flag) in enumerate(chunk):
         ext["BF"].itf8(flag | BAM_FUNMAP)
-        cf = 2 | (1 if qual is not None else 0)  # detached (+ quals)
-        ext["CF"].itf8(cf)
-        ext["RL"].itf8(len(seq))
+        if seq is None:
+            # sequence-unknown record ('*'): CF bit 3 set, no base/quality series
+            ext["CF"].itf8(2 | 8)
+            ext["RL"].itf8(0)
+        else:
+            ext["CF"].itf8(2 | (1 if qual is not None else 0))  # detached (+ quals)
+            ext["RL"].itf8(len(seq))
         ext["AP"].itf8(0)
         ext["RN"].raw(f"r{counter + i}".encode() + b"\x00")
         ext["MF"].itf8(0)
@@ -1024,10 +1062,11 @@ def _unmapped_ext(chunk, counter) -> Dict[str, _ExtBuf]:
         ext["NP"].itf8(0)
         ext["TS"].itf8(0)
         ext["TL"].itf8(0)
-        for ch_ in seq:
-            ext["BA"].byte(ord(ch_))
-        if qual is not None:
-            ext["QS"].raw(bytes(qual))
+        if seq is not None:
+            for ch_ in seq:
+                ext["BA"].byte(ord(ch_))
+            if qual is not None:
+                ext["QS"].raw(bytes(qual))
     return ext
 
 

@@ -7,8 +7,9 @@ with the sorted keys/counts plus a JSON metadata blob carrying the semantic conf
 table is only loadable under the same semantics (k, canonicalization, filters), because those
 knobs change the k-mer universe (SPEC_SEMANTICS.md).
 
-Sharded tables save one file per shard (``path.shard{i}of{n}.npz``) with the hash-prefix range
-in the metadata, so a resharded load can re-route entries.
+Sharded engine tables persist either as one gathered npz (ShardedKmerEngine.save_table) or
+as an orbax/TensorStore directory with per-shard parallel I/O (utils/checkpoint_orbax.py);
+flat `count` checkpoints re-enter a mesh via ShardedKmerEngine.place_flat_table.
 """
 
 from __future__ import annotations

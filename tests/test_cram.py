@@ -177,3 +177,19 @@ def test_multi_slice_containers_roundtrip(tmp_path):
         got = list(CramReader(f))
     assert [r.seq for r in got] == [s for s, _, _ in reads]
     assert [r.qual for r in got] == [q for _, q, _ in reads]
+
+
+def test_seqless_record_does_not_desync(tmp_path):
+    """CF bit 3 (sequence unknown, '*'): the record consumes no base/quality series; the
+    records around it must decode exactly (review finding — previously fabricated bases)."""
+    rng = random.Random(23)
+    reads = _synth_reads(rng, 5, L=40)
+    mixed = reads[:2] + [(None, None, 0)] + reads[2:]
+    path = str(tmp_path / "star.cram")
+    write_cram(path, mixed, method=M_GZIP)
+    with open(path, "rb") as f:
+        got = list(CramReader(f))
+    assert len(got) == 6
+    assert got[2].seq == "" and got[2].qual is None
+    for (seq, qual, _), rec in zip(reads, got[:2] + got[3:]):
+        assert rec.seq == seq and rec.qual == qual
