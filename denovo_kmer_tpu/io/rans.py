@@ -58,39 +58,36 @@ def _normalize_freqs(hist: List[int], total: int = TOTFREQ) -> List[int]:
     return out
 
 
-def _write_freqs(freqs: List[int]) -> bytes:
-    """Spec §13 frequency-table serialization: ascending symbols, a run byte after a symbol
-    that directly follows its predecessor, 1-2 byte frequencies, 0 terminator."""
+
+def _write_rle_keys(present, emit_payload) -> bytearray:
+    """Serialize an ascending key list with the spec's RLE (run byte after a key that
+    directly follows its predecessor), calling ``emit_payload(out, key)`` per key; shared
+    by the order-0 symbol table and the order-1 context table."""
     out = bytearray()
     rle = 0
     last = -2
-    for j in range(256):
-        if not freqs[j]:
-            continue
+    present = sorted(present)
+    pset = set(present)
+    for j in present:
         if rle:
             rle -= 1
         else:
             out.append(j)
             if j == last + 1:
                 run = 0
-                while j + run + 1 < 256 and freqs[j + run + 1]:
+                while j + run + 1 < 256 and (j + run + 1) in pset:
                     run += 1
                 out.append(run)
                 rle = run
-        f = freqs[j]
-        if f < 128:
-            out.append(f)
-        else:
-            out.append(128 | (f >> 8))
-            out.append(f & 0xFF)
+        emit_payload(out, j)
         last = j
     out.append(0)
-    return bytes(out)
+    return out
 
 
-def _read_freqs(buf: bytes, pos: int) -> Tuple[List[int], int]:
-    """Mirror of ``_write_freqs``."""
-    freqs = [0] * 256
+def _read_rle_keys(buf: bytes, pos: int, read_payload) -> int:
+    """Mirror of ``_write_rle_keys``: ``read_payload(key, pos) -> pos`` consumes each
+    key's payload. Returns the position after the 0 terminator."""
     sym = buf[pos]
     pos += 1
     last = -2
@@ -100,12 +97,7 @@ def _read_freqs(buf: bytes, pos: int) -> Tuple[List[int], int]:
         if explicit and last >= 0 and sym == last + 1:
             rle = buf[pos]
             pos += 1
-        f = buf[pos]
-        pos += 1
-        if f >= 128:
-            f = ((f & 0x7F) << 8) | buf[pos]
-            pos += 1
-        freqs[sym] = f
+        pos = read_payload(sym, pos)
         last = sym
         if rle:
             rle -= 1
@@ -117,6 +109,36 @@ def _read_freqs(buf: bytes, pos: int) -> Tuple[List[int], int]:
             explicit = True
             if sym == 0:
                 break
+    return pos
+
+def _write_freqs(freqs: List[int]) -> bytes:
+    """Spec §13 frequency-table serialization (RLE'd keys + 1-2 byte frequencies)."""
+
+    def emit(out, j):
+        f = freqs[j]
+        if f < 128:
+            out.append(f)
+        else:
+            out.append(128 | (f >> 8))
+            out.append(f & 0xFF)
+
+    return bytes(_write_rle_keys([j for j in range(256) if freqs[j]], emit))
+
+
+def _read_freqs(buf: bytes, pos: int) -> Tuple[List[int], int]:
+    """Mirror of ``_write_freqs``."""
+    freqs = [0] * 256
+
+    def take(sym, pos):
+        f = buf[pos]
+        pos += 1
+        if f >= 128:
+            f = ((f & 0x7F) << 8) | buf[pos]
+            pos += 1
+        freqs[sym] = f
+        return pos
+
+    pos = _read_rle_keys(buf, pos, take)
     return freqs, pos
 
 
@@ -262,28 +284,13 @@ def decode_o1(payload: bytes) -> bytes:
         return b""
     pos = 9
     freqs: Dict[int, List[int]] = {}
-    ctx = payload[pos]
-    pos += 1
-    last = -2
-    rle = 0
-    explicit = True
-    while True:
-        if explicit and last >= 0 and ctx == last + 1:
-            rle = payload[pos]
-            pos += 1
-        f, pos = _read_freqs(payload, pos)
+
+    def take_ctx(ctx, p):
+        f, p = _read_freqs(payload, p)
         freqs[ctx] = f
-        last = ctx
-        if rle:
-            rle -= 1
-            ctx = last + 1
-            explicit = False
-        else:
-            ctx = payload[pos]
-            pos += 1
-            explicit = True
-            if ctx == 0:
-                break
+        return p
+
+    pos = _read_rle_keys(payload, pos, take_ctx)
     tabs = {c: _cumulative(f) for c, f in freqs.items()}
 
     states = list(struct.unpack_from("<4I", payload, pos))
