@@ -206,3 +206,54 @@ def read_bam_records(path: str) -> Iterator[BamRecord]:
     with open_binary(path) as f:
         reader = BamReader(f)
         yield from reader
+
+
+def scan_split_offsets(path: str, n_splits: int, stride: int = 1024) -> List[int]:
+    """One sequential pass over a BAM, returning ``n_splits + 1`` virtual offsets that
+    partition the records into ~equal contiguous ranges (SURVEY.md §5.8: per-host
+    virtual-offset ranges — the scalable alternative to record striping, which makes every
+    host decode the whole file).
+
+    Boundaries are exact record starts (sampled every ``stride`` records to bound scan
+    memory), so ranges are disjoint and their union is the whole record stream. The scan
+    runs once (typically on one coordinator host, broadcast to the rest); its cost is one
+    decode pass, amortized over n_hosts subsequent range-limited passes.
+    """
+    from denovo_kmer_tpu.io.remote import open_binary
+
+    offsets: List[int] = []
+    with open_binary(path) as f:
+        reader = BamReader(f)
+        n = 0
+        offsets.append(reader.tell_virtual())
+        for _rec in reader:
+            n += 1
+            if n % stride == 0:
+                offsets.append(reader.tell_virtual())
+        end = reader.tell_virtual()
+    # offsets[j] = start of record j*stride; pick the sampled offset nearest each target
+    splits = [offsets[0]]
+    for i in range(1, n_splits):
+        target = (n * i) // n_splits
+        splits.append(offsets[min(round(target / stride), len(offsets) - 1)])
+    splits.append(end)
+    # guard monotonicity (tiny files can make neighboring targets collide)
+    for i in range(1, len(splits)):
+        splits[i] = max(splits[i], splits[i - 1])
+    return splits
+
+
+def read_bam_records_range(path: str, vstart: int, vstop: int) -> Iterator[BamRecord]:
+    """Iterate the records whose start offsets lie in [vstart, vstop) — one host's range
+    from ``scan_split_offsets``."""
+    from denovo_kmer_tpu.io.remote import open_binary
+
+    with open_binary(path) as f:
+        reader = BamReader(f)
+        reader.seek_virtual(vstart)
+        while reader.tell_virtual() < vstop:
+            try:
+                rec = next(reader)
+            except StopIteration:
+                return
+            yield rec

@@ -76,6 +76,40 @@ def host_packed_stream(
     return pack_records(striped_records(path_records, host_id, n_hosts), local_cfg)
 
 
+def ranged_host_records(path: str, host_id: int, n_hosts: int, splits=None):
+    """This host's record RANGE of a BAM via virtual offsets (SURVEY.md §5.8) — unlike
+    striping, each host decodes only ~1/n_hosts of the file. ``splits``: precomputed
+    ``scan_split_offsets(path, n_hosts)`` (scan once on host 0, broadcast); computed
+    locally when omitted (each host then pays one scan — still correct).
+
+    Counting is order-independent and the ranges partition the stream exactly, so results
+    are bit-identical to striping and to single-host."""
+    from denovo_kmer_tpu.io.bam import read_bam_records_range, scan_split_offsets
+
+    if splits is None:
+        splits = scan_split_offsets(path, n_hosts)
+    return read_bam_records_range(path, splits[host_id], splits[host_id + 1])
+
+
+def host_packed_stream_ranged(
+    path: str,
+    cfg: EngineConfig,
+    host_id: int,
+    n_hosts: int,
+    splits=None,
+) -> Iterator[PackedReads]:
+    """Range-sharded variant of ``host_packed_stream`` (BAM paths only)."""
+    local_cfg_batch = cfg.batch_reads // n_hosts
+    if cfg.batch_reads % n_hosts:
+        raise ValueError(
+            f"batch_reads ({cfg.batch_reads}) must divide by n_hosts ({n_hosts})"
+        )
+    import dataclasses
+
+    local_cfg = dataclasses.replace(cfg, batch_reads=local_cfg_batch)
+    return pack_records(ranged_host_records(path, host_id, n_hosts, splits), local_cfg)
+
+
 def make_global_batch(engine, local_packed: PackedReads):
     """Assemble the global sharded arrays for one step from this process's local slice.
 

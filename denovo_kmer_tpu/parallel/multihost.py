@@ -47,11 +47,14 @@ def build_sample_table_multihost(
     engine: ShardedKmerEngine,
     fault_kill_after: Optional[int] = None,
     score_seed: Optional[Tuple] = None,
+    feed: str = "stripe",
 ):
-    """Stream this host's stripe of ``path`` through the sharded engine (SPMD-aligned).
+    """Stream this host's share of ``path`` through the sharded engine (SPMD-aligned).
 
     ``score_seed``: (mom_table, dad_table) — use the parent-seeded scored build
-    (ops/score.py) instead of a plain table build (the child-scoring fast path)."""
+    (ops/score.py) instead of a plain table build (the child-scoring fast path).
+    ``feed``: "stripe" (every host decodes all records, keeps 1/N) or "range"
+    (virtual-offset ranges — each host decodes only its slice; SURVEY.md §5.8)."""
     host_id, n_hosts = jax.process_index(), jax.process_count()
     if score_seed is not None:
         state = engine.new_score_build(*score_seed)
@@ -59,7 +62,12 @@ def build_sample_table_multihost(
     else:
         state = engine.new_build()
         ingest, finalize = engine.ingest_global, engine.finalize
-    batches = host_packed_stream(read_bam_records(path), cfg, host_id, n_hosts)
+    if feed == "range":
+        from denovo_kmer_tpu.parallel.distributed import host_packed_stream_ranged
+
+        batches = host_packed_stream_ranged(path, cfg, host_id, n_hosts)
+    else:
+        batches = host_packed_stream(read_bam_records(path), cfg, host_id, n_hosts)
     for i, local_packed in enumerate(steps_aligned(batches, cfg)):
         if fault_kill_after is not None and i >= fault_kill_after:
             # fault injection (tests): die mid-build without cleanup
@@ -76,6 +84,7 @@ def run_trio_multihost(
     cfg: EngineConfig,
     checkpoint_dir: Optional[str] = None,
     fault: Optional[Tuple[str, int, int]] = None,
+    feed: str = "stripe",
 ) -> List[Tuple[int, int, int, int]]:
     """Full trio on an already-initialized multi-process JAX runtime.
 
@@ -103,7 +112,7 @@ def run_trio_multihost(
         kill = None
         if fault and fault[0] == name and fault[1] == host_id:
             kill = fault[2]
-        tables[name] = build_sample_table_multihost(path, cfg, engine, kill)
+        tables[name] = build_sample_table_multihost(path, cfg, engine, kill, feed=feed)
         if ckpt:
             # collective: every process joins the gather; only host 0 writes the file
             engine.save_table(ckpt, tables[name], source=path, write=host_id == 0)
@@ -116,7 +125,8 @@ def run_trio_multihost(
     if fault and fault[0] == "child" and fault[1] == host_id:
         kill = fault[2]
     stab = build_sample_table_multihost(
-        child_path, cfg, engine, kill, score_seed=(tables["mom"], tables["dad"])
+        child_path, cfg, engine, kill, score_seed=(tables["mom"], tables["dad"]),
+        feed=feed,
     )
 
     cands = engine._call_score(stab)

@@ -23,6 +23,7 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=21)
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--fault", default=None, help="sample:proc_id:after_batches")
+    ap.add_argument("--feed", default="stripe", choices=("stripe", "range"))
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -66,6 +67,7 @@ def main() -> int:
         cfg,
         checkpoint_dir=args.ckpt_dir,
         fault=fault,
+        feed=args.feed,
     )
     if args.proc_id == 0:
         with open(args.out_tsv, "w") as f:

@@ -139,3 +139,18 @@ def test_four_process_trio_matches_single_host(trio_dir, tmp_path):
     golden = _single_host_report(trio_dir, tmp_path)
     with open(out) as f:
         assert f.read() == golden
+
+
+@pytest.mark.slow
+def test_range_fed_trio_matches_single_host(trio_dir, tmp_path):
+    """Virtual-offset range feeding (each host decodes only its slice) must be
+    byte-identical to single-host and to striping (SURVEY.md §5.8)."""
+    out = str(tmp_path / "mh_range.tsv")
+    port = _free_port()
+    procs = _launch(2, port, trio_dir, out, extra=("--feed", "range"))
+    results = _wait_all(procs, timeout=420)
+    for rc, so, se in results:
+        assert rc == 0, f"worker failed rc={rc}\nstderr:\n{se[-3000:]}"
+    golden = _single_host_report(trio_dir, tmp_path)
+    with open(out) as f:
+        assert f.read() == golden

@@ -70,3 +70,28 @@ def test_resume_cursor_at_eof_is_seekable(tmp_path, monkeypatch, force_python):
     stream2 = packed_stream_with_cursor(paths["child"], cfg)
     stream2.seek(last_cursor)
     assert list(stream2) == []
+
+
+def test_split_offsets_partition_exactly(tmp_path):
+    """Range sharding (SURVEY.md §5.8): splits partition the record stream exactly —
+    disjoint, complete, order-preserving — and each host's range matches its stripe-free
+    contiguous slice."""
+    from denovo_kmer_tpu.io.bam import (
+        read_bam_records,
+        read_bam_records_range,
+        scan_split_offsets,
+    )
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=1500, read_len=50, coverage=6.0, seed=41)),
+        str(tmp_path),
+    )
+    bam = paths["child"]
+    all_names = [r.name for r in read_bam_records(bam)]
+    for n_hosts in (2, 3, 4):
+        splits = scan_split_offsets(bam, n_hosts, stride=7)
+        got = []
+        for h in range(n_hosts):
+            got.extend(r.name for r in read_bam_records_range(bam, splits[h], splits[h + 1]))
+        assert got == all_names, f"ranges do not partition at n_hosts={n_hosts}"
