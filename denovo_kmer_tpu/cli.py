@@ -224,6 +224,38 @@ def cmd_cohort(args) -> int:
     return 0
 
 
+def cmd_probe(args) -> int:
+    """Query k-mers against a persisted table (the `jellyfish query` analog): k-mers come
+    from --kmers (comma-separated) or stdin (one per line); prints `kmer<TAB>count`."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from denovo_kmer_tpu.oracle.scalar import canonical_value, encode_kmer, kmer_value_to_words
+    from denovo_kmer_tpu.ops.table import probe_table
+    from denovo_kmer_tpu.utils.checkpoint import load_table
+
+    cfg = _cfg_from_args(args)
+    table = load_table(args.table, cfg)
+    if args.kmers:
+        kmer_strs = [s.strip().upper() for s in args.kmers.split(",") if s.strip()]
+    else:
+        kmer_strs = [l.strip().upper() for l in sys.stdin if l.strip()]
+    if not kmer_strs:
+        raise SystemExit("no k-mers to query (use --kmers or pipe one per line)")
+    words = []
+    for s in kmer_strs:
+        if len(s) != cfg.k:
+            raise SystemExit(f"k-mer {s!r} has length {len(s)}, expected k={cfg.k}")
+        v = encode_kmer(s)
+        if cfg.canonical:
+            v = canonical_value(v, cfg.k)
+        words.append(kmer_value_to_words(v, cfg.k))
+    counts = np.asarray(probe_table(table, jnp.asarray(np.asarray(words, np.uint32))))
+    for s, c in zip(kmer_strs, counts):
+        print(f"{s}\t{int(c)}")
+    return 0
+
+
 def cmd_synth_trio(args) -> int:
     from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
 
@@ -289,6 +321,13 @@ def main(argv=None) -> int:
                     help="skip the cohort parental superset table")
     _add_engine_args(ph)
     ph.set_defaults(fn=cmd_cohort)
+
+    pq = sub.add_parser("probe", help="query k-mer counts in a `count` table checkpoint")
+    pq.add_argument("table", help="table checkpoint (.npz from `count`)")
+    pq.add_argument("--kmers", default=None,
+                    help="comma-separated k-mers (default: read one per line from stdin)")
+    _add_engine_args(pq)
+    pq.set_defaults(fn=cmd_probe)
 
     ps = sub.add_parser("synth-trio", help="generate a synthetic trio fixture")
     ps.add_argument("outdir")

@@ -138,3 +138,27 @@ def test_bad_mesh_and_sweep_pattern_rejected(trio_dir, tmp_path):
               "--dad", str(trio_dir / "dad.bam"),
               "--child", str(trio_dir / "child.bam"),
               "--ks", "15", "-o", str(tmp_path / "flat.tsv"), *ENGINE_ARGS])
+
+
+def test_probe_subcommand(trio_dir, tmp_path, capsys, monkeypatch):
+    """`probe` returns the oracle's counts for known and absent k-mers."""
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.io.bam import read_bam_records
+    from denovo_kmer_tpu.oracle.scalar import count_reads, decode_kmer
+
+    tab_npz = tmp_path / "mom.npz"
+    assert main(["count", str(trio_dir / "mom.bam"), "-o", str(tab_npz), *ENGINE_ARGS]) == 0
+
+    cfg = EngineConfig(k=21)
+    oracle = count_reads(
+        [(r.seq, r.qual, r.flag) for r in read_bam_records(str(trio_dir / "mom.bam"))],
+        cfg,
+    )
+    some = sorted(oracle)[:3]
+    queries = [decode_kmer(v, 21) for v in some] + ["A" * 21]
+    rc = main(["probe", str(tab_npz), "--kmers", ",".join(queries), *ENGINE_ARGS])
+    assert rc == 0
+    out = dict(l.split("\t") for l in capsys.readouterr().out.strip().splitlines())
+    for v, s in zip(some, queries[:3]):
+        assert int(out[s]) == oracle[v]
+    assert int(out["A" * 21]) == oracle.get(0, 0)
