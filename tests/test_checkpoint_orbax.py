@@ -65,3 +65,25 @@ def test_roundtrip_sharded_layout(tmp_path):
     assert got.keys.sharding == like.keys.sharding
     np.testing.assert_array_equal(np.asarray(got.keys), np.asarray(tab.keys))
     np.testing.assert_array_equal(np.asarray(got.n), np.asarray(tab.n))
+
+
+def test_engine_backend_orbax_roundtrip(tmp_path):
+    """ShardedKmerEngine.save_table/load_table with backend='orbax' round-trips onto the
+    mesh sharding (the engine wrapper over checkpoint_orbax)."""
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+    from denovo_kmer_tpu.parallel.mesh import make_mesh
+    from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
+
+    cfg = dataclasses.replace(CFG, mesh_shape=(2, 4), batch_reads=64)
+    engine = ShardedKmerEngine(cfg, make_mesh((2, 4)))
+    rng = np.random.default_rng(6)
+    seqs = ["".join(rng.choice(list("ACGT"), 60)) for _ in range(64)]
+    state = engine.new_build()
+    state = engine.ingest(state, pack_seqs(seqs, cfg, batch_size=64))
+    tab = engine.finalize(state)
+
+    p = str(tmp_path / "eng.orbax")
+    engine.save_table(p, tab, backend="orbax")
+    got = engine.load_table(p, backend="orbax")
+    np.testing.assert_array_equal(np.asarray(got.keys), np.asarray(tab.keys))
+    np.testing.assert_array_equal(np.asarray(got.n), np.asarray(tab.n))

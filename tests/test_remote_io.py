@@ -62,3 +62,17 @@ def test_http_range_seek_virtual(served_bam):
         assert seq6 == recs[5]
     except IOError:
         pytest.skip("test server lacks Range support; seek path raises cleanly")
+
+
+def test_remote_cram_streams(served_bam, tmp_path):
+    """CRAM over http(s): read_cram_records accepts URLs (open_binary composition)."""
+    url, local = served_bam
+    from denovo_kmer_tpu.io.bam import read_bam_records
+    from denovo_kmer_tpu.io.cram import read_cram_records, write_cram
+
+    recs = [(r.seq, r.qual, r.flag) for r in read_bam_records(local)]
+    cram_path = os.path.join(os.path.dirname(local), "child.cram")
+    write_cram(cram_path, recs)
+    cram_url = url.replace("child.bam", "child.cram")
+    got = [(r.seq, r.flag) for r in read_cram_records(cram_url)]
+    assert [(s, f | 0x4) for s, _q, f in recs] == got
