@@ -1,67 +1,127 @@
-// bam_ingest — native host feeder: BGZF inflate + BAM record parse + 2-bit pack.
+// bam_ingest — native host feeder: block-parallel BGZF inflate + BAM record parse + 2-bit pack.
 //
 // TPU-native counterpart of the reference's HTSlib ingest layer (SURVEY.md §1 L0/L1, inferred
-// from its CI dependency set ci.yml:18-27). Decodes BAM records and packs read bases directly
-// into the engine's device-feed layout (see denovo_kmer_tpu/ops/pack.py):
+// from its CI dependency set ci.yml:18-27, which links libdeflate — htslib's block-parallel
+// decompression). Decodes BAM records and packs read bases directly into the engine's
+// device-feed layout (see denovo_kmer_tpu/ops/pack.py):
 //   words  (B, Lp/16) u32 — base j at bits 2*(j%16) of word j/16 (LSB-first)
 //   vwords (B, Lp/32) u32 — validity bit j at bit j%32 of word j/32
 // applying the record flag filter and base-quality policy of SPEC_SEMANTICS.md §4 on the fly.
 //
+// Round-2 throughput design: BGZF blocks are independently inflatable, so a pool of worker
+// threads (DENOVO_KMER_INGEST_THREADS, default 4, 0 = synchronous) inflates a ring of
+// read-ahead blocks while the caller thread parses records and packs bases. Packing runs a
+// per-BYTE lookup (two bases per step) instead of per-base; the per-base path remains only
+// when a min-base-quality policy needs per-base quality reads.
+//
 // Exposed as a plain C ABI for ctypes. Single stream per handle; one handle per thread.
 
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
 namespace {
 
 constexpr size_t kMaxBlock = 0x10000;  // 64 KiB BGZF uncompressed limit
+constexpr size_t kRing = 64;           // read-ahead ring slots (~1.1 MiB compressed)
+
+struct Slot {
+  enum State { EMPTY, COMP, INFLATING, READY, FAILED };
+  State state = EMPTY;
+  long coffset = 0;
+  std::vector<uint8_t> cdata;
+  uint32_t isize = 0;
+  std::vector<uint8_t> udata;
+  std::string err;
+};
+
+bool inflate_block(const uint8_t* cdata, size_t clen, uint8_t* out, uint32_t isize,
+                   std::string* err) {
+  if (isize == 0) return true;
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) {
+    *err = "inflateInit2 failed";
+    return false;
+  }
+  zs.next_in = const_cast<uint8_t*>(cdata);
+  zs.avail_in = (uInt)clen;
+  zs.next_out = out;
+  zs.avail_out = isize;
+  int zret = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  if (zret != Z_STREAM_END || zs.total_out != isize) {
+    *err = "BGZF inflate failed";
+    return false;
+  }
+  return true;
+}
 
 struct Reader {
   FILE* f = nullptr;
   std::string error;
 
-  // current inflated block
+  // current inflated block (being parsed)
   std::vector<uint8_t> block;
   size_t within = 0;
   long block_coffset = 0;
-  bool eof = false;
-
-  // spill buffer for records straddling blocks
-  std::vector<uint8_t> spill;
+  bool eof = false;  // consumed past the last block
 
   // config
   int filter_flag_mask = 0;
   int min_base_quality = 0;
   int max_read_len = 0;
 
-  // header info
   int64_t n_records_seen = 0;
+
+  // ---- decode-ahead pool (workers inflate; only the caller thread touches `f`) ----
+  int n_threads = 0;
+  std::vector<Slot> ring;
+  uint64_t head = 0;    // sequence number of the next block the consumer takes
+  uint64_t filled = 0;  // sequence number after the last compressed block read in
+  bool raw_eof = false; // no more compressed blocks in the file
+  std::string io_error; // compressed-stream read error (set by caller thread)
+  bool stop = false;
+  std::mutex mu;
+  std::condition_variable cv_work;  // signals workers: a COMP slot exists / stop
+  std::condition_variable cv_done;  // signals consumer: a slot became READY/FAILED
+  std::vector<std::thread> workers;
+
+  ~Reader() {
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv_work.notify_all();
+    for (auto& t : workers) t.join();
+    if (f) fclose(f);
+  }
 };
 
-// ---------------- BGZF ----------------
-
-bool read_block(Reader* r) {
-  r->block_coffset = ftell(r->f);
+// Read one compressed block's header+body from `f` (caller thread only).
+// Returns: 1 = block read into (coffset, cdata, isize); 0 = clean EOF; -1 = error (io_error).
+int read_compressed(Reader* r, long* coffset, std::vector<uint8_t>* cdata,
+                    uint32_t* isize) {
+  *coffset = ftell(r->f);
   uint8_t hdr[12];
   size_t got = fread(hdr, 1, 12, r->f);
-  if (got == 0) {
-    r->eof = true;
-    return false;
-  }
+  if (got == 0) return 0;
   if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8 || !(hdr[3] & 4)) {
-    r->error = "bad BGZF block header";
-    return false;
+    r->io_error = "bad BGZF block header";
+    return -1;
   }
   uint16_t xlen = hdr[10] | (hdr[11] << 8);
   std::vector<uint8_t> extra(xlen);
   if (fread(extra.data(), 1, xlen, r->f) != xlen) {
-    r->error = "truncated BGZF extra field";
-    return false;
+    r->io_error = "truncated BGZF extra field";
+    return -1;
   }
   int bsize = -1;
   for (size_t off = 0; off + 4 <= xlen;) {
@@ -72,44 +132,153 @@ bool read_block(Reader* r) {
     off += 4 + slen;
   }
   if (bsize < 0) {
-    r->error = "missing BC subfield";
-    return false;
+    r->io_error = "missing BC subfield";
+    return -1;
   }
   size_t cdata_len = bsize - 12 - xlen - 8;
-  std::vector<uint8_t> cdata(cdata_len);
+  cdata->resize(cdata_len);
   uint8_t tail[8];
-  if (fread(cdata.data(), 1, cdata_len, r->f) != cdata_len ||
+  if (fread(cdata->data(), 1, cdata_len, r->f) != cdata_len ||
       fread(tail, 1, 8, r->f) != 8) {
-    r->error = "truncated BGZF block body";
+    r->io_error = "truncated BGZF block body";
+    return -1;
+  }
+  memcpy(isize, tail + 4, 4);
+  if (*isize > kMaxBlock) {
+    r->io_error = "BGZF ISIZE too large";
+    return -1;
+  }
+  return 1;
+}
+
+void worker_main(Reader* r) {
+  for (;;) {
+    size_t idx = kRing;
+    {
+      std::unique_lock<std::mutex> lk(r->mu);
+      for (;;) {
+        if (r->stop) return;
+        for (size_t i = 0; i < kRing; i++) {
+          if (r->ring[i].state == Slot::COMP) {
+            idx = i;
+            break;
+          }
+        }
+        if (idx != kRing) break;
+        r->cv_work.wait(lk);
+      }
+      r->ring[idx].state = Slot::INFLATING;
+    }
+    Slot& s = r->ring[idx];
+    s.udata.resize(s.isize);
+    std::string err;
+    bool ok = inflate_block(s.cdata.data(), s.cdata.size(), s.udata.data(), s.isize,
+                            &err);
+    {
+      std::unique_lock<std::mutex> lk(r->mu);
+      s.err = err;
+      s.state = ok ? Slot::READY : Slot::FAILED;
+    }
+    r->cv_done.notify_all();
+  }
+}
+
+// Keep the ring topped up with compressed blocks (caller thread only).
+void fill_ahead(Reader* r) {
+  while (!r->raw_eof && r->io_error.empty() && r->filled - r->head < kRing) {
+    Slot& s = r->ring[r->filled % kRing];
+    // slot is guaranteed EMPTY: consumer empties in order and filled-head < kRing
+    int rc = read_compressed(r, &s.coffset, &s.cdata, &s.isize);
+    if (rc == 0) {
+      r->raw_eof = true;
+      return;
+    }
+    if (rc < 0) return;
+    {
+      std::unique_lock<std::mutex> lk(r->mu);
+      s.state = Slot::COMP;
+      r->filled++;
+    }
+    r->cv_work.notify_one();
+  }
+}
+
+// Advance to the next inflated block (pool path). Returns false on EOF or error.
+bool next_block_pooled(Reader* r) {
+  fill_ahead(r);
+  if (r->head == r->filled) {
+    if (!r->io_error.empty()) {
+      r->error = r->io_error;
+      return false;
+    }
+    r->eof = true;
     return false;
   }
+  Slot& s = r->ring[r->head % kRing];
+  {
+    std::unique_lock<std::mutex> lk(r->mu);
+    while (s.state != Slot::READY && s.state != Slot::FAILED) r->cv_done.wait(lk);
+    if (s.state == Slot::FAILED) {
+      r->error = s.err;
+      return false;
+    }
+    r->block.swap(s.udata);
+    r->block_coffset = s.coffset;
+    s.state = Slot::EMPTY;
+    s.udata.clear();
+    r->head++;
+  }
+  r->within = 0;
+  fill_ahead(r);
+  return true;
+}
+
+// Synchronous path (n_threads == 0): read + inflate inline.
+bool next_block_sync(Reader* r) {
+  long coffset;
+  std::vector<uint8_t> cdata;
   uint32_t isize;
-  memcpy(&isize, tail + 4, 4);
-  if (isize > kMaxBlock) {
-    r->error = "BGZF ISIZE too large";
+  int rc = read_compressed(r, &coffset, &cdata, &isize);
+  if (rc == 0) {
+    r->eof = true;
+    return false;
+  }
+  if (rc < 0) {
+    r->error = r->io_error;
     return false;
   }
   r->block.resize(isize);
-  if (isize > 0) {
-    z_stream zs;
-    memset(&zs, 0, sizeof(zs));
-    if (inflateInit2(&zs, -15) != Z_OK) {
-      r->error = "inflateInit2 failed";
-      return false;
-    }
-    zs.next_in = cdata.data();
-    zs.avail_in = (uInt)cdata_len;
-    zs.next_out = r->block.data();
-    zs.avail_out = isize;
-    int zret = inflate(&zs, Z_FINISH);
-    inflateEnd(&zs);
-    if (zret != Z_STREAM_END || zs.total_out != isize) {
-      r->error = "BGZF inflate failed";
-      return false;
-    }
+  std::string err;
+  if (!inflate_block(cdata.data(), cdata.size(), r->block.data(), isize, &err)) {
+    r->error = err;
+    return false;
   }
+  r->block_coffset = coffset;
   r->within = 0;
   return true;
+}
+
+bool read_block(Reader* r) {
+  return r->n_threads > 0 ? next_block_pooled(r) : next_block_sync(r);
+}
+
+// Discard all in-flight ring state (before a seek). Caller thread only.
+void drain_ring(Reader* r) {
+  if (r->n_threads == 0) return;
+  std::unique_lock<std::mutex> lk(r->mu);
+  for (;;) {
+    bool busy = false;
+    for (auto& s : r->ring)
+      if (s.state == Slot::INFLATING) busy = true;
+    if (!busy) break;
+    r->cv_done.wait(lk);
+  }
+  for (auto& s : r->ring) {
+    s.state = Slot::EMPTY;
+    s.udata.clear();
+    s.cdata.clear();
+  }
+  r->head = r->filled = 0;
 }
 
 // read exactly n bytes of the uncompressed stream into dst; false on EOF/error
@@ -194,6 +363,15 @@ uint16_t rd_u16(const uint8_t* p) {
   return v;
 }
 
+int env_threads() {
+  const char* e = getenv("DENOVO_KMER_INGEST_THREADS");
+  if (!e || !*e) return 4;
+  int v = atoi(e);
+  if (v < 0) v = 0;
+  if (v > 16) v = 16;
+  return v;
+}
+
 }  // namespace
 
 extern "C" {
@@ -210,9 +388,14 @@ void* bam_ingest_open(const char* path, int filter_flag_mask, int min_base_quali
     delete r;
     return nullptr;
   }
+  r->n_threads = env_threads();
+  if (r->n_threads > 0) {
+    r->ring.resize(kRing);
+    for (int i = 0; i < r->n_threads; i++)
+      r->workers.emplace_back(worker_main, r);
+  }
   uint8_t magic[4];
   if (!uread(r, magic, 4) || memcmp(magic, "BAM\x01", 4) != 0) {
-    fclose(r->f);
     delete r;
     return nullptr;
   }
@@ -229,7 +412,6 @@ void* bam_ingest_open(const char* path, int filter_flag_mask, int min_base_quali
   }
   return r;
 fail:
-  fclose(r->f);
   delete r;
   return nullptr;
 }
@@ -286,15 +468,31 @@ int64_t bam_ingest_next_batch(void* handle, int64_t batch_reads, uint32_t* words
     int n = l_seq < r->max_read_len ? l_seq : r->max_read_len;
     uint32_t* wrow = words + out * wpr;
     uint32_t* vrow = vwords + out * vpr;
-    for (int j = 0; j < n; j++) {
-      uint8_t byte = seq[j >> 1];
-      int half = j & 1;
-      uint32_t code = (kLut.code4[byte] >> (2 * half)) & 3u;
-      uint32_t valid = (kLut.valid2[byte] >> half) & 1u;
-      if (r->min_base_quality > 0 && qual[j] != 0xFF && qual[j] < r->min_base_quality)
-        valid = 0;
-      wrow[j >> 4] |= code << (2 * (j & 15));
-      vrow[j >> 5] |= valid << (j & 31);
+    if (r->min_base_quality > 0) {
+      // per-base path: quality policy needs each base's QUAL byte
+      for (int j = 0; j < n; j++) {
+        uint8_t byte = seq[j >> 1];
+        int half = j & 1;
+        uint32_t code = (kLut.code4[byte] >> (2 * half)) & 3u;
+        uint32_t valid = (kLut.valid2[byte] >> half) & 1u;
+        if (qual[j] != 0xFF && qual[j] < r->min_base_quality) valid = 0;
+        wrow[j >> 4] |= code << (2 * (j & 15));
+        vrow[j >> 5] |= valid << (j & 31);
+      }
+    } else {
+      // per-byte path: two bases per lookup (the common no-quality-filter config)
+      int nbytes = (n + 1) / 2;
+      for (int i = 0; i < nbytes; i++) {
+        uint8_t b = seq[i];
+        wrow[i >> 3] |= (uint32_t)kLut.code4[b] << (4 * (i & 7));
+        vrow[i >> 4] |= (uint32_t)kLut.valid2[b] << (2 * (i & 15));
+      }
+      if (n & 1) {
+        // odd truncation: the last processed byte's low nibble is base n (beyond the
+        // kept length) — scrub its code and validity bit
+        wrow[n >> 4] &= ~(3u << (2 * (n & 15)));
+        vrow[n >> 5] &= ~(1u << (n & 31));
+      }
     }
     lengths[out] = n;
     out++;
@@ -312,6 +510,9 @@ int bam_ingest_seek_virtual(void* handle, int64_t voffset) {
   Reader* r = (Reader*)handle;
   long coff = (long)(voffset >> 16);
   size_t within = (size_t)(voffset & 0xFFFF);
+  drain_ring(r);
+  r->io_error.clear();
+  r->raw_eof = false;
   if (fseek(r->f, coff, SEEK_SET) != 0) return -1;
   r->eof = false;
   r->block.clear();
@@ -336,9 +537,7 @@ const char* bam_ingest_error(void* handle) {
 }
 
 void bam_ingest_close(void* handle) {
-  Reader* r = (Reader*)handle;
-  if (r->f) fclose(r->f);
-  delete r;
+  delete (Reader*)handle;
 }
 
 }  // extern "C"

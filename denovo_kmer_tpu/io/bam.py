@@ -208,20 +208,26 @@ def read_bam_records(path: str) -> Iterator[BamRecord]:
         yield from reader
 
 
-def scan_split_offsets(path: str, n_splits: int, stride: int = 1024) -> List[int]:
+def scan_split_offsets(
+    path: str, n_splits: int, max_samples: int = 1 << 16, return_counts: bool = False
+):
     """One sequential pass over a BAM, returning ``n_splits + 1`` virtual offsets that
     partition the records into ~equal contiguous ranges (SURVEY.md §5.8: per-host
     virtual-offset ranges — the scalable alternative to record striping, which makes every
     host decode the whole file).
 
-    Boundaries are exact record starts (sampled every ``stride`` records to bound scan
-    memory), so ranges are disjoint and their union is the whole record stream. The scan
-    runs once (typically on one coordinator host, broadcast to the rest); its cost is one
-    decode pass, amortized over n_hosts subsequent range-limited passes.
+    Boundaries are exact record starts, so ranges are disjoint and their union is the whole
+    record stream. Sampling is adaptive: every record's offset is kept until the sample list
+    would exceed ``max_samples``, then the list is thinned 2x and the stride doubles — so
+    granularity is ``max(1, ~n/max_samples)`` records and ranges stay balanced for small
+    files too (a fixed stride starved all but one host below ~stride*n_splits records). The
+    scan runs once (typically on one coordinator host, broadcast to the rest); its cost is
+    one decode pass, amortized over n_hosts subsequent range-limited passes.
     """
     from denovo_kmer_tpu.io.remote import open_binary
 
     offsets: List[int] = []
+    stride = 1
     with open_binary(path) as f:
         reader = BamReader(f)
         n = 0
@@ -230,16 +236,28 @@ def scan_split_offsets(path: str, n_splits: int, stride: int = 1024) -> List[int
             n += 1
             if n % stride == 0:
                 offsets.append(reader.tell_virtual())
+                if len(offsets) > max_samples:
+                    offsets = offsets[::2]
+                    stride *= 2
         end = reader.tell_virtual()
     # offsets[j] = start of record j*stride; pick the sampled offset nearest each target
     splits = [offsets[0]]
+    recnos = [0]
     for i in range(1, n_splits):
         target = (n * i) // n_splits
-        splits.append(offsets[min(round(target / stride), len(offsets) - 1)])
+        j = min(round(target / stride), len(offsets) - 1)
+        splits.append(offsets[j])
+        recnos.append(min(j * stride, n))
     splits.append(end)
+    recnos.append(n)
     # guard monotonicity (tiny files can make neighboring targets collide)
     for i in range(1, len(splits)):
         splits[i] = max(splits[i], splits[i - 1])
+        recnos[i] = max(recnos[i], recnos[i - 1])
+    if return_counts:
+        # per-range RAW record counts (pre-filter): the basis for a collective-free
+        # deterministic step count in multi-host range feeding (distributed.steps_fixed)
+        return splits, [recnos[i + 1] - recnos[i] for i in range(n_splits)]
     return splits
 
 

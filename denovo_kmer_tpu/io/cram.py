@@ -695,6 +695,10 @@ class CramReader:
                 quals = list(D("QS").read_bytes(rl)) if (cf & 1) and D("QS") else None
             else:
                 ba = D("BA")
+                if ba is None:
+                    # mirror the RI check in _decode_slice: a reader contract violation
+                    # must surface as ValueError, not AttributeError
+                    raise ValueError("unmapped record with bases but no BA data series")
                 bases = bytes(ba.read_byte() for _ in range(rl))
                 seq = bases.decode("ascii", "replace")
                 quals = list(D("QS").read_bytes(rl)) if (cf & 1) and D("QS") else None

@@ -24,9 +24,30 @@ _SRC = os.path.join(_HERE, "_native", "bam_ingest.cpp")
 _BUILD_DIR = os.path.join(_HERE, "_native", "build")
 _SO = os.path.join(_BUILD_DIR, "libbam_ingest.so")
 
+_FPRINT = os.path.join(_BUILD_DIR, "host_fingerprint.txt")
+
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_error: Optional[str] = None
+
+
+def _host_fingerprint() -> str:
+    """CPU identity for the cached -march=native binary: an .so built on another machine
+    (copied checkouts, shared caches) can carry ISA extensions this host lacks and would
+    SIGILL at call time, not load time — so the build is keyed to the host's CPU flags."""
+    import hashlib
+    import platform
+
+    probe = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    probe += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(probe.encode()).hexdigest()[:16]
 
 
 def _build() -> Optional[str]:
@@ -36,7 +57,7 @@ def _build() -> Optional[str]:
     san = os.environ.get("DENOVO_KMER_SANITIZE", "")
     san_flags = [f"-fsanitize={san}", "-fno-omit-frame-pointer", "-g"] if san else []
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
         *san_flags, _SRC, "-o", _SO, "-lz",
     ]
     try:
@@ -45,7 +66,21 @@ def _build() -> Optional[str]:
         return f"compiler unavailable: {e}"
     if proc.returncode != 0:
         return f"build failed:\n{proc.stderr}"
+    with open(_FPRINT, "w") as f:
+        f.write(_host_fingerprint())
     return None
+
+
+def _cached_so_stale() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    if os.path.exists(_SRC) and os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        return True
+    try:
+        with open(_FPRINT) as f:
+            return f.read().strip() != _host_fingerprint()
+    except OSError:
+        return True  # no fingerprint — unknown provenance, rebuild
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -64,9 +99,7 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def _load_locked() -> Optional[ctypes.CDLL]:
     global _lib, _build_error
-    if not os.path.exists(_SO) or (
-        os.path.exists(_SRC) and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-    ):
+    if _cached_so_stale():
         err = _build()
         if err:
             _build_error = err

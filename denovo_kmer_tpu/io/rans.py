@@ -252,25 +252,9 @@ def encode_o1(data: bytes) -> bytes:
             states[k] = _put(states[k], freqs[ctx][s], cums[ctx][s], out_rev)
 
     # context-major table: same RLE over contexts, nested order-0 tables
-    table = bytearray()
-    rle = 0
-    last = -2
-    for ctx in range(256):
-        if ctx not in freqs:
-            continue
-        if rle:
-            rle -= 1
-        else:
-            table.append(ctx)
-            if ctx == last + 1:
-                run = 0
-                while ctx + run + 1 < 256 and (ctx + run + 1) in freqs:
-                    run += 1
-                table.append(run)
-                rle = run
-        table += _write_freqs(freqs[ctx])
-        last = ctx
-    table.append(0)
+    table = _write_rle_keys(
+        sorted(freqs), lambda out, ctx: out.extend(_write_freqs(freqs[ctx]))
+    )
 
     head = b"".join(struct.pack("<I", states[j]) for j in range(4))
     comp = bytes(table) + head + bytes(reversed(out_rev))

@@ -90,8 +90,26 @@ def test_split_offsets_partition_exactly(tmp_path):
     bam = paths["child"]
     all_names = [r.name for r in read_bam_records(bam)]
     for n_hosts in (2, 3, 4):
-        splits = scan_split_offsets(bam, n_hosts, stride=7)
+        # tiny max_samples forces the adaptive-stride thinning path
+        splits, counts = scan_split_offsets(
+            bam, n_hosts, max_samples=8, return_counts=True
+        )
         got = []
         for h in range(n_hosts):
-            got.extend(r.name for r in read_bam_records_range(bam, splits[h], splits[h + 1]))
+            rng_names = [
+                r.name for r in read_bam_records_range(bam, splits[h], splits[h + 1])
+            ]
+            assert len(rng_names) == counts[h]
+            got.extend(rng_names)
         assert got == all_names, f"ranges do not partition at n_hosts={n_hosts}"
+        # adaptive sampling must balance even small files (ADVICE r01): no host starves
+        assert min(counts) >= len(all_names) // n_hosts - len(all_names) // 4
+
+        splits_full = scan_split_offsets(bam, n_hosts)
+        got2 = []
+        for h in range(n_hosts):
+            got2.extend(
+                r.name
+                for r in read_bam_records_range(bam, splits_full[h], splits_full[h + 1])
+            )
+        assert got2 == all_names
