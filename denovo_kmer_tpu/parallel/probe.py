@@ -36,6 +36,37 @@ def _probe_local(shard: KmerTable, q: jnp.ndarray, valid: jnp.ndarray) -> jnp.nd
     return jnp.where(valid, counts, 0).astype(jnp.uint32)
 
 
+def unbucketize_counts(
+    back: jnp.ndarray,  # (T, cap) uint32 — per-dispatch-slot probe results
+    mask: jnp.ndarray,  # (T, cap) bool
+    src: jnp.ndarray,  # (T, cap) int32 — original query row per slot (-1 masked)
+    n_queries: int,
+) -> jnp.ndarray:
+    """Return results to original query order — scatter-free (sort + segment-sum).
+
+    Each dispatched slot carries its originating row in ``src``; concatenating a zero-weight
+    filler row per original index guarantees every index forms a group, so one stable sort +
+    segment aggregation (ops.table._aggregate_multi) yields the (n_queries,) counts in
+    original order. Invalid/overflowed queries get 0.
+    """
+    from denovo_kmer_tpu.ops.table import _aggregate_multi
+
+    N = n_queries
+    src_flat = src.reshape(-1)
+    keys = jnp.concatenate(
+        [
+            jnp.where(mask.reshape(-1), src_flat, N).astype(jnp.uint32),
+            jnp.arange(N, dtype=jnp.uint32),
+        ]
+    )[:, None]
+    vals = jnp.concatenate(
+        [jnp.where(mask.reshape(-1), back.reshape(-1), 0), jnp.zeros((N,), jnp.uint32)]
+    )
+    valid = jnp.ones((keys.shape[0],), bool)
+    _k, cols, _n = _aggregate_multi(keys, [vals], valid, N)
+    return cols[0]
+
+
 def probe_shard_alltoall(
     shard: KmerTable,
     queries: jnp.ndarray,  # (n, W) local queries
@@ -50,16 +81,15 @@ def probe_shard_alltoall(
     psum/check it host-side and retry with a larger factor (never silently wrong).
     """
     n, W = queries.shape
-    disp, mask, slot, ovf = bucketize(queries, valid, num_shards, capacity)
+    disp, mask, src, ovf = bucketize(queries, valid, num_shards, capacity)
     recv = jax.lax.all_to_all(disp, axis, split_axis=0, concat_axis=0, tiled=True)
     rmask = jax.lax.all_to_all(mask, axis, split_axis=0, concat_axis=0, tiled=True)
     counts = _probe_local(shard, recv.reshape(-1, W), rmask.reshape(-1))
     back = jax.lax.all_to_all(
         counts.reshape(num_shards, capacity), axis, split_axis=0, concat_axis=0,
         tiled=True,
-    ).reshape(-1)
-    # un-bucketize: query i sits at flat slot[i] (or -1 if invalid/overflowed)
-    out = jnp.where(slot >= 0, back[jnp.maximum(slot, 0)], 0).astype(jnp.uint32)
+    )
+    out = unbucketize_counts(back, mask, src, n)
     return out, jax.lax.psum(ovf, axis)
 
 

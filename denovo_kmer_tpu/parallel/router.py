@@ -19,9 +19,9 @@ import jax
 import jax.numpy as jnp
 
 
-def mix32(kmers: jnp.ndarray) -> jnp.ndarray:
+def mix32(kmers: jnp.ndarray, basis: int = 0x811C9DC5) -> jnp.ndarray:
     """(N, W) uint32 k-mer words → (N,) uint32 well-mixed hash (FNV-1a + murmur3 fmix32)."""
-    h = jnp.full(kmers.shape[:-1], 0x811C9DC5, jnp.uint32)
+    h = jnp.full(kmers.shape[:-1], basis, jnp.uint32)
     for w in range(kmers.shape[-1]):
         h = (h ^ kmers[..., w]) * jnp.uint32(0x01000193)
     h = h ^ (h >> 16)
@@ -37,6 +37,16 @@ def owner_of(kmers: jnp.ndarray, num_shards: int) -> jnp.ndarray:
     return (mix32(kmers) % jnp.uint32(num_shards)).astype(jnp.int32)
 
 
+def pass_of(kmers: jnp.ndarray, n_passes) -> jnp.ndarray:
+    """(N, W) → (N,) uint32 multi-pass partition bucket in [0, n_passes).
+
+    Uses a DIFFERENT FNV basis than ``owner_of`` so the time-multiplexed pass partition
+    (pipeline.run_trio_multipass, WGS-scale tables) stays independent of the space
+    partition over table shards — with one hash, pass p of a P-pass build would only
+    populate shards whose index ≡ p (mod gcd(P, T)), idling the rest of the mesh."""
+    return mix32(kmers, basis=0x9E3779B9) % jnp.uint32(n_passes)
+
+
 def route_capacity(n_kmers: int, num_shards: int, factor: float) -> int:
     """Per-(src,dst) dispatch capacity: even split × factor, 8-aligned, ≥8."""
     cap = int(-(-n_kmers * factor // num_shards))
@@ -49,36 +59,39 @@ def bucketize(
     num_shards: int,
     capacity: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Scatter k-mers into per-destination buckets.
+    """Group k-mers into per-destination buckets — sort-based, zero scatters.
 
-    Returns (dispatch (T, cap, W), mask (T, cap) bool, slot (N,) int32, overflow () int32).
-    ``slot`` is each k-mer's flat position in the dispatch layout (T*cap), or -1 if it was
-    invalid or overflowed — callers use it to un-bucketize returned per-probe counts.
+    The previous formulation scattered rows into the dispatch layout with ``.at[].set``;
+    TPU scatters at ingest scale are orders of magnitude slower than sorts
+    (benchmarks/README.md scatter row), so this runs on the engine's one fast primitive:
+    one stable sort by owner, per-owner segment offsets via a tiny searchsorted, and a
+    monotonic gather into the static dispatch layout.
+
+    Returns (dispatch (T, cap, W), mask (T, cap) bool, src (T, cap) int32, overflow ()).
+    ``src[t, c]`` is the ORIGINAL row index of that dispatch slot (-1 where masked) — the
+    inverse of round 1's per-row ``slot``; callers un-bucketize by carrying ``src`` along
+    (see probe.unbucketize_counts). Within a bucket, rows keep original order (stable sort).
+    Overflowed k-mers (bucket fuller than ``capacity``) are counted, never silently lost.
     """
     N, W = kmers.shape
-    owner = owner_of(kmers, num_shards)
-    owner = jnp.where(valid, owner, num_shards)  # invalid → virtual shard T (dropped)
-    onehot = (
-        owner[:, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (1, num_shards), 1)
+    T = num_shards
+    owner = owner_of(kmers, T)
+    owner = jnp.where(valid, owner, T).astype(jnp.uint32)  # invalid → virtual shard T
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    s = jax.lax.sort(
+        [owner] + [kmers[:, w] for w in range(W)] + [iota], num_keys=1, is_stable=True
     )
-    pos = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1  # (N, T) position in bucket
-    my_pos = jnp.take_along_axis(
-        pos, jnp.minimum(owner, num_shards - 1)[:, None], axis=1
-    )[:, 0]
-    ok = valid & (my_pos < capacity)
-    slot = jnp.where(ok, owner * capacity + my_pos, -1)
-    scatter_idx = jnp.where(ok, slot, num_shards * capacity)  # drop row
-    disp = jnp.zeros((num_shards * capacity, W), jnp.uint32).at[scatter_idx].set(
-        kmers, mode="drop"
-    )
-    mask = jnp.zeros((num_shards * capacity,), bool).at[scatter_idx].set(
-        True, mode="drop"
-    )
-    overflow = jnp.sum((valid & (my_pos >= capacity)).astype(jnp.int32))
-    return (
-        disp.reshape(num_shards, capacity, W),
-        mask.reshape(num_shards, capacity),
-        slot,
-        overflow,
-    )
+    s_owner, s_words, s_iota = s[0], s[1 : 1 + W], s[1 + W]
+    # per-owner segment starts: T+1 binary searches over N (trivial next to the sort)
+    start = jnp.searchsorted(s_owner, jnp.arange(T + 1, dtype=jnp.uint32))
+    count = (start[1:] - start[:-1]).astype(jnp.int32)
+    take_n = jnp.minimum(count, capacity)
+    overflow = jnp.sum(count - take_n)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (T, capacity), 1)
+    src_idx = start[:-1, None].astype(jnp.int32) + c_iota  # (T, cap) into sorted rows
+    mask = c_iota < take_n[:, None]
+    # src_idx rows are ascending but adjacent rows may overlap (start[t]+cap > start[t+1]),
+    # so no indices_are_sorted hint — it must hold globally over the flattened operand
+    disp = jnp.stack([jnp.take(w, src_idx, mode="clip") for w in s_words], axis=-1)
+    src = jnp.where(mask, jnp.take(s_iota, src_idx, mode="clip"), -1)
+    return disp, mask, src, overflow

@@ -137,7 +137,7 @@ class ShardedKmerEngine:
             )
             flat = kmers.reshape(-1, W)
             v = valid.reshape(-1)
-            disp, mask, _slot, ovf = bucketize(flat, v, T, route_cap)
+            disp, mask, _src, ovf = bucketize(flat, v, T, route_cap)
             recv = jax.lax.all_to_all(
                 disp, AXIS_TABLE, split_axis=0, concat_axis=0, tiled=True
             )
@@ -174,17 +174,22 @@ class ShardedKmerEngine:
         )
 
         # ---- finalize: fold row-partials so every row holds the full shard ----
+        # ONE concat-aggregate over all R partials (sort of R·C rows) instead of round 1's
+        # R-1 sequential merge_tables (R-1 sorts of 2C rows each, O(R) critical path)
+        from denovo_kmer_tpu.ops.table import _aggregate_multi, _sticky_overflow_n
+
         def finalize_dev(tab: KmerTable):
             local = _local(tab)
             keys_all = jax.lax.all_gather(local.keys, AXIS_READS)  # (R, C, W)
             counts_all = jax.lax.all_gather(local.counts, AXIS_READS)
             n_all = jax.lax.all_gather(local.n, AXIS_READS)
-            acc = KmerTable(keys_all[0], counts_all[0], n_all[0])
-            for r in range(1, R):
-                acc = merge_tables(
-                    acc, KmerTable(keys_all[r], counts_all[r], n_all[r]), C
-                )
-            return _globalize(acc)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+            valid = (slot < n_all[:, None]).reshape(R * C)
+            out = _aggregate(
+                keys_all.reshape(R * C, W), counts_all.reshape(R * C), valid, C
+            )
+            n = _sticky_overflow_n(out.n, C, *[n_all[r] > C for r in range(R)])
+            return _globalize(out._replace(n=n))
 
         self._finalize = jax.jit(
             shard_map(
@@ -216,7 +221,6 @@ class ShardedKmerEngine:
             call_from_score,
             empty_score_table,
             flush_score,
-            merge_score_tables,
             seed_score_table,
         )
 
@@ -268,14 +272,21 @@ class ShardedKmerEngine:
         )
 
         def finalize_sc_dev(tab: ScoreTable):
+            # one-shot fold, like finalize_dev (both weight columns ride the same sort)
             local = _local_sc(tab)
             g = jax.tree.map(lambda x: jax.lax.all_gather(x, AXIS_READS), local)
-            acc = jax.tree.map(lambda x: x[0], g)
-            for r in range(1, R):
-                acc = merge_score_tables(
-                    acc, jax.tree.map(lambda x: x[r], g), C
-                )
-            return _glob_sc(acc)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+            valid = (slot < g.n[:, None]).reshape(R * C)
+            keys, cols, n = _aggregate_multi(
+                g.keys.reshape(R * C, W),
+                [g.counts.reshape(R * C), g.pcounts.reshape(R * C)],
+                valid,
+                C,
+            )
+            n = _sticky_overflow_n(n, C, *[g.n[r] > C for r in range(R)])
+            return _glob_sc(
+                ScoreTable(keys=keys, counts=cols[0], pcounts=cols[1], n=n)
+            )
 
         self._finalize_score = jax.jit(
             shard_map(

@@ -43,21 +43,24 @@ def test_bucketize_roundtrip_and_overflow():
     kmers = rng.integers(0, 2**32, size=(N, W), dtype=np.uint32)
     valid = rng.random(N) < 0.8
     cap = route_capacity(N, T, 1.5)
-    disp, mask, slot, ovf = jax.tree.map(
+    disp, mask, src, ovf = jax.tree.map(
         np.asarray, bucketize(jnp.asarray(kmers), jnp.asarray(valid), T, cap)
     )
     assert int(ovf) == 0
-    # every valid kmer appears exactly once at its slot
-    flat = disp.reshape(-1, W)
+    # every valid kmer appears exactly once, at a slot whose src points back to it,
+    # in its owner's bucket
+    owners = np.asarray(owner_of(jnp.asarray(kmers), T))
     fmask = mask.reshape(-1)
+    fsrc = src.reshape(-1)
+    flat = disp.reshape(-1, W)
     assert fmask.sum() == valid.sum()
-    for i in range(N):
-        if valid[i]:
-            s = slot[i]
-            assert s >= 0 and fmask[s]
-            assert np.array_equal(flat[s], kmers[i])
-        else:
-            assert slot[i] == -1
+    assert np.all((fsrc >= 0) == fmask)
+    seen = fsrc[fmask]
+    assert sorted(seen.tolist()) == sorted(np.flatnonzero(valid).tolist())
+    for s in np.flatnonzero(fmask):
+        i = fsrc[s]
+        assert np.array_equal(flat[s], kmers[i])
+        assert s // cap == owners[i]
     # tiny capacity must overflow, and count it
     _, _, _, ovf2 = bucketize(jnp.asarray(kmers), jnp.asarray(valid), T, 8)
     assert int(ovf2) == int(valid.sum()) - min(4 * 8, int(valid.sum())) or int(ovf2) > 0
