@@ -116,6 +116,8 @@ def main() -> int:
         kmers, valid = _extract(words, vwords)
         return append(acc, kmers, valid)
 
+    from denovo_kmer_tpu.ops.fused import extract_candidates, fused_flush_call
+
     flush_j = jax.jit(flush, donate_argnums=(0, 1))
     flush_score_j = jax.jit(
         lambda acc, tab: flush_score(acc, tab, out_capacity=cfg.table_capacity),
@@ -142,6 +144,21 @@ def main() -> int:
             acc, table = fl(acc, table)
         return table
 
+    def build_fused(batches, salt, seed_tab):
+        """Child scoring, round-2 shape: intermediate windows use the compacting flush;
+        the FINAL window runs the one-sort fused flush+call (ops/fused.py) and sparse
+        candidate extraction — no compaction sort, no separate call sort."""
+        acc = empty_accumulator(acc_slots, cfg.words)
+        table = copy_j(seed_tab)
+        pending = 0
+        for i, (words, vwords) in enumerate(batches):
+            acc = extract_append(acc, words, vwords, salt)
+            pending += 1
+            if pending == cfg.accum_batches and i + 1 < len(batches):
+                acc, table = flush_score_j(acc, table)
+                pending = 0
+        return fused_flush_call(acc, table, cfg.tau_parent, cfg.min_child_count)
+
     call_j = jax.jit(
         lambda t: call_from_score(t, cfg.tau_parent, cfg.min_child_count)
     )
@@ -154,11 +171,11 @@ def main() -> int:
     assert n_seed <= (1 << seed_bits), "seed table overflow - raise BENCH_SEED_BITS"
 
     def full_run(salt):
-        # the timed child-scoring pipeline: extract -> stage -> one fused
-        # aggregate-and-probe flush over the parent-seeded table -> candidate call
-        score = build(child_batches, salt, seed_tab=seed0)
-        cands = call_j(score)
-        return cands.n
+        # the timed child-scoring pipeline: extract -> stage -> ONE fused
+        # sort+flags+sparse-extract over (seed ∪ staging) -> host candidate rows
+        out = build_fused(child_batches, jnp.uint32(salt), seed0)
+        keys, _cc, _mc, _dc = extract_candidates(out)
+        return keys.shape[0]
 
     def force(x):
         return int(np.asarray(x))
@@ -192,21 +209,38 @@ def main() -> int:
     times = sorted(timed(100 + i) for i in range(3))
     dt = max(times[len(times) // 2] - overhead, 1e-9)
 
-    # exactness guard (untimed): the final score table must not have dropped groups
+    # exactness guard (untimed): the fused one-sort call must match the compacting
+    # reference path bit-for-bit on identical input, and nothing may have overflowed
     final_tab = build(child_batches, jnp.uint32(999), seed_tab=seed0)
     n_final = int(np.asarray(final_tab.n))
     assert n_final <= cfg.table_capacity, "score table overflow - raise BENCH_TABLE_BITS"
-    print(f"uniques: seed={n_seed} final={n_final}", file=sys.stderr)
+    ref_n = int(np.asarray(call_j(final_tab).n))
+    out999 = build_fused(child_batches, jnp.uint32(999), seed0)
+    assert int(np.asarray(out999.n_cand)) == ref_n, "fused/compacting candidate mismatch"
+    assert int(np.asarray(out999.n_unique)) == n_final, "fused/compacting unique mismatch"
+    print(f"uniques: seed={n_seed} final={n_final} cands={ref_n}", file=sys.stderr)
 
     if os.environ.get("BENCH_PHASES"):
         # phase breakdown (forces at phase boundaries; adds one RTT per phase)
+        from denovo_kmer_tpu.ops.stream import append as _append  # noqa: F401
+
         t0 = time.perf_counter()
-        child = build(child_batches, jnp.uint32(222), seed_tab=seed0)
-        force(child.n)
+        acc = empty_accumulator(acc_slots, cfg.words)
+        table = copy_j(seed0)
+        for words, vwords in child_batches:
+            acc = extract_append(acc, words, vwords, jnp.uint32(222))
+        force(acc.fill)
         t1 = time.perf_counter()
-        force(call_j(child).n)
+        out = fused_flush_call(acc, table, cfg.tau_parent, cfg.min_child_count)
+        force(out.n_cand)
         t2 = time.perf_counter()
-        print(f"phase build(child)={t1-t0:.3f}s call={t2-t1:.3f}s", file=sys.stderr)
+        extract_candidates(out)
+        t3 = time.perf_counter()
+        print(
+            f"phase extract+append={t1-t0:.3f}s fused_call={t2-t1:.3f}s "
+            f"extract_cands={t3-t2:.3f}s",
+            file=sys.stderr,
+        )
 
     kmers_total = batch_reads * P * n_batches
     rate = kmers_total / dt

@@ -1,0 +1,131 @@
+"""Microbenchmark: primitives for the compaction-free fused flush+call (round 2).
+
+The fused design replaces the second 38M-row compaction sort of _aggregate_multi (and the
+separate candidate-call sort) with post-sort scans + boundary gathers:
+  sort1 -> head flags -> cumsum(cnt), cumsum(pc) -> reverse-cummin(last-row idx)
+        -> gather csum at group-last rows -> elementwise flags -> sparse candidate extract.
+This script measures each candidate primitive on the real chip so the design picks winners
+by data, not folklore (cf. benchmarks/README.md).
+
+MICRO_ONLY env (comma list): cumsum, cummin, gmono, grand, nonzero, topk, assoc, bitpack
+"""
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = 38_000_000
+K = 1 << 14  # candidate slots
+M = 8_400_000  # unique groups (30x coverage ratio)
+
+
+def timed(fn, *args, reps=2):
+    fn_j = jax.jit(fn)
+    out = fn_j(*args, jnp.uint32(0))
+    jax.block_until_ready(out)
+    ts = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        out = fn_j(*args, jnp.uint32(r + 1))
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    only = set(os.environ.get("MICRO_ONLY", "").split(",")) - {""}
+
+    def want(tag):
+        return not only or tag in only
+
+    print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr, flush=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 2**31, size=N, dtype=np.uint32))
+
+    if want("cumsum"):
+        dt = timed(lambda a, s: jnp.cumsum(a ^ s)[-1], x)
+        print(f"cumsum u32 N={N}: {N/dt/1e6:.0f} Mrows/s ({dt*1e3:.0f} ms)", flush=True)
+
+    if want("cummin"):
+        xi = jnp.asarray(rng.integers(0, 2**31, size=N, dtype=np.int32))
+        dt = timed(
+            lambda a, s: jax.lax.cummin(a ^ jnp.int32(s & 1), reverse=True)[0], xi
+        )
+        print(f"rev-cummin i32 N={N}: {N/dt/1e6:.0f} Mrows/s ({dt*1e3:.0f} ms)", flush=True)
+
+    if want("gmono"):
+        # group-last-row index pattern: nondecreasing, within +8 of position
+        L = np.minimum(np.arange(N, dtype=np.int32) + rng.integers(0, 8, N, np.int32), N - 1)
+        Lj = jnp.asarray(np.sort(L))
+        dt = timed(
+            lambda a, i, s: jnp.sum(
+                jnp.take(a ^ s, i, indices_are_sorted=True, mode="clip")
+            ),
+            x, Lj,
+        )
+        print(f"gather mono N={N} from {N}: {N/dt/1e6:.0f} Mrows/s ({dt*1e3:.0f} ms)", flush=True)
+
+    if want("grand"):
+        ridx = jnp.asarray(rng.integers(0, N, size=M, dtype=np.int32))
+        dt = timed(lambda a, i, s: jnp.sum(jnp.take(a ^ s, i, mode="clip")), x, ridx)
+        print(f"gather rand M={M} from {N}: {M/dt/1e6:.0f} Mrows/s ({dt*1e3:.0f} ms)", flush=True)
+
+    flags_np = np.zeros(N, bool)
+    flags_np[rng.choice(N, 5000, replace=False)] = True
+    flags = jnp.asarray(flags_np)
+
+    if want("nonzero"):
+        cols = jnp.asarray(rng.integers(0, 2**32, size=(4, N), dtype=np.uint32))
+
+        def fn(cols, flags, salt):
+            f = flags & (salt >= 0)
+            (idx,) = jnp.nonzero(f, size=K, fill_value=N - 1)
+            out = [jnp.take(c, idx, mode="clip") for c in cols]
+            return out[0][:4] ^ salt
+
+        dt = timed(functools.partial(fn, cols, flags))
+        print(f"nonzero+gather4 N={N} K={K}: {N/dt/1e6:.0f} Mrows/s ({dt*1e3:.0f} ms)", flush=True)
+
+    if want("topk"):
+        def ft(flags, salt):
+            score = jnp.where(flags, jnp.arange(N, dtype=jnp.int32), -1) ^ jnp.int32(salt & 0)
+            v, i = jax.lax.top_k(score, K)
+            return v[0]
+
+        dt = timed(functools.partial(ft, flags))
+        print(f"top_k K={K} N={N}: {N/dt/1e6:.0f} Mrows/s ({dt*1e3:.0f} ms)", flush=True)
+
+    if want("assoc"):
+        seen = jnp.asarray(rng.random(N) < 0.25)
+
+        def fa(v, seen, salt):
+            def comb(a, b):
+                av, asn = a
+                bv, bsn = b
+                return jnp.where(asn, av, bv), asn | bsn
+
+            vv, _ = jax.lax.associative_scan(comb, (v ^ salt, seen), reverse=True)
+            return vv[0]
+
+        dt = timed(functools.partial(fa, x, seen))
+        print(f"assoc copy-scan rev N={N}: {N/dt/1e6:.0f} Mrows/s ({dt*1e3:.0f} ms)", flush=True)
+
+    if want("bitpack"):
+        def fb(flags, salt):
+            f = flags & (salt >= 0)
+            b = f.reshape(-1, 32).astype(jnp.uint32)
+            w = jnp.sum(b << jnp.arange(32, dtype=jnp.uint32), axis=1, dtype=jnp.uint32)
+            return w, jnp.sum(f)
+
+        dt = timed(functools.partial(fb, flags))
+        print(f"bitpack flags N={N}: {N/dt/1e6:.0f} Mrows/s ({dt*1e3:.0f} ms)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

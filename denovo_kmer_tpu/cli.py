@@ -279,7 +279,28 @@ def cmd_synth_trio(args) -> int:
     return 0
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (opt out: DENOVO_KMER_NO_COMPILE_CACHE=1). Sort-heavy
+    programs compile in tens of seconds; re-runs with the same shapes should not pay twice."""
+    import os
+
+    if os.environ.get("DENOVO_KMER_NO_COMPILE_CACHE"):
+        return
+    path = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "denovo_kmer_tpu", "xla"),
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization, never a failure
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="denovo_kmer_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -1,0 +1,225 @@
+"""One-sort fused final flush + candidate call: the round-2 hot-path redesign.
+
+Round 1's child-scoring endgame cost three large sorted passes per k-mer batch: the flush's
+grouping sort, the flush's compaction sort, and the candidate call's flag sort —
+~2.25 sorted rows per raw k-mer (benchmarks/README.md). Measured v5e rates
+(benchmarks/micro_fused.py) rule out every gather/scatter-based reformulation of compaction:
+
+  sort 160 Mrows/s · cumsum 960 · reverse-cummin 883 · gather 51-66 · scatter unusable
+  top_k / jnp.nonzero at 38M rows: compile/run pathological on the TPU backend
+
+so the only way to go faster is to *not compact at all*. This module computes the trio call
+directly on the ONE sorted (table ∪ staging) stream, entirely on device, in one executable:
+
+- The stream concatenates [score-table rows; staged raw k-mers] and sorts STABLY by the key
+  words alone, so each group's unique table row — there is at most one per key, carrying the
+  accumulated child count and the packed parental counts — stays FIRST in its group (it
+  precedes the staged rows in input order). Parental counts and carried child counts are then
+  read directly off the group head, elementwise; stability replaces a tie-break sort key.
+- Staged rows all weigh exactly 1, so the group's staged contribution is just its row count:
+  ``next_head_index − my_index − is_table_row``. The next head index is one reverse
+  ``lax.cummin`` over ``where(head, iota, N)`` — index arithmetic, immune to the uint32
+  wraparound that rules out value cum-min/max tricks.
+- Candidates are rare (dozens–thousands out of tens of millions of rows), so extraction is
+  sparse and ON DEVICE: rank = cumsum(flags), then the i-th candidate's row index is one
+  binary search of ``rank`` for i+1 (K·log N random gathers — microseconds at K≈16k), then
+  K-row gathers of the candidate columns. The executable returns ONLY the K-padded candidate
+  rows + scalars: no 38M-row output is ever materialized, and the host pays a single small
+  fetch (the earlier bit-mask protocol re-ran the executable per fetch on the remote-TPU
+  runtime and cost more than the sort itself).
+
+Net device cost per scored batch: ONE sort over (C + S) rows + two linear scans +
+elementwise — ~1.1 sorted rows per raw k-mer instead of ~2.25, with zero compaction.
+
+Correctness guards:
+- Requires ``2k % 32 != 0`` (true for every odd k, the domain default): then the top key word
+  of a real k-mer has zero high bits and can never equal the all-ones padding key, so padding
+  and invalid rows form a group no real k-mer can join. Callers fall back to
+  ``ops.score.call_from_score`` otherwise (``fused_supported``).
+- ``n_cand`` is exact; if it exceeds the static candidate capacity K the host wrapper
+  retries with a larger K (``fused_call_candidates``) — never silent truncation.
+- Exactness contract matches SPEC_SEMANTICS §5-6: child counts are exact u32 sums (table row
+  contribution + staged multiplicity); parental counts come from the unique seeded row
+  (saturated at 0xFFFF, invisible below tau_parent < 0xFFFF).
+
+This is the TPU-native replacement for the reference's score+report join (`counter.rs`
+membership + candidate filter, SURVEY.md §3.3-3.4), shaped by the measured primitive rates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denovo_kmer_tpu.ops.score import ScoreTable
+from denovo_kmer_tpu.ops.stream import KmerAccumulator
+from denovo_kmer_tpu.ops.table import _PAD
+from denovo_kmer_tpu.ops.trio import Candidates
+
+_SAT = jnp.uint32(0xFFFF)
+
+DEFAULT_MAX_CANDIDATES = 1 << 14
+
+
+class FusedCallOut(NamedTuple):
+    """Device outputs of the fused call — K-padded candidate rows + count scalars."""
+
+    n_cand: jnp.ndarray  # () int32 — true candidate count (may exceed K: caller retries)
+    n_unique: jnp.ndarray  # () int32 — distinct real keys in table ∪ staging
+    n_child_unique: jnp.ndarray  # () int32 — distinct keys with child count >= 1
+    keys: jnp.ndarray  # (K, W) uint32 — candidates ascending by key; rows >= n_cand pad
+    child: jnp.ndarray  # (K,) uint32
+    momc: jnp.ndarray  # (K,) uint32
+    dadc: jnp.ndarray  # (K,) uint32
+
+
+def fused_supported(k: int) -> bool:
+    """The one-sort call needs the padding key to be unreachable by real k-mers."""
+    return (2 * k) % 32 != 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau_parent", "min_child_count", "max_candidates")
+)
+def fused_flush_call(
+    acc: KmerAccumulator,
+    tab: ScoreTable,
+    tau_parent: int,
+    min_child_count: int,
+    max_candidates: int = DEFAULT_MAX_CANDIDATES,
+) -> FusedCallOut:
+    """Final scored flush + candidate call in one sort (no compaction, no output table).
+
+    ``tab`` is the parent-seeded scoring table (possibly already holding child counts from
+    earlier compacting flushes); ``acc`` is the raw-k-mer staging buffer of the final
+    accumulation window. Unlike ``flush_score`` there is no table capacity to overflow —
+    the group structure lives in the sorted stream itself.
+    """
+    assert 0 <= tau_parent < 0xFFFF, "tau_parent must fit the 16-bit saturated pack"
+    assert min_child_count >= 1, "min_child_count < 1 would report parent-only seed rows"
+    C, W = tab.keys.shape
+    S = acc.kmers.shape[0]
+    N = C + S
+    K = max_candidates
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
+    acc_valid = acc.valid & (slot < acc.fill)
+    tslot = jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
+    tab_valid = tslot < tab.n
+
+    # key words (invalid -> all-ones padding) + payload columns; table rows FIRST so the
+    # stable sort keeps each group's unique table row at its group head
+    ops = []
+    for w in range(W):
+        col = jnp.concatenate([tab.keys[:, w], acc.kmers[:, w]])
+        vld = jnp.concatenate([tab_valid, acc_valid])
+        ops.append(jnp.where(vld, col, _PAD))
+    is_tab_in = jnp.concatenate(
+        [jnp.ones((C,), jnp.uint32), jnp.zeros((S,), jnp.uint32)]
+    )
+    cnt = jnp.concatenate([tab.counts, jnp.zeros((S,), jnp.uint32)])
+    pc = jnp.concatenate([tab.pcounts, jnp.zeros((S,), jnp.uint32)])
+    s = jax.lax.sort(ops + [is_tab_in, cnt, pc], num_keys=W, is_stable=True)
+    s_words, s_is_tab, s_cnt, s_pc = s[:W], s[W], s[W + 1], s[W + 2]
+
+    head = jnp.zeros((N,), bool)
+    for w in range(W):
+        head = head | jnp.concatenate(
+            [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
+        )
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    rcm = jax.lax.cummin(jnp.where(head, iota, N), reverse=True)
+    nh = jnp.concatenate([rcm[1:], jnp.full((1,), N, jnp.int32)])  # next head after j
+
+    is_tab = s_is_tab != 0
+    staged = (nh - iota - s_is_tab.astype(jnp.int32)).astype(jnp.uint32)
+    child = staged + jnp.where(is_tab, s_cnt, 0)
+    momc = jnp.where(is_tab, s_pc & _SAT, 0)
+    dadc = jnp.where(is_tab, s_pc >> 16, 0)
+
+    real = s_words[0] != _PAD  # padding unreachable by real keys (fused_supported)
+    flags = (
+        head
+        & real
+        & (child >= jnp.uint32(min_child_count))
+        & (momc <= jnp.uint32(tau_parent))
+        & (dadc <= jnp.uint32(tau_parent))
+    )
+    n_cand = jnp.sum(flags).astype(jnp.int32)
+    n_unique = jnp.sum(head & real).astype(jnp.int32)
+    n_child_unique = jnp.sum(head & real & (child >= 1)).astype(jnp.int32)
+
+    # on-device sparse extraction: the i-th candidate's row = first position where the
+    # running flag count reaches i+1 (binary search over the cumsum — K·log2(N) gathers)
+    rank = jnp.cumsum(flags.astype(jnp.int32))
+    targets = jnp.arange(1, K + 1, dtype=jnp.int32)
+    cand_idx = jnp.searchsorted(rank, targets, side="left").astype(jnp.int32)
+    cand_idx = jnp.minimum(cand_idx, N - 1)
+    out_keys = jnp.stack(
+        [jnp.take(w, cand_idx, indices_are_sorted=True, mode="clip") for w in s_words],
+        axis=-1,
+    )
+    take = lambda a: jnp.take(a, cand_idx, indices_are_sorted=True, mode="clip")
+    return FusedCallOut(
+        n_cand=n_cand,
+        n_unique=n_unique,
+        n_child_unique=n_child_unique,
+        keys=out_keys,
+        child=take(child),
+        momc=take(momc),
+        dadc=take(dadc),
+    )
+
+
+def extract_candidates(
+    out: FusedCallOut,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host protocol: ONE fetch of the K-padded rows + scalars, sliced to the true count.
+    Returns (keys (n,W), child, mom, dad) ascending by key — same order as
+    ``ops.score.call_from_score``. Raises if n_cand exceeded the static capacity
+    (use ``fused_call_candidates`` for the auto-retry wrapper)."""
+    host = jax.device_get(out)
+    n = int(host.n_cand)
+    K = host.keys.shape[0]
+    if n > K:
+        raise CandidateOverflowError(
+            f"{n} candidates exceed the fused call's static capacity {K}; "
+            f"retry with max_candidates >= {n}"
+        )
+    return host.keys[:n], host.child[:n], host.momc[:n], host.dadc[:n]
+
+
+class CandidateOverflowError(RuntimeError):
+    """More candidates than the fused call's static output capacity."""
+
+
+def fused_call_candidates(
+    acc: KmerAccumulator,
+    tab: ScoreTable,
+    tau_parent: int,
+    min_child_count: int,
+    max_candidates: int = DEFAULT_MAX_CANDIDATES,
+) -> Candidates:
+    """Host-materialized ``Candidates`` with automatic capacity retry (doubling K recompiles
+    the tiny tail of the program; candidate counts above K are rare by construction)."""
+    K = max_candidates
+    while True:
+        out = fused_flush_call(acc, tab, tau_parent, min_child_count, max_candidates=K)
+        try:
+            keys, cc, mc, dc = extract_candidates(out)
+            break
+        except CandidateOverflowError:
+            K = max(2 * K, 1 << ((int(out.n_cand) - 1).bit_length()))
+    n = keys.shape[0]
+    return Candidates(
+        keys=jnp.asarray(keys),
+        child_counts=jnp.asarray(cc),
+        mom_counts=jnp.asarray(mc),
+        dad_counts=jnp.asarray(dc),
+        n=jnp.asarray(n, jnp.int32),
+    )

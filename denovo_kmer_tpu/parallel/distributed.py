@@ -128,31 +128,84 @@ def make_global_batch(engine, local_packed: PackedReads):
     return words, vwords
 
 
-def steps_aligned(host_batches: Iterator[PackedReads], cfg: EngineConfig):
-    """Multi-host streams must take the SAME number of ingest steps on every host (SPMD).
-    Yield local batches followed by empty padding batches until all hosts are done.
-
-    Uses a tiny all-reduce on 'any host still has data' via
-    jax.experimental.multihost_utils.process_allgather."""
-    from jax.experimental import multihost_utils
+def _empty_local_batch(cfg: EngineConfig) -> PackedReads:
+    import dataclasses
 
     from denovo_kmer_tpu.ops.pack import pack_seqs
 
+    local_cfg = dataclasses.replace(
+        cfg, batch_reads=cfg.batch_reads // jax.process_count()
+    )
+    return pack_seqs([], local_cfg, batch_size=local_cfg.batch_reads)
+
+
+def steps_aligned(
+    host_batches: Iterator[PackedReads], cfg: EngineConfig, sync_every: int = 16
+):
+    """Multi-host streams must take the SAME number of ingest steps on every host (SPMD).
+    Yield local batches followed by empty padding batches until all hosts are done.
+
+    Synchronization is CHUNKED (round-1 ran a process_allgather — a DCN round trip + host
+    barrier — per batch, hostile to the multi-host scaling target): hosts run
+    ``sync_every`` steps collective-free, padding locally once exhausted, and one allgather
+    per chunk decides termination. Padding batches are empty, so results stay bit-identical;
+    the cost is at most one fully-padded trailing chunk. For range-sharded BAM feeding use
+    ``steps_fixed`` instead — zero collectives."""
+    from jax.experimental import multihost_utils
+
     empty = None
     it = iter(host_batches)
+    exhausted = False
     while True:
-        batch = next(it, None)
-        have = np.array([batch is not None], dtype=np.int32)
-        anyone = multihost_utils.process_allgather(have).max()
-        if not anyone:
+        produced = 0
+        for _ in range(sync_every):
+            batch = None if exhausted else next(it, None)
+            if batch is None:
+                exhausted = True
+                if empty is None:
+                    empty = _empty_local_batch(cfg)
+                batch = empty
+            else:
+                produced += 1
+            yield batch
+        have = np.array([produced], dtype=np.int32)
+        if not multihost_utils.process_allgather(have).max():
             return
-        if batch is None:
-            if empty is None:
-                import dataclasses
 
-                local_cfg = dataclasses.replace(
-                    cfg, batch_reads=cfg.batch_reads // jax.process_count()
-                )
-                empty = pack_seqs([], local_cfg, batch_size=local_cfg.batch_reads)
+
+def steps_fixed(
+    host_batches: Iterator[PackedReads], cfg: EngineConfig, n_steps: int
+):
+    """Collective-free step alignment: every host yields exactly ``n_steps`` batches (its
+    real ones first, empty padding after). ``n_steps`` must be derived identically on every
+    host — e.g. ``max_h ceil(raw_range_records_h / local_batch)`` from one
+    ``scan_split_offsets(..., return_counts=True)`` pass (raw counts upper-bound the
+    flag-filtered batch count, so padding absorbs the difference). Raises if a host holds
+    more batches than ``n_steps`` (a split/step-count mismatch would silently drop reads)."""
+    empty = None
+    it = iter(host_batches)
+    done = False
+    for _ in range(n_steps):
+        batch = None if done else next(it, None)
+        if batch is None:
+            done = True
+            if empty is None:
+                empty = _empty_local_batch(cfg)
             batch = empty
         yield batch
+    if not done and next(it, None) is not None:
+        raise RuntimeError(
+            f"host stream exceeds the fixed step count {n_steps} — "
+            "n_steps must upper-bound every host's batch count"
+        )
+
+
+def range_step_count(path: str, cfg: EngineConfig, n_hosts: int):
+    """(splits, n_steps) for collective-free range feeding: one scan pass, deterministic
+    on every host (same file, same math)."""
+    from denovo_kmer_tpu.io.bam import scan_split_offsets
+
+    splits, counts = scan_split_offsets(path, n_hosts, return_counts=True)
+    local_batch = cfg.batch_reads // n_hosts
+    n_steps = max(-(-c // local_batch) for c in counts) if counts else 0
+    return splits, n_steps

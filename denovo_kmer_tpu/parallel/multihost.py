@@ -63,12 +63,20 @@ def build_sample_table_multihost(
         state = engine.new_build()
         ingest, finalize = engine.ingest_global, engine.finalize
     if feed == "range":
-        from denovo_kmer_tpu.parallel.distributed import host_packed_stream_ranged
+        # collective-free alignment: the split scan fixes every host's step count upfront
+        from denovo_kmer_tpu.parallel.distributed import (
+            host_packed_stream_ranged,
+            range_step_count,
+            steps_fixed,
+        )
 
-        batches = host_packed_stream_ranged(path, cfg, host_id, n_hosts)
+        splits, n_steps = range_step_count(path, cfg, n_hosts)
+        batches = host_packed_stream_ranged(path, cfg, host_id, n_hosts, splits)
+        stepper = steps_fixed(batches, cfg, n_steps)
     else:
         batches = host_packed_stream(read_bam_records(path), cfg, host_id, n_hosts)
-    for i, local_packed in enumerate(steps_aligned(batches, cfg)):
+        stepper = steps_aligned(batches, cfg)
+    for i, local_packed in enumerate(stepper):
         if fault_kill_after is not None and i >= fault_kill_after:
             # fault injection (tests): die mid-build without cleanup
             os._exit(17)

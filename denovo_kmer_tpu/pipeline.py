@@ -77,13 +77,18 @@ class _FakeRec:
     flag: int
 
 
-def make_ingest_step(cfg: EngineConfig):
+def make_ingest_step(cfg: EngineConfig, n_passes: int = 1):
     """Jitted streaming-ingest pair: (extract_append, flush_fn).
 
     LSM design (ops/stream.py): per batch only extract + append raw k-mers to the staging
     buffer (no sort, no host sync); every ``cfg.accum_batches`` batches one flush
     aggregates+merges into the table. A flush can never lose k-mers: the staging buffer is
     sized for exactly accum_batches worst-case batches.
+
+    ``n_passes > 1``: the extract step takes a trailing ``pass_id`` scalar and keeps only
+    k-mers whose hash-pass bucket matches — the prefix-partitioned multi-pass build for
+    tables larger than one pass's sort budget (SURVEY.md §7.4 "multi-pass by prefix").
+    One compiled step serves all passes (pass_id is traced).
     """
     from denovo_kmer_tpu.ops.stream import append, flush
 
@@ -103,13 +108,24 @@ def make_ingest_step(cfg: EngineConfig):
             )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def extract_append(acc, words, vwords):
+    def _extract_append(acc, words, vwords, pass_id):
         # named scopes label the device timeline per stage (jax.profiler traces via
         # --profile-dir, SURVEY.md §5.1)
         with jax.named_scope("kmer_extract"):
             kmers, valid = _extract(words, vwords)
+        if n_passes > 1:
+            from denovo_kmer_tpu.parallel.router import pass_of
+
+            with jax.named_scope("pass_filter"):
+                valid = valid & (pass_of(kmers, n_passes) == pass_id)
         with jax.named_scope("staging_append"):
             return append(acc, kmers, valid)
+
+    if n_passes > 1:
+        extract_append = _extract_append
+    else:
+        def extract_append(acc, words, vwords):
+            return _extract_append(acc, words, vwords, jnp.uint32(0))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def flush_fn(acc, table):
@@ -179,6 +195,9 @@ def packed_stream_with_cursor(path: str, cfg: EngineConfig):
             def seek(self, voffset: int):
                 self.feeder.seek_virtual(voffset)
 
+            def close(self):
+                self.feeder.close()
+
             def __iter__(self):
                 while True:
                     packed = self.feeder.next_batch()
@@ -193,10 +212,14 @@ def packed_stream_with_cursor(path: str, cfg: EngineConfig):
 
     class _Pure:
         def __init__(self):
-            self.reader = BamReader(open(path, "rb"))
+            self._fh = open(path, "rb")
+            self.reader = BamReader(self._fh)
 
         def seek(self, voffset: int):
             self.reader.seek_virtual(voffset)
+
+        def close(self):
+            self._fh.close()
 
         def __iter__(self):
             while True:
@@ -257,24 +280,27 @@ def build_sample_table_resumable(
     pending = 0
     flushes_since_save = 0
     last_cursor = None
-    for packed, cursor in stream:
-        m.count("reads_ingested", packed.n_reads)
-        with m.timer("extract_probe"):
-            acc = extract_append(
-                acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
-            )
-            pending += 1
-            if pending == cfg.accum_batches:
-                acc, table = flush_fn(acc, table)
-                pending = 0
-                flushes_since_save += 1
-                last_cursor = cursor
-        if flushes_since_save >= save_every_flushes:
-            save_resume(resume_path, table, cfg, cursor=last_cursor, done=False)
-            m.event("resume_saved", cursor=last_cursor)
-            flushes_since_save = 0
-    if pending:
-        acc, table = flush_fn(acc, table)
+    try:
+        for packed, cursor in stream:
+            m.count("reads_ingested", packed.n_reads)
+            with m.timer("extract_probe"):
+                acc = extract_append(
+                    acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
+                )
+                pending += 1
+                if pending == cfg.accum_batches:
+                    acc, table = flush_fn(acc, table)
+                    pending = 0
+                    flushes_since_save += 1
+                    last_cursor = cursor
+            if flushes_since_save >= save_every_flushes:
+                save_resume(resume_path, table, cfg, cursor=last_cursor, done=False)
+                m.event("resume_saved", cursor=last_cursor)
+                flushes_since_save = 0
+        if pending:
+            acc, table = flush_fn(acc, table)
+    finally:
+        stream.close()
     n = int(table.n)
     if n > cfg.table_capacity:
         raise TableOverflowError(
@@ -302,6 +328,81 @@ class ScoringTableBuilder:
         self._empty_acc = lambda: empty_accumulator(
             cfg.accum_batches * cfg.batch_reads * cfg.windows_per_read, cfg.words
         )
+
+    def build_call(self, mom: KmerTable, dad: KmerTable, packed_batches: Iterable,
+                   metrics: Optional[Metrics] = None):
+        """Stream the child and finish with the fused one-sort flush+call (ops/fused.py).
+
+        Returns (Candidates, n_unique, n_child_unique). The scoring table is seeded at a
+        tight power-of-two capacity (a sorted table stays valid under truncation to >= n:
+        padding sorts last), because every seed row rides every flush sort — seed slack is
+        pure sort tax. Intermediate windows use the compacting flush (bounded staging);
+        only the final window skips compaction, so arbitrarily long streams still work.
+        """
+        from denovo_kmer_tpu.io.prefetch import prefetch_batches
+        from denovo_kmer_tpu.ops.fused import (
+            DEFAULT_MAX_CANDIDATES,
+            CandidateOverflowError,
+            extract_candidates,
+            fused_flush_call,
+        )
+        from denovo_kmer_tpu.ops.score import ScoreTable, flush_score, seed_score_table
+        from denovo_kmer_tpu.ops.trio import Candidates
+
+        cfg = self.cfg
+        m = metrics or Metrics()
+        acc = self._empty_acc()
+        seed = seed_score_table(mom, dad, mom.capacity + dad.capacity)
+        n_seed = int(seed.n)  # one host sync, before streaming starts
+        cap2 = max(1 << (max(n_seed, 1) - 1).bit_length(), 1024)
+        if cap2 < seed.keys.shape[0]:
+            seed = ScoreTable(
+                keys=seed.keys[:cap2], counts=seed.counts[:cap2],
+                pcounts=seed.pcounts[:cap2], n=seed.n,
+            )
+        table = seed
+        def flush_grow(a, t):
+            # first flush grows the tight seed to the full table capacity
+            return flush_score(a, t, out_capacity=cfg.table_capacity)
+        pending = 0
+        flushed = False
+        for packed in prefetch_batches(packed_batches):
+            m.count("reads_ingested", packed.n_reads)
+            with m.timer("extract_probe"):
+                acc = self.extract_append(
+                    acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
+                )
+                pending += 1
+                if pending == cfg.accum_batches:
+                    acc, table = (flush_grow if not flushed else self.flush_fn)(
+                        acc, table
+                    )
+                    pending = 0
+                    flushed = True
+            m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
+            m.count("batches", 1)
+        if flushed and int(table.n) > cfg.table_capacity:
+            raise TableOverflowError(
+                f"{int(table.n)} unique k-mers (child ∪ parents) exceed table capacity "
+                f"{cfg.table_capacity}"
+            )
+        with m.timer("trio_call"):
+            K = DEFAULT_MAX_CANDIDATES
+            while True:
+                out = fused_flush_call(
+                    acc, table, cfg.tau_parent, cfg.min_child_count, max_candidates=K
+                )
+                try:
+                    keys, cc, mc, dc = extract_candidates(out)
+                    break
+                except CandidateOverflowError:
+                    K = 1 << (int(out.n_cand) - 1).bit_length()
+        cands = Candidates(
+            keys=jnp.asarray(keys), child_counts=jnp.asarray(cc),
+            mom_counts=jnp.asarray(mc), dad_counts=jnp.asarray(dc),
+            n=jnp.asarray(keys.shape[0], jnp.int32),
+        )
+        return cands, int(out.n_unique), int(out.n_child_unique)
 
     def build(self, mom: KmerTable, dad: KmerTable, packed_batches: Iterable,
               metrics: Optional[Metrics] = None):
@@ -382,6 +483,95 @@ def format_report_np(
     return "\n".join(lines) + "\n"
 
 
+def run_trio_multipass(
+    mom_path: str,
+    dad_path: str,
+    child_path: str,
+    cfg: EngineConfig,
+    n_passes: int,
+    metrics: Optional[Metrics] = None,
+) -> TrioResult:
+    """WGS-scale trio call: time-multiplexed hash-pass partition (SURVEY.md §7.4).
+
+    A 30x human WGS trio holds ~2.5-3G unique k-mers — far beyond one device table. Pass p
+    keeps only k-mers whose ``router.pass_of`` bucket is p, so each pass's table holds
+    ~1/n_passes of the uniques and ``cfg.table_capacity`` only needs to cover that slice;
+    the streams are re-read every pass (the external-memory trade every k-mer counter makes,
+    cf. KMC2/MSPKmerCounter in PAPERS.md — I/O passes for memory). The pass partition is a
+    partition of the key space, so the union of per-pass candidates is EXACTLY the
+    single-pass result; per-pass counts are exact because every occurrence of a key lands
+    in its one pass. Sizing: table_capacity >= ~1.15 * total_uniques / n_passes (hash
+    balance is within a few % at these scales; the builder raises on overflow, so a low
+    guess fails loudly — raise n_passes or capacity and rerun).
+    """
+    from denovo_kmer_tpu.ops.fused import fused_supported
+    from denovo_kmer_tpu.ops.score import call_from_score
+
+    if n_passes < 2:
+        return run_trio(mom_path, dad_path, child_path, cfg, metrics)
+    m = metrics or Metrics()
+    step = make_ingest_step(cfg, n_passes=n_passes)
+    key_parts: List[np.ndarray] = []
+    cc_parts: List[np.ndarray] = []
+    mc_parts: List[np.ndarray] = []
+    dc_parts: List[np.ndarray] = []
+    tables_n = {"mom": 0, "dad": 0, "child": 0}
+    for p in range(n_passes):
+        pid = jnp.uint32(p)
+
+        def ea(acc, w, v, _pid=pid):
+            return step[0](acc, w, v, _pid)
+
+        pstep = (ea, step[1])
+        ptables = {}
+        for name, path in (("mom", mom_path), ("dad", dad_path)):
+            with m.timer(f"build_{name}"):
+                ptables[name] = build_sample_table(
+                    _record_stream(path, cfg), cfg, m, pstep
+                )
+            tables_n[name] += int(ptables[name].n)
+        scorer = ScoringTableBuilder(cfg, extract_append=ea)
+        child_batches = pack_records(_record_stream(child_path, cfg), cfg)
+        with m.timer("build_child"):
+            if fused_supported(cfg.k):
+                cands, _nu, n_child = scorer.build_call(
+                    ptables["mom"], ptables["dad"], child_batches, m
+                )
+                n = int(cands.n)
+            else:
+                stab = scorer.build(ptables["mom"], ptables["dad"], child_batches, m)
+                n_child = int(jnp.sum(stab.counts >= 1))
+                cands = call_from_score(stab, cfg.tau_parent, cfg.min_child_count)
+                n = int(cands.n)
+        tables_n["child"] += n_child
+        key_parts.append(np.asarray(cands.keys)[:n])
+        cc_parts.append(np.asarray(cands.child_counts)[:n])
+        mc_parts.append(np.asarray(cands.mom_counts)[:n])
+        dc_parts.append(np.asarray(cands.dad_counts)[:n])
+        m.event("pass_done", pass_id=p, candidates=n)
+
+    keys = np.concatenate(key_parts) if key_parts else np.zeros((0, cfg.words), np.uint32)
+    cc = np.concatenate(cc_parts)
+    mc = np.concatenate(mc_parts)
+    dc = np.concatenate(dc_parts)
+    # per-pass candidate lists are each key-ascending over disjoint key sets; global
+    # report order is ascending by k-mer value = lexicographic big-endian word order
+    order = np.lexsort(tuple(keys[:, w] for w in reversed(range(cfg.words))))
+    keys, cc, mc, dc = keys[order], cc[order], mc[order], dc[order]
+    report = format_report_np(keys, cc, mc, dc, cfg.k)
+
+    from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
+
+    cand_tuples = [
+        (words_to_kmer_value(keys[i]), int(cc[i]), int(mc[i]), int(dc[i]))
+        for i in range(keys.shape[0])
+    ]
+    m.count("candidates", keys.shape[0])
+    return TrioResult(
+        candidates=cand_tuples, report=report, metrics=m, tables_n=tables_n
+    )
+
+
 def run_trio(
     mom_path: str,
     dad_path: str,
@@ -408,23 +598,29 @@ def run_trio(
                 )
         m.event("table_built", sample=name, unique=int(tables[name].n))
 
-    # child scoring: parent-seeded fused path (ops/score.py) — no standalone trio join
+    # child scoring: parent-seeded path (ops/score.py); when the k geometry allows it the
+    # final window runs the one-sort fused flush+call (ops/fused.py) — no compaction
+    from denovo_kmer_tpu.ops.fused import fused_supported
     from denovo_kmer_tpu.ops.score import call_from_score
 
-    with m.timer("build_child"):
-        scorer = ScoringTableBuilder(cfg, extract_append=step[0])
-        score_tab = scorer.build(
-            tables["mom"], tables["dad"],
-            pack_records(_record_stream(child_path, cfg), cfg), m,
-        )
-    child_uniques = int(jnp.sum((score_tab.counts >= 1)))
+    scorer = ScoringTableBuilder(cfg, extract_append=step[0])
+    child_batches = pack_records(_record_stream(child_path, cfg), cfg)
+    if fused_supported(cfg.k):
+        with m.timer("build_child"):
+            cands, _n_union, child_uniques = scorer.build_call(
+                tables["mom"], tables["dad"], child_batches, m
+            )
+            n = int(cands.n)
+    else:
+        with m.timer("build_child"):
+            score_tab = scorer.build(tables["mom"], tables["dad"], child_batches, m)
+        child_uniques = int(jnp.sum((score_tab.counts >= 1)))
+        with m.timer("trio_call"):
+            cands = call_from_score(score_tab, cfg.tau_parent, cfg.min_child_count)
+            n = int(cands.n)
     tables_n = {"mom": int(tables["mom"].n), "dad": int(tables["dad"].n),
                 "child": child_uniques}
     m.event("table_built", sample="child", unique=child_uniques)
-
-    with m.timer("trio_call"):
-        cands = call_from_score(score_tab, cfg.tau_parent, cfg.min_child_count)
-        n = int(cands.n)
 
     keys = np.asarray(cands.keys)[:n]
     cc = np.asarray(cands.child_counts)[:n]

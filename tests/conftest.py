@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent XLA compile cache: CPU sort compiles run ~25 s each, dominating suite time
+# (VERDICT r01 weak #8). Set via env so CLI/multihost SUBPROCESS tests inherit it too.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".cache", "xla")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

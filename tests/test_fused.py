@@ -1,0 +1,183 @@
+"""Fused one-sort flush+call (ops/fused.py) vs the compacting path (ops/score.py):
+byte-exact candidate parity on randomized streams, including multi-flush carry-over,
+invalid rows, and parent-only/child-only keys."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.ops.fused import (
+    extract_candidates,
+    fused_call_candidates,
+    fused_flush_call,
+    fused_supported,
+)
+from denovo_kmer_tpu.ops.score import (
+    call_from_score,
+    flush_score,
+    seed_score_table,
+)
+from denovo_kmer_tpu.ops.stream import KmerAccumulator, empty_accumulator
+from denovo_kmer_tpu.ops.table import KmerTable, build_table
+
+
+def _rand_kmers(rng, n, W, k):
+    """Random valid k-mer word vectors: top word keeps its unused high bits zero."""
+    kk = rng.integers(0, 2**32, size=(n, W), dtype=np.uint32)
+    top_bits = 2 * k - 32 * (W - 1)
+    kk[:, 0] &= np.uint32((1 << top_bits) - 1) if top_bits < 32 else np.uint32(0xFFFFFFFF)
+    return kk
+
+
+def _mk_table(rng, kmers, reps, capacity):
+    """Count table over `kmers` repeated `reps[i]` times."""
+    idx = np.repeat(np.arange(len(kmers)), reps)
+    stream = kmers[idx]
+    return build_table(
+        jnp.asarray(stream)[None], jnp.ones((1, len(stream)), bool), capacity
+    )
+
+
+@pytest.mark.parametrize("k,W", [(15, 1), (31, 2), (41, 3)])
+def test_fused_matches_compacting_path(k, W):
+    assert fused_supported(k)
+    rng = np.random.default_rng(42 + k)
+    # universe: some keys parent-only, some shared, some child-only
+    uni = _rand_kmers(rng, 300, W, k)
+    mom_keys, dad_keys = uni[:140], uni[70:210]
+    child_pool = uni[120:300]
+
+    mom = _mk_table(rng, mom_keys, rng.integers(1, 9, len(mom_keys)), 512)
+    dad = _mk_table(rng, dad_keys, rng.integers(1, 9, len(dad_keys)), 512)
+    seed = seed_score_table(mom, dad, 512)
+
+    # staged child stream with duplicates + invalid rows
+    reps = rng.integers(0, 7, len(child_pool))
+    stream = child_pool[np.repeat(np.arange(len(child_pool)), reps)]
+    rng.shuffle(stream, axis=0)
+    S = 2048
+    acc = empty_accumulator(S, W)
+    valid = np.zeros(S, bool)
+    valid[: len(stream)] = True
+    # sprinkle invalids inside the filled region too
+    valid[rng.choice(max(len(stream), 1), 17)] = False
+    kmers = np.zeros((S, W), np.uint32)
+    kmers[: len(stream)] = stream
+    acc = KmerAccumulator(
+        kmers=jnp.asarray(kmers), valid=jnp.asarray(valid),
+        fill=jnp.asarray(len(stream), jnp.int32),
+    )
+
+    for tau, minc in [(0, 1), (0, 2), (3, 2)]:
+        # reference: compacting flush into a big table + call
+        _, tab_ref = flush_score(acc, seed, out_capacity=1024)
+        ref = call_from_score(tab_ref, tau, minc)
+        n_ref = int(ref.n)
+
+        got = fused_call_candidates(acc, seed, tau, minc)
+        n_got = int(got.n)
+        assert n_got == n_ref
+        assert np.array_equal(np.asarray(got.keys), np.asarray(ref.keys)[:n_ref])
+        assert np.array_equal(
+            np.asarray(got.child_counts), np.asarray(ref.child_counts)[:n_ref]
+        )
+        assert np.array_equal(
+            np.asarray(got.mom_counts), np.asarray(ref.mom_counts)[:n_ref]
+        )
+        assert np.array_equal(
+            np.asarray(got.dad_counts), np.asarray(ref.dad_counts)[:n_ref]
+        )
+
+
+def test_fused_after_intermediate_flush():
+    """Multi-flush: first window folded by the compacting flush_score, second window goes
+    through the fused final call — child totals must combine table carry + staged rows."""
+    k, W = 21, 2
+    rng = np.random.default_rng(7)
+    uni = _rand_kmers(rng, 80, W, k)
+    mom = _mk_table(rng, uni[:30], np.full(30, 2), 256)
+    dad = _mk_table(rng, uni[15:45], np.full(30, 3), 256)
+    seed = seed_score_table(mom, dad, 256)
+
+    def acc_of(stream):
+        S = 512
+        kk = np.zeros((S, W), np.uint32)
+        kk[: len(stream)] = stream
+        v = np.zeros(S, bool)
+        v[: len(stream)] = True
+        return KmerAccumulator(
+            kmers=jnp.asarray(kk), valid=jnp.asarray(v),
+            fill=jnp.asarray(len(stream), jnp.int32),
+        )
+
+    pool = uni[20:]
+    s1 = pool[np.repeat(np.arange(len(pool)), rng.integers(0, 4, len(pool)))]
+    s2 = pool[np.repeat(np.arange(len(pool)), rng.integers(0, 4, len(pool)))]
+
+    # path A: compacting both windows, then call
+    _, t = flush_score(acc_of(s1), seed, out_capacity=512)
+    _, t = flush_score(acc_of(s2), t)
+    ref = call_from_score(t, 0, 2)
+    n_ref = int(ref.n)
+
+    # path B: compacting first window, fused second
+    _, t1 = flush_score(acc_of(s1), seed, out_capacity=512)
+    got = fused_call_candidates(acc_of(s2), t1, 0, 2)
+    assert int(got.n) == n_ref
+    assert np.array_equal(np.asarray(got.keys), np.asarray(ref.keys)[:n_ref])
+    assert np.array_equal(
+        np.asarray(got.child_counts), np.asarray(ref.child_counts)[:n_ref]
+    )
+
+
+def test_fused_empty_and_no_candidates():
+    k, W = 21, 2
+    rng = np.random.default_rng(3)
+    uni = _rand_kmers(rng, 20, W, k)
+    mom = _mk_table(rng, uni, np.full(20, 5), 64)
+    dad = _mk_table(rng, uni, np.full(20, 5), 64)
+    seed = seed_score_table(mom, dad, 64)
+    acc = empty_accumulator(128, W)
+    got = fused_call_candidates(acc, seed, 0, 1)
+    assert int(got.n) == 0
+    out = fused_flush_call(acc, seed, 0, 1)
+    keys, cc, mc, dc = extract_candidates(out)
+    assert keys.shape == (0, W)
+
+
+def test_fused_candidate_capacity_retry():
+    """More candidates than the static K: extract raises, wrapper retries with larger K."""
+    k, W = 21, 2
+    rng = np.random.default_rng(11)
+    child_only = _rand_kmers(rng, 300, W, k)
+    mom = _mk_table(rng, _rand_kmers(rng, 10, W, k), np.full(10, 2), 64)
+    dad = _mk_table(rng, _rand_kmers(rng, 10, W, k), np.full(10, 2), 64)
+    seed = seed_score_table(mom, dad, 64)
+    stream = child_only[np.repeat(np.arange(300), 2)]
+    S = 1024
+    kk = np.zeros((S, W), np.uint32)
+    kk[: len(stream)] = stream
+    v = np.zeros(S, bool)
+    v[: len(stream)] = True
+    acc = KmerAccumulator(
+        kmers=jnp.asarray(kk), valid=jnp.asarray(v),
+        fill=jnp.asarray(len(stream), jnp.int32),
+    )
+    from denovo_kmer_tpu.ops.fused import CandidateOverflowError
+
+    out = fused_flush_call(acc, seed, 0, 2, max_candidates=64)
+    assert int(out.n_cand) == 300
+    with pytest.raises(CandidateOverflowError):
+        extract_candidates(out)
+    got = fused_call_candidates(acc, seed, 0, 2, max_candidates=64)
+    assert int(got.n) == 300
+    # reference comparison
+    _, t = flush_score(acc, seed, out_capacity=1024)
+    ref = call_from_score(t, 0, 2)
+    assert np.array_equal(np.asarray(got.keys), np.asarray(ref.keys)[:300])
+
+
+def test_fused_supported_guard():
+    assert fused_supported(31) and fused_supported(21) and fused_supported(15)
+    assert not fused_supported(16) and not fused_supported(32) and not fused_supported(48)

@@ -1,0 +1,66 @@
+"""Prefix-partitioned multi-pass build (pipeline.run_trio_multipass, SURVEY.md §7.4
+"multi-pass by prefix"): per-pass tables hold ~1/P of the uniques; the union of per-pass
+candidates must equal the single-pass result byte-exactly."""
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+from denovo_kmer_tpu.pipeline import TableOverflowError, run_trio, run_trio_multipass
+
+SPEC = TrioSpec(genome_len=2000, read_len=50, coverage=7.0, seed=13,
+                n_inherited_snvs=6, n_denovo_snvs=2, n_rate=0.002)
+
+
+@pytest.fixture(scope="module")
+def trio_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mp_trio")
+    return write_trio_bams(make_trio(SPEC), str(d))
+
+
+def test_pass_partition_property():
+    from denovo_kmer_tpu.parallel.router import owner_of, pass_of
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    kmers = jnp.asarray(rng.integers(0, 2**32, size=(50_000, 2), dtype=np.uint32))
+    for P in (2, 3, 4):
+        p = np.asarray(pass_of(kmers, P))
+        assert p.min() >= 0 and p.max() < P
+        counts = np.bincount(p, minlength=P)
+        assert counts.min() > 0.9 * 50_000 / P  # balanced within 10%
+    # decorrelated from the shard owner hash: joint (pass, owner) occupancy is full
+    p4 = np.asarray(pass_of(kmers, 4))
+    o8 = np.asarray(owner_of(kmers, 8))
+    joint = np.zeros((4, 8), np.int64)
+    np.add.at(joint, (p4, o8), 1)
+    assert joint.min() > 0.8 * 50_000 / 32
+
+
+def test_multipass_trio_matches_single_pass(trio_paths):
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13)
+    ref = run_trio(trio_paths["mom"], trio_paths["dad"], trio_paths["child"], cfg)
+    # per-pass capacity can be much smaller than the single-pass table
+    cfg_mp = EngineConfig(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 12)
+    got = run_trio_multipass(
+        trio_paths["mom"], trio_paths["dad"], trio_paths["child"], cfg_mp, n_passes=3
+    )
+    assert got.candidates == ref.candidates
+    assert got.report == ref.report  # byte-exact
+    assert got.tables_n == ref.tables_n  # per-pass uniques sum to the totals
+
+
+def test_multipass_capacity_actually_smaller(trio_paths):
+    """The point of multi-pass: a capacity that overflows single-pass works with passes."""
+    small = EngineConfig(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 11)
+    with pytest.raises(TableOverflowError):
+        run_trio(trio_paths["mom"], trio_paths["dad"], trio_paths["child"], small)
+    got = run_trio_multipass(
+        trio_paths["mom"], trio_paths["dad"], trio_paths["child"], small, n_passes=4
+    )
+    ref = run_trio(
+        trio_paths["mom"], trio_paths["dad"], trio_paths["child"],
+        EngineConfig(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13),
+    )
+    assert got.candidates == ref.candidates
