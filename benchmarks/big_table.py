@@ -1,0 +1,100 @@
+"""WGS-scale single-chip table-build datapoint (VERDICT r01 missing #1 / SURVEY.md §7.4).
+
+Builds a k-mer table with >= 2^26 (67M) uniques on one chip — the scale class of BASELINE
+config 3's per-shard tables — using the production LSM ingest (extract -> append -> flush).
+Reads are word-aligned slices of a packed random genome, generated directly in the packed
+device layout (a Python string packer cannot feed 200M k-mers in reasonable time; the
+engine's extraction/aggregation path is identical either way).
+
+Env: BIG_GENOME_MB (default 80 Mbp), BIG_COVERAGE (default 2.5), BIG_TABLE_BITS (27),
+BIG_ACCUM (flush window in batches). Prints uniques + phase timings + a sizing line.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.ops.stream import empty_accumulator
+    from denovo_kmer_tpu.pipeline import make_ingest_step
+
+    genome_mb = float(os.environ.get("BIG_GENOME_MB", 80))
+    coverage = float(os.environ.get("BIG_COVERAGE", 3.0))
+    table_bits = int(os.environ.get("BIG_TABLE_BITS", 27))
+    batch_reads = int(os.environ.get("BIG_BATCH", 16384))
+    max_read_len = 160
+    k = 31
+
+    cfg = EngineConfig(
+        k=k, max_read_len=max_read_len, batch_reads=batch_reads,
+        table_capacity=1 << table_bits,
+        accum_batches=int(os.environ.get("BIG_ACCUM", 32)),
+    )
+    P = cfg.windows_per_read
+    Lw = max_read_len // 16  # words per read (160 bases, 16 per word)
+    genome_words_n = int(genome_mb * 1e6) // 16
+    n_reads = int(genome_words_n * 16 * coverage) // max_read_len
+    n_batches = n_reads // batch_reads
+    raw_kmers = n_batches * batch_reads * P
+    print(
+        f"device={jax.devices()[0].device_kind} genome={genome_words_n*16/1e6:.0f}Mbp "
+        f"coverage={coverage} reads={n_batches * batch_reads} raw_kmers={raw_kmers/1e6:.0f}M "
+        f"capacity=2^{table_bits}",
+        file=sys.stderr, flush=True,
+    )
+
+    rng = np.random.default_rng(0)
+    genome_words = rng.integers(0, 2**32, size=genome_words_n, dtype=np.uint32)
+    vw_full = np.full((batch_reads, max_read_len // 32), 0xFFFFFFFF, np.uint32)
+    vwords = jnp.asarray(vw_full)
+
+    def batch_words(bi):
+        # word-aligned read starts: every 16-base-aligned window of the genome is coverable
+        r = np.random.default_rng(1000 + bi)
+        offs = r.integers(0, genome_words_n - Lw, size=batch_reads)
+        return jnp.asarray(genome_words[np.add.outer(offs, np.arange(Lw))])
+
+    extract_append, flush_fn = make_ingest_step(cfg)
+    from denovo_kmer_tpu.ops.table import empty_table
+
+    acc = empty_accumulator(cfg.accum_batches * batch_reads * P, cfg.words)
+    table = empty_table(cfg.table_capacity, cfg.words)
+
+    t0 = time.perf_counter()
+    pending = 0
+    for bi in range(n_batches):
+        acc = extract_append(acc, batch_words(bi), vwords)
+        pending += 1
+        if pending == cfg.accum_batches:
+            acc, table = flush_fn(acc, table)
+            pending = 0
+            print(f"  flush after batch {bi+1}/{n_batches} "
+                  f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr, flush=True)
+    if pending:
+        acc, table = flush_fn(acc, table)
+    n = int(np.asarray(table.n))
+    dt = time.perf_counter() - t0
+    ok = n <= cfg.table_capacity
+    hbm_gb = cfg.table_capacity * (cfg.words + 1) * 4 / 1e9
+    print(
+        f"uniques={n} ({n/2**26:.2f} x 2^26) capacity=2^{table_bits} "
+        f"overflow={'NO' if ok else 'YES'} wall={dt:.1f}s "
+        f"rate={raw_kmers/dt/1e6:.1f} Mk-mers/s table_hbm={hbm_gb:.2f} GB",
+        flush=True,
+    )
+    assert ok, "table overflowed - raise BIG_TABLE_BITS"
+    assert n >= 2**26, f"datapoint requires >= 2^26 uniques, got {n}"
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

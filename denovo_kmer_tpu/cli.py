@@ -58,6 +58,10 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     e.add_argument("--table-capacity", type=int, default=1 << 20)
     e.add_argument("--mesh", type=_mesh_shape, default=(1, 1),
                    help="mesh shape READSxTABLE, e.g. 4x2 (multi-chip)")
+    e.add_argument("--passes", type=int, default=1,
+                   help="prefix-partitioned multi-pass build: each pass holds ~1/N of "
+                        "the unique k-mers in --table-capacity, re-reading the inputs N "
+                        "times (WGS-scale tables; single-chip path)")
     e.add_argument("--reference", default=None,
                    help="reference FASTA (required for reference-based CRAM inputs)")
     e.add_argument("--extractor", choices=("fast", "pallas"), default="fast",
@@ -102,7 +106,16 @@ def cmd_call(args) -> int:
         profile_ctx = jax.profiler.trace(args.profile_dir)
         profile_ctx.__enter__()
     try:
-        if cfg.mesh_shape != (1, 1):
+        if getattr(args, "passes", 1) > 1:
+            if cfg.mesh_shape != (1, 1):
+                raise SystemExit("--passes > 1 is the single-chip WGS path; "
+                                 "use either --mesh or --passes")
+            from denovo_kmer_tpu.pipeline import run_trio_multipass
+
+            result = run_trio_multipass(
+                args.mom, args.dad, args.child, cfg, args.passes, metrics
+            )
+        elif cfg.mesh_shape != (1, 1):
             from denovo_kmer_tpu.parallel.pipeline import run_trio_sharded
 
             result = run_trio_sharded(args.mom, args.dad, args.child, cfg, metrics)
@@ -268,6 +281,9 @@ def cmd_synth_trio(args) -> int:
     )
     trio = make_trio(spec)
     paths = write_trio_bams(trio, args.outdir)
+    from denovo_kmer_tpu.io.synth import write_truth_vcf
+
+    paths["truth_vcf"] = write_truth_vcf(trio, f"{args.outdir}/truth.vcf")
     meta = {
         "paths": paths,
         "denovo_positions": trio.denovo_positions,

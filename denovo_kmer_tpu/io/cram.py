@@ -510,6 +510,14 @@ class CramReader:
         self.version = (ver[0], ver[1])
         if ver[0] != 3:
             raise ValueError(f"unsupported CRAM major version {ver[0]}")
+        if ver[1] != 0:
+            # 3.1 adds rANS Nx16 / name-tokenizer / fqzcomp block codecs this reader does
+            # not implement — fail up front with the version, not a codec-byte error deep
+            # in the first container (archives increasingly serve 3.1)
+            raise ValueError(
+                f"CRAM {ver[0]}.{ver[1]} is not supported (this reader implements "
+                f"CRAM 3.0); re-encode with `samtools view -O cram,version=3.0`"
+            )
         f.read(20)  # file id
         self.sam_header = self._read_file_header()
         # ref id → name from the @SQ lines, in order (the CRAM's authoritative mapping)

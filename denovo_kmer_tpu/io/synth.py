@@ -134,3 +134,24 @@ def write_trio_bams(trio: SynthTrio, outdir: str) -> Dict[str, str]:
                 w.write(r)
         paths[sample] = path
     return paths
+
+
+def write_truth_vcf(trio: SynthTrio, path: str, bgzf: bool = False) -> str:
+    """Planted-truth VCF of the trio's de novo SNVs (io.vcf writer): the ground-truth
+    artifact a caller's candidates are evaluated against. REF from the shared reference,
+    ALT from whichever child haplotype diverges at the planted position."""
+    from denovo_kmer_tpu.io.vcf import VcfRecord, write_vcf
+
+    h1, h2 = trio.haplotypes["child"]
+    recs = []
+    for p in sorted(trio.denovo_positions):
+        ref = trio.reference[p]
+        alt = h1[p] if h1[p] != ref else h2[p]
+        recs.append(VcfRecord(
+            chrom=trio.spec.ref_name, pos=p + 1, id=".", ref=ref, alts=[alt],
+            qual=None, filter="PASS", info={"DENOVO": True},
+            format=["GT"], samples=[{"GT": "0/1"}],
+        ))
+    write_vcf(path, recs, contigs=[(trio.spec.ref_name, trio.spec.genome_len)],
+              samples=["child"], bgzf=bgzf)
+    return path

@@ -40,6 +40,24 @@ class TableOverflowError(RuntimeError):
     """Unique k-mers exceeded table capacity — rerun with a larger --table-capacity."""
 
 
+def _overflow_msg(n: int, capacity: int, what: str = "unique k-mers") -> str:
+    """Actionable overflow message: suggest a concrete capacity (VERDICT r01 #10).
+
+    ``n`` is the true unique count when THIS aggregation overflowed, but only a lower
+    bound (capacity+1) when a sticky flag from an earlier flush carried through — the
+    suggestion covers both: headroom over max(n, capacity), next power of two.
+    """
+    floor = max(n, capacity)
+    suggest = 1 << (int(floor * 1.3) - 1).bit_length()
+    exact = n > capacity + 1
+    bound = f"{n}" if exact else f"more than {capacity}"
+    return (
+        f"{bound} {what} exceed table capacity {capacity}; rerun with "
+        f"--table-capacity {suggest} (or raise --passes to split the key space "
+        f"— pipeline.run_trio_multipass)"
+    )
+
+
 @dataclasses.dataclass
 class TrioResult:
     candidates: List[Tuple[int, int, int, int]]  # (kmer_value, child, mom, dad)
@@ -171,9 +189,7 @@ class SampleTableBuilder:
                 acc, table = self.flush_fn(acc, table)
         n = int(table.n)
         if n > self.cfg.table_capacity:
-            raise TableOverflowError(
-                f"{n} unique k-mers exceed table capacity {self.cfg.table_capacity}"
-            )
+            raise TableOverflowError(_overflow_msg(n, self.cfg.table_capacity))
         m.count("unique_kmers", n)
         return table
 
@@ -303,9 +319,7 @@ def build_sample_table_resumable(
         stream.close()
     n = int(table.n)
     if n > cfg.table_capacity:
-        raise TableOverflowError(
-            f"{n} unique k-mers exceed table capacity {cfg.table_capacity}"
-        )
+        raise TableOverflowError(_overflow_msg(n, cfg.table_capacity))
     save_resume(resume_path, table, cfg, cursor=-1, done=True)
     m.count("unique_kmers", n)
     return table
@@ -383,8 +397,8 @@ class ScoringTableBuilder:
             m.count("batches", 1)
         if flushed and int(table.n) > cfg.table_capacity:
             raise TableOverflowError(
-                f"{int(table.n)} unique k-mers (child ∪ parents) exceed table capacity "
-                f"{cfg.table_capacity}"
+                _overflow_msg(int(table.n), cfg.table_capacity,
+                              "unique k-mers (child ∪ parents)")
             )
         with m.timer("trio_call"):
             K = DEFAULT_MAX_CANDIDATES
@@ -431,8 +445,8 @@ class ScoringTableBuilder:
         n = int(table.n)
         if n > self.cfg.table_capacity:
             raise TableOverflowError(
-                f"{n} unique k-mers (child ∪ parents) exceed table capacity "
-                f"{self.cfg.table_capacity}"
+                _overflow_msg(n, self.cfg.table_capacity,
+                              "unique k-mers (child ∪ parents)")
             )
         return table
 

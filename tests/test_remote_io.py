@@ -76,3 +76,74 @@ def test_remote_cram_streams(served_bam, tmp_path):
     cram_url = url.replace("child.bam", "child.cram")
     got = [(r.seq, r.flag) for r in read_cram_records(cram_url)]
     assert [(s, f | 0x4) for s, _q, f in recs] == got
+
+
+class _FlakyHandler(http.server.SimpleHTTPRequestHandler):
+    """Injects transient failures: every other request is refused with a 503, and one
+    mid-stream connection cut is simulated by truncating a response body once."""
+
+    fail_toggle = {"n": 0}
+    truncate_once = {"armed": False}
+
+    def do_GET(self):
+        self.fail_toggle["n"] += 1
+        if self.fail_toggle["n"] % 2 == 1:
+            self.send_error(503, "flaky")
+            return
+        if self.truncate_once["armed"]:
+            self.truncate_once["armed"] = False
+            # send headers claiming full length, then cut the connection mid-body
+            path = self.translate_path(self.path)
+            data = open(path, "rb").read()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data[: len(data) // 2])
+            self.wfile.flush()
+            self.connection.close()
+            return
+        super().do_GET()
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def flaky_bam(tmp_path):
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=1500, read_len=60, coverage=4.0, seed=29)),
+        str(tmp_path),
+    )
+    handler = functools.partial(_FlakyHandler, directory=str(tmp_path))
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    _FlakyHandler.fail_toggle["n"] = 0
+    _FlakyHandler.truncate_once["armed"] = False
+    yield f"http://127.0.0.1:{httpd.server_address[1]}/child.bam", paths["child"]
+    httpd.shutdown()
+
+
+def test_retry_on_503(flaky_bam):
+    url, local = flaky_bam
+    # every first attempt 503s; the stream must retry and decode identically
+    remote = [(r.seq, r.flag) for r in read_bam_records(url)]
+    want = [(r.seq, r.flag) for r in read_bam_records(local)]
+    assert remote == want
+
+
+def test_retry_resumes_after_midstream_cut(flaky_bam):
+    url, local = flaky_bam
+    _FlakyHandler.truncate_once["armed"] = True
+    s = HttpStream(url, backoff=0.01)
+    data = s.read(-1)
+    assert data == open(local, "rb").read()
+
+
+def test_object_store_schemes_get_actionable_error():
+    from denovo_kmer_tpu.io.remote import open_binary
+
+    with pytest.raises(ValueError, match="presigned"):
+        open_binary("s3://bucket/key.bam")
+    with pytest.raises(ValueError, match="presigned"):
+        open_binary("gs://bucket/key.bam")

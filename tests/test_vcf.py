@@ -1,0 +1,82 @@
+"""VCF feeder (io/vcf.py): parse/write roundtrips, BGZF + gzip auto-detect, INFO/FORMAT
+fields, synth truth-VCF integration (SURVEY.md L1 'BAM/VCF decode stays host-side')."""
+
+import gzip
+
+import pytest
+
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_truth_vcf
+from denovo_kmer_tpu.io.vcf import VcfReader, VcfRecord, read_vcf_records, write_vcf
+
+
+def _roundtrip(tmp_path, bgzf=False, name="x.vcf"):
+    recs = [
+        VcfRecord(chrom="chr1", pos=100, id="rs1", ref="A", alts=["T"], qual=50.0,
+                  filter="PASS", info={"DP": "30", "DB": True}, format=["GT", "DP"],
+                  samples=[{"GT": "0/1", "DP": "15"}, {"GT": "1/1", "DP": "22"}]),
+        VcfRecord(chrom="chr1", pos=250, id=".", ref="GT", alts=["G", "GTT"],
+                  qual=None, filter=".", info={}, format=["GT"],
+                  samples=[{"GT": "0/2"}, {"GT": "."}]),
+    ]
+    p = str(tmp_path / name)
+    write_vcf(p, recs, contigs=[("chr1", 10_000)], samples=["s1", "s2"], bgzf=bgzf)
+    return recs, p
+
+
+def test_roundtrip_plain(tmp_path):
+    recs, p = _roundtrip(tmp_path)
+    with VcfReader(p) as r:
+        assert r.samples == ["s1", "s2"]
+        assert any("contig=<ID=chr1" in m for m in r.meta)
+        got = list(r)
+    assert len(got) == 2
+    g0, g1 = got
+    assert (g0.chrom, g0.pos, g0.id, g0.ref, g0.alts) == ("chr1", 100, "rs1", "A", ["T"])
+    assert g0.qual == 50.0 and g0.filter == "PASS"
+    assert g0.info == {"DP": "30", "DB": True}
+    assert g0.samples == [{"GT": "0/1", "DP": "15"}, {"GT": "1/1", "DP": "22"}]
+    assert g0.is_snv
+    assert g1.alts == ["G", "GTT"] and g1.qual is None and not g1.is_snv
+    assert g1.samples[1] == {"GT": "."}
+
+
+def test_roundtrip_bgzf_and_plain_gzip(tmp_path):
+    recs, p = _roundtrip(tmp_path, bgzf=True, name="x.vcf.gz")
+    got = list(read_vcf_records(p))
+    assert [r.pos for r in got] == [100, 250]
+    # plain (non-BGZF) gzip must also auto-detect
+    recs2, plain = _roundtrip(tmp_path, name="y.vcf")
+    gz = tmp_path / "y.vcf.gz"
+    gz.write_bytes(gzip.compress(open(plain, "rb").read()))
+    assert [r.pos for r in read_vcf_records(str(gz))] == [100, 250]
+
+
+def test_rejects_non_vcf(tmp_path):
+    p = tmp_path / "not.vcf"
+    p.write_text("hello\n")
+    with pytest.raises(ValueError, match="fileformat"):
+        VcfReader(str(p))
+
+
+def test_malformed_record_field_count(tmp_path):
+    p = tmp_path / "bad.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t5\t.\tA\n"
+    )
+    with pytest.raises(ValueError, match="fields"):
+        list(read_vcf_records(str(p)))
+
+
+def test_truth_vcf_matches_planted_denovos(tmp_path):
+    trio = make_trio(TrioSpec(genome_len=3000, seed=9, n_denovo_snvs=5))
+    p = write_truth_vcf(trio, str(tmp_path / "truth.vcf"))
+    got = list(read_vcf_records(p))
+    assert [r.pos - 1 for r in got] == sorted(trio.denovo_positions)
+    for r in got:
+        assert r.is_snv and r.info.get("DENOVO") is True
+        assert trio.reference[r.pos - 1] == r.ref
+        h1, h2 = trio.haplotypes["child"]
+        assert r.alts[0] in (h1[r.pos - 1], h2[r.pos - 1])
+        assert r.alts[0] != r.ref
