@@ -26,6 +26,9 @@
 #include <thread>
 #include <vector>
 #include <zlib.h>
+#ifdef HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 namespace {
 
@@ -45,6 +48,22 @@ struct Slot {
 bool inflate_block(const uint8_t* cdata, size_t clen, uint8_t* out, uint32_t isize,
                    std::string* err) {
   if (isize == 0) return true;
+#ifdef HAVE_LIBDEFLATE
+  // one-shot whole-block decompress — ~2-3x zlib's streaming inflate; BGZF blocks are
+  // complete raw-DEFLATE members, exactly libdeflate's fast path (the reference links
+  // libdeflate for the same reason, SURVEY.md §0.1 ci.yml:27)
+  static thread_local libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+  if (dec) {
+    size_t actual = 0;
+    if (libdeflate_deflate_decompress(dec, cdata, clen, out, isize, &actual) !=
+            LIBDEFLATE_SUCCESS ||
+        actual != isize) {
+      *err = "BGZF inflate failed";
+      return false;
+    }
+    return true;
+  }
+#endif
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
   if (inflateInit2(&zs, -15) != Z_OK) {
@@ -434,35 +453,49 @@ int64_t bam_ingest_next_batch(void* handle, int64_t batch_reads, uint32_t* words
   int64_t out = 0;
   while (out < batch_reads) {
     if (at_eof(r)) break;
-    uint8_t b4[4];
-    if (!uread(r, b4, 4)) {
-      if (r->error.empty()) break;  // clean EOF
-      return -1;
-    }
-    int32_t block_size = rd_i32(b4);
-    if (block_size < 32) {
-      r->error = "record block_size too small";
-      return -1;
-    }
-    rec.resize(block_size);
-    if (!uread(r, rec.data(), block_size)) {
-      r->error = "truncated record";
-      return -1;
+    const uint8_t* recp;
+    int32_t block_size;
+    // fast path: record fully inside the current inflated block → parse IN PLACE
+    // (the per-record uread memcpy dominated the single-thread profile; ~97% of
+    // records don't straddle a 64 KiB block boundary at short-read sizes)
+    if (r->within + 4 <= r->block.size() &&
+        (block_size = rd_i32(r->block.data() + r->within), true) &&
+        block_size >= 32 &&
+        r->within + 4 + (size_t)block_size <= r->block.size()) {
+      recp = r->block.data() + r->within + 4;
+      r->within += 4 + (size_t)block_size;
+    } else {
+      uint8_t b4[4];
+      if (!uread(r, b4, 4)) {
+        if (r->error.empty()) break;  // clean EOF
+        return -1;
+      }
+      block_size = rd_i32(b4);
+      if (block_size < 32) {
+        r->error = "record block_size too small";
+        return -1;
+      }
+      rec.resize(block_size);
+      if (!uread(r, rec.data(), block_size)) {
+        r->error = "truncated record";
+        return -1;
+      }
+      recp = rec.data();
     }
     r->n_records_seen++;
 
-    uint16_t flag = rd_u16(rec.data() + 14);
+    uint16_t flag = rd_u16(recp + 14);
     if (flag & r->filter_flag_mask) continue;
-    uint8_t l_read_name = rec[8];
-    uint16_t n_cigar = rd_u16(rec.data() + 12);
-    int32_t l_seq = rd_i32(rec.data() + 16);
+    uint8_t l_read_name = recp[8];
+    uint16_t n_cigar = rd_u16(recp + 12);
+    int32_t l_seq = rd_i32(recp + 16);
     size_t off = 32 + l_read_name + 4ull * n_cigar;
     size_t seq_bytes = ((size_t)l_seq + 1) / 2;
-    if (off + seq_bytes + (size_t)l_seq > rec.size()) {
+    if (off + seq_bytes + (size_t)l_seq > (size_t)block_size) {
       r->error = "record SEQ/QUAL out of bounds";
       return -1;
     }
-    const uint8_t* seq = rec.data() + off;
+    const uint8_t* seq = recp + off;
     const uint8_t* qual = seq + seq_bytes;
 
     int n = l_seq < r->max_read_len ? l_seq : r->max_read_len;

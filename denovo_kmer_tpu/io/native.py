@@ -56,14 +56,19 @@ def _build() -> Optional[str]:
     # sanitizer job (SURVEY.md §5.2); production builds stay plain -O3.
     san = os.environ.get("DENOVO_KMER_SANITIZE", "")
     san_flags = [f"-fsanitize={san}", "-fno-omit-frame-pointer", "-g"] if san else []
-    cmd = [
+    base = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
         *san_flags, _SRC, "-o", _SO, "-lz",
     ]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
-    except (OSError, subprocess.TimeoutExpired) as e:
-        return f"compiler unavailable: {e}"
+    # prefer libdeflate (2-3x zlib on whole-block BGZF inflate — the reference's own
+    # choice, SURVEY.md ci.yml:27); fall back to zlib-only where it isn't installed
+    for cmd in (base + ["-DHAVE_LIBDEFLATE", "-ldeflate"], base):
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+        except (OSError, subprocess.TimeoutExpired) as e:
+            return f"compiler unavailable: {e}"
+        if proc.returncode == 0:
+            break
     if proc.returncode != 0:
         return f"build failed:\n{proc.stderr}"
     with open(_FPRINT, "w") as f:
