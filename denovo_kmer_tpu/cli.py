@@ -58,6 +58,10 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     e.add_argument("--table-capacity", type=int, default=1 << 20)
     e.add_argument("--mesh", type=_mesh_shape, default=(1, 1),
                    help="mesh shape READSxTABLE, e.g. 4x2 (multi-chip)")
+    e.add_argument("--region", default=None,
+                   help="restrict BAM inputs to a genomic region (chr20 or "
+                        "chr20:1,000-2,000; uses a .bai/.csi next to the file when "
+                        "present, full-scan filter otherwise)")
     e.add_argument("--passes", type=int, default=1,
                    help="prefix-partitioned multi-pass build: each pass holds ~1/N of "
                         "the unique k-mers in --table-capacity, re-reading the inputs N "
@@ -113,14 +117,19 @@ def cmd_call(args) -> int:
             from denovo_kmer_tpu.pipeline import run_trio_multipass
 
             result = run_trio_multipass(
-                args.mom, args.dad, args.child, cfg, args.passes, metrics
+                args.mom, args.dad, args.child, cfg, args.passes, metrics,
+                region=args.region,
             )
         elif cfg.mesh_shape != (1, 1):
             from denovo_kmer_tpu.parallel.pipeline import run_trio_sharded
 
+            if args.region:
+                raise SystemExit("--region is not yet wired into the sharded path; "
+                                 "run single-chip or pre-subset the BAMs")
             result = run_trio_sharded(args.mom, args.dad, args.child, cfg, metrics)
         else:
-            result = run_trio(args.mom, args.dad, args.child, cfg, metrics)
+            result = run_trio(args.mom, args.dad, args.child, cfg, metrics,
+                              region=args.region)
     finally:
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
@@ -157,6 +166,8 @@ def cmd_count(args) -> int:
 
     cfg = _cfg_from_args(args)
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
+    if args.region and args.resume:
+        raise SystemExit("--region and --resume are mutually exclusive")
     with metrics.timer("build"):
         if args.resume:
             if not args.reads.lower().endswith(".bam"):
@@ -166,7 +177,9 @@ def cmd_count(args) -> int:
                 save_every_flushes=args.ckpt_every,
             )
         else:
-            table = build_sample_table(_record_stream(args.reads, cfg), cfg, metrics)
+            table = build_sample_table(
+                _record_stream(args.reads, cfg, args.region), cfg, metrics
+            )
     save_table(args.output, table, cfg, source=args.reads)
     print(metrics.summary(), file=sys.stderr)
     print(f"unique k-mers: {int(table.n)} -> {args.output}", file=sys.stderr)
@@ -269,6 +282,21 @@ def cmd_probe(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    from denovo_kmer_tpu.io.bai import write_bai, write_csi
+
+    out = write_csi(args.bam) if args.csi else write_bai(args.bam)
+    print(out)
+    return 0
+
+
+def cmd_sort(args) -> int:
+    from denovo_kmer_tpu.io.bam import sort_bam
+
+    print(sort_bam(args.bam, args.output))
+    return 0
+
+
 def cmd_synth_trio(args) -> int:
     from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
 
@@ -365,6 +393,18 @@ def main(argv=None) -> int:
                     help="comma-separated k-mers (default: read one per line from stdin)")
     _add_engine_args(pq)
     pq.set_defaults(fn=cmd_probe)
+
+    pi = sub.add_parser(
+        "index", help="write a BAI (or CSI) index for a coordinate-sorted BAM"
+    )
+    pi.add_argument("bam")
+    pi.add_argument("--csi", action="store_true", help="write .csi instead of .bai")
+    pi.set_defaults(fn=cmd_index)
+
+    po = sub.add_parser("sort", help="coordinate-sort a BAM (fixture/subset scale)")
+    po.add_argument("bam")
+    po.add_argument("-o", "--output", required=True)
+    po.set_defaults(fn=cmd_sort)
 
     ps = sub.add_parser("synth-trio", help="generate a synthetic trio fixture")
     ps.add_argument("outdir")

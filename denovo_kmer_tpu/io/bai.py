@@ -1,0 +1,341 @@
+"""BAI/CSI index support: genomic-region-restricted BAM reading (SURVEY.md config 1).
+
+BASELINE config 1 is a "chr20 subset" trio; htslib tools subset by region via the `.bai`
+(SAMv1 §5.2 binning R-tree + 16 kb linear index) or `.csi` (§5.3 generalized bins). This
+module reads both, WRITES the BAI (this environment has no samtools — the engine indexes
+its own fixtures and outputs; `denovo_kmer_tpu index` exposes it), and iterates the records
+overlapping a region through the index's chunk list. Without an index the region path falls
+back to a full scan + overlap filter — always correct, just not seek-efficient (and the
+basis of the index-vs-scan parity tests).
+
+Region strings follow samtools: ``chr20`` (whole contig) or ``chr20:1,000-2,000``
+(1-based, inclusive).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Dict, Iterator, List, Optional, Tuple
+
+from denovo_kmer_tpu.io.bam import BamReader, BamRecord
+
+BAI_MAGIC = b"BAI\x01"
+CSI_MAGIC = b"CSI\x01"
+_PSEUDO_BIN = 37450
+
+
+def record_ref_span(rec: BamRecord) -> int:
+    """Reference bases consumed by the alignment (cigar ops M/D/N/=/X), min 1."""
+    span = sum(n for n, op in rec.cigar if op in (0, 2, 3, 7, 8))
+    return max(span, 1)
+
+
+def parse_region(region: str, references: List[Tuple[str, int]]):
+    """``chr20`` or ``chr20:1,000-2,000`` → (refid, beg0, end0) half-open 0-based."""
+    name, _, rng = region.partition(":")
+    names = [r[0] for r in references]
+    if name not in names:
+        raise ValueError(
+            f"region contig {name!r} not in BAM header (has: {', '.join(names[:8])}"
+            f"{'...' if len(names) > 8 else ''})"
+        )
+    refid = names.index(name)
+    ref_len = references[refid][1]
+    if not rng:
+        return refid, 0, ref_len
+    b, _, e = rng.replace(",", "").partition("-")
+    beg0 = max(int(b) - 1, 0) if b else 0
+    end0 = int(e) if e else ref_len
+    if end0 <= beg0:
+        raise ValueError(f"empty region {region!r}")
+    return refid, beg0, end0
+
+
+# ---------------------------------------------------------------------------
+# binning (SAMv1 §5.3 pseudocode)
+# ---------------------------------------------------------------------------
+
+def reg2bin(beg: int, end: int, min_shift: int = 14, depth: int = 5) -> int:
+    end -= 1
+    level_shift = min_shift
+    for level in range(depth, -1, -1):
+        shift = min_shift + 3 * (depth - level)
+        if beg >> shift == end >> shift:
+            # offset of this level: (8^level - 1) / 7
+            return ((1 << 3 * level) - 1) // 7 + (beg >> shift)
+    return 0
+
+
+def reg2bins(beg: int, end: int, min_shift: int = 14, depth: int = 5) -> List[int]:
+    """All bins that may contain alignments overlapping [beg, end)."""
+    end -= 1
+    bins = []
+    for level in range(depth + 1):
+        off = ((1 << 3 * level) - 1) // 7
+        shift = min_shift + 3 * (depth - level)
+        bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return bins
+
+
+# ---------------------------------------------------------------------------
+# index structures
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RefIndex:
+    bins: Dict[int, List[Tuple[int, int]]]  # bin -> [(chunk_beg, chunk_end) voffsets]
+    linear: List[int]  # 16kb-window smallest voffset (BAI only; empty for CSI)
+
+
+@dataclasses.dataclass
+class BamIndex:
+    refs: List[RefIndex]
+    min_shift: int = 14
+    depth: int = 5
+
+    def region_chunks(self, refid: int, beg: int, end: int) -> List[Tuple[int, int]]:
+        """Merged, sorted candidate chunk list for a region."""
+        if refid < 0 or refid >= len(self.refs):
+            return []
+        ref = self.refs[refid]
+        min_off = 0
+        if ref.linear:
+            w = beg >> 14
+            if w < len(ref.linear):
+                min_off = ref.linear[w]
+            elif ref.linear:
+                min_off = ref.linear[-1]
+        chunks = []
+        for b in reg2bins(beg, end, self.min_shift, self.depth):
+            for cb, ce in ref.bins.get(b, ()):
+                if ce > min_off:
+                    chunks.append((max(cb, min_off), ce))
+        chunks.sort()
+        merged: List[Tuple[int, int]] = []
+        for cb, ce in chunks:
+            if merged and cb <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+            else:
+                merged.append((cb, ce))
+        return merged
+
+
+def read_bai(path: str) -> BamIndex:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != BAI_MAGIC:
+        raise ValueError(f"bad BAI magic in {path}")
+    pos = 4
+    (n_ref,) = struct.unpack_from("<i", data, pos)
+    pos += 4
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        bins: Dict[int, List[Tuple[int, int]]] = {}
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack_from("<Ii", data, pos)
+            pos += 8
+            chunks = []
+            for _ in range(n_chunk):
+                cb, ce = struct.unpack_from("<QQ", data, pos)
+                pos += 16
+                chunks.append((cb, ce))
+            if b != _PSEUDO_BIN:
+                bins[b] = chunks
+        (n_intv,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        linear = list(struct.unpack_from(f"<{n_intv}Q", data, pos))
+        pos += 8 * n_intv
+        refs.append(RefIndex(bins=bins, linear=linear))
+    return BamIndex(refs=refs)
+
+
+def read_csi(path: str) -> BamIndex:
+    from denovo_kmer_tpu.io.bgzf import BgzfReader
+
+    with open(path, "rb") as f:
+        data = BgzfReader(f).read(1 << 40)
+    if data[:4] != CSI_MAGIC:
+        raise ValueError(f"bad CSI magic in {path}")
+    pos = 4
+    min_shift, depth, l_aux = struct.unpack_from("<iii", data, pos)
+    pos += 12 + l_aux
+    (n_ref,) = struct.unpack_from("<i", data, pos)
+    pos += 4
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        bins: Dict[int, List[Tuple[int, int]]] = {}
+        for _ in range(n_bin):
+            b, _loffset, n_chunk = struct.unpack_from("<IQi", data, pos)
+            pos += 16
+            chunks = []
+            for _ in range(n_chunk):
+                cb, ce = struct.unpack_from("<QQ", data, pos)
+                pos += 16
+                chunks.append((cb, ce))
+            pseudo = ((1 << 3 * (depth + 1)) - 1) // 7 + 1
+            if b != pseudo:
+                bins[b] = chunks
+        refs.append(RefIndex(bins=bins, linear=[]))
+    return BamIndex(refs=refs, min_shift=min_shift, depth=depth)
+
+
+def write_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
+    """Index a coordinate-sorted BAM: one sequential pass collecting per-record
+    (bin, voffset span) + the 16 kb linear index. Refuses unsorted input like
+    `samtools index` — the linear index's chunk clipping is only sound when file
+    order follows coordinate order."""
+    bai_path = bai_path or bam_path + ".bai"
+    with open(bam_path, "rb") as f:
+        reader = BamReader(f)
+        n_ref = len(reader.references)
+        bins: List[Dict[int, List[Tuple[int, int]]]] = [dict() for _ in range(n_ref)]
+        linear: List[Dict[int, int]] = [dict() for _ in range(n_ref)]
+        v_before = reader.tell_virtual()
+        last = (-1, -1)
+        for rec in reader:
+            v_after = reader.tell_virtual()
+            if 0 <= rec.refid < n_ref and rec.pos >= 0 and not (rec.flag & 4):
+                if (rec.refid, rec.pos) < last:
+                    raise ValueError(
+                        f"cannot index: {bam_path} is not coordinate-sorted "
+                        f"(record at ref {rec.refid} pos {rec.pos} after {last})"
+                    )
+                last = (rec.refid, rec.pos)
+                end = rec.pos + record_ref_span(rec)
+                b = reg2bin(rec.pos, end)
+                bins[rec.refid].setdefault(b, []).append((v_before, v_after))
+                for w in range(rec.pos >> 14, ((end - 1) >> 14) + 1):
+                    lin = linear[rec.refid]
+                    if w not in lin or v_before < lin[w]:
+                        lin[w] = v_before
+            v_before = v_after
+    out = bytearray(BAI_MAGIC)
+    out += struct.pack("<i", n_ref)
+    for r in range(n_ref):
+        # merge adjacent chunks within each bin (records are visited in file order)
+        packed_bins = {}
+        for b, chunks in bins[r].items():
+            merged: List[Tuple[int, int]] = []
+            for cb, ce in chunks:
+                if merged and cb <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+                else:
+                    merged.append((cb, ce))
+            packed_bins[b] = merged
+        out += struct.pack("<i", len(packed_bins))
+        for b in sorted(packed_bins):
+            chunks = packed_bins[b]
+            out += struct.pack("<Ii", b, len(chunks))
+            for cb, ce in chunks:
+                out += struct.pack("<QQ", cb, ce)
+        n_intv = max(linear[r]) + 1 if linear[r] else 0
+        out += struct.pack("<i", n_intv)
+        prev = 0
+        for w in range(n_intv):
+            # spec: windows with no alignment carry the previous window's offset
+            if w in linear[r]:
+                prev = linear[r][w]
+            out += struct.pack("<Q", prev)
+    with open(bai_path, "wb") as f:
+        f.write(bytes(out))
+    return bai_path
+
+
+def write_csi(
+    bam_path: str, csi_path: Optional[str] = None, min_shift: int = 14, depth: int = 5
+) -> str:
+    """Write a CSI index (SAMv1 §5.3: BGZF-wrapped, per-bin loffset, no linear index)."""
+    from denovo_kmer_tpu.io.bgzf import BgzfWriter
+
+    csi_path = csi_path or bam_path + ".csi"
+    with open(bam_path, "rb") as f:
+        reader = BamReader(f)
+        n_ref = len(reader.references)
+        bins: List[Dict[int, List[Tuple[int, int]]]] = [dict() for _ in range(n_ref)]
+        v_before = reader.tell_virtual()
+        last = (-1, -1)
+        for rec in reader:
+            v_after = reader.tell_virtual()
+            if 0 <= rec.refid < n_ref and rec.pos >= 0 and not (rec.flag & 4):
+                if (rec.refid, rec.pos) < last:
+                    raise ValueError(
+                        f"cannot index: {bam_path} is not coordinate-sorted"
+                    )
+                last = (rec.refid, rec.pos)
+                end = rec.pos + record_ref_span(rec)
+                b = reg2bin(rec.pos, end, min_shift, depth)
+                bins[rec.refid].setdefault(b, []).append((v_before, v_after))
+            v_before = v_after
+    out = bytearray(CSI_MAGIC)
+    out += struct.pack("<iii", min_shift, depth, 0)
+    out += struct.pack("<i", n_ref)
+    for r in range(n_ref):
+        out += struct.pack("<i", len(bins[r]))
+        for b in sorted(bins[r]):
+            chunks = []
+            for cb, ce in bins[r][b]:
+                if chunks and cb <= chunks[-1][1]:
+                    chunks[-1] = (chunks[-1][0], max(chunks[-1][1], ce))
+                else:
+                    chunks.append((cb, ce))
+            loffset = min(cb for cb, _ in chunks)
+            out += struct.pack("<IQi", b, loffset, len(chunks))
+            for cb, ce in chunks:
+                out += struct.pack("<QQ", cb, ce)
+    with open(csi_path, "wb") as f:
+        w = BgzfWriter(f)
+        w.write(bytes(out))
+        w.close()
+    return csi_path
+
+
+def load_index_for(bam_path: str) -> Optional[BamIndex]:
+    import os
+
+    for suffix, loader in ((".bai", read_bai), (".csi", read_csi)):
+        p = bam_path + suffix
+        if os.path.exists(p):
+            return loader(p)
+    return None
+
+
+def read_bam_records_region(
+    bam_path: str, region: str, index: Optional[BamIndex] = None
+) -> Iterator[BamRecord]:
+    """Yield records overlapping ``region``, via the index when available (seeks only the
+    candidate chunks) or a full scan otherwise. Unmapped/other-contig records never
+    qualify. Identical output either way (tests assert index == scan)."""
+    from denovo_kmer_tpu.io.remote import open_binary
+
+    with open_binary(bam_path) as f:
+        reader = BamReader(f)
+        refid, beg, end = parse_region(region, reader.references)
+
+        def overlaps(rec: BamRecord) -> bool:
+            if rec.refid != refid or rec.pos < 0 or (rec.flag & 4):
+                return False
+            return rec.pos < end and rec.pos + record_ref_span(rec) > beg
+
+        if index is None:
+            index = load_index_for(bam_path)
+        if index is None:
+            for rec in reader:
+                if overlaps(rec):
+                    yield rec
+            return
+        for cb, ce in index.region_chunks(refid, beg, end):
+            reader.seek_virtual(cb)
+            while reader.tell_virtual() < ce:
+                try:
+                    rec = next(reader)
+                except StopIteration:
+                    break
+                if overlaps(rec):
+                    yield rec
+                # no positional early-exit: the engine's fixtures are not necessarily
+                # coordinate-sorted, and a chunk may interleave positions

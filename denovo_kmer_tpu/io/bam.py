@@ -275,3 +275,24 @@ def read_bam_records_range(path: str, vstart: int, vstop: int) -> Iterator[BamRe
             except StopIteration:
                 return
             yield rec
+
+
+def sort_bam(in_path: str, out_path: str) -> str:
+    """Coordinate-sort a BAM (in memory — fixture/subset scale): unmapped and
+    refid<0 records go last, as `samtools sort` does. Required before `write_bai`."""
+    from denovo_kmer_tpu.io.remote import open_binary
+
+    with open_binary(in_path) as f:
+        reader = BamReader(f)
+        refs = list(reader.references)
+        recs = list(reader)
+
+    def key(r: BamRecord):
+        mapped = r.refid >= 0 and r.pos >= 0 and not (r.flag & 4)
+        return (0, r.refid, r.pos) if mapped else (1, 0, 0)
+
+    recs.sort(key=key)
+    with open(out_path, "wb") as f, BamWriter(f, references=refs) as w:
+        for r in recs:
+            w.write(r)
+    return out_path

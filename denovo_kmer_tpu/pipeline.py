@@ -66,10 +66,20 @@ class TrioResult:
     tables_n: Dict[str, int]
 
 
-def _record_stream(path: str, cfg: EngineConfig) -> Iterator:
-    """Open a reads file as a record stream (BAM/FASTQ/FASTA by extension)."""
+def _record_stream(path: str, cfg: EngineConfig, region: Optional[str] = None) -> Iterator:
+    """Open a reads file as a record stream (BAM/FASTQ/FASTA by extension).
+
+    ``region`` (``chr20`` / ``chr20:1,000-2,000``): BAM only — served through the BAI/CSI
+    index when one sits next to the file (io/bai.py), full-scan overlap filter otherwise.
+    """
     low = path.lower()
+    if region and not low.endswith(".bam"):
+        raise ValueError(f"--region requires a BAM input, got {path}")
     if low.endswith(".bam"):
+        if region:
+            from denovo_kmer_tpu.io.bai import read_bam_records_region
+
+            return read_bam_records_region(path, region)
         return read_bam_records(path)
     if low.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
         def gen():
@@ -504,6 +514,7 @@ def run_trio_multipass(
     cfg: EngineConfig,
     n_passes: int,
     metrics: Optional[Metrics] = None,
+    region: Optional[str] = None,
 ) -> TrioResult:
     """WGS-scale trio call: time-multiplexed hash-pass partition (SURVEY.md §7.4).
 
@@ -522,7 +533,7 @@ def run_trio_multipass(
     from denovo_kmer_tpu.ops.score import call_from_score
 
     if n_passes < 2:
-        return run_trio(mom_path, dad_path, child_path, cfg, metrics)
+        return run_trio(mom_path, dad_path, child_path, cfg, metrics, region=region)
     m = metrics or Metrics()
     step = make_ingest_step(cfg, n_passes=n_passes)
     key_parts: List[np.ndarray] = []
@@ -541,11 +552,11 @@ def run_trio_multipass(
         for name, path in (("mom", mom_path), ("dad", dad_path)):
             with m.timer(f"build_{name}"):
                 ptables[name] = build_sample_table(
-                    _record_stream(path, cfg), cfg, m, pstep
+                    _record_stream(path, cfg, region), cfg, m, pstep
                 )
             tables_n[name] += int(ptables[name].n)
         scorer = ScoringTableBuilder(cfg, extract_append=ea)
-        child_batches = pack_records(_record_stream(child_path, cfg), cfg)
+        child_batches = pack_records(_record_stream(child_path, cfg, region), cfg)
         with m.timer("build_child"):
             if fused_supported(cfg.k):
                 cands, _nu, n_child = scorer.build_call(
@@ -592,6 +603,7 @@ def run_trio(
     child_path: str,
     cfg: EngineConfig,
     metrics: Optional[Metrics] = None,
+    region: Optional[str] = None,
 ) -> TrioResult:
     """Full single-host trio workflow (SURVEY.md §3.1 main)."""
     m = metrics or Metrics()
@@ -608,7 +620,7 @@ def run_trio(
         else:
             with m.timer(f"build_{name}"):
                 tables[name] = build_sample_table(
-                    _record_stream(path, cfg), cfg, m, step
+                    _record_stream(path, cfg, region), cfg, m, step
                 )
         m.event("table_built", sample=name, unique=int(tables[name].n))
 
@@ -618,7 +630,7 @@ def run_trio(
     from denovo_kmer_tpu.ops.score import call_from_score
 
     scorer = ScoringTableBuilder(cfg, extract_append=step[0])
-    child_batches = pack_records(_record_stream(child_path, cfg), cfg)
+    child_batches = pack_records(_record_stream(child_path, cfg, region), cfg)
     if fused_supported(cfg.k):
         with m.timer("build_child"):
             cands, _n_union, child_uniques = scorer.build_call(

@@ -1,0 +1,133 @@
+"""BAI/CSI region-restricted BAM access (io/bai.py): index-vs-full-scan parity, binning
+properties, region parsing, and the CLI-facing region pipeline path (SURVEY.md config 1
+'chr20 subset' without pre-subsetting)."""
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.io.bai import (
+    BamIndex,
+    load_index_for,
+    parse_region,
+    read_bai,
+    read_bam_records_region,
+    read_csi,
+    record_ref_span,
+    reg2bin,
+    reg2bins,
+    write_bai,
+    write_csi,
+)
+from denovo_kmer_tpu.io.bam import read_bam_records
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+
+SPEC = TrioSpec(genome_len=120_000, read_len=100, coverage=2.0, seed=31)
+
+
+@pytest.fixture(scope="module")
+def bam(tmp_path_factory):
+    from denovo_kmer_tpu.io.bam import sort_bam
+
+    d = tmp_path_factory.mktemp("bai")
+    paths = write_trio_bams(make_trio(SPEC), str(d))
+    # indexing requires coordinate order (like samtools index)
+    return sort_bam(paths["child"], str(d / "child.sorted.bam"))
+
+
+def test_reg2bin_membership_property():
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        beg = int(rng.integers(0, 1 << 28))
+        end = beg + int(rng.integers(1, 5000))
+        b = reg2bin(beg, end)
+        # any query window overlapping [beg,end) must include its bin
+        qb = max(0, beg - int(rng.integers(0, 1000)))
+        qe = end + int(rng.integers(0, 1000))
+        assert b in reg2bins(qb, qe)
+
+
+@pytest.mark.parametrize("writer,loader,suffix", [
+    (write_bai, read_bai, ".bai"),
+    (write_csi, read_csi, ".csi"),
+])
+def test_region_via_index_equals_full_scan(bam, writer, loader, suffix):
+    idx_path = writer(bam)
+    assert idx_path.endswith(suffix)
+    idx = loader(idx_path)
+    assert isinstance(idx, BamIndex)
+    for region in ("chr20", "chr20:1-10000", "chr20:50,000-60,000",
+                   "chr20:119000-120000"):
+        via_index = [r.name for r in read_bam_records_region(bam, region, idx)]
+        via_scan = [
+            r.name
+            for r in read_bam_records_region(
+                bam, region, BamIndex(refs=[]),  # empty index -> no chunks
+            )
+        ]
+        # empty index returns nothing; the real no-index fallback is a full scan:
+        full = []
+        refid, beg, end = parse_region(region, [("chr20", SPEC.genome_len)])
+        for r in read_bam_records(bam):
+            if r.refid == refid and r.pos >= 0 and not (r.flag & 4):
+                if r.pos < end and r.pos + record_ref_span(r) > beg:
+                    full.append(r.name)
+        assert sorted(via_index) == sorted(full)
+        assert via_scan == []
+        assert len(via_index) > 0
+
+
+def test_index_refuses_unsorted(tmp_path):
+    d = tmp_path / "uns"
+    paths = write_trio_bams(make_trio(TrioSpec(genome_len=60_000, read_len=80,
+                                               coverage=1.5, seed=5)), str(d))
+    with pytest.raises(ValueError, match="coordinate-sorted"):
+        write_bai(paths["child"])
+    with pytest.raises(ValueError, match="coordinate-sorted"):
+        write_csi(paths["child"])
+
+
+def test_region_without_index_falls_back_to_scan(bam, tmp_path):
+    import shutil
+
+    noidx = str(tmp_path / "noidx.bam")
+    shutil.copy(bam, noidx)
+    assert load_index_for(noidx) is None
+    got = [r.name for r in read_bam_records_region(noidx, "chr20:1000-2000")]
+    write_bai(noidx)
+    got_idx = [r.name for r in read_bam_records_region(noidx, "chr20:1000-2000")]
+    assert sorted(got) == sorted(got_idx) and got
+
+
+def test_parse_region_errors(bam):
+    refs = [("chr20", 100), ("chr21", 50)]
+    assert parse_region("chr21", refs) == (1, 0, 50)
+    assert parse_region("chr20:5-20", refs) == (0, 4, 20)
+    with pytest.raises(ValueError, match="not in BAM header"):
+        parse_region("chrX", refs)
+    with pytest.raises(ValueError, match="empty region"):
+        parse_region("chr20:20-5", refs)
+
+
+def test_region_trio_call_matches_presubset(bam, tmp_path):
+    """CLI semantics: calling with --region == calling on a pre-subset BAM."""
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.io.bam import BamWriter
+    from denovo_kmer_tpu.pipeline import build_sample_table, _record_stream
+
+    cfg = EngineConfig(k=21, max_read_len=128, batch_reads=64,
+                       table_capacity=1 << 16)
+    region = "chr20:10000-40000"
+    write_bai(bam)
+    # pre-subset copy
+    sub = str(tmp_path / "sub.bam")
+    recs = list(read_bam_records_region(bam, region))
+    with open(sub, "wb") as f, BamWriter(
+        f, references=[("chr20", SPEC.genome_len)]
+    ) as w:
+        for r in recs:
+            w.write(r)
+    t_region = build_sample_table(_record_stream(bam, cfg, region=region), cfg)
+    t_subset = build_sample_table(_record_stream(sub, cfg), cfg)
+    assert int(t_region.n) == int(t_subset.n)
+    assert np.array_equal(np.asarray(t_region.keys), np.asarray(t_subset.keys))
+    assert np.array_equal(np.asarray(t_region.counts), np.asarray(t_subset.counts))
