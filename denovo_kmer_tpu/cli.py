@@ -58,6 +58,10 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     e.add_argument("--table-capacity", type=int, default=1 << 20)
     e.add_argument("--mesh", type=_mesh_shape, default=(1, 1),
                    help="mesh shape READSxTABLE, e.g. 4x2 (multi-chip)")
+    e.add_argument("--read-len-buckets", default=None,
+                   help="comma list of ascending padded read widths (last = "
+                        "--max-read-len), e.g. 64,112,160: mixed-length inputs skip "
+                        "padding waste (bit-identical results)")
     e.add_argument("--region", default=None,
                    help="restrict BAM inputs to a genomic region (chr20 or "
                         "chr20:1,000-2,000; uses a .bai/.csi next to the file when "
@@ -89,6 +93,8 @@ def _cfg_from_args(args) -> EngineConfig:
         batch_reads=args.batch_reads,
         max_read_len=args.max_read_len,
         table_capacity=args.table_capacity,
+        read_len_buckets=(tuple(int(x) for x in args.read_len_buckets.split(","))
+                          if getattr(args, "read_len_buckets", None) else None),
         mesh_shape=(reads_ax, table_ax),
         reference_fasta=args.reference,
         extractor=args.extractor,

@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
-from typing import Tuple
+from typing import Optional, Tuple
 
 # BAM flag bits (SAM spec)
 FLAG_PAIRED = 0x1
@@ -61,6 +61,12 @@ class EngineConfig:
     #: padded read length (bases); reads longer than this are truncated (config error in
     #: practice — pick >= max read length of the input)
     max_read_len: int = 160
+    #: OPTIONAL length bucketing (SURVEY.md §5.7a): ascending padded widths, last ==
+    #: max_read_len. Reads are packed into the smallest bucket that fits, each bucket
+    #: getting its own compiled extract step into the SHARED staging buffer — a 36 bp
+    #: read in a 160 bp batch wastes ~78% of its extraction work otherwise. Results are
+    #: bit-identical with or without buckets (sizing knob, not semantics).
+    read_len_buckets: Optional[Tuple[int, ...]] = None
 
     # --- table sizing ---
     #: capacity (slots) of a parental/child k-mer table per shard
@@ -132,3 +138,14 @@ class EngineConfig:
             raise ValueError(f"unknown extractor {self.extractor!r}")
         if self.accum_batches < 1:
             raise ValueError("accum_batches must be >= 1")
+        if self.read_len_buckets is not None:
+            b = tuple(self.read_len_buckets)
+            if not b or list(b) != sorted(set(b)):
+                raise ValueError(f"read_len_buckets must be ascending unique: {b}")
+            if b[-1] != self.max_read_len:
+                raise ValueError(
+                    f"last bucket ({b[-1]}) must equal max_read_len "
+                    f"({self.max_read_len})"
+                )
+            if b[0] < self.k:
+                raise ValueError(f"bucket {b[0]} < k ({self.k})")

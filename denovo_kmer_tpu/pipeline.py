@@ -163,6 +163,19 @@ def make_ingest_step(cfg: EngineConfig, n_passes: int = 1):
     return extract_append, flush_fn
 
 
+def make_bucketed_extract_steps(cfg: EngineConfig, n_passes: int = 1):
+    """Per-bucket compiled extract steps (cfg.read_len_buckets), all appending into the
+    SAME staging accumulator — k-mer rows are width-independent, so bucketing only
+    changes how many windows each batch contributes."""
+    buckets = tuple(cfg.read_len_buckets or (cfg.max_read_len,))
+    return {
+        w: make_ingest_step(
+            dataclasses.replace(cfg, max_read_len=w, read_len_buckets=None), n_passes
+        )[0]
+        for w in buckets
+    }
+
+
 class SampleTableBuilder:
     """Streaming builder for one sample's table; reusable compiled steps across samples."""
 
@@ -174,6 +187,44 @@ class SampleTableBuilder:
         self._empty_acc = lambda: empty_accumulator(
             cfg.accum_batches * cfg.batch_reads * cfg.windows_per_read, cfg.words
         )
+
+    def build_bucketed(self, bucketed_batches: Iterable,
+                       metrics: Optional[Metrics] = None,
+                       bucket_steps=None) -> KmerTable:
+        """Like ``build`` over (bucket_width, PackedReads) pairs (pack_records_bucketed):
+        flushes are driven by STAGED WINDOW COUNT, not batch count, since batches now
+        contribute width-proportional rows. Bit-identical to the unbucketed build."""
+        from denovo_kmer_tpu.io.prefetch import prefetch_batches
+
+        cfg = self.cfg
+        m = metrics or Metrics()
+        steps = bucket_steps or make_bucketed_extract_steps(cfg)
+        slots = cfg.accum_batches * cfg.batch_reads * cfg.windows_per_read
+        acc = self._empty_acc()
+        table = empty_table(cfg.table_capacity, cfg.words)
+        fill = 0
+        for w, packed in prefetch_batches(bucketed_batches):
+            win = cfg.batch_reads * (w - cfg.k + 1)
+            m.count("reads_ingested", packed.n_reads)
+            with m.timer("extract_probe"):
+                if fill + win > slots:
+                    acc, table = self.flush_fn(acc, table)
+                    fill = 0
+                acc = steps[w](
+                    acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
+                )
+                fill += win
+            m.count("kmers_extracted", packed.n_reads * (w - cfg.k + 1))
+            m.count("windows_staged", win)
+            m.count("batches", 1)
+        if fill:
+            with m.timer("extract_probe"):
+                acc, table = self.flush_fn(acc, table)
+        n = int(table.n)
+        if n > cfg.table_capacity:
+            raise TableOverflowError(_overflow_msg(n, cfg.table_capacity))
+        m.count("unique_kmers", n)
+        return table
 
     def build(self, packed_batches: Iterable, metrics: Optional[Metrics] = None) -> KmerTable:
         from denovo_kmer_tpu.io.prefetch import prefetch_batches
@@ -354,7 +405,7 @@ class ScoringTableBuilder:
         )
 
     def build_call(self, mom: KmerTable, dad: KmerTable, packed_batches: Iterable,
-                   metrics: Optional[Metrics] = None):
+                   metrics: Optional[Metrics] = None, bucket_steps=None):
         """Stream the child and finish with the fused one-sort flush+call (ops/fused.py).
 
         Returns (Candidates, n_unique, n_child_unique). The scoring table is seeded at a
@@ -388,22 +439,35 @@ class ScoringTableBuilder:
         def flush_grow(a, t):
             # first flush grows the tight seed to the full table capacity
             return flush_score(a, t, out_capacity=cfg.table_capacity)
-        pending = 0
+        # fill-driven flush schedule: works for plain batches (every batch stages
+        # windows_per_read rows) AND length-bucketed (w, packed) pairs (width-
+        # proportional rows into the same accumulator)
+        slots = cfg.accum_batches * cfg.batch_reads * cfg.windows_per_read
+        bucketed = bucket_steps is not None
+        fill = 0
         flushed = False
-        for packed in prefetch_batches(packed_batches):
+        for item in prefetch_batches(packed_batches):
+            if bucketed:
+                w, packed = item
+                step = bucket_steps[w]
+                win = cfg.batch_reads * (w - cfg.k + 1)
+            else:
+                packed = item
+                step = self.extract_append
+                win = cfg.batch_reads * cfg.windows_per_read
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
-                acc = self.extract_append(
-                    acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
-                )
-                pending += 1
-                if pending == cfg.accum_batches:
+                if fill + win > slots:
                     acc, table = (flush_grow if not flushed else self.flush_fn)(
                         acc, table
                     )
-                    pending = 0
+                    fill = 0
                     flushed = True
-            m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
+                acc = step(
+                    acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
+                )
+                fill += win
+            m.count("kmers_extracted", packed.n_reads * (win // cfg.batch_reads))
             m.count("batches", 1)
         if flushed and int(table.n) > cfg.table_capacity:
             raise TableOverflowError(
@@ -473,6 +537,12 @@ def build_sample_table(
     the device op reports the true unique count in ``table.n``).
     """
     builder = step if isinstance(step, SampleTableBuilder) else SampleTableBuilder(cfg, step)
+    if cfg.read_len_buckets and step is None:
+        # bucketed path (cfg.read_len_buckets); explicit steps (e.g. multipass filters)
+        # keep the unbucketed layout
+        from denovo_kmer_tpu.ops.pack import pack_records_bucketed
+
+        return builder.build_bucketed(pack_records_bucketed(records, cfg), metrics)
     return builder.build(pack_records(records, cfg), metrics)
 
 
@@ -607,6 +677,7 @@ def run_trio(
 ) -> TrioResult:
     """Full single-host trio workflow (SURVEY.md §3.1 main)."""
     m = metrics or Metrics()
+    bucket_steps = make_bucketed_extract_steps(cfg) if cfg.read_len_buckets else None
     step = make_ingest_step(cfg)
     tables = {}
     from denovo_kmer_tpu.utils.checkpoint import maybe_load_flat_table
@@ -617,6 +688,14 @@ def run_trio(
             # precomputed `count` checkpoint (SURVEY.md §5.4): skip the parent pass
             tables[name] = loaded
             m.event("table_loaded", sample=name, path=path)
+        elif bucket_steps is not None:
+            from denovo_kmer_tpu.ops.pack import pack_records_bucketed
+
+            with m.timer(f"build_{name}"):
+                tables[name] = SampleTableBuilder(cfg, step).build_bucketed(
+                    pack_records_bucketed(_record_stream(path, cfg, region), cfg),
+                    m, bucket_steps,
+                )
         else:
             with m.timer(f"build_{name}"):
                 tables[name] = build_sample_table(
@@ -630,11 +709,19 @@ def run_trio(
     from denovo_kmer_tpu.ops.score import call_from_score
 
     scorer = ScoringTableBuilder(cfg, extract_append=step[0])
-    child_batches = pack_records(_record_stream(child_path, cfg, region), cfg)
+    if bucket_steps is not None:
+        from denovo_kmer_tpu.ops.pack import pack_records_bucketed
+
+        child_batches = pack_records_bucketed(
+            _record_stream(child_path, cfg, region), cfg
+        )
+    else:
+        child_batches = pack_records(_record_stream(child_path, cfg, region), cfg)
     if fused_supported(cfg.k):
         with m.timer("build_child"):
             cands, _n_union, child_uniques = scorer.build_call(
-                tables["mom"], tables["dad"], child_batches, m
+                tables["mom"], tables["dad"], child_batches, m,
+                bucket_steps=bucket_steps,
             )
             n = int(cands.n)
     else:

@@ -1,0 +1,68 @@
+"""Length bucketing (cfg.read_len_buckets, SURVEY.md §5.7a): bucketed builds must be
+bit-identical to unbucketed on mixed-length inputs, while staging far fewer windows."""
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.bam import BamRecord, BamWriter
+from denovo_kmer_tpu.pipeline import _record_stream, build_sample_table, run_trio
+from denovo_kmer_tpu.utils.metrics import Metrics
+
+
+def _mixed_len_bam(path, rng, n=600, genome=None):
+    genome = genome or "".join(rng.choice(list("ACGT")) for _ in range(4000))
+    recs = []
+    for i in range(n):
+        L = int([36, 50, 76, 100, 151][i % 5])
+        p = int(rng.integers(0, len(genome) - L))
+        recs.append(BamRecord(name=f"r{i}", flag=0, refid=0, pos=p,
+                              cigar=((L, 0),), seq=genome[p:p + L],
+                              qual=tuple([30] * L)))
+    with open(path, "wb") as f, BamWriter(f, references=[("c", len(genome))]) as w:
+        for r in recs:
+            w.write(r)
+    return path, genome
+
+
+@pytest.fixture(scope="module")
+def mixed(tmp_path_factory):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    d = tmp_path_factory.mktemp("buckets")
+    g = "".join(np.random.default_rng(7).choice(list("ACGT"), 4000))
+    paths = {}
+    for s in ("mom", "dad", "child"):
+        paths[s], _ = _mixed_len_bam(str(d / f"{s}.bam"), rng, genome=g)
+    return paths
+
+
+def test_bucketed_table_bit_identical(mixed):
+    plain = EngineConfig(k=21, max_read_len=160, batch_reads=64,
+                         table_capacity=1 << 14)
+    buck = EngineConfig(k=21, max_read_len=160, batch_reads=64,
+                        table_capacity=1 << 14,
+                        read_len_buckets=(64, 96, 160))
+    t0 = build_sample_table(_record_stream(mixed["child"], plain), plain)
+    m = Metrics()
+    t1 = build_sample_table(_record_stream(mixed["child"], buck), buck, m)
+    assert int(t0.n) == int(t1.n)
+    assert np.array_equal(np.asarray(t0.keys), np.asarray(t1.keys))
+    assert np.array_equal(np.asarray(t0.counts), np.asarray(t1.counts))
+    # waste check: staged windows well under the all-at-160 figure
+    staged = m.counters["windows_staged"]
+    worst = m.counters["reads_ingested"] // 64 * 64 * (160 - 21 + 1)
+    assert staged < 0.75 * worst
+
+
+def test_bucketed_trio_call_identical(mixed):
+    plain = EngineConfig(k=21, max_read_len=160, batch_reads=64,
+                         table_capacity=1 << 14)
+    buck = EngineConfig(k=21, max_read_len=160, batch_reads=64,
+                        table_capacity=1 << 14, read_len_buckets=(64, 96, 160))
+    r0 = run_trio(mixed["mom"], mixed["dad"], mixed["child"], plain)
+    r1 = run_trio(mixed["mom"], mixed["dad"], mixed["child"], buck)
+    assert r0.candidates == r1.candidates
+    assert r0.report == r1.report
+    assert r0.tables_n == r1.tables_n
