@@ -129,10 +129,8 @@ def cmd_call(args) -> int:
         elif cfg.mesh_shape != (1, 1):
             from denovo_kmer_tpu.parallel.pipeline import run_trio_sharded
 
-            if args.region:
-                raise SystemExit("--region is not yet wired into the sharded path; "
-                                 "run single-chip or pre-subset the BAMs")
-            result = run_trio_sharded(args.mom, args.dad, args.child, cfg, metrics)
+            result = run_trio_sharded(args.mom, args.dad, args.child, cfg, metrics,
+                                      region=args.region)
         else:
             result = run_trio(args.mom, args.dad, args.child, cfg, metrics,
                               region=args.region)

@@ -62,8 +62,10 @@ def run_trio_multi_k(
         seed_score_table,
     )
 
-    def stream_per_k(path, per_k_sink, flushers, accs):
-        """One decode pass; extract/append per k; flush at accumulation boundaries."""
+    def stream_per_k(path, per_k_sink, flushers, accs, flush_tail=True):
+        """One decode pass; extract/append per k; flush at accumulation boundaries.
+        ``flush_tail=False`` leaves the final window in the accumulators — the fused
+        one-sort call (ops/fused.py) consumes it directly, skipping a compaction."""
         pending = 0
         for packed in pack_records(_record_stream(path, base_cfg), base_cfg):
             m.count("reads_ingested", packed.n_reads)
@@ -80,7 +82,7 @@ def run_trio_multi_k(
                     accs[k], per_k_sink[k] = flushers[k](accs[k], per_k_sink[k])
                 pending = 0
         for k in ks:
-            if pending:
+            if pending and flush_tail:
                 accs[k], per_k_sink[k] = flushers[k](accs[k], per_k_sink[k])
 
     tables: Dict[str, Dict[int, KmerTable]] = {}
@@ -101,8 +103,12 @@ def run_trio_multi_k(
         k: seed_score_table(tables["mom"][k], tables["dad"][k], cfgs[k].table_capacity)
         for k in ks
     }
+    from denovo_kmer_tpu.ops.fused import fused_call_full, fused_supported
+
     flush_sc = {k: _jax.jit(flush_score, donate_argnums=(0, 1)) for k in ks}
-    stream_per_k(child_path, score_k, flush_sc, {k: fresh_acc(k) for k in ks})
+    accs_child = {k: fresh_acc(k) for k in ks}
+    all_fused = all(fused_supported(k) for k in ks)
+    stream_per_k(child_path, score_k, flush_sc, accs_child, flush_tail=not all_fused)
     for k in ks:
         n = int(score_k[k].n)
         if n > cfgs[k].table_capacity:
@@ -115,13 +121,19 @@ def run_trio_multi_k(
     out: Dict[int, TrioResult] = {}
     for k in ks:
         cfg = cfgs[k]
-        cands = call_from_score(score_k[k], cfg.tau_parent, cfg.min_child_count)
-        n = int(cands.n)
-        keys = np.asarray(cands.keys)[:n]
-        cc = np.asarray(cands.child_counts)[:n]
-        mc = np.asarray(cands.mom_counts)[:n]
-        dc = np.asarray(cands.dad_counts)[:n]
-        child_uniques = int(jnp.sum(score_k[k].counts >= 1))
+        if all_fused:
+            keys, cc, mc, dc, _nu, child_uniques = fused_call_full(
+                accs_child[k], score_k[k], cfg.tau_parent, cfg.min_child_count
+            )
+            n = keys.shape[0]
+        else:
+            cands = call_from_score(score_k[k], cfg.tau_parent, cfg.min_child_count)
+            child_uniques = int(jnp.sum(score_k[k].counts >= 1))
+            n = int(cands.n)
+            keys = np.asarray(cands.keys)[:n]
+            cc = np.asarray(cands.child_counts)[:n]
+            mc = np.asarray(cands.mom_counts)[:n]
+            dc = np.asarray(cands.dad_counts)[:n]
         out[k] = TrioResult(
             candidates=[
                 (words_to_kmer_value(keys[i]), int(cc[i]), int(mc[i]), int(dc[i]))
@@ -196,17 +208,32 @@ def run_cohort(
                         f"{n_sup} > {cfg.table_capacity}"
                     )
 
-        with m.timer("build"):
-            score_tab = scorer.build(
-                tables["mom"], tables["dad"],
-                pack_records(_record_stream(trio.child, cfg), cfg), m,
-            )
-        cands = call_from_score(score_tab, cfg.tau_parent, cfg.min_child_count)
-        n = int(cands.n)
-        keys = np.asarray(cands.keys)[:n]
-        cc = np.asarray(cands.child_counts)[:n]
-        mc = np.asarray(cands.mom_counts)[:n]
-        dc = np.asarray(cands.dad_counts)[:n]
+        from denovo_kmer_tpu.ops.fused import fused_supported
+
+        if fused_supported(cfg.k):
+            with m.timer("build"):
+                cands, _nu, child_uniques = scorer.build_call(
+                    tables["mom"], tables["dad"],
+                    pack_records(_record_stream(trio.child, cfg), cfg), m,
+                )
+            n = int(cands.n)
+            keys = np.asarray(cands.keys)[:n]
+            cc = np.asarray(cands.child_counts)[:n]
+            mc = np.asarray(cands.mom_counts)[:n]
+            dc = np.asarray(cands.dad_counts)[:n]
+        else:
+            with m.timer("build"):
+                score_tab = scorer.build(
+                    tables["mom"], tables["dad"],
+                    pack_records(_record_stream(trio.child, cfg), cfg), m,
+                )
+            cands = call_from_score(score_tab, cfg.tau_parent, cfg.min_child_count)
+            n = int(cands.n)
+            keys = np.asarray(cands.keys)[:n]
+            cc = np.asarray(cands.child_counts)[:n]
+            mc = np.asarray(cands.mom_counts)[:n]
+            dc = np.asarray(cands.dad_counts)[:n]
+            child_uniques = int(jnp.sum(score_tab.counts >= 1))
         results[trio.name] = TrioResult(
             candidates=[
                 (words_to_kmer_value(keys[i]), int(cc[i]), int(mc[i]), int(dc[i]))
@@ -215,7 +242,7 @@ def run_cohort(
             report=format_report_np(keys, cc, mc, dc, cfg.k),
             metrics=m,
             tables_n={"mom": int(tables["mom"].n), "dad": int(tables["dad"].n),
-                      "child": int(jnp.sum(score_tab.counts >= 1))},
+                      "child": child_uniques},
         )
         m.count("trios", 1)
 

@@ -198,6 +198,27 @@ class CandidateOverflowError(RuntimeError):
     """More candidates than the fused call's static output capacity."""
 
 
+def fused_call_full(
+    acc: KmerAccumulator,
+    tab: ScoreTable,
+    tau_parent: int,
+    min_child_count: int,
+    max_candidates: int = DEFAULT_MAX_CANDIDATES,
+):
+    """One fused call with automatic candidate-capacity retry; returns
+    (keys, child, momc, dadc, n_unique, n_child_unique) — host arrays sliced to the true
+    candidate count. The one entry point callers should use (runs the big sort once per
+    attempt; retries only on the rare K overflow)."""
+    K = max_candidates
+    while True:
+        out = fused_flush_call(acc, tab, tau_parent, min_child_count, max_candidates=K)
+        try:
+            keys, cc, mc, dc = extract_candidates(out)
+            return keys, cc, mc, dc, int(out.n_unique), int(out.n_child_unique)
+        except CandidateOverflowError:
+            K = 1 << (int(out.n_cand) - 1).bit_length()
+
+
 def fused_call_candidates(
     acc: KmerAccumulator,
     tab: ScoreTable,

@@ -44,7 +44,8 @@ def build_sample_table_sharded(
 
 
 def load_or_build_parent_sharded(path, cfg: EngineConfig, engine: ShardedKmerEngine,
-                                 metrics: Optional[Metrics] = None):
+                                 metrics: Optional[Metrics] = None,
+                                 region: Optional[str] = None):
     """Parent table from a `count` .npz checkpoint (hash-partitioned onto the mesh) or by
     streaming the reads — the one dispatch shared by the trio and cohort pipelines."""
     from denovo_kmer_tpu.utils.checkpoint import maybe_load_flat_table
@@ -54,7 +55,7 @@ def load_or_build_parent_sharded(path, cfg: EngineConfig, engine: ShardedKmerEng
     if loaded is not None:
         m.event("table_loaded", path=path)
         return engine.place_flat_table(loaded)
-    return build_sample_table_sharded(_record_stream(path, cfg), cfg, engine, m)
+    return build_sample_table_sharded(_record_stream(path, cfg, region), cfg, engine, m)
 
 
 def build_score_table_sharded(
@@ -89,6 +90,7 @@ def run_trio_sharded(
     metrics: Optional[Metrics] = None,
     mesh=None,
     max_route_retries: int = 3,
+    region: Optional[str] = None,
 ) -> TrioResult:
     """Sharded trio with automatic routing-capacity retry (SURVEY.md §7.4): when hash skew
     overflows the all-to-all dispatch capacity, the run restarts with a doubled
@@ -111,7 +113,8 @@ def run_trio_sharded(
         )
         try:
             res = _run_trio_sharded_once(
-                mom_path, dad_path, child_path, cfg, attempt_metrics, mesh
+                mom_path, dad_path, child_path, cfg, attempt_metrics, mesh,
+                region=region,
             )
             if metrics is not None:
                 metrics.merge_from(res.metrics)
@@ -135,6 +138,7 @@ def _run_trio_sharded_once(
     cfg: EngineConfig,
     metrics: Optional[Metrics] = None,
     mesh=None,
+    region: Optional[str] = None,
 ) -> TrioResult:
     m = metrics or Metrics()
     mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape)
@@ -143,13 +147,14 @@ def _run_trio_sharded_once(
     tables = {}
     for name, path in (("mom", mom_path), ("dad", dad_path)):
         with m.timer(f"build_{name}"):
-            tables[name] = load_or_build_parent_sharded(path, cfg, engine, m)
+            tables[name] = load_or_build_parent_sharded(path, cfg, engine, m,
+                                                        region=region)
         m.event("table_built", sample=name, unique=engine.total_unique(tables[name]))
 
     # child: parent-seeded scored build (ops/score.py) — the trio join rides the flushes
     with m.timer("build_child"):
         stab = build_score_table_sharded(
-            _record_stream(child_path, cfg), cfg, engine,
+            _record_stream(child_path, cfg, region), cfg, engine,
             tables["mom"], tables["dad"], m,
         )
     child_uniques = int(np.asarray(jnp.sum(jnp.where(stab.counts >= 1, 1, 0)))) // engine.R

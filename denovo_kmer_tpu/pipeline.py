@@ -415,12 +415,7 @@ class ScoringTableBuilder:
         only the final window skips compaction, so arbitrarily long streams still work.
         """
         from denovo_kmer_tpu.io.prefetch import prefetch_batches
-        from denovo_kmer_tpu.ops.fused import (
-            DEFAULT_MAX_CANDIDATES,
-            CandidateOverflowError,
-            extract_candidates,
-            fused_flush_call,
-        )
+        from denovo_kmer_tpu.ops.fused import fused_call_full
         from denovo_kmer_tpu.ops.score import ScoreTable, flush_score, seed_score_table
         from denovo_kmer_tpu.ops.trio import Candidates
 
@@ -475,22 +470,15 @@ class ScoringTableBuilder:
                               "unique k-mers (child ∪ parents)")
             )
         with m.timer("trio_call"):
-            K = DEFAULT_MAX_CANDIDATES
-            while True:
-                out = fused_flush_call(
-                    acc, table, cfg.tau_parent, cfg.min_child_count, max_candidates=K
-                )
-                try:
-                    keys, cc, mc, dc = extract_candidates(out)
-                    break
-                except CandidateOverflowError:
-                    K = 1 << (int(out.n_cand) - 1).bit_length()
+            keys, cc, mc, dc, n_unique, n_child_unique = fused_call_full(
+                acc, table, cfg.tau_parent, cfg.min_child_count
+            )
         cands = Candidates(
             keys=jnp.asarray(keys), child_counts=jnp.asarray(cc),
             mom_counts=jnp.asarray(mc), dad_counts=jnp.asarray(dc),
             n=jnp.asarray(keys.shape[0], jnp.int32),
         )
-        return cands, int(out.n_unique), int(out.n_child_unique)
+        return cands, n_unique, n_child_unique
 
     def build(self, mom: KmerTable, dad: KmerTable, packed_batches: Iterable,
               metrics: Optional[Metrics] = None):

@@ -131,3 +131,21 @@ def test_region_trio_call_matches_presubset(bam, tmp_path):
     assert int(t_region.n) == int(t_subset.n)
     assert np.array_equal(np.asarray(t_region.keys), np.asarray(t_subset.keys))
     assert np.array_equal(np.asarray(t_region.counts), np.asarray(t_subset.counts))
+
+
+def test_region_sharded_matches_single_chip(bam, tmp_path):
+    """--region on the sharded path == single-chip region call (mesh partitions, never
+    changes results)."""
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.parallel.pipeline import run_trio_sharded
+    from denovo_kmer_tpu.pipeline import run_trio
+
+    region = "chr20:20000-60000"
+    cfg1 = EngineConfig(k=21, max_read_len=128, batch_reads=64,
+                        table_capacity=1 << 16)
+    ref = run_trio(bam, bam, bam, cfg1, region=region)
+    cfg8 = EngineConfig(k=21, max_read_len=128, batch_reads=64,
+                        table_capacity=1 << 16, mesh_shape=(2, 4))
+    got = run_trio_sharded(bam, bam, bam, cfg8, region=region)
+    assert got.candidates == ref.candidates
+    assert got.report == ref.report
