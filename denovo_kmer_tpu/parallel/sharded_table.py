@@ -79,8 +79,13 @@ class ShardedKmerEngine:
             )
         self.local_reads = cfg.batch_reads // n_dev
         self.local_kmers = self.local_reads * cfg.windows_per_read
+        # route-at-FLUSH (round 2): dispatch capacity covers a whole accumulation
+        # window, so hash skew averages over accum_batches x local_kmers draws instead
+        # of one batch — tighter factors, and ONE big dispatch sort instead of
+        # accum_batches small ones (small sorts measured ~3x slower per row)
+        self.acc_slots = cfg.accum_batches * self.local_kmers
         self.route_cap = route_capacity(
-            self.local_kmers, self.T, cfg.route_capacity_factor
+            self.acc_slots, self.T, cfg.route_capacity_factor
         )
         self.shard_capacity = -(-cfg.table_capacity // self.T)
         self.W = cfg.words
@@ -115,7 +120,6 @@ class ShardedKmerEngine:
             flush as acc_flush,
         )
 
-        self.acc_slots = cfg.accum_batches * T * route_cap
         S = self.acc_slots
         acc_specs = KmerAccumulator(
             kmers=P(AXIS_READS, AXIS_TABLE, None, None),
@@ -129,24 +133,15 @@ class ShardedKmerEngine:
         def _glob_acc(a: KmerAccumulator) -> KmerAccumulator:
             return jax.tree.map(lambda x: x[None, None], a)
 
-        # ---- ingest one packed batch: extract → route (all_to_all) → append ----
+        # ---- ingest one packed batch: extract → append LOCAL raw k-mers (no comms,
+        # no sort — routing happens once per flush window) ----
         def ingest_dev(acc: KmerAccumulator, ovf_acc, words, vwords):
             local = _local_acc(acc)
             kmers, valid = extract_canonical_kmers(
                 words, vwords, k, max_len, canonical=canonical
             )
-            flat = kmers.reshape(-1, W)
-            v = valid.reshape(-1)
-            disp, mask, _src, ovf = bucketize(flat, v, T, route_cap)
-            recv = jax.lax.all_to_all(
-                disp, AXIS_TABLE, split_axis=0, concat_axis=0, tiled=True
-            )
-            rmask = jax.lax.all_to_all(
-                mask, AXIS_TABLE, split_axis=0, concat_axis=0, tiled=True
-            )
-            new_acc = acc_append(local, recv.reshape(-1, W), rmask.reshape(-1))
-            ovf_tot = jax.lax.psum(ovf, (AXIS_READS, AXIS_TABLE))
-            return _glob_acc(new_acc), ovf_acc + ovf_tot[None, None]
+            new_acc = acc_append(local, kmers.reshape(-1, W), valid.reshape(-1))
+            return _glob_acc(new_acc), ovf_acc
 
         self._ingest = jax.jit(
             shard_map(
@@ -158,19 +153,51 @@ class ShardedKmerEngine:
             donate_argnums=(0, 1),
         )
 
-        # ---- flush: aggregate staging buffer into the row-partial table shard ----
-        def flush_dev(acc: KmerAccumulator, tab: KmerTable):
-            new_acc, new_tab = acc_flush(_local_acc(acc), _local(tab))
-            return _glob_acc(new_acc), _globalize(new_tab)
+        # ---- flush: route the whole staging window (one dispatch sort +
+        # all_to_all over the table axis), aggregate into the row-partial shard ----
+        def _route_window(local_acc: KmerAccumulator):
+            slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
+            v = local_acc.valid & (slot < local_acc.fill)
+            disp, mask, _src, ovf = bucketize(local_acc.kmers, v, T, route_cap)
+            recv = jax.lax.all_to_all(
+                disp, AXIS_TABLE, split_axis=0, concat_axis=0, tiled=True
+            )
+            rmask = jax.lax.all_to_all(
+                mask, AXIS_TABLE, split_axis=0, concat_axis=0, tiled=True
+            )
+            ovf_tot = jax.lax.psum(ovf, (AXIS_READS, AXIS_TABLE))
+            return recv.reshape(-1, W), rmask.reshape(-1), ovf_tot
+
+        from denovo_kmer_tpu.ops.table import _aggregate_multi, _sticky_overflow_n
+
+        def flush_dev(acc: KmerAccumulator, tab: KmerTable, ovf_acc):
+            local = _local_acc(acc)
+            ltab = _local(tab)
+            rk, rv, ovf_tot = _route_window(local)
+            tslot = jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
+            kmers = jnp.concatenate([ltab.keys, rk], axis=0)
+            wts = jnp.concatenate(
+                [ltab.counts, jnp.ones((rk.shape[0],), jnp.uint32)]
+            )
+            valid = jnp.concatenate([tslot < ltab.n, rv])
+            out = _aggregate(kmers, wts, valid, C)
+            out = out._replace(n=_sticky_overflow_n(out.n, C, ltab.n > C))
+            new_acc = KmerAccumulator(
+                kmers=local.kmers, valid=jnp.zeros((S,), bool),
+                fill=jnp.zeros((), jnp.int32),
+            )
+            return (
+                _glob_acc(new_acc), _globalize(out), ovf_acc + ovf_tot[None, None]
+            )
 
         self._flush = jax.jit(
             shard_map(
                 flush_dev,
                 mesh=mesh,
-                in_specs=(acc_specs, table_specs),
-                out_specs=(acc_specs, table_specs),
+                in_specs=(acc_specs, table_specs, spec_table),
+                out_specs=(acc_specs, table_specs, spec_table),
             ),
-            donate_argnums=(0, 1),
+            donate_argnums=(0, 1, 2),
         )
 
         # ---- finalize: fold row-partials so every row holds the full shard ----
@@ -257,18 +284,38 @@ class ShardedKmerEngine:
             )
         )
 
-        def flush_sc_dev(acc, tab: ScoreTable):
-            new_acc, new_tab = flush_score(_local_acc(acc), _local_sc(tab))
-            return _glob_acc(new_acc), _glob_sc(new_tab)
+        def flush_sc_dev(acc, tab: ScoreTable, ovf_acc):
+            local = _local_acc(acc)
+            ltab = _local_sc(tab)
+            rk, rv, ovf_tot = _route_window(local)
+            tslot = jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
+            kmers = jnp.concatenate([ltab.keys, rk], axis=0)
+            cnt = jnp.concatenate(
+                [ltab.counts, jnp.ones((rk.shape[0],), jnp.uint32)]
+            )
+            pc = jnp.concatenate(
+                [ltab.pcounts, jnp.zeros((rk.shape[0],), jnp.uint32)]
+            )
+            valid = jnp.concatenate([tslot < ltab.n, rv])
+            keys2, cols, n = _aggregate_multi(kmers, [cnt, pc], valid, C)
+            n = _sticky_overflow_n(n, C, ltab.n > C)
+            new_tab = ScoreTable(keys=keys2, counts=cols[0], pcounts=cols[1], n=n)
+            new_acc = KmerAccumulator(
+                kmers=local.kmers, valid=jnp.zeros((S,), bool),
+                fill=jnp.zeros((), jnp.int32),
+            )
+            return (
+                _glob_acc(new_acc), _glob_sc(new_tab), ovf_acc + ovf_tot[None, None]
+            )
 
         self._flush_score = jax.jit(
             shard_map(
                 flush_sc_dev,
                 mesh=mesh,
-                in_specs=(acc_specs, score_specs),
-                out_specs=(acc_specs, score_specs),
+                in_specs=(acc_specs, score_specs, spec_table),
+                out_specs=(acc_specs, score_specs, spec_table),
             ),
-            donate_argnums=(0, 1),
+            donate_argnums=(0, 1, 2),
         )
 
         def finalize_sc_dev(tab: ScoreTable):
@@ -401,8 +448,8 @@ class ShardedKmerEngine:
         state = ShardedBuildState(acc=acc, ovf=ovf, table=state.table,
                                   pending=state.pending + 1)
         if state.pending >= self.cfg.accum_batches:
-            acc, table = self._flush(state.acc, state.table)
-            state = ShardedBuildState(acc=acc, ovf=state.ovf, table=table, pending=0)
+            acc, table, ovf = self._flush(state.acc, state.table, state.ovf)
+            state = ShardedBuildState(acc=acc, ovf=ovf, table=table, pending=0)
         return state
 
     def finalize(
@@ -412,9 +459,9 @@ class ShardedKmerEngine:
         the host-checked scalars to fully-replicated values first — required when the mesh
         spans processes (a process may not address shard (0,0))."""
         if state.pending:
-            acc, table = self._flush(state.acc, state.table)
-            state = ShardedBuildState(acc=acc, ovf=state.ovf, table=table, pending=0)
-        # every ovf entry already equals the global psum total (ingest_dev psums)
+            acc, table, ovf = self._flush(state.acc, state.table, state.ovf)
+            state = ShardedBuildState(acc=acc, ovf=ovf, table=table, pending=0)
+        # every ovf entry already equals the global psum total (flush_dev psums)
         ovf_val = int(np.asarray(jnp.max(state.ovf))) if replicated_fetch else int(
             np.asarray(state.ovf)[0, 0]
         )
@@ -587,16 +634,16 @@ class ShardedKmerEngine:
         state = ShardedBuildState(acc=acc, ovf=ovf, table=state.table,
                                   pending=state.pending + 1)
         if state.pending >= self.cfg.accum_batches:
-            acc, table = self._flush_score(state.acc, state.table)
-            state = ShardedBuildState(acc=acc, ovf=state.ovf, table=table, pending=0)
+            acc, table, ovf = self._flush_score(state.acc, state.table, state.ovf)
+            state = ShardedBuildState(acc=acc, ovf=ovf, table=table, pending=0)
         return state
 
     def finalize_score(
         self, state: "ShardedBuildState", replicated_fetch: bool = False
     ):
         if state.pending:
-            acc, table = self._flush_score(state.acc, state.table)
-            state = ShardedBuildState(acc=acc, ovf=state.ovf, table=table, pending=0)
+            acc, table, ovf = self._flush_score(state.acc, state.table, state.ovf)
+            state = ShardedBuildState(acc=acc, ovf=ovf, table=table, pending=0)
         ovf_val = int(np.asarray(jnp.max(state.ovf))) if replicated_fetch else int(
             np.asarray(state.ovf)[0, 0]
         )
