@@ -172,6 +172,8 @@ def cmd_count(args) -> int:
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
     if args.region and args.resume:
         raise SystemExit("--region and --resume are mutually exclusive")
+    if getattr(args, "passes", 1) > 1:
+        raise SystemExit("--passes is only supported by `call` (single-chip WGS path)")
     with metrics.timer("build"):
         if args.resume:
             if not args.reads.lower().endswith(".bam"):
@@ -205,9 +207,12 @@ def cmd_sweep(args) -> int:
             "--output-pattern must contain a '{k}' placeholder (e.g. "
             "candidates.k{k}.tsv) — otherwise every k would overwrite the same file"
         )
+    if getattr(args, "passes", 1) > 1:
+        raise SystemExit("--passes is only supported by `call` (single-chip WGS path)")
     ks = [int(x) for x in args.ks.split(",")]
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
-    results = run_trio_multi_k(args.mom, args.dad, args.child, cfg, ks, metrics)
+    results = run_trio_multi_k(args.mom, args.dad, args.child, cfg, ks, metrics,
+                               region=args.region)
     for k, res in sorted(results.items()):
         path = args.output_pattern.format(k=k)
         with open(path, "w") as f:
@@ -235,9 +240,12 @@ def cmd_cohort(args) -> int:
                 continue
             name, mom, dad, child = line.split("\t")
             trios.append(TrioPaths(name=name, mom=mom, dad=dad, child=child))
+    if getattr(args, "passes", 1) > 1:
+        raise SystemExit("--passes is only supported by `call` (single-chip WGS path)")
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
     results, superset = run_cohort(
-        trios, cfg, metrics, build_parental_superset=not args.no_superset
+        trios, cfg, metrics, build_parental_superset=not args.no_superset,
+        region=args.region,
     )
     os.makedirs(args.outdir, exist_ok=True)
     for name, res in results.items():

@@ -36,6 +36,7 @@ def run_trio_multi_k(
     base_cfg: EngineConfig,
     ks: Sequence[int],
     metrics: Optional[Metrics] = None,
+    region: Optional[str] = None,
 ) -> Dict[int, TrioResult]:
     """One decode pass per sample, one table per (sample, k); trio call per k.
 
@@ -67,7 +68,7 @@ def run_trio_multi_k(
         ``flush_tail=False`` leaves the final window in the accumulators — the fused
         one-sort call (ops/fused.py) consumes it directly, skipping a compaction."""
         pending = 0
-        for packed in pack_records(_record_stream(path, base_cfg), base_cfg):
+        for packed in pack_records(_record_stream(path, base_cfg, region), base_cfg):
             m.count("reads_ingested", packed.n_reads)
             words = jnp.asarray(packed.words)
             vwords = jnp.asarray(packed.vwords)
@@ -160,6 +161,7 @@ def run_cohort(
     cfg: EngineConfig,
     metrics: Optional[Metrics] = None,
     build_parental_superset: bool = True,
+    region: Optional[str] = None,
 ) -> Tuple[Dict[str, TrioResult], Optional[KmerTable]]:
     """Cohort mode (BASELINE.json config 5): N trios through one compiled engine.
 
@@ -194,7 +196,7 @@ def run_cohort(
                 continue
             with m.timer("build"):
                 tables[sample] = build_sample_table(
-                    _record_stream(path, cfg), cfg, m, step
+                    _record_stream(path, cfg, region), cfg, m, step
                 )
         if superset is not None:
             # check after EVERY merge: a later merge recomputes n from the surviving
@@ -214,7 +216,7 @@ def run_cohort(
             with m.timer("build"):
                 cands, _nu, child_uniques = scorer.build_call(
                     tables["mom"], tables["dad"],
-                    pack_records(_record_stream(trio.child, cfg), cfg), m,
+                    pack_records(_record_stream(trio.child, cfg, region), cfg), m,
                 )
             n = int(cands.n)
             keys = np.asarray(cands.keys)[:n]
@@ -225,7 +227,7 @@ def run_cohort(
             with m.timer("build"):
                 score_tab = scorer.build(
                     tables["mom"], tables["dad"],
-                    pack_records(_record_stream(trio.child, cfg), cfg), m,
+                    pack_records(_record_stream(trio.child, cfg, region), cfg), m,
                 )
             cands = call_from_score(score_tab, cfg.tau_parent, cfg.min_child_count)
             n = int(cands.n)
@@ -262,6 +264,7 @@ def run_cohort_sharded(
     metrics: Optional[Metrics] = None,
     mesh=None,
     build_parental_superset: bool = True,
+    region: Optional[str] = None,
 ):
     """Cohort mode on a device mesh (BASELINE.json config 5: 8 trios on a v5p-32):
     ONE ShardedKmerEngine (one set of compiled collectives) streams all 3N samples; the
@@ -285,8 +288,8 @@ def run_cohort_sharded(
     results = {}
     superset = engine.empty_table() if build_parental_superset else None
     for trio in trios:
-        mom = load_or_build_parent_sharded(trio.mom, cfg, engine, m)
-        dad = load_or_build_parent_sharded(trio.dad, cfg, engine, m)
+        mom = load_or_build_parent_sharded(trio.mom, cfg, engine, m, region=region)
+        dad = load_or_build_parent_sharded(trio.dad, cfg, engine, m, region=region)
         if superset is not None:
             # overflow drops rows silently inside the merge and a LATER merge would
             # recompute n from survivors, masking it — check after EVERY fold
@@ -302,7 +305,7 @@ def run_cohort_sharded(
                         f"raise --table-capacity"
                     )
         stab = build_score_table_sharded(
-            _record_stream(trio.child, cfg), cfg, engine, mom, dad, m
+            _record_stream(trio.child, cfg, region), cfg, engine, mom, dad, m
         )
         results[trio.name] = engine.call_score(stab)
         m.count("trios", 1)

@@ -25,6 +25,18 @@ CSI_MAGIC = b"CSI\x01"
 _PSEUDO_BIN = 37450
 
 
+def _merge_chunks(chunks):
+    """Merge overlapping/adjacent sorted (beg, end) virtual-offset chunks (shared by the
+    reader's region resolution and both index writers — one copy of the logic)."""
+    merged = []
+    for cb, ce in chunks:
+        if merged and cb <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+        else:
+            merged.append((cb, ce))
+    return merged
+
+
 def record_ref_span(rec: BamRecord) -> int:
     """Reference bases consumed by the alignment (cigar ops M/D/N/=/X), min 1."""
     span = sum(n for n, op in rec.cigar if op in (0, 2, 3, 7, 8))
@@ -112,13 +124,7 @@ class BamIndex:
                 if ce > min_off:
                     chunks.append((max(cb, min_off), ce))
         chunks.sort()
-        merged: List[Tuple[int, int]] = []
-        for cb, ce in chunks:
-            if merged and cb <= merged[-1][1]:
-                merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
-            else:
-                merged.append((cb, ce))
-        return merged
+        return _merge_chunks(chunks)
 
 
 def read_bai(path: str) -> BamIndex:
@@ -192,6 +198,14 @@ def write_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
     bai_path = bai_path or bam_path + ".bai"
     with open(bam_path, "rb") as f:
         reader = BamReader(f)
+        too_long = [(n, L) for n, L in reader.references if L > (1 << 29)]
+        if too_long:
+            # the BAI binning scheme hard-caps contigs at 2^29 bp; out-of-spec bins
+            # would silently corrupt htslib interop — samtools errors here too
+            raise ValueError(
+                f"contig {too_long[0][0]} ({too_long[0][1]} bp) exceeds the BAI "
+                f"2^29 limit; write a CSI instead (denovo_kmer_tpu index --csi)"
+            )
         n_ref = len(reader.references)
         bins: List[Dict[int, List[Tuple[int, int]]]] = [dict() for _ in range(n_ref)]
         linear: List[Dict[int, int]] = [dict() for _ in range(n_ref)]
@@ -199,7 +213,9 @@ def write_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
         last = (-1, -1)
         for rec in reader:
             v_after = reader.tell_virtual()
-            if 0 <= rec.refid < n_ref and rec.pos >= 0 and not (rec.flag & 4):
+            if 0 <= rec.refid < n_ref and rec.pos >= 0:
+                # placed-unmapped mates (flag 0x4 with a coordinate) index at their
+                # position, like samtools
                 if (rec.refid, rec.pos) < last:
                     raise ValueError(
                         f"cannot index: {bam_path} is not coordinate-sorted "
@@ -218,15 +234,7 @@ def write_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
     out += struct.pack("<i", n_ref)
     for r in range(n_ref):
         # merge adjacent chunks within each bin (records are visited in file order)
-        packed_bins = {}
-        for b, chunks in bins[r].items():
-            merged: List[Tuple[int, int]] = []
-            for cb, ce in chunks:
-                if merged and cb <= merged[-1][1]:
-                    merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
-                else:
-                    merged.append((cb, ce))
-            packed_bins[b] = merged
+        packed_bins = {b: _merge_chunks(chunks) for b, chunks in bins[r].items()}
         out += struct.pack("<i", len(packed_bins))
         for b in sorted(packed_bins):
             chunks = packed_bins[b]
@@ -261,7 +269,7 @@ def write_csi(
         last = (-1, -1)
         for rec in reader:
             v_after = reader.tell_virtual()
-            if 0 <= rec.refid < n_ref and rec.pos >= 0 and not (rec.flag & 4):
+            if 0 <= rec.refid < n_ref and rec.pos >= 0:
                 if (rec.refid, rec.pos) < last:
                     raise ValueError(
                         f"cannot index: {bam_path} is not coordinate-sorted"
@@ -277,12 +285,7 @@ def write_csi(
     for r in range(n_ref):
         out += struct.pack("<i", len(bins[r]))
         for b in sorted(bins[r]):
-            chunks = []
-            for cb, ce in bins[r][b]:
-                if chunks and cb <= chunks[-1][1]:
-                    chunks[-1] = (chunks[-1][0], max(chunks[-1][1], ce))
-                else:
-                    chunks.append((cb, ce))
+            chunks = _merge_chunks(bins[r][b])
             loffset = min(cb for cb, _ in chunks)
             out += struct.pack("<IQi", b, loffset, len(chunks))
             for cb, ce in chunks:
@@ -297,6 +300,28 @@ def write_csi(
 def load_index_for(bam_path: str) -> Optional[BamIndex]:
     import os
 
+    if bam_path.startswith(("http://", "https://")):
+        # remote BAM: try fetching the sibling index (tiny next to the BAM itself);
+        # without it a region query silently degrades to streaming the whole file
+        import tempfile
+        import urllib.error
+
+        from denovo_kmer_tpu.io.remote import open_binary
+
+        for suffix, loader in ((".bai", read_bai), (".csi", read_csi)):
+            try:
+                with open_binary(bam_path + suffix) as f:
+                    data = f.read(-1)
+            except (OSError, urllib.error.URLError, ValueError):
+                continue
+            with tempfile.NamedTemporaryFile(suffix=suffix) as tmp:
+                tmp.write(data)
+                tmp.flush()
+                try:
+                    return loader(tmp.name)
+                except ValueError:
+                    continue
+        return None
     for suffix, loader in ((".bai", read_bai), (".csi", read_csi)):
         p = bam_path + suffix
         if os.path.exists(p):
@@ -317,7 +342,9 @@ def read_bam_records_region(
         refid, beg, end = parse_region(region, reader.references)
 
         def overlaps(rec: BamRecord) -> bool:
-            if rec.refid != refid or rec.pos < 0 or (rec.flag & 4):
+            # placed-unmapped records (flag 0x4 with a coordinate) count as overlapping
+            # at their position, matching samtools view region semantics
+            if rec.refid != refid or rec.pos < 0:
                 return False
             return rec.pos < end and rec.pos + record_ref_span(rec) > beg
 

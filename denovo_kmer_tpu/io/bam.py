@@ -278,8 +278,10 @@ def read_bam_records_range(path: str, vstart: int, vstop: int) -> Iterator[BamRe
 
 
 def sort_bam(in_path: str, out_path: str) -> str:
-    """Coordinate-sort a BAM (in memory — fixture/subset scale): unmapped and
-    refid<0 records go last, as `samtools sort` does. Required before `write_bai`."""
+    """Coordinate-sort a BAM (in memory — fixture/subset scale): placed-unmapped
+    records (flag 0x4 with a coordinate, e.g. at their mate's position) sort AT that
+    coordinate and only truly unplaced records (refid/pos < 0) go last — matching
+    `samtools sort`. Required before `write_bai`."""
     from denovo_kmer_tpu.io.remote import open_binary
 
     with open_binary(in_path) as f:
@@ -288,8 +290,8 @@ def sort_bam(in_path: str, out_path: str) -> str:
         recs = list(reader)
 
     def key(r: BamRecord):
-        mapped = r.refid >= 0 and r.pos >= 0 and not (r.flag & 4)
-        return (0, r.refid, r.pos) if mapped else (1, 0, 0)
+        placed = r.refid >= 0 and r.pos >= 0
+        return (0, r.refid, r.pos) if placed else (1, 0, 0)
 
     recs.sort(key=key)
     with open(out_path, "wb") as f, BamWriter(f, references=refs) as w:

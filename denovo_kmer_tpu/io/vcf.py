@@ -70,9 +70,9 @@ class VcfReader:
         line = self._fh.readline()
         if not line.startswith("##fileformat=VCF"):
             raise ValueError(f"not a VCF file (missing ##fileformat): {path}")
-        self.meta.append(line.rstrip("\n"))
+        self.meta.append(line.rstrip("\r\n"))
         for line in self._fh:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")  # CRLF-produced VCFs are common
             if line.startswith("##"):
                 self.meta.append(line)
             elif line.startswith("#CHROM"):
@@ -90,7 +90,7 @@ class VcfReader:
     def __iter__(self) -> Iterator[VcfRecord]:
         n_fixed = 8 + (1 if self.samples else 0) + len(self.samples)
         for line in self._fh:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")
             if not line:
                 continue
             cols = line.split("\t")

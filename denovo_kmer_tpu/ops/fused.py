@@ -226,16 +226,11 @@ def fused_call_candidates(
     min_child_count: int,
     max_candidates: int = DEFAULT_MAX_CANDIDATES,
 ) -> Candidates:
-    """Host-materialized ``Candidates`` with automatic capacity retry (doubling K recompiles
-    the tiny tail of the program; candidate counts above K are rare by construction)."""
-    K = max_candidates
-    while True:
-        out = fused_flush_call(acc, tab, tau_parent, min_child_count, max_candidates=K)
-        try:
-            keys, cc, mc, dc = extract_candidates(out)
-            break
-        except CandidateOverflowError:
-            K = max(2 * K, 1 << ((int(out.n_cand) - 1).bit_length()))
+    """Host-materialized ``Candidates``; thin wrapper over ``fused_call_full`` (one retry
+    protocol — do not duplicate it)."""
+    keys, cc, mc, dc, _nu, _ncu = fused_call_full(
+        acc, tab, tau_parent, min_child_count, max_candidates
+    )
     n = keys.shape[0]
     return Candidates(
         keys=jnp.asarray(keys),

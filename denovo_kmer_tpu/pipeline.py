@@ -565,6 +565,28 @@ def format_report_np(
     return "\n".join(lines) + "\n"
 
 
+def _filter_table_by_pass(table: KmerTable, n_passes: int, pass_id: int) -> KmerTable:
+    """Restrict a full (checkpointed) table to one hash-pass bucket — host-side compaction
+    (a sorted table's subset stays sorted). Lets `count` checkpoints feed multi-pass runs."""
+    from denovo_kmer_tpu.parallel.router import pass_of
+
+    n = int(table.n)
+    C, W = table.keys.shape
+    keys = np.asarray(table.keys)[:n]
+    counts = np.asarray(table.counts)[:n]
+    if n:
+        sel = np.asarray(pass_of(jnp.asarray(keys), n_passes)) == pass_id
+        keys, counts = keys[sel], counts[sel]
+    out_k = np.full((C, W), 0xFFFFFFFF, np.uint32)
+    out_c = np.zeros((C,), np.uint32)
+    out_k[: len(keys)] = keys
+    out_c[: len(keys)] = counts
+    return KmerTable(
+        keys=jnp.asarray(out_k), counts=jnp.asarray(out_c),
+        n=jnp.asarray(len(keys), jnp.int32),
+    )
+
+
 def run_trio_multipass(
     mom_path: str,
     dad_path: str,
@@ -592,8 +614,16 @@ def run_trio_multipass(
 
     if n_passes < 2:
         return run_trio(mom_path, dad_path, child_path, cfg, metrics, region=region)
+    from denovo_kmer_tpu.utils.checkpoint import maybe_load_flat_table
+
     m = metrics or Metrics()
     step = make_ingest_step(cfg, n_passes=n_passes)
+    # one builder for all passes — its flush jit must not be re-created per pass
+    scorer = ScoringTableBuilder(cfg, extract_append=step[0])
+    loaded_parents = {
+        name: maybe_load_flat_table(path, cfg)
+        for name, path in (("mom", mom_path), ("dad", dad_path))
+    }
     key_parts: List[np.ndarray] = []
     cc_parts: List[np.ndarray] = []
     mc_parts: List[np.ndarray] = []
@@ -608,12 +638,18 @@ def run_trio_multipass(
         pstep = (ea, step[1])
         ptables = {}
         for name, path in (("mom", mom_path), ("dad", dad_path)):
-            with m.timer(f"build_{name}"):
-                ptables[name] = build_sample_table(
-                    _record_stream(path, cfg, region), cfg, m, pstep
+            if loaded_parents[name] is not None:
+                # `count` checkpoints hold the FULL table — slice this pass's keys out
+                ptables[name] = _filter_table_by_pass(
+                    loaded_parents[name], n_passes, p
                 )
+            else:
+                with m.timer(f"build_{name}"):
+                    ptables[name] = build_sample_table(
+                        _record_stream(path, cfg, region), cfg, m, pstep
+                    )
             tables_n[name] += int(ptables[name].n)
-        scorer = ScoringTableBuilder(cfg, extract_append=ea)
+        scorer.extract_append = ea
         child_batches = pack_records(_record_stream(child_path, cfg, region), cfg)
         with m.timer("build_child"):
             if fused_supported(cfg.k):

@@ -68,7 +68,9 @@ def test_region_via_index_equals_full_scan(bam, writer, loader, suffix):
         full = []
         refid, beg, end = parse_region(region, [("chr20", SPEC.genome_len)])
         for r in read_bam_records(bam):
-            if r.refid == refid and r.pos >= 0 and not (r.flag & 4):
+            # placed-unmapped (flag 0x4 with a coordinate) count at their position,
+            # matching samtools view region semantics
+            if r.refid == refid and r.pos >= 0:
                 if r.pos < end and r.pos + record_ref_span(r) > beg:
                     full.append(r.name)
         assert sorted(via_index) == sorted(full)

@@ -64,3 +64,24 @@ def test_multipass_capacity_actually_smaller(trio_paths):
         EngineConfig(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13),
     )
     assert got.candidates == ref.candidates
+
+
+def test_multipass_accepts_parent_checkpoints(trio_paths, tmp_path):
+    """`count` .npz checkpoints feed multi-pass runs: the full table is pass-filtered
+    host-side per pass (code-review r02 finding)."""
+    from denovo_kmer_tpu.pipeline import _record_stream, build_sample_table
+    from denovo_kmer_tpu.utils.checkpoint import save_table
+
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13)
+    mom_t = build_sample_table(_record_stream(trio_paths["mom"], cfg), cfg)
+    dad_t = build_sample_table(_record_stream(trio_paths["dad"], cfg), cfg)
+    mom_npz = str(tmp_path / "mom.npz")
+    dad_npz = str(tmp_path / "dad.npz")
+    save_table(mom_npz, mom_t, cfg, source=trio_paths["mom"])
+    save_table(dad_npz, dad_t, cfg, source=trio_paths["dad"])
+
+    ref = run_trio(trio_paths["mom"], trio_paths["dad"], trio_paths["child"], cfg)
+    cfg_mp = EngineConfig(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 12)
+    got = run_trio_multipass(mom_npz, dad_npz, trio_paths["child"], cfg_mp, n_passes=3)
+    assert got.candidates == ref.candidates
+    assert got.report == ref.report

@@ -147,3 +147,31 @@ def test_object_store_schemes_get_actionable_error():
         open_binary("s3://bucket/key.bam")
     with pytest.raises(ValueError, match="presigned"):
         open_binary("gs://bucket/key.bam")
+
+
+def test_remote_region_uses_sibling_index(tmp_path):
+    """A .bai next to a remote BAM is fetched and used for region queries
+    (code-review r02: previously only local files were checked)."""
+    from denovo_kmer_tpu.io.bai import load_index_for, read_bam_records_region, write_bai
+    from denovo_kmer_tpu.io.bam import sort_bam
+
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=3000, read_len=60, coverage=5.0, seed=37)),
+        str(tmp_path),
+    )
+    sbam = sort_bam(paths["child"], str(tmp_path / "child.s.bam"))
+    write_bai(sbam)
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}/child.s.bam"
+    try:
+        idx = load_index_for(url)
+        assert idx is not None and len(idx.refs) == 1
+        got = sorted(r.name for r in read_bam_records_region(url, "chr20:500-1500"))
+        want = sorted(r.name for r in read_bam_records_region(sbam, "chr20:500-1500"))
+        assert got == want and got
+    finally:
+        httpd.shutdown()
