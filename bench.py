@@ -2,10 +2,12 @@
 
 Measures the engine's true child-scoring pipeline on realistic data: reads sampled at
 coverage from a synthetic genome (so uniques ≪ total k-mers, as in real trios), streamed
-through the LSM ingest (extract → append → amortized flush) and finished with the gather-free
-3-way sorted trio join against two parental tables. Reported rate = child k-mer windows
-processed per second of device time, end to end — extraction AND parental membership
-resolution included.
+through the LSM ingest (extract → append) and finished with the fused one-sort flush+call
+(ops/fused.py) over the parent-seeded table — no compaction, on-device sparse candidate
+extraction, one small host fetch. Reported rate = child k-mer windows processed per second
+of device time, end to end — extraction AND parental membership resolution AND the
+candidate report rows included. An untimed exactness guard asserts the fused path matches
+the compacting reference path bit-for-bit on the same inputs.
 
 Timing methodology (axon tunnel): the remote runtime defers execution past
 ``block_until_ready`` and caches results of identical (executable, inputs) pairs, so every
