@@ -70,7 +70,8 @@ def _record_stream(path: str, cfg: EngineConfig, region: Optional[str] = None) -
     """Open a reads file as a record stream (BAM/FASTQ/FASTA by extension).
 
     ``region`` (``chr20`` / ``chr20:1,000-2,000``): BAM only — served through the BAI/CSI
-    index when one sits next to the file (io/bai.py), full-scan overlap filter otherwise.
+    index when one sits next to the file (io/bai.py), full-scan overlap filter otherwise
+    (SAM text has no index format; pre-convert to BAM for region queries).
     """
     low = path.lower()
     if region and not low.endswith(".bam"):
@@ -81,6 +82,10 @@ def _record_stream(path: str, cfg: EngineConfig, region: Optional[str] = None) -
 
             return read_bam_records_region(path, region)
         return read_bam_records(path)
+    if low.endswith((".sam", ".sam.gz")):
+        from denovo_kmer_tpu.io.sam import read_sam_records
+
+        return read_sam_records(path)
     if low.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
         def gen():
             for name, seq, qual in read_fastq(path):

@@ -1,0 +1,67 @@
+"""SAM text input (io/sam.py): parse/write roundtrip vs the BAM codec, pipeline parity
+(htslib reads SAM/BAM/CRAM interchangeably — SURVEY.md §1 L1)."""
+
+import gzip
+
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.bam import read_bam_records
+from denovo_kmer_tpu.io.sam import SamReader, read_sam_records, write_sam
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+
+
+@pytest.fixture(scope="module")
+def trio(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sam")
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=2000, read_len=60, coverage=5.0, seed=17)), str(d)
+    )
+    return d, paths
+
+
+def test_sam_roundtrips_bam_records(trio):
+    d, paths = trio
+    recs = list(read_bam_records(paths["child"]))
+    sam = write_sam(str(d / "child.sam"), recs, references=[("chr20", 2000)])
+    got = list(read_sam_records(sam))
+    assert len(got) == len(recs)
+    for a, b in zip(got, recs):
+        assert (a.name, a.flag, a.refid, a.pos, a.mapq, a.cigar, a.seq, a.qual) == (
+            b.name, b.flag, b.refid, b.pos, b.mapq, b.cigar, b.seq, b.qual
+        )
+    with SamReader(sam) as r:
+        assert r.references == [("chr20", 2000)]
+
+
+def test_sam_gz_and_pipeline_parity(trio):
+    d, paths = trio
+    recs = list(read_bam_records(paths["child"]))
+    sam = write_sam(str(d / "c2.sam"), recs, references=[("chr20", 2000)])
+    gz = d / "c2.sam.gz"
+    gz.write_bytes(gzip.compress(open(sam, "rb").read()))
+
+    from denovo_kmer_tpu.pipeline import _record_stream, build_sample_table
+    import numpy as np
+
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13)
+    t_bam = build_sample_table(_record_stream(paths["child"], cfg), cfg)
+    t_sam = build_sample_table(_record_stream(str(gz), cfg), cfg)
+    assert int(t_bam.n) == int(t_sam.n)
+    assert np.array_equal(np.asarray(t_bam.keys), np.asarray(t_sam.keys))
+    assert np.array_equal(np.asarray(t_bam.counts), np.asarray(t_sam.counts))
+
+
+def test_sam_malformed(trio, tmp_path):
+    p = tmp_path / "bad.sam"
+    p.write_text("@SQ\tSN:c\tLN:100\nr1\t0\tc\t1\t60\n")
+    with pytest.raises(ValueError, match="fields"):
+        list(read_sam_records(str(p)))
+    p2 = tmp_path / "badref.sam"
+    p2.write_text("@SQ\tSN:c\tLN:100\nr1\t0\tMISSING\t1\t60\t5M\t*\t0\t0\tACGTA\tIIIII\n")
+    with pytest.raises(ValueError, match="RNAME"):
+        list(read_sam_records(str(p2)))
+    p3 = tmp_path / "badsq.sam"
+    p3.write_text("@SQ\tSN:c\nr1\t0\t*\t0\t0\t*\t*\t0\t0\t*\t*\n")
+    with pytest.raises(ValueError, match="SN/LN"):
+        SamReader(str(p3))
