@@ -623,6 +623,12 @@ def run_trio_multipass(
 
     m = metrics or Metrics()
     step = make_ingest_step(cfg, n_passes=n_passes)
+    # length bucketing composes with passes: per-(width, pass) filtering through the
+    # same per-width compiled steps (pass_id is traced — no recompile per pass)
+    bucket_steps_pp = (
+        make_bucketed_extract_steps(cfg, n_passes=n_passes)
+        if cfg.read_len_buckets else None
+    )
     # one builder for all passes — its flush jit must not be re-created per pass
     scorer = ScoringTableBuilder(cfg, extract_append=step[0])
     loaded_parents = {
@@ -641,6 +647,12 @@ def run_trio_multipass(
             return step[0](acc, w, v, _pid)
 
         pstep = (ea, step[1])
+        pass_bucket_steps = None
+        if bucket_steps_pp is not None:
+            pass_bucket_steps = {
+                w: (lambda a, x, v, _s=s, _pid=pid: _s(a, x, v, _pid))
+                for w, s in bucket_steps_pp.items()
+            }
         ptables = {}
         for name, path in (("mom", mom_path), ("dad", dad_path)):
             if loaded_parents[name] is not None:
@@ -648,6 +660,14 @@ def run_trio_multipass(
                 ptables[name] = _filter_table_by_pass(
                     loaded_parents[name], n_passes, p
                 )
+            elif bucket_steps_pp is not None:
+                from denovo_kmer_tpu.ops.pack import pack_records_bucketed
+
+                with m.timer(f"build_{name}"):
+                    ptables[name] = SampleTableBuilder(cfg, pstep).build_bucketed(
+                        pack_records_bucketed(_record_stream(path, cfg, region), cfg),
+                        m, bucket_steps=pass_bucket_steps,
+                    )
             else:
                 with m.timer(f"build_{name}"):
                     ptables[name] = build_sample_table(
@@ -655,14 +675,28 @@ def run_trio_multipass(
                     )
             tables_n[name] += int(ptables[name].n)
         scorer.extract_append = ea
-        child_batches = pack_records(_record_stream(child_path, cfg, region), cfg)
+        if pass_bucket_steps is not None:
+            from denovo_kmer_tpu.ops.pack import pack_records_bucketed
+
+            child_batches = pack_records_bucketed(
+                _record_stream(child_path, cfg, region), cfg
+            )
+        else:
+            child_batches = pack_records(_record_stream(child_path, cfg, region), cfg)
         with m.timer("build_child"):
             if fused_supported(cfg.k):
                 cands, _nu, n_child = scorer.build_call(
-                    ptables["mom"], ptables["dad"], child_batches, m
+                    ptables["mom"], ptables["dad"], child_batches, m,
+                    bucket_steps=pass_bucket_steps,
                 )
                 n = int(cands.n)
             else:
+                if pass_bucket_steps is not None:
+                    # the compacting fallback (even k) has no bucketed variant —
+                    # re-open the stream unbucketed (results identical either way)
+                    child_batches = pack_records(
+                        _record_stream(child_path, cfg, region), cfg
+                    )
                 stab = scorer.build(ptables["mom"], ptables["dad"], child_batches, m)
                 n_child = int(jnp.sum(stab.counts >= 1))
                 cands = call_from_score(stab, cfg.tau_parent, cfg.min_child_count)

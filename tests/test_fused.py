@@ -181,3 +181,29 @@ def test_fused_candidate_capacity_retry():
 def test_fused_supported_guard():
     assert fused_supported(31) and fused_supported(21) and fused_supported(15)
     assert not fused_supported(16) and not fused_supported(32) and not fused_supported(48)
+
+
+def test_even_k16_falls_back_to_compacting_path():
+    """k=16 (2k % 32 == 0): the padding key is reachable by a real all-T 16-mer, so
+    fused_supported is False and run_trio must take the compacting path — still
+    byte-exact vs the oracle."""
+    import tempfile
+
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.io.bam import read_bam_records
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+    from denovo_kmer_tpu.oracle.scalar import count_reads, trio_candidates
+    from denovo_kmer_tpu.pipeline import run_trio
+
+    d = tempfile.mkdtemp()
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=1500, read_len=50, coverage=6.0, seed=51,
+                           n_denovo_snvs=2)), d
+    )
+    cfg = EngineConfig(k=16, max_read_len=64, batch_reads=64, table_capacity=1 << 13)
+    assert not fused_supported(cfg.k)
+    res = run_trio(paths["mom"], paths["dad"], paths["child"], cfg)
+    tabs = {s: count_reads([(r.seq, r.qual, r.flag) for r in read_bam_records(p)], cfg)
+            for s, p in paths.items()}
+    want = trio_candidates(tabs["mom"], tabs["dad"], tabs["child"], cfg)
+    assert res.candidates == want

@@ -85,3 +85,18 @@ def test_multipass_accepts_parent_checkpoints(trio_paths, tmp_path):
     got = run_trio_multipass(mom_npz, dad_npz, trio_paths["child"], cfg_mp, n_passes=3)
     assert got.candidates == ref.candidates
     assert got.report == ref.report
+
+
+def test_multipass_composes_with_bucketing(trio_paths):
+    """--passes x --read-len-buckets: per-(width, pass) filtered extraction, byte-exact."""
+    ref = run_trio(
+        trio_paths["mom"], trio_paths["dad"], trio_paths["child"],
+        EngineConfig(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13),
+    )
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 12,
+                       read_len_buckets=(32, 64))
+    got = run_trio_multipass(
+        trio_paths["mom"], trio_paths["dad"], trio_paths["child"], cfg, n_passes=3
+    )
+    assert got.candidates == ref.candidates
+    assert got.report == ref.report
