@@ -22,5 +22,8 @@ __all__ = [
     "read_fastq",
     # imported lazily by consumers (keep module import light):
     #   io.cram (CramReader, write_cram, read_cram_records), io.rans,
-    #   io.remote (HttpStream, open_binary), io.prefetch, io.native, io.synth
+    #   io.remote (HttpStream, open_binary), io.prefetch, io.native, io.synth,
+    #   io.sam (SamReader, read_sam_records, write_sam),
+    #   io.vcf (VcfReader, read_vcf_records, write_vcf),
+    #   io.bai (read_bai/read_csi/write_bai/write_csi, read_bam_records_region)
 ]
