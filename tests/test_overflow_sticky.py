@@ -113,3 +113,34 @@ def test_split_offsets_partition_exactly(tmp_path):
                 for r in read_bam_records_range(bam, splits_full[h], splits_full[h + 1])
             )
         assert got2 == all_names
+
+
+def test_steps_fixed_pads_and_guards():
+    """Collective-free step alignment (distributed.steps_fixed): exact padding to
+    n_steps, and a loud error when a host holds more batches than the fixed count
+    (silent read loss otherwise)."""
+    import pytest
+
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+    from denovo_kmer_tpu.parallel.distributed import range_step_count, steps_fixed
+
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=8, table_capacity=1 << 10)
+    real = [pack_seqs(["ACGTACGTACGTACGTACGTA"] * 8, cfg, batch_size=8)
+            for _ in range(2)]
+    out = list(steps_fixed(iter(real), cfg, n_steps=4))
+    assert len(out) == 4
+    assert [b.n_reads for b in out] == [8, 8, 0, 0]
+    with pytest.raises(RuntimeError, match="fixed step count"):
+        list(steps_fixed(iter(real), cfg, n_steps=1))
+
+    # step counts derive from the split scan's raw record counts
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=1200, read_len=40, coverage=4.0, seed=8)), d
+    )
+    splits, n_steps = range_step_count(paths["child"], cfg, n_hosts=2)
+    assert len(splits) == 3 and n_steps >= 1
