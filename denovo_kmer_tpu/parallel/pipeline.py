@@ -58,7 +58,7 @@ def load_or_build_parent_sharded(path, cfg: EngineConfig, engine: ShardedKmerEng
     return build_sample_table_sharded(_record_stream(path, cfg, region), cfg, engine, m)
 
 
-def build_score_table_sharded(
+def ingest_score_state(
     child_records,
     cfg: EngineConfig,
     engine: ShardedKmerEngine,
@@ -66,8 +66,9 @@ def build_score_table_sharded(
     dad,
     metrics: Optional[Metrics] = None,
 ):
-    """Child-scoring build over the mesh: parent-seeded scored ingest with host prefetch.
-    Shared by the trio and cohort pipelines."""
+    """Stream the child through the parent-seeded scored ingest; returns the build state
+    (callers pick the finalize flavor: compacting finalize_score, or the fused
+    finalize_call_score that skips compaction entirely)."""
     from denovo_kmer_tpu.io.prefetch import prefetch_batches
 
     m = metrics or Metrics()
@@ -78,6 +79,21 @@ def build_score_table_sharded(
             state = engine.ingest_score(state, packed)
         m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
         m.count("batches", 1)
+    return state
+
+
+def build_score_table_sharded(
+    child_records,
+    cfg: EngineConfig,
+    engine: ShardedKmerEngine,
+    mom,
+    dad,
+    metrics: Optional[Metrics] = None,
+):
+    """Child-scoring build over the mesh: parent-seeded scored ingest with host prefetch.
+    Shared by the trio and cohort pipelines."""
+    m = metrics or Metrics()
+    state = ingest_score_state(child_records, cfg, engine, mom, dad, m)
     with m.timer("finalize"):
         return engine.finalize_score(state)
 
@@ -151,17 +167,17 @@ def _run_trio_sharded_once(
                                                         region=region)
         m.event("table_built", sample=name, unique=engine.total_unique(tables[name]))
 
-    # child: parent-seeded scored build (ops/score.py) — the trio join rides the flushes
+    # child: parent-seeded scored build (ops/score.py) — the trio join rides the
+    # flushes; the finalize+call runs the fused one-sort path (engine falls back to
+    # the compacting finalize for even k / large R / K overflow)
     with m.timer("build_child"):
-        stab = build_score_table_sharded(
+        state = ingest_score_state(
             _record_stream(child_path, cfg, region), cfg, engine,
             tables["mom"], tables["dad"], m,
         )
-    child_uniques = int(np.asarray(jnp.sum(jnp.where(stab.counts >= 1, 1, 0)))) // engine.R
-    m.event("table_built", sample="child", unique=child_uniques)
-
     with m.timer("trio_call"):
-        cand_tuples = engine.call_score(stab)
+        cand_tuples, child_uniques = engine.finalize_call_score(state)
+    m.event("table_built", sample="child", unique=child_uniques)
 
     lines = ["#kmer\tchild_count\tmom_count\tdad_count"]
     for v, c, mo, d in cand_tuples:

@@ -46,6 +46,13 @@ from denovo_kmer_tpu.parallel.mesh import AXIS_READS, AXIS_TABLE
 from denovo_kmer_tpu.parallel.router import bucketize, route_capacity
 
 
+def _sharded_overflow_msg(n_max: int, cap: int) -> str:
+    return (
+        f"score-table shard overflow: {n_max} uniques (child ∪ parents) > shard "
+        f"capacity {cap}; raise --table-capacity"
+    )
+
+
 class RouteOverflowError(RuntimeError):
     """All-to-all dispatch overflowed its capacity — retry with a larger
     route_capacity_factor (cfg) or a bigger batch split."""
@@ -350,6 +357,92 @@ class ShardedKmerEngine:
                 _local_sc(tab), cfg.tau_parent, cfg.min_child_count
             )
             return jax.tree.map(lambda x: x[None, None], cands)
+
+        # ---- fused finalize+call: the ops/fused.py idea over the gathered row-partials.
+        # ONE stable sort of R·C rows per shard; each group holds <= R partial rows (one
+        # per row-rank, the r=0 chain carrying the unique parental pack), so group sums
+        # are R-1 shifted adds — no compaction sort, no separate call sort. Requires
+        # fused_supported(k) and small R (shifted adds are O(R) passes); callers fall
+        # back to _finalize_score + _call_score otherwise.
+        self.fused_call_K = min(1 << 14, C)
+        Kc = self.fused_call_K
+        _PADW = jnp.uint32(0xFFFFFFFF)
+
+        def finalize_call_sc_dev(tab: ScoreTable):
+            local = _local_sc(tab)
+            g = jax.tree.map(lambda x: jax.lax.all_gather(x, AXIS_READS), local)
+            N = R * C
+            slot = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+            valid = (slot < g.n[:, None]).reshape(N)
+            kf = g.keys.reshape(N, W)
+            ops = [jnp.where(valid, kf[:, w], _PADW) for w in range(W)]
+            cnt = jnp.where(valid, g.counts.reshape(N), 0)
+            pc = jnp.where(valid, g.pcounts.reshape(N), 0)
+            s = jax.lax.sort(ops + [cnt, pc], num_keys=W, is_stable=True)
+            s_words, s_cnt, s_pc = s[:W], s[W], s[W + 1]
+
+            head = jnp.zeros((N,), bool)
+            for w in range(W):
+                head = head | jnp.concatenate(
+                    [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
+                )
+            iota = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+            rcm = jax.lax.cummin(jnp.where(head, iota, N), reverse=True)
+            nh = jnp.concatenate([rcm[1:], jnp.full((1,), N, jnp.int32)])
+
+            def shifted(x, d):
+                return jnp.concatenate([x[d:], jnp.zeros((d,), x.dtype)]) if d else x
+
+            child = jnp.zeros((N,), jnp.uint32)
+            pcsum = jnp.zeros((N,), jnp.uint32)
+            for d in range(R):
+                in_grp = (iota + d) < nh
+                child = child + jnp.where(in_grp, shifted(s_cnt, d), 0)
+                # <= 1 nonzero pc per group (seeded on the r=0 chain) -> sum is exact
+                pcsum = pcsum + jnp.where(in_grp, shifted(s_pc, d), 0)
+            momc = pcsum & jnp.uint32(0xFFFF)
+            dadc = pcsum >> 16
+
+            real = s_words[0] != _PADW  # guarded by fused_supported(k) at call time
+            flags = (
+                head & real
+                & (child >= jnp.uint32(minc))
+                & (momc <= jnp.uint32(tau))
+                & (dadc <= jnp.uint32(tau))
+            )
+            n_cand = jnp.sum(flags).astype(jnp.int32)
+            n_child_unique = jnp.sum(head & real & (child >= 1)).astype(jnp.int32)
+            rank = jnp.cumsum(flags.astype(jnp.int32))
+            targets = jnp.arange(1, Kc + 1, dtype=jnp.int32)
+            idx = jnp.minimum(
+                jnp.searchsorted(rank, targets, side="left").astype(jnp.int32), N - 1
+            )
+            take = lambda a: jnp.take(a, idx, indices_are_sorted=True, mode="clip")
+            out_keys = jnp.stack([take(w_) for w_ in s_words], axis=-1)
+            res = Candidates(
+                keys=out_keys, child_counts=take(child),
+                mom_counts=take(momc), dad_counts=take(dadc), n=n_cand,
+            )
+            return (
+                jax.tree.map(lambda x: x[None, None], res),
+                n_child_unique[None, None],
+            )
+
+        fused_cand_specs = Candidates(
+            keys=P(AXIS_READS, AXIS_TABLE, None, None),
+            child_counts=P(AXIS_READS, AXIS_TABLE, None),
+            mom_counts=P(AXIS_READS, AXIS_TABLE, None),
+            dad_counts=P(AXIS_READS, AXIS_TABLE, None),
+            n=spec_table,
+        )
+        self._finalize_call_score = jax.jit(
+            shard_map(
+                finalize_call_sc_dev,
+                mesh=mesh,
+                in_specs=(score_specs,),
+                out_specs=(fused_cand_specs, spec_table),
+            )
+        )
 
         self._score_specs = score_specs
 
@@ -660,6 +753,67 @@ class ShardedKmerEngine:
                 f"capacity {self.shard_capacity}; raise --table-capacity"
             )
         return stab
+
+    def finalize_call_score(
+        self, state: "ShardedBuildState", replicated_fetch: bool = False
+    ):
+        """Fused finalize + candidate call over the scored build state: one stable sort
+        of the gathered row-partials per shard, bounded-R shifted-add group sums, and
+        on-device K-padded candidate extraction (the ops/fused.py design lifted to the
+        mesh — no compaction sort, no separate call sort). Returns (candidate tuples,
+        n_child_unique total). Falls back to finalize_score + call_score for even k
+        (padding-key collision), large R, or per-shard candidate counts above the static
+        K — never silently wrong."""
+        from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
+        from denovo_kmer_tpu.ops.fused import fused_supported
+
+        if state.pending:
+            acc, table, ovf = self._flush_score(state.acc, state.table, state.ovf)
+            state = ShardedBuildState(acc=acc, ovf=ovf, table=table, pending=0)
+        ovf_val = int(np.asarray(jnp.max(state.ovf))) if replicated_fetch else int(
+            np.asarray(state.ovf)[0, 0]
+        )
+        if ovf_val:
+            raise RouteOverflowError(
+                f"{ovf_val} k-mers overflowed route capacity {self.route_cap}; "
+                f"increase route_capacity_factor (={self.cfg.route_capacity_factor})"
+            )
+        n_max = int(np.asarray(jnp.max(state.table.n)))
+        if n_max > self.shard_capacity:
+            raise RuntimeError(
+                _sharded_overflow_msg(n_max, self.shard_capacity)
+            )
+
+        def _fallback():
+            stab = self._finalize_score(state.table)
+            res = self.call_score(stab)
+            nchild = int(np.asarray(jnp.sum(jnp.where(stab.counts >= 1, 1, 0)))) // self.R
+            return res, nchild
+
+        if not fused_supported(self.cfg.k) or self.R > 16:
+            return _fallback()
+        cands, nchild = self._finalize_call_score(state.table)
+        ns = np.asarray(cands.n)[0]  # (T,) — rows are replicas
+        if int(ns.max(initial=0)) > self.fused_call_K:
+            return _fallback()  # more candidates than the static K in some shard
+        keys = np.asarray(cands.keys)[0]
+        cc = np.asarray(cands.child_counts)[0]
+        mc = np.asarray(cands.mom_counts)[0]
+        dc = np.asarray(cands.dad_counts)[0]
+        out: List[Tuple[int, int, int, int]] = []
+        for t in range(self.T):
+            for i in range(int(ns[t])):
+                out.append(
+                    (
+                        words_to_kmer_value(keys[t, i]),
+                        int(cc[t, i]),
+                        int(mc[t, i]),
+                        int(dc[t, i]),
+                    )
+                )
+        out.sort()
+        n_child_unique = int(np.asarray(jnp.sum(nchild))) // self.R
+        return out, n_child_unique
 
     def call_score(self, stab) -> List[Tuple[int, int, int, int]]:
         """Candidate call over a finalized sharded scoring table; same output contract as
