@@ -1,0 +1,122 @@
+"""Corruption robustness: a flipped byte anywhere in an input file must either still
+decode (bit flips in sequence payloads are legal data) or raise a CLEAN exception —
+never hang, never crash the interpreter, never return Python-level garbage. Production
+feeders read untrusted archives; 'fail loudly' is part of the I/O contract
+(cf. the reader-side ValueError contracts in io/cram.py)."""
+
+import random
+import struct
+import zlib
+
+import pytest
+
+from denovo_kmer_tpu.io.bam import read_bam_records
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+
+#: the clean failure surface for binary codecs — anything outside it is a reader bug
+_BIN_ERRORS = (ValueError, IOError, EOFError, KeyError, IndexError, OverflowError,
+               UnicodeDecodeError, struct.error, MemoryError, zlib.error)
+#: text formats must not even need the binary-level errors
+_TEXT_ERRORS = (ValueError, IOError, EOFError, KeyError, IndexError, UnicodeDecodeError)
+
+
+def _trials(data: bytes, n: int, seed: int):
+    rng = random.Random(seed)
+    for _ in range(n):
+        i = rng.randrange(8, len(data))  # keep magics intact: exercise deep paths
+        flip = bytes([data[i] ^ (1 << rng.randrange(8))])
+        yield data[:i] + flip + data[i + 1 :]
+
+
+def _consume(record_iter, cap: int = 100_000):
+    n = 0
+    for _rec in record_iter:
+        n += 1
+        if n > cap:
+            raise AssertionError("reader produced unboundedly many records")
+    return n
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corrupt")
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=1200, read_len=50, coverage=3.0, seed=19)),
+        str(d),
+    )
+    return d, paths
+
+
+def test_bam_corruption_fails_loudly(fixtures, tmp_path):
+    d, paths = fixtures
+    data = open(paths["child"], "rb").read()
+    p = tmp_path / "c.bam"
+    for mutated in _trials(data, 30, seed=1):
+        p.write_bytes(mutated)
+        try:
+            _consume(read_bam_records(str(p)))
+        except _BIN_ERRORS:
+            pass  # clean, typed failure
+
+
+def test_cram_corruption_fails_loudly(fixtures, tmp_path):
+    from denovo_kmer_tpu.io.cram import read_cram_records, write_cram
+    from denovo_kmer_tpu.io.bam import read_bam_records as rb
+
+    d, paths = fixtures
+    recs = [(r.seq, r.qual, r.flag) for r in rb(paths["child"])][:60]
+    cram = str(tmp_path / "c.cram")
+    write_cram(cram, recs)
+    data = open(cram, "rb").read()
+    p = tmp_path / "x.cram"
+    for mutated in _trials(data, 30, seed=2):
+        p.write_bytes(mutated)
+        try:
+            _consume(read_cram_records(str(p)))
+        except _BIN_ERRORS + (AssertionError,):
+            pass
+
+
+def test_sam_and_vcf_corruption_fails_loudly(fixtures, tmp_path):
+    from denovo_kmer_tpu.io.bam import read_bam_records as rb
+    from denovo_kmer_tpu.io.sam import read_sam_records, write_sam
+    from denovo_kmer_tpu.io.synth import write_truth_vcf
+    from denovo_kmer_tpu.io.vcf import read_vcf_records
+
+    d, paths = fixtures
+    recs = list(rb(paths["child"]))[:40]
+    sam = write_sam(str(tmp_path / "c.sam"), recs, references=[("chr20", 1200)])
+    data = open(sam, "rb").read()
+    p = tmp_path / "x.sam"
+    for mutated in _trials(data, 25, seed=3):
+        p.write_bytes(mutated)
+        try:
+            _consume(read_sam_records(str(p)))
+        except _TEXT_ERRORS:
+            pass
+
+    trio = make_trio(TrioSpec(genome_len=1000, seed=29, n_denovo_snvs=4))
+    vcf = write_truth_vcf(trio, str(tmp_path / "t.vcf"))
+    vdata = open(vcf, "rb").read()
+    pv = tmp_path / "x.vcf"
+    for mutated in _trials(vdata, 25, seed=4):
+        pv.write_bytes(mutated)
+        try:
+            _consume(read_vcf_records(str(pv)))
+        except _TEXT_ERRORS:
+            pass
+
+
+def test_truncated_inputs_fail_loudly(fixtures, tmp_path):
+    """Truncation at any point: clean error or fewer records, never a hang."""
+    d, paths = fixtures
+    data = open(paths["child"], "rb").read()
+    rng = random.Random(7)
+    p = tmp_path / "t.bam"
+    for _ in range(15):
+        cut = rng.randrange(10, len(data))
+        p.write_bytes(data[:cut])
+        try:
+            _consume(read_bam_records(str(p)))
+        except _BIN_ERRORS:
+            pass
