@@ -76,12 +76,20 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="extraction kernel (jnp packed-word assembly / Pallas blockwise)")
     e.add_argument("--output-format", choices=("tsv", "fasta"), default="tsv",
                    help="candidate report format (tsv is the parity artifact)")
+    e.add_argument("--ingest-threads", type=int, default=None,
+                   help="BGZF inflate worker threads in the native feeder "
+                        "(default 4; 0 = synchronous; also via "
+                        "DENOVO_KMER_INGEST_THREADS)")
     e.add_argument("--json-metrics", action="store_true")
     e.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace here (SURVEY.md §5.1)")
 
 
 def _cfg_from_args(args) -> EngineConfig:
+    if getattr(args, "ingest_threads", None) is not None:
+        import os
+
+        os.environ["DENOVO_KMER_INGEST_THREADS"] = str(args.ingest_threads)
     reads_ax, table_ax = args.mesh
     return EngineConfig(
         k=args.kmer_size,
@@ -358,6 +366,7 @@ def _enable_compile_cache():
 def main(argv=None) -> int:
     _enable_compile_cache()
     p = argparse.ArgumentParser(prog="denovo_kmer_tpu", description=__doc__)
+    p.add_argument("--version", action="version", version="denovo_kmer_tpu 0.2.0")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pc = sub.add_parser("call", help="trio de novo candidate calling")
