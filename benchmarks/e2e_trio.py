@@ -1,0 +1,253 @@
+"""End-to-end child-scoring reads/s with the feeder attached (VERDICT r2 missing #3).
+
+BASELINE.json's metric has two halves: k-mers/s/chip (device, bench.py) and reads/s
+(wall-clock with the host feeder). This measures the second on one chip: a synthetic
+trio-realistic child BAM is streamed through the NATIVE BGZF/BAM feeder (C++ shim,
+io/native.py) with prefetch overlap, into the production device path (extract ->
+staging append -> fused one-sort flush+call -> one candidate fetch). Reported:
+
+  e2e_reads_per_sec   wall-clock child reads scored per second, median of reps
+  e2e_overlap         (t_feed + t_dev - t_e2e) / min(t_feed, t_dev): 1.0 = perfect
+                      feeder/device overlap, 0.0 = fully serialized
+
+The parent pass is untimed setup (identical throughput profile). Sizes are env-tunable:
+E2E_READS (child reads), E2E_GENOME, E2E_READ_LEN, E2E_REPS. bench.py runs this after
+the device measurement (BENCH_E2E=0 to skip) and merges the keys into its JSON line.
+
+Timing per the repo methodology (bench.py): the axon runtime caches identical
+(executable, inputs) pairs, so each rep XORs a salt-derived single-base edit into the
+batch on device; the clock stops after the candidate fetch.
+"""
+
+import os
+import struct
+import sys
+import time
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_child_bam(path: str, genome: str, n_reads: int, read_len: int, seed: int):
+    """Vectorized trio-realistic child BAM: reads sampled uniformly from the genome
+    (coverage-realistic duplicate k-mers), flag 0, constant quals. ~100x faster than
+    io/synth.make_trio's per-base simulation — this is a bench fixture, not a truth-set
+    generator (io/synth stays the correctness fixture)."""
+    from denovo_kmer_tpu.io.bgzf import BgzfWriter
+
+    rng = np.random.default_rng(seed)
+    g = np.frombuffer(genome.encode(), dtype=np.uint8)
+    starts = rng.integers(0, len(g) - read_len + 1, size=n_reads)
+    # (n_reads, read_len) byte matrix of ACGT
+    idx = starts[:, None] + np.arange(read_len)[None, :]
+    seqs = g[idx]
+    # 4-bit BAM nibble codes: A=1 C=2 G=4 T=8
+    code = np.zeros(256, np.uint8)
+    code[ord("A")], code[ord("C")], code[ord("G")], code[ord("T")] = 1, 2, 4, 8
+    nib = code[seqs]
+    packed = (nib[:, 0::2] << 4) | (nib[:, 1::2] if read_len % 2 == 0
+                                    else np.pad(nib[:, 1::2], ((0, 0), (0, 1))))
+    qual = bytes([30]) * read_len
+    l_read_name = 5  # "r\0" padded — short fixed names
+    n_cigar = 1
+    cigar = struct.pack("<I", (read_len << 4) | 0)
+    fixed_prefix = struct.pack(
+        "<iiBBHHHiiii", 0, 0, l_read_name, 60, 4680, n_cigar, 0,
+        read_len, -1, -1, 0,
+    )
+    block_size = len(fixed_prefix) + l_read_name + 4 * n_cigar + packed.shape[1] + read_len
+
+    with open(path, "wb") as raw:
+        w = BgzfWriter(raw, level=1)
+        # minimal header: magic, l_text=0, one reference
+        ref = b"chr20\x00"
+        w.write(b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 1)
+                + struct.pack("<i", len(ref)) + ref + struct.pack("<i", len(genome)))
+        bs = struct.pack("<i", block_size)
+        name = b"r000\x00"
+        rows = packed.tobytes()
+        rw = packed.shape[1]
+        parts = []
+        for i in range(n_reads):
+            parts.append(bs)
+            parts.append(fixed_prefix)
+            parts.append(name)
+            parts.append(cigar)
+            parts.append(rows[i * rw:(i + 1) * rw])
+            parts.append(qual)
+            if len(parts) >= 6 * 4096:
+                w.write(b"".join(parts))
+                parts = []
+        if parts:
+            w.write(b"".join(parts))
+        w.close()
+
+
+def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.io.prefetch import prefetch_batches
+    from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast
+    from denovo_kmer_tpu.ops.fused import extract_candidates, fused_flush_call
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+    from denovo_kmer_tpu.ops.score import seed_score_table
+    from denovo_kmer_tpu.ops.stream import append, empty_accumulator
+    from denovo_kmer_tpu.ops.table import empty_table
+    from denovo_kmer_tpu.ops.stream import flush
+    from denovo_kmer_tpu.pipeline import packed_stream_with_cursor
+
+    k = int(os.environ.get("E2E_K", 31))
+    read_len = int(os.environ.get("E2E_READ_LEN", 151))
+    n_reads = int(os.environ.get("E2E_READS", 163840))
+    genome_len = int(os.environ.get("E2E_GENOME", 1_000_000))
+    batch_reads = 16384
+    table_bits = int(os.environ.get("E2E_TABLE_BITS", 22))
+    n_batches = -(-n_reads // batch_reads)
+
+    cfg = EngineConfig(
+        k=k, max_read_len=read_len, batch_reads=batch_reads,
+        table_capacity=1 << table_bits, accum_batches=n_batches,
+    )
+    P = cfg.windows_per_read
+
+    rng = np.random.default_rng(0)
+    base = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bytes(base[rng.integers(0, 4, genome_len)]).decode()
+
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp(prefix="e2e_trio_")
+    child_bam = os.path.join(tmpdir, "child.bam")
+    t0 = time.perf_counter()
+    synth_child_bam(child_bam, genome, n_reads, read_len, seed=1)
+    if verbose:
+        print(f"e2e: wrote {n_reads} x {read_len}bp child BAM "
+              f"({os.path.getsize(child_bam)/1e6:.1f} MB) in "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # parents: in-memory packed batches over the same genome (untimed setup)
+    def parent_table(seed):
+        r = np.random.default_rng(seed)
+        acc = empty_accumulator(batch_reads * P, cfg.words)
+        tab = empty_table(cfg.table_capacity, cfg.words)
+        fl = jax.jit(flush, donate_argnums=(0, 1))
+        ea = jax.jit(
+            lambda acc, w, v: append(
+                acc, *extract_canonical_kmers_fast(
+                    w, v, cfg.k, cfg.max_read_len, barrier=False)
+            ),
+            donate_argnums=(0,),
+        )
+        for _ in range(max(n_batches // 2, 1)):
+            starts = r.integers(0, genome_len - read_len + 1, size=batch_reads)
+            seqs = [genome[s:s + read_len] for s in starts]
+            p = pack_seqs(seqs, cfg, batch_size=batch_reads)
+            acc = ea(acc, jnp.asarray(p.words), jnp.asarray(p.vwords))
+            acc, tab = fl(acc, tab)
+        return tab
+
+    mom, dad = parent_table(2), parent_table(3)
+    seed0 = jax.jit(seed_score_table, static_argnums=(2,))(
+        mom, dad, 1 << (table_bits - 1)
+    )
+    copy_j = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+
+    acc_slots = n_batches * batch_reads * P
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def extract_append(acc, words, vwords, salt):
+        row = (salt % jnp.uint32(words.shape[0])).astype(jnp.int32)
+        flip = jnp.where(salt == 0, jnp.uint32(0),
+                         jnp.uint32(1) << (2 * (salt % jnp.uint32(13))))
+        words = words.at[row, 3].set(words[row, 3] ^ flip)
+        kmers, valid = extract_canonical_kmers_fast(
+            words, vwords, cfg.k, cfg.max_read_len, barrier=False
+        )
+        return append(acc, kmers, valid)
+
+    def child_pass(batches_iter, salt):
+        acc = empty_accumulator(acc_slots, cfg.words)
+        tab = copy_j(seed0)
+        n = 0
+        for packed in batches_iter:
+            n += packed.n_reads
+            acc = extract_append(
+                acc, jax.device_put(jnp.asarray(packed.words)),
+                jax.device_put(jnp.asarray(packed.vwords)), jnp.uint32(salt),
+            )
+        out = fused_flush_call(acc, tab, cfg.tau_parent, cfg.min_child_count)
+        extract_candidates(out)
+        return n
+
+    def feeder():
+        stream = packed_stream_with_cursor(child_bam, cfg)
+        return prefetch_batches(p for p, _v in iter(stream))
+
+    # warmup/compile (also verifies the feeder path end to end)
+    n_scored = child_pass(feeder(), salt=1)
+    assert n_scored == n_reads, (n_scored, n_reads)
+
+    # feeder-only: host decode+pack wall time, no device work
+    def t_feed_only():
+        t0 = time.perf_counter()
+        n = 0
+        for packed in feeder():
+            n += packed.n_reads
+        assert n == n_reads
+        return time.perf_counter() - t0
+
+    # device-only: batches pre-placed on device, the same salted pipeline
+    placed = [
+        (jax.device_put(jnp.asarray(p.words)), jax.device_put(jnp.asarray(p.vwords)))
+        for p in feeder()
+    ]
+
+    def t_dev_only(salt):
+        t0 = time.perf_counter()
+        acc = empty_accumulator(acc_slots, cfg.words)
+        tab = copy_j(seed0)
+        for w, v in placed:
+            acc = extract_append(acc, w, v, jnp.uint32(salt))
+        out = fused_flush_call(acc, tab, cfg.tau_parent, cfg.min_child_count)
+        extract_candidates(out)
+        return time.perf_counter() - t0
+
+    def t_e2e(salt):
+        t0 = time.perf_counter()
+        child_pass(feeder(), salt)
+        return time.perf_counter() - t0
+
+    feeds = sorted(t_feed_only() for _ in range(reps))
+    devs = sorted(t_dev_only(100 + i) for i in range(reps))
+    e2es = sorted(t_e2e(200 + i) for i in range(reps))
+    tf, td, te = feeds[reps // 2], devs[reps // 2], e2es[reps // 2]
+    overlap = max(0.0, min(1.0, (tf + td - te) / max(min(tf, td), 1e-9)))
+    res = {
+        "e2e_reads_per_sec": round(n_reads / te, 1),
+        "e2e_overlap": round(overlap, 3),
+        "e2e_feed_s": round(tf, 3),
+        "e2e_dev_s": round(td, 3),
+        "e2e_wall_s": round(te, 3),
+        "e2e_reads": n_reads,
+        "e2e_kmers_per_sec_wall": round(n_reads * P / te, 1),
+    }
+    if verbose:
+        print(f"e2e: feed={tf:.3f}s dev={td:.3f}s e2e={te:.3f}s "
+              f"-> {res['e2e_reads_per_sec']:.0f} reads/s, overlap={overlap:.2f}",
+              file=sys.stderr)
+    for f in os.listdir(tmpdir):
+        os.unlink(os.path.join(tmpdir, f))
+    os.rmdir(tmpdir)
+    return res
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(run_e2e()))

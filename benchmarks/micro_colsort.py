@@ -1,0 +1,121 @@
+"""Layout experiments for the one big sort: can a lane-parallel (column) sort beat the
+~160 Mrows/s flat `lax.sort` floor?
+
+Round-1/2 microdata (benchmarks/README.md) measured two regimes:
+  - flat contiguous sort, any operand count: ~160 Mrows/s
+  - (16384, 256, 128) sorted along the MIDDLE axis (128 lanes minor): 5.5 Gelems/s
+The 34x gap may be layout (sort axis not minor-most -> each lane is an independent
+sequence, vectorized across the VPU) rather than axis length. If a batched column sort
+of (r, 128) along axis 0 holds multi-Grows/s at r ~ 2^18, then Leighton's columnsort
+(4 column sorts + data-independent permutations) replaces the flat sort of the fused
+call (ops/fused.py) at a fraction of the cost, with no Pallas kernel at all.
+
+Measures, on realistic fused-call operands (3 key words u32 + 2 payload u32, num_keys=3):
+  A. flat sort, N = r*128 rows            (the current floor, for reference)
+  B. column sort (r, 128) axis=0
+  C. column sort (r/2, 128) axis=0        (rate vs r)
+  D. middle-axis sort (G, R, 128) axis=1  (same total rows)
+  E. transpose+reshape permutation step of columnsort, 5 operands
+  F. cumsum / cummin along axis 0 of (r, 128)   (two-level scan building block)
+
+Timing per the repo methodology: salted inputs (the axon runtime caches identical
+(executable, input) pairs), one small fetch to stop the clock.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+R = int(os.environ.get("MICRO_R", 1 << 18))
+S = 128
+N = R * S
+
+
+def timed(fn, *args, reps=3):
+    fn_j = jax.jit(fn)
+    jax.block_until_ready(fn_j(*args, jnp.uint32(0)))
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = fn_j(*args, jnp.uint32(i + 1))
+        np.asarray(out).ravel()[0]
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def report(name, rows, dt):
+    print(f"{name}: {rows/dt/1e6:.1f} Mrows/s ({dt*1e3:.1f} ms, {rows/1e6:.1f}M rows)",
+          flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    mk = lambda shape: jnp.asarray(rng.integers(0, 2**32, size=shape, dtype=np.uint32))
+
+    ops2d = [mk((R, S)) for _ in range(5)]
+
+    # A. flat: the current fused-call regime
+    flat = [o.reshape(-1) for o in ops2d]
+
+    def f_flat(o0, o1, o2, o3, o4, salt):
+        out = jax.lax.sort([o0 ^ salt, o1, o2, o3, o4], num_keys=3, is_stable=False)
+        return out[0][:1]
+
+    report("A flat sort 5ops nk=3", N, timed(f_flat, *flat))
+
+    # B. column sort along axis 0 (lanes minor, sort axis sublane-major)
+    def f_col(o0, o1, o2, o3, o4, salt):
+        out = jax.lax.sort(
+            [o0 ^ salt, o1, o2, o3, o4], dimension=0, num_keys=3, is_stable=False
+        )
+        return out[0][:1, :1]
+
+    report(f"B col sort ({R},128) ax0", N, timed(f_col, *ops2d))
+
+    # C. half-height column sort (rate vs r) -- reuse top halves
+    half = [o[: R // 2] for o in ops2d]
+    report(f"C col sort ({R//2},128) ax0", N // 2, timed(f_col, *half))
+
+    # D. middle-axis batched sort, same rows
+    G, Rm = 1 << 7, 1 << 11
+    assert G * Rm * S == N
+    ops3d = [o.reshape(G, Rm, S) for o in ops2d]
+
+    def f_mid(o0, o1, o2, o3, o4, salt):
+        out = jax.lax.sort(
+            [o0 ^ salt, o1, o2, o3, o4], dimension=1, num_keys=3, is_stable=False
+        )
+        return out[0][:1, :1, :1]
+
+    report(f"D mid sort ({G},{Rm},128) ax1", N, timed(f_mid, *ops3d))
+
+    # E. columnsort permutation step: x -> x.T.reshape(R, S) on all 5 operands
+    def f_perm(o0, o1, o2, o3, o4, salt):
+        outs = [(o ^ salt).T.reshape(R, S) for o in (o0, o1, o2, o3, o4)]
+        return sum(o[:1, :1] for o in outs)
+
+    report("E perm (T+reshape) x5 ops", N, timed(f_perm, *ops2d))
+
+    # F. scans along axis 0
+    def f_cumsum(o0, o1, o2, o3, o4, salt):
+        c = jnp.cumsum((o0 ^ salt).astype(jnp.int32), axis=0)
+        return c[-1:, :1]
+
+    report("F cumsum (r,128) ax0", N, timed(f_cumsum, *ops2d))
+
+    def f_cummin(o0, o1, o2, o3, o4, salt):
+        c = jax.lax.cummin((o0 ^ salt).astype(jnp.int32), axis=0, reverse=True)
+        return c[:1, :1]
+
+    report("F cummin rev (r,128) ax0", N, timed(f_cummin, *ops2d))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

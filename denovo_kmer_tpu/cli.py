@@ -126,14 +126,27 @@ def cmd_call(args) -> int:
     try:
         if getattr(args, "passes", 1) > 1:
             if cfg.mesh_shape != (1, 1):
-                raise SystemExit("--passes > 1 is the single-chip WGS path; "
-                                 "use either --mesh or --passes")
-            from denovo_kmer_tpu.pipeline import run_trio_multipass
+                # passes × mesh: each hash-pass runs over the full mesh (WGS-scale
+                # tables beyond aggregate mesh HBM); read-length bucketing is a
+                # single-chip feature for now
+                if cfg.read_len_buckets:
+                    raise SystemExit("--read-len-buckets does not compose with "
+                                     "--mesh yet; drop one of the two")
+                from denovo_kmer_tpu.parallel.pipeline import (
+                    run_trio_multipass_sharded,
+                )
 
-            result = run_trio_multipass(
-                args.mom, args.dad, args.child, cfg, args.passes, metrics,
-                region=args.region,
-            )
+                result = run_trio_multipass_sharded(
+                    args.mom, args.dad, args.child, cfg, args.passes, metrics,
+                    region=args.region,
+                )
+            else:
+                from denovo_kmer_tpu.pipeline import run_trio_multipass
+
+                result = run_trio_multipass(
+                    args.mom, args.dad, args.child, cfg, args.passes, metrics,
+                    region=args.region,
+                )
         elif cfg.mesh_shape != (1, 1):
             from denovo_kmer_tpu.parallel.pipeline import run_trio_sharded
 

@@ -66,20 +66,43 @@ DEFAULT_MAX_CANDIDATES = 1 << 14
 
 
 class FusedCallOut(NamedTuple):
-    """Device outputs of the fused call — K-padded candidate rows + count scalars."""
+    """Host-side view of the fused call's packed output (see ``unpack_fused``)."""
 
-    n_cand: jnp.ndarray  # () int32 — true candidate count (may exceed K: caller retries)
-    n_unique: jnp.ndarray  # () int32 — distinct real keys in table ∪ staging
-    n_child_unique: jnp.ndarray  # () int32 — distinct keys with child count >= 1
-    keys: jnp.ndarray  # (K, W) uint32 — candidates ascending by key; rows >= n_cand pad
-    child: jnp.ndarray  # (K,) uint32
-    momc: jnp.ndarray  # (K,) uint32
-    dadc: jnp.ndarray  # (K,) uint32
+    n_cand: int  # true candidate count (may exceed K: caller retries)
+    n_unique: int  # distinct real keys in table ∪ staging
+    n_child_unique: int  # distinct keys with child count >= 1
+    keys: np.ndarray  # (K, W) uint32 — candidates ascending by key; rows >= n_cand pad
+    child: np.ndarray  # (K,) uint32
+    momc: np.ndarray  # (K,) uint32
+    dadc: np.ndarray  # (K,) uint32
+
+
+def unpack_fused(packed) -> FusedCallOut:
+    """ONE host fetch of the fused call's (K+1, W+3) uint32 output. Layout: rows 0..K-1
+    are candidate rows [key words | child | mom | dad]; row K packs the scalars
+    [n_cand, n_unique, n_child_unique, ...0]. The single-leaf protocol exists because
+    the remote TPU runtime pays one RTT (and potentially one cached re-run) PER fetched
+    output leaf — the round-2 7-leaf NamedTuple cost ~25 ms of pure fetch overhead."""
+    host = np.asarray(packed)
+    K, Wp3 = host.shape[0] - 1, host.shape[1]
+    W = Wp3 - 3
+    return FusedCallOut(
+        n_cand=int(host[K, 0]),
+        n_unique=int(host[K, 1]),
+        n_child_unique=int(host[K, 2]),
+        keys=host[:K, :W],
+        child=host[:K, W],
+        momc=host[:K, W + 1],
+        dadc=host[:K, W + 2],
+    )
 
 
 def fused_supported(k: int) -> bool:
     """The one-sort call needs the padding key to be unreachable by real k-mers."""
     return (2 * k) % 32 != 0
+
+
+_LANES = 128  # VPU lane width: the unit of the two-level scan decompositions below
 
 
 @functools.partial(
@@ -98,6 +121,19 @@ def fused_flush_call(
     earlier compacting flushes); ``acc`` is the raw-k-mer staging buffer of the final
     accumulation window. Unlike ``flush_score`` there is no table capacity to overflow —
     the group structure lives in the sorted stream itself.
+
+    Round-3 cost shaves (benchmarks/micro_colsort.py, v5e):
+    - The sort is UNSTABLE with an explicit tiebreak key word (0 = table row, 1 = staged)
+      instead of stable-with-table-rows-first: measured 227 Mrows/s vs ~141 for the
+      stable 2-key sort — stability is the expensive way to say "table row first", and
+      equal (key, tiebreak) rows are interchangeable (staged rows are identical
+      (cnt=0, pc=0); table keys are unique).
+    - The reverse ``cummin`` for next-head indices (40 ms at 38M rows) is replaced by a
+      log2(128)-step lane suffix-min + one 128x-shorter block cummin (~7 cheap
+      elementwise passes instead of a full-length scan).
+    - The full-length ``cumsum`` rank for sparse candidate extraction (40 ms) is
+      replaced by per-128-block flag sums + a 128x-shorter cumsum; each candidate then
+      finds its block by binary search and its lane by a (K, 128) local scan.
     """
     assert 0 <= tau_parent < 0xFFFF, "tau_parent must fit the 16-bit saturated pack"
     assert min_child_count >= 1, "min_child_count < 1 would report parent-only seed rows"
@@ -105,26 +141,28 @@ def fused_flush_call(
     S = acc.kmers.shape[0]
     N = C + S
     K = max_candidates
+    L = _LANES
+    NB = -(-N // L)
+    NP = NB * L  # ragged tail padded below (sentinels don't alter mins/sums)
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
     acc_valid = acc.valid & (slot < acc.fill)
     tslot = jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
     tab_valid = tslot < tab.n
 
-    # key words (invalid -> all-ones padding) + payload columns; table rows FIRST so the
-    # stable sort keeps each group's unique table row at its group head
+    # key words (invalid -> all-ones padding) + tiebreak + payload columns
     ops = []
     for w in range(W):
         col = jnp.concatenate([tab.keys[:, w], acc.kmers[:, w]])
         vld = jnp.concatenate([tab_valid, acc_valid])
         ops.append(jnp.where(vld, col, _PAD))
-    is_tab_in = jnp.concatenate(
-        [jnp.ones((C,), jnp.uint32), jnp.zeros((S,), jnp.uint32)]
+    tb = jnp.concatenate(
+        [jnp.zeros((C,), jnp.uint32), jnp.ones((S,), jnp.uint32)]
     )
     cnt = jnp.concatenate([tab.counts, jnp.zeros((S,), jnp.uint32)])
     pc = jnp.concatenate([tab.pcounts, jnp.zeros((S,), jnp.uint32)])
-    s = jax.lax.sort(ops + [is_tab_in, cnt, pc], num_keys=W, is_stable=True)
-    s_words, s_is_tab, s_cnt, s_pc = s[:W], s[W], s[W + 1], s[W + 2]
+    s = jax.lax.sort(ops + [tb, cnt, pc], num_keys=W + 1, is_stable=False)
+    s_words, s_tb, s_cnt, s_pc = s[:W], s[W], s[W + 1], s[W + 2]
 
     head = jnp.zeros((N,), bool)
     for w in range(W):
@@ -132,12 +170,32 @@ def fused_flush_call(
             [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
         )
 
+    # next-head index per row: two-level suffix-min in row-major (NB, 128) layout —
+    # lane suffix-min by 7 doubling shifts, then a block-level carry cummin over NB
     iota = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
-    rcm = jax.lax.cummin(jnp.where(head, iota, N), reverse=True)
+    hv = jnp.where(head, iota, N)
+    if NP != N:
+        hv = jnp.concatenate([hv, jnp.full((NP - N,), N, jnp.int32)])
+    hv = hv.reshape(NB, L)
+    x = hv
+    sh = 1
+    while sh < L:
+        shifted = jnp.concatenate(
+            [x[:, sh:], jnp.full((NB, sh), N, jnp.int32)], axis=1
+        )
+        x = jnp.minimum(x, shifted)
+        sh *= 2
+    # x[i, j] = min(hv[i, j:]); carry[i] = min over blocks > i
+    row_min = x[:, 0]
+    carry = jnp.concatenate(
+        [jax.lax.cummin(row_min, reverse=True)[1:], jnp.full((1,), N, jnp.int32)]
+    )
+    rcm = jnp.minimum(x, carry[:, None]).reshape(NP)[:N]
     nh = jnp.concatenate([rcm[1:], jnp.full((1,), N, jnp.int32)])  # next head after j
 
-    is_tab = s_is_tab != 0
-    staged = (nh - iota - s_is_tab.astype(jnp.int32)).astype(jnp.uint32)
+    is_tab_i = jnp.where(s_tb == 0, 1, 0).astype(jnp.int32)
+    staged = (nh - iota - is_tab_i).astype(jnp.uint32)
+    is_tab = s_tb == 0
     child = staged + jnp.where(is_tab, s_cnt, 0)
     momc = jnp.where(is_tab, s_pc & _SAT, 0)
     dadc = jnp.where(is_tab, s_pc >> 16, 0)
@@ -154,37 +212,47 @@ def fused_flush_call(
     n_unique = jnp.sum(head & real).astype(jnp.int32)
     n_child_unique = jnp.sum(head & real & (child >= 1)).astype(jnp.int32)
 
-    # on-device sparse extraction: the i-th candidate's row = first position where the
-    # running flag count reaches i+1 (binary search over the cumsum — K·log2(N) gathers)
-    rank = jnp.cumsum(flags.astype(jnp.int32))
+    # on-device sparse extraction, two-level: per-128-block flag sums + short cumsum;
+    # the i-th candidate finds its block by binary search of the block prefix, then its
+    # lane with a (K, 128) local cumsum — no full-length rank scan
+    flags_p = flags
+    if NP != N:
+        flags_p = jnp.concatenate([flags, jnp.zeros((NP - N,), bool)])
+    flags2 = flags_p.reshape(NB, L)
+    bsum = jnp.sum(flags2.astype(jnp.int32), axis=1)
+    bincl = jnp.cumsum(bsum)
     targets = jnp.arange(1, K + 1, dtype=jnp.int32)
-    cand_idx = jnp.searchsorted(rank, targets, side="left").astype(jnp.int32)
-    cand_idx = jnp.minimum(cand_idx, N - 1)
-    out_keys = jnp.stack(
-        [jnp.take(w, cand_idx, indices_are_sorted=True, mode="clip") for w in s_words],
-        axis=-1,
+    g = jnp.minimum(
+        jnp.searchsorted(bincl, targets, side="left").astype(jnp.int32), NB - 1
     )
+    bex = jnp.take(bincl, g, indices_are_sorted=True, mode="clip") - jnp.take(
+        bsum, g, indices_are_sorted=True, mode="clip"
+    )
+    frow = jnp.take(flags2, g, axis=0, indices_are_sorted=True, mode="clip")
+    lc = jnp.cumsum(frow.astype(jnp.int32), axis=1)
+    off = (targets - bex)[:, None]
+    j = jnp.argmax(lc >= off, axis=1).astype(jnp.int32)
+    cand_idx = jnp.minimum(g * L + j, N - 1)
     take = lambda a: jnp.take(a, cand_idx, indices_are_sorted=True, mode="clip")
-    return FusedCallOut(
-        n_cand=n_cand,
-        n_unique=n_unique,
-        n_child_unique=n_child_unique,
-        keys=out_keys,
-        child=take(child),
-        momc=take(momc),
-        dadc=take(dadc),
-    )
+    cols = [take(w) for w in s_words] + [take(child), take(momc), take(dadc)]
+    rows = jnp.stack(cols, axis=-1)  # (K, W+3)
+    scalars = jnp.zeros((1, W + 3), jnp.uint32)
+    scalars = scalars.at[0, 0].set(n_cand.astype(jnp.uint32))
+    scalars = scalars.at[0, 1].set(n_unique.astype(jnp.uint32))
+    scalars = scalars.at[0, 2].set(n_child_unique.astype(jnp.uint32))
+    # single packed output leaf -> single host fetch (see unpack_fused)
+    return jnp.concatenate([rows, scalars], axis=0)
 
 
 def extract_candidates(
-    out: FusedCallOut,
+    packed,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Host protocol: ONE fetch of the K-padded rows + scalars, sliced to the true count.
-    Returns (keys (n,W), child, mom, dad) ascending by key — same order as
+    """Host protocol: ONE fetch of the packed (K+1, W+3) output, sliced to the true
+    count. Returns (keys (n,W), child, mom, dad) ascending by key — same order as
     ``ops.score.call_from_score``. Raises if n_cand exceeded the static capacity
     (use ``fused_call_candidates`` for the auto-retry wrapper)."""
-    host = jax.device_get(out)
-    n = int(host.n_cand)
+    host = unpack_fused(packed)
+    n = host.n_cand
     K = host.keys.shape[0]
     if n > K:
         raise CandidateOverflowError(
@@ -211,12 +279,15 @@ def fused_call_full(
     attempt; retries only on the rare K overflow)."""
     K = max_candidates
     while True:
-        out = fused_flush_call(acc, tab, tau_parent, min_child_count, max_candidates=K)
-        try:
-            keys, cc, mc, dc = extract_candidates(out)
-            return keys, cc, mc, dc, int(out.n_unique), int(out.n_child_unique)
-        except CandidateOverflowError:
-            K = 1 << (int(out.n_cand) - 1).bit_length()
+        packed = fused_flush_call(
+            acc, tab, tau_parent, min_child_count, max_candidates=K
+        )
+        host = unpack_fused(packed)
+        n = host.n_cand
+        if n <= host.keys.shape[0]:
+            return (host.keys[:n], host.child[:n], host.momc[:n], host.dadc[:n],
+                    host.n_unique, host.n_child_unique)
+        K = 1 << (n - 1).bit_length()
 
 
 def fused_call_candidates(

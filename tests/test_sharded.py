@@ -109,3 +109,51 @@ def test_sharded_trio_matches_oracle(trio_paths):
         tables[s] = count_reads(recs, cfg)
     want = trio_candidates(tables["mom"], tables["dad"], tables["child"], cfg)
     assert res.candidates == want
+
+def _packed_batch(cfg, n_reads, seed):
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+
+    rng = np.random.default_rng(seed)
+    base = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = [
+        bytes(base[rng.integers(0, 4, cfg.max_read_len)]).decode()
+        for _ in range(n_reads)
+    ]
+    return pack_seqs(seqs, cfg, batch_size=n_reads)
+
+
+def test_fused_call_K_retry_stays_on_fused_path():
+    """Per-shard candidate overflow of the fused finalize+call must retry the fused path
+    with a doubled static K (VERDICT r2 weak #4) — same results as the compacting
+    fallback, no silent truncation. K is forced tiny to trigger the retry with a small
+    batch (~1.4k de novo candidates over 8 shards >> K=16)."""
+    cfg = EngineConfig(
+        k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13,
+        mesh_shape=(1, 8),
+    )
+    mesh = make_mesh((1, 8), jax.devices()[:8])
+    engine = ShardedKmerEngine(cfg, mesh)
+    # empty parents -> every child unique k-mer is a de novo candidate
+    empty_mom = engine.finalize(engine.new_build())
+    empty_dad = engine.finalize(engine.new_build())
+    batch = _packed_batch(cfg, cfg.batch_reads, seed=7)
+
+    def scored_state():
+        st = engine.new_score_build(empty_mom, empty_dad)
+        st = engine.ingest_score(st, batch)  # twice: child counts reach
+        return engine.ingest_score(st, batch)  # min_child_count=2
+
+    engine.fused_call_K = 16  # force per-shard overflow -> retry with doubled K
+    cands_fused, nchild_fused = engine.finalize_call_score(scored_state())
+    assert 2 in engine._fused_call_cache or any(
+        k > 16 for k in engine._fused_call_cache
+    ), "retry should have compiled a larger-K fused call"
+    assert len(cands_fused) > 8 * 16, "test needs enough candidates to overflow K"
+
+    stab = engine.finalize_score(scored_state())
+    cands_ref = engine.call_score(stab)
+    assert cands_fused == cands_ref
+    nchild_ref = engine.total_unique(
+        type(stab)(keys=stab.keys, counts=stab.counts, pcounts=stab.pcounts, n=stab.n)
+    )  # all child-unique here: parents empty, every unique key has child count >= 1
+    assert nchild_fused == nchild_ref
