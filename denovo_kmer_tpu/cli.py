@@ -127,11 +127,8 @@ def cmd_call(args) -> int:
         if getattr(args, "passes", 1) > 1:
             if cfg.mesh_shape != (1, 1):
                 # passes × mesh: each hash-pass runs over the full mesh (WGS-scale
-                # tables beyond aggregate mesh HBM); read-length bucketing is a
-                # single-chip feature for now
-                if cfg.read_len_buckets:
-                    raise SystemExit("--read-len-buckets does not compose with "
-                                     "--mesh yet; drop one of the two")
+                # tables beyond aggregate mesh HBM); --read-len-buckets composes
+                # too (the sharded ingest derives widths from batch shapes)
                 from denovo_kmer_tpu.parallel.pipeline import (
                     run_trio_multipass_sharded,
                 )

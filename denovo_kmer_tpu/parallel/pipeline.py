@@ -21,6 +21,17 @@ from denovo_kmer_tpu.ops.pack import pack_records
 from denovo_kmer_tpu.utils.metrics import Metrics
 
 
+def _packed_batches(records, cfg: EngineConfig):
+    """Packed batches for the mesh: length-bucketed when cfg.read_len_buckets is set
+    (the sharded ingest derives extraction width from the batch shape — one cached
+    executable per bucket width, results bit-identical to max-width packing)."""
+    if cfg.read_len_buckets:
+        from denovo_kmer_tpu.ops.pack import pack_records_bucketed
+
+        return (packed for _w, packed in pack_records_bucketed(records, cfg))
+    return pack_records(records, cfg)
+
+
 def build_sample_table_sharded(
     records,
     cfg: EngineConfig,
@@ -32,7 +43,7 @@ def build_sample_table_sharded(
 
     m = metrics or Metrics()
     state = engine.new_build()
-    for packed in prefetch_batches(pack_records(records, cfg)):
+    for packed in prefetch_batches(_packed_batches(records, cfg)):
         m.count("reads_ingested", packed.n_reads)
         with m.timer("extract_probe"):
             state = engine.ingest(state, packed, pass_id)
@@ -84,7 +95,7 @@ def ingest_score_state(
 
     m = metrics or Metrics()
     state = engine.new_score_build(mom, dad)
-    for packed in prefetch_batches(pack_records(child_records, cfg)):
+    for packed in prefetch_batches(_packed_batches(child_records, cfg)):
         m.count("reads_ingested", packed.n_reads)
         with m.timer("extract_probe"):
             state = engine.ingest_score(state, packed, pass_id)

@@ -151,8 +151,13 @@ class ShardedKmerEngine:
 
         def ingest_dev(acc: KmerAccumulator, ovf_acc, words, vwords, pass_id):
             local = _local_acc(acc)
+            # effective read width from the BATCH shape, not cfg.max_read_len: length-
+            # bucketed batches (pack_records_bucketed) arrive at smaller widths and
+            # jit retraces per shape — validity masks make the results bit-identical
+            # to max-width packing, extraction work is width-proportional
+            eff_len = min(words.shape[1] * 16, max_len)
             kmers, valid = extract_canonical_kmers(
-                words, vwords, k, max_len, canonical=canonical
+                words, vwords, k, eff_len, canonical=canonical
             )
             kflat, vflat = kmers.reshape(-1, W), valid.reshape(-1)
             if n_passes > 1:  # static: single-pass engines compile no filter
@@ -714,17 +719,23 @@ class ShardedKmerEngine:
         k_out = np.full((T, C, W), 0xFFFFFFFF, np.uint32)
         c_out = np.zeros((T, C), np.uint32)
         n_out = np.zeros((T,), np.int32)
+        # one stable owner-sort instead of T boolean scans (O(n log n) once, not O(nT));
+        # stability preserves key order within each shard (the sorted-shard invariant)
+        order = np.argsort(owners, kind="stable")
+        per = np.bincount(owners, minlength=T) if n else np.zeros(T, np.int64)
+        if per.max(initial=0) > C:
+            t_bad = int(per.argmax())
+            raise RuntimeError(
+                f"flat table shard {t_bad} holds {int(per[t_bad])} uniques > shard "
+                f"capacity {C}; raise --table-capacity"
+            )
+        starts = np.concatenate([[0], np.cumsum(per)])
+        ks, cs = keys[order], counts[order]
         for t in range(T):
-            sel = owners == t
-            kt, ct = keys[sel], counts[sel]
-            if len(kt) > C:
-                raise RuntimeError(
-                    f"flat table shard {t} holds {len(kt)} uniques > shard capacity "
-                    f"{C}; raise --table-capacity"
-                )
-            k_out[t, : len(kt)] = kt
-            c_out[t, : len(kt)] = ct
-            n_out[t] = len(kt)
+            m = int(per[t])
+            k_out[t, :m] = ks[starts[t]:starts[t] + m]
+            c_out[t, :m] = cs[starts[t]:starts[t] + m]
+            n_out[t] = m
         return KmerTable(
             keys=self._put(np.broadcast_to(k_out[None], (R, T, C, W)),
                            P(AXIS_READS, AXIS_TABLE, None, None)),

@@ -66,3 +66,38 @@ def test_bucketed_trio_call_identical(mixed):
     assert r0.candidates == r1.candidates
     assert r0.report == r1.report
     assert r0.tables_n == r1.tables_n
+
+
+def test_bucketed_sharded_trio_identical(mixed):
+    """--read-len-buckets × --mesh (round 3): the sharded ingest derives extraction
+    width from the batch shape, so bucketed mesh runs must match the unbucketed
+    single-chip result byte-exactly."""
+    from denovo_kmer_tpu.parallel.pipeline import run_trio_sharded
+
+    plain = EngineConfig(k=21, max_read_len=160, batch_reads=64,
+                         table_capacity=1 << 14)
+    buck = EngineConfig(k=21, max_read_len=160, batch_reads=64,
+                        table_capacity=1 << 14, read_len_buckets=(64, 96, 160),
+                        mesh_shape=(2, 2))
+    r0 = run_trio(mixed["mom"], mixed["dad"], mixed["child"], plain)
+    r1 = run_trio_sharded(mixed["mom"], mixed["dad"], mixed["child"], buck)
+    assert r0.candidates == r1.candidates
+    assert r0.report == r1.report
+    assert r0.tables_n == r1.tables_n
+
+
+def test_bucketed_multipass_sharded_trio_identical(mixed):
+    """buckets × passes × mesh, all three composed."""
+    from denovo_kmer_tpu.parallel.pipeline import run_trio_multipass_sharded
+
+    plain = EngineConfig(k=21, max_read_len=160, batch_reads=64,
+                         table_capacity=1 << 14)
+    buck = EngineConfig(k=21, max_read_len=160, batch_reads=64,
+                        table_capacity=1 << 13, read_len_buckets=(64, 96, 160),
+                        mesh_shape=(2, 2))
+    r0 = run_trio(mixed["mom"], mixed["dad"], mixed["child"], plain)
+    r1 = run_trio_multipass_sharded(mixed["mom"], mixed["dad"], mixed["child"],
+                                    buck, n_passes=2)
+    assert r0.candidates == r1.candidates
+    assert r0.report == r1.report
+    assert r0.tables_n == r1.tables_n
