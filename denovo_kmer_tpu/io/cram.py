@@ -40,8 +40,16 @@ CT_SLICE_HEADER = 2
 CT_EXTERNAL = 4
 CT_CORE = 5
 
-# block compression methods
+# block compression methods (CRAM 3.0: 0-4; CRAM 3.1 adds 5-8)
 M_RAW, M_GZIP, M_BZIP2, M_LZMA, M_RANS = 0, 1, 2, 3, 4
+M_RANSNX16, M_ARITH, M_FQZCOMP, M_TOK3 = 5, 6, 7, 8
+
+
+class UnsupportedCodecError(ValueError):
+    """A block uses a codec this reader does not implement (arith / fqzcomp / tok3).
+    Raised lazily, when the block's bytes are actually consumed — name-only blocks
+    degrade to dropped names instead (the engine's feeder contract needs only
+    seq/qual/flag, SURVEY.md §3.3)."""
 
 # encoding codec ids
 E_NULL, E_EXTERNAL, E_GOLOMB, E_HUFFMAN, E_BYTE_ARRAY_LEN, E_BYTE_ARRAY_STOP, E_BETA = (
@@ -136,7 +144,8 @@ class Block:
     method: int
     content_type: int
     content_id: int
-    data: bytes  # uncompressed
+    data: Optional[bytes]  # uncompressed; None when the codec is unsupported
+    error: Optional[str] = None  # set iff data is None
 
 
 def _compress(data: bytes, method: int, rans_order: int = 0) -> bytes:
@@ -150,6 +159,10 @@ def _compress(data: bytes, method: int, rans_order: int = 0) -> bytes:
         return lzma.compress(data, format=lzma.FORMAT_XZ)
     if method == M_RANS:
         return rans.encode(data, order=rans_order)
+    if method == M_RANSNX16:
+        from denovo_kmer_tpu.io import rans_nx16
+
+        return rans_nx16.encode(data, order=rans_order, use_pack=True, use_rle=True)
     raise ValueError(f"unknown compression method {method}")
 
 
@@ -169,14 +182,37 @@ def _decompress(data: bytes, method: int, raw_size: int) -> bytes:
         return lzma.decompress(data)
     if method == M_RANS:
         return rans.decode(data)
+    if method == M_RANSNX16:
+        from denovo_kmer_tpu.io import rans_nx16
+
+        return rans_nx16.decode(data, expected_len=raw_size)
+    if method in (M_ARITH, M_FQZCOMP, M_TOK3):
+        name = {M_ARITH: "adaptive arithmetic", M_FQZCOMP: "fqzcomp",
+                M_TOK3: "name tokenizer"}[method]
+        raise UnsupportedCodecError(
+            f"CRAM 3.1 block codec '{name}' (method {method}) is not implemented; "
+            f"re-encode with `samtools view -O cram,version=3.0` or with "
+            f"archive-profile codecs disabled"
+        )
     raise ValueError(f"unknown compression method {method}")
+
+
+# fixture hook (tests only): per-series block-method overrides for the writer, e.g.
+# {"RN": M_TOK3} to emit a name block labeled with an unimplemented codec and exercise
+# the reader's drop-names degradation. Methods 6-8 cannot be compressed by this writer,
+# so overridden blocks carry the raw series bytes under the foreign method label.
+_METHOD_OVERRIDES: Dict[str, int] = {}
+_FIXTURE_LABEL_METHODS = (M_ARITH, M_FQZCOMP, M_TOK3)
 
 
 def write_block(out, method: int, ctype: int, cid: int, data: bytes,
                 rans_order: int = 0) -> None:
-    comp = _compress(data, method, rans_order)
-    if len(comp) >= len(data) and method != M_RAW:
-        method, comp = M_RAW, data
+    if method in _FIXTURE_LABEL_METHODS:
+        comp = data  # fixture-only: label raw bytes with the foreign method
+    else:
+        comp = _compress(data, method, rans_order)
+        if len(comp) >= len(data) and method != M_RAW:
+            method, comp = M_RAW, data
     body = bytearray()
     body.append(method)
     body.append(ctype)
@@ -202,7 +238,13 @@ def read_block(buf: bytes, pos: int) -> Tuple[Block, int]:
     if zlib.crc32(buf[start:pos]) != crc:
         raise ValueError("CRAM block CRC mismatch")
     pos += 4
-    data = _decompress(comp, method, raw_size)
+    try:
+        data = _decompress(comp, method, raw_size)
+    except UnsupportedCodecError as e:
+        # defer: only raise when the block's bytes are actually consumed, so a
+        # name-tokenizer block in a file whose seq/qual/flag decode fine degrades
+        # to dropped names instead of rejecting the file
+        return Block(method, ctype, cid, None, error=str(e)), pos
     if len(data) != raw_size:
         raise ValueError(f"block raw size mismatch: {len(data)} != {raw_size}")
     return Block(method, ctype, cid, data), pos
@@ -256,6 +298,30 @@ class _ByteStream:
         b = self.data[self.pos : end]
         self.pos = end + 1
         return b
+
+
+class _FailedByteStream:
+    """External block whose codec is unsupported: raises on ANY byte consumption, so
+    series that never touch it (the common name-tokenizer case) cost nothing and
+    series that do fail loudly with the codec error."""
+
+    def __init__(self, error: str):
+        self.error = error
+
+    def _raise(self):
+        raise UnsupportedCodecError(self.error)
+
+    def byte(self):
+        self._raise()
+
+    def take(self, n):
+        self._raise()
+
+    def itf8(self):
+        self._raise()
+
+    def until(self, stop):
+        self._raise()
 
 
 @dataclasses.dataclass
@@ -508,16 +574,15 @@ class CramReader:
             raise ValueError("not a CRAM file")
         ver = f.read(2)
         self.version = (ver[0], ver[1])
-        if ver[0] != 3:
-            raise ValueError(f"unsupported CRAM major version {ver[0]}")
-        if ver[1] != 0:
-            # 3.1 adds rANS Nx16 / name-tokenizer / fqzcomp block codecs this reader does
-            # not implement — fail up front with the version, not a codec-byte error deep
-            # in the first container (archives increasingly serve 3.1)
+        if ver[0] != 3 or ver[1] not in (0, 1):
             raise ValueError(
                 f"CRAM {ver[0]}.{ver[1]} is not supported (this reader implements "
-                f"CRAM 3.0); re-encode with `samtools view -O cram,version=3.0`"
+                f"CRAM 3.0 and 3.1)"
             )
+        # 3.1 containers decode through the same structure; the added block codecs are
+        # dispatched per method byte in _decompress (rANS Nx16 implemented; arith /
+        # fqzcomp raise lazily; tok3 name blocks degrade to dropped names — the engine
+        # consumes only seq/qual/flag, SURVEY.md §3.3)
         f.read(20)  # file id
         self.sam_header = self._read_file_header()
         # ref id → name from the @SQ lines, in order (the CRAM's authoritative mapping)
@@ -603,11 +668,15 @@ class CramReader:
         blk, pos = read_block(body, pos)
         if blk.content_type != CT_COMPRESSION_HEADER:
             raise ValueError("expected compression header block")
+        if blk.data is None:
+            raise UnsupportedCodecError(blk.error)
         ch = _parse_compression_header(blk.data)
         while pos < len(body):
             sblk, pos = read_block(body, pos)
             if sblk.content_type != CT_SLICE_HEADER:
                 raise ValueError("expected slice header block")
+            if sblk.data is None:
+                raise UnsupportedCodecError(sblk.error)
             sh = _parse_slice_header(sblk.data)
             core = None
             externals: Dict[int, _ByteStream] = {}
@@ -615,10 +684,19 @@ class CramReader:
             for _ in range(sh.n_blocks):
                 b, pos = read_block(body, pos)
                 if b.content_type == CT_CORE:
+                    if b.data is None:
+                        raise UnsupportedCodecError(b.error)
                     core = _BitReader(b.data)
                 elif b.content_type == CT_EXTERNAL:
-                    externals[b.content_id] = _ByteStream(b.data)
+                    if b.data is None:
+                        # lazily-failing stream: raises only if a data series
+                        # actually pulls bytes from this block
+                        externals[b.content_id] = _FailedByteStream(b.error)
+                    else:
+                        externals[b.content_id] = _ByteStream(b.data)
                     if b.content_id == sh.embedded_ref_id:
+                        if b.data is None:
+                            raise UnsupportedCodecError(b.error)
                         embedded_ref = b.data
             yield from self._decode_slice(ch, sh, core, externals, embedded_ref,
                                           c["ref_id"])
@@ -672,12 +750,18 @@ class CramReader:
                 D("RG").read_int()
             name = None
             if ch.read_names_included and D("RN"):
-                name = D("RN").read_bytes().decode("ascii", "replace")
+                try:
+                    name = D("RN").read_bytes().decode("ascii", "replace")
+                except UnsupportedCodecError:
+                    name = None  # tok3-coded names: drop (feeder needs seq/qual/flag)
             # mate
             if cf & 2:  # detached
                 D("MF").read_int()
                 if not ch.read_names_included and D("RN"):
-                    name = D("RN").read_bytes().decode("ascii", "replace")
+                    try:
+                        name = D("RN").read_bytes().decode("ascii", "replace")
+                    except UnsupportedCodecError:
+                        name = None
                 D("NS").read_int()
                 D("NP").read_int()
                 D("TS").read_int()
@@ -968,16 +1052,24 @@ def write_cram(
     rans_order: int = 0,
     reads_per_container: int = 1000,
     slices_per_container: int = 1,
+    version: Tuple[int, int] = (3, 0),
 ) -> None:
-    """Write a CRAM 3.0 file. Two profiles:
+    """Write a CRAM 3.0 or 3.1 file. Two profiles:
 
     - unmapped (``records``): sequences via the BA series — no reference needed.
     - mapped (``mapped`` + ``reference``): X-substitution features computed against the
       reference; exercises the reader's reconstruction path.
+
+    ``version=(3, 1)`` with ``method=M_RANSNX16`` exercises the 3.1 rANS Nx16 block
+    codec end to end (io/rans_nx16.py).
     """
+    if version not in ((3, 0), (3, 1)):
+        raise ValueError(f"unsupported CRAM version {version}")
+    if method == M_RANSNX16 and version == (3, 0):
+        raise ValueError("rANS Nx16 blocks require CRAM 3.1")
     counter = 0
     with open(path, "wb") as f:
-        f.write(CRAM_MAGIC + bytes([3, 0]) + b"\x00" * 20)
+        f.write(CRAM_MAGIC + bytes(version) + b"\x00" * 20)
         hdr = sam_header.encode()
         blob = struct.pack("<i", len(hdr)) + hdr
         bio = _io.BytesIO()
@@ -1027,8 +1119,8 @@ def _slice_blob(ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int, start: int,
     write_block(bio, M_RAW, CT_SLICE_HEADER, 0, sh)
     write_block(bio, M_RAW, CT_CORE, 0, b"")
     for k, b in used:
-        write_block(bio, method, CT_EXTERNAL, _W_IDS[k], bytes(b.buf),
-                    rans_order=rans_order)
+        write_block(bio, _METHOD_OVERRIDES.get(k, method), CT_EXTERNAL,
+                    _W_IDS[k], bytes(b.buf), rans_order=rans_order)
     return bio.getvalue(), 2 + len(used)
 
 

@@ -191,17 +191,10 @@ def test_rans_o0_cross_implementation(payload):
     assert rans.decode(rans.encode(payload, order=0)) == payload
 
 
-def test_cram_31_explicit_version_error(tmp_path):
+def test_cram_unknown_version_error():
     from denovo_kmer_tpu.io.cram import CramReader
 
-    p = tmp_path / "v31.cram"
-    p.write_bytes(b"CRAM" + bytes([3, 1]) + b"\x00" * 40)
-    with pytest.raises(ValueError, match=r"CRAM 3\.1 is not supported"):
-        CramReader(io.BytesIO(p.read_bytes()))
-
-
-def test_cram_bad_major_version_error():
-    from denovo_kmer_tpu.io.cram import CramReader
-
-    with pytest.raises(ValueError, match="major version"):
+    with pytest.raises(ValueError, match="not supported"):
         CramReader(io.BytesIO(b"CRAM" + bytes([2, 0]) + b"\x00" * 40))
+    with pytest.raises(ValueError, match="not supported"):
+        CramReader(io.BytesIO(b"CRAM" + bytes([3, 2]) + b"\x00" * 40))

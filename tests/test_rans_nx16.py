@@ -1,0 +1,297 @@
+"""rANS Nx16 (CRAM 3.1 block codec, io/rans_nx16.py): varint/alphabet byte fixtures,
+an independent spec-pseudocode order-0 encoder cross-check, roundtrips over every flag
+combination, CRAM 3.1 record roundtrips through Nx16 blocks, trio-pipeline parity on
+3.1 inputs, and the drop-names degradation for tok3-labeled name blocks."""
+
+import random
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.io import rans_nx16 as rx
+from denovo_kmer_tpu.io.rans_nx16 import (
+    _decode_alphabet,
+    _encode_alphabet,
+    uint7_decode,
+    uint7_encode,
+)
+
+
+# ---------------------------------------------------------------- byte fixtures
+
+@pytest.mark.parametrize("v,enc", [
+    (0, b"\x00"),
+    (1, b"\x01"),
+    (127, b"\x7f"),
+    (128, b"\x81\x00"),
+    (4096, b"\xa0\x00"),
+    (16384, b"\x81\x80\x00"),
+])
+def test_uint7_fixtures(v, enc):
+    assert uint7_encode(v) == enc
+    got, pos = uint7_decode(enc, 0)
+    assert got == v and pos == len(enc)
+
+
+@pytest.mark.parametrize("syms,enc", [
+    ([5], bytes([5, 0])),
+    ([0], bytes([0, 0])),
+    ([5, 6], bytes([5, 6, 0, 0])),       # consecutive pair -> run byte 0
+    ([5, 6, 7], bytes([5, 6, 1, 0])),    # run of 1 more after the pair
+    ([5, 9], bytes([5, 9, 0])),          # gap -> no run byte
+    ([0, 1, 2, 3], bytes([0, 1, 2, 0])),
+])
+def test_alphabet_fixtures(syms, enc):
+    assert _encode_alphabet(syms) == enc
+    got, pos = _decode_alphabet(enc, 0)
+    assert got == syms and pos == len(enc)
+
+
+def test_alphabet_roundtrip_random():
+    rng = random.Random(3)
+    for _ in range(50):
+        n = rng.randrange(1, 80)
+        syms = sorted(rng.sample(range(256), n))
+        got, pos = _decode_alphabet(_encode_alphabet(syms), 0)
+        assert got == syms
+
+
+# ---------------------------------------------------------------- spec-twin order-0
+
+def spec_encode_o0_nx16(data: bytes, N: int = 4) -> bytes:
+    """Independent order-0 Nx16 encoder, written directly from the decoder relation
+    (x' = freq*(x >> 12) + (x & 0xFFF) - cum, 16-bit renorm at L=1<<15) — catches
+    transcription asymmetries a same-module roundtrip cannot."""
+    counts = [0] * 256
+    for b in data:
+        counts[b] += 1
+    total = 1 << 12
+    n = len(data)
+    freqs = [0] * 256
+    if n:
+        acc = 0
+        present = [s for s in range(256) if counts[s]]
+        for s in present:
+            freqs[s] = max(1, counts[s] * total // n)
+        drift = total - sum(freqs)
+        # deposit drift on the most frequent symbol (keeps all >= 1)
+        top = max(present, key=lambda s: counts[s])
+        freqs[top] += drift
+        assert freqs[top] >= 1
+    else:
+        freqs[0] = total
+        present = [0]
+    cum = [0] * 257
+    for s in range(256):
+        cum[s + 1] = cum[s] + freqs[s]
+    out = bytearray(_encode_alphabet(present))
+    for s in present:
+        out += uint7_encode(freqs[s])
+    L = 1 << 15
+    states = [L] * N
+    tail = bytearray()
+    for i in range(n - 1, -1, -1):
+        j = i % N
+        s = data[i]
+        f = freqs[s]
+        x = states[j]
+        while x >= ((L >> 12) << 16) * f:
+            tail.append((x >> 8) & 0xFF)
+            tail.append(x & 0xFF)
+            x >>= 16
+        states[j] = ((x // f) << 12) + (x % f) + cum[s]
+    for j in range(N):
+        out += int(states[j]).to_bytes(4, "little")
+    out += bytes(reversed(tail))
+    return bytes(out)
+
+
+@pytest.mark.parametrize("payload", [
+    b"",
+    b"A" * 100,
+    bytes(range(256)) * 3,
+    b"ACGTACGTTTTTGGGGAAAA" * 40,
+])
+def test_o0_cross_implementation(payload):
+    from denovo_kmer_tpu.io.rans_nx16 import _decode_o0_payload
+
+    blob = spec_encode_o0_nx16(payload)
+    got, _ = _decode_o0_payload(blob, 0, len(payload), 4)
+    assert got == payload
+
+
+# ---------------------------------------------------------------- roundtrip sweep
+
+def _cases():
+    rng = np.random.default_rng(0)
+    qual = bytes(rng.choice([30, 35, 40, 2], p=[.5, .3, .15, .05], size=5000)
+                 .astype(np.uint8))
+    seq = bytes(rng.choice([65, 67, 71, 84], size=3000).astype(np.uint8))
+    rnd = bytes(rng.integers(0, 256, 4000).astype(np.uint8))
+    runs = b"".join(bytes([int(s)]) * int(r) for s, r in
+                    zip(rng.integers(0, 5, 700), rng.integers(1, 30, 700)))
+    return {"qual": qual, "seq": seq, "rnd": rnd, "runs": runs,
+            "tiny": b"abc", "one": b"A", "empty": b""}
+
+
+@pytest.mark.parametrize("order", [0, 1])
+@pytest.mark.parametrize("pack", [False, True])
+@pytest.mark.parametrize("rle", [False, True])
+def test_roundtrip_flags(order, pack, rle):
+    for name, data in _cases().items():
+        for n32 in (False, True):
+            enc = rx.encode(data, order=order, use_pack=pack, use_rle=rle, n32=n32)
+            assert rx.decode(enc) == data, (name, n32)
+
+
+def test_roundtrip_stripe():
+    for name, data in _cases().items():
+        for X in (2, 4):
+            enc = rx.encode(data, order=1, stripe=X, use_pack=True, use_rle=True)
+            assert rx.decode(enc) == data, (name, X)
+
+
+def test_corrupt_freqs_fail_loudly():
+    enc = bytearray(rx.encode(b"ACGTACGTACGTACGT" * 10, order=0))
+    # layout: flags(1) + ulen uint7(2: 160) + alphabet [65,67,71,84,0] -> first
+    # frequency uint7 at offset 8; corrupting it breaks the sum==4096 invariant
+    enc[8] ^= 0x3F
+    with pytest.raises(ValueError, match="frequencies sum"):
+        rx.decode(bytes(enc))
+
+
+# ---------------------------------------------------------------- CRAM 3.1
+
+def _synth_reads(rng, n, L=80):
+    return [
+        ("".join(rng.choice("ACGT") for _ in range(L)),
+         [rng.randrange(10, 40) for _ in range(L)],
+         0)
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_cram31_unmapped_roundtrip(tmp_path, order):
+    from denovo_kmer_tpu.io.cram import CramReader, M_RANSNX16, write_cram
+
+    rng = random.Random(7)
+    reads = _synth_reads(rng, 137)
+    path = str(tmp_path / f"u31_{order}.cram")
+    write_cram(path, reads, method=M_RANSNX16, rans_order=order,
+               reads_per_container=50, version=(3, 1))
+    with open(path, "rb") as f:
+        r = CramReader(f)
+        assert r.version == (3, 1)
+        got = list(r)
+    assert len(got) == len(reads)
+    for (seq, qual, flag), rec in zip(reads, got):
+        assert rec.seq == seq
+        assert rec.qual == qual
+
+
+def test_cram31_mapped_roundtrip(tmp_path):
+    from denovo_kmer_tpu.io.cram import CramReader, M_RANSNX16, write_cram
+
+    rng = random.Random(11)
+    ref = "".join(rng.choice("ACGT") for _ in range(4000))
+    reads = []
+    for _ in range(80):
+        pos = rng.randrange(0, len(ref) - 100)
+        seq = list(ref[pos : pos + 100])
+        for _ in range(rng.randrange(0, 4)):
+            j = rng.randrange(100)
+            seq[j] = rng.choice([b for b in "ACGT" if b != seq[j]])
+        reads.append(("".join(seq), pos + 1))
+    path = str(tmp_path / "m31.cram")
+    write_cram(path, [], mapped=reads, reference=ref, method=M_RANSNX16,
+               rans_order=1, reads_per_container=40, version=(3, 1))
+    with open(path, "rb") as f:
+        got = list(CramReader(f, reference={0: ref}))
+    assert [r.seq for r in got] == [s for s, _ in reads]
+
+
+def test_cram31_pipeline_matches_bam(tmp_path):
+    """End-to-end through `call`: a trio stored as CRAM 3.1 (Nx16 blocks) produces the
+    byte-identical candidate report as the same trio stored as BAM (VERDICT r2
+    missing #1 done-condition)."""
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.io.bam import read_bam_records
+    from denovo_kmer_tpu.io.cram import M_RANSNX16, write_cram
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+    from denovo_kmer_tpu.pipeline import run_trio
+
+    spec = TrioSpec(genome_len=1500, read_len=50, coverage=5.0, seed=77,
+                    n_inherited_snvs=4, n_denovo_snvs=2)
+    paths = write_trio_bams(make_trio(spec), str(tmp_path))
+    cram_paths = {}
+    for s, p in paths.items():
+        recs = [(r.seq, r.qual, r.flag) for r in read_bam_records(p)]
+        cp = str(tmp_path / f"{s}.31.cram")
+        write_cram(cp, recs, method=M_RANSNX16, rans_order=1, version=(3, 1))
+        cram_paths[s] = cp
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                       table_capacity=1 << 13,
+                       # unmapped-profile CRAM reads carry the UNMAP flag: don't filter it
+                       filter_flag_mask=0x100 | 0x200 | 0x400 | 0x800)
+    bam_res = run_trio(paths["mom"], paths["dad"], paths["child"], cfg)
+    cram_res = run_trio(cram_paths["mom"], cram_paths["dad"], cram_paths["child"], cfg)
+    assert cram_res.report == bam_res.report
+    assert cram_res.candidates == bam_res.candidates
+
+
+def test_cram31_tok3_names_degrade_not_fail(tmp_path):
+    """A name block labeled with the (unimplemented) tok3 codec must NOT reject the
+    file: names drop, seq/qual/flag decode — while a tok3-labeled QUALITY block must
+    fail loudly (quals feed the engine's base-quality filter)."""
+    from denovo_kmer_tpu.io import cram as cram_mod
+    from denovo_kmer_tpu.io.cram import (
+        CramReader, M_RANSNX16, M_TOK3, UnsupportedCodecError, write_cram,
+    )
+
+    rng = random.Random(5)
+    reads = _synth_reads(rng, 40)
+    p1 = str(tmp_path / "tok3names.cram")
+    cram_mod._METHOD_OVERRIDES = {"RN": M_TOK3}
+    try:
+        write_cram(p1, reads, method=M_RANSNX16, version=(3, 1))
+    finally:
+        cram_mod._METHOD_OVERRIDES = {}
+    with open(p1, "rb") as f:
+        got = list(CramReader(f))
+    assert len(got) == len(reads)
+    for (seq, qual, flag), rec in zip(reads, got):
+        assert rec.seq == seq and rec.qual == qual
+
+    p2 = str(tmp_path / "tok3quals.cram")
+    cram_mod._METHOD_OVERRIDES = {"QS": M_TOK3}
+    try:
+        write_cram(p2, reads, method=M_RANSNX16, version=(3, 1))
+    finally:
+        cram_mod._METHOD_OVERRIDES = {}
+    with open(p2, "rb") as f:
+        with pytest.raises(UnsupportedCodecError, match="name tokenizer"):
+            list(CramReader(f))
+
+
+def test_unsupported_codec_block_is_lazy():
+    """read_block defers unsupported-codec errors to consumption time."""
+    import io as _io
+    import struct
+    import zlib
+
+    from denovo_kmer_tpu.io.cram import (
+        CT_EXTERNAL, M_FQZCOMP, itf8_encode, read_block,
+    )
+
+    payload = b"\x01\x02\x03"
+    body = bytearray([M_FQZCOMP, CT_EXTERNAL])
+    body += itf8_encode(12)
+    body += itf8_encode(len(payload))
+    body += itf8_encode(100)
+    body += payload
+    body += struct.pack("<I", zlib.crc32(bytes(body)))
+    blk, pos = read_block(bytes(body), 0)
+    assert blk.data is None
+    assert "fqzcomp" in blk.error
+    assert pos == len(body)
