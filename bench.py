@@ -118,7 +118,9 @@ def main() -> int:
         kmers, valid = _extract(words, vwords)
         return append(acc, kmers, valid)
 
-    from denovo_kmer_tpu.ops.fused import extract_candidates, fused_flush_call
+    from denovo_kmer_tpu.ops.fused import (
+        extract_candidates, fused_flush_call, unpack_fused,
+    )
 
     flush_j = jax.jit(flush, donate_argnums=(0, 1))
     flush_score_j = jax.jit(
@@ -217,9 +219,9 @@ def main() -> int:
     n_final = int(np.asarray(final_tab.n))
     assert n_final <= cfg.table_capacity, "score table overflow - raise BENCH_TABLE_BITS"
     ref_n = int(np.asarray(call_j(final_tab).n))
-    out999 = build_fused(child_batches, jnp.uint32(999), seed0)
-    assert int(np.asarray(out999.n_cand)) == ref_n, "fused/compacting candidate mismatch"
-    assert int(np.asarray(out999.n_unique)) == n_final, "fused/compacting unique mismatch"
+    out999 = unpack_fused(build_fused(child_batches, jnp.uint32(999), seed0))
+    assert out999.n_cand == ref_n, "fused/compacting candidate mismatch"
+    assert out999.n_unique == n_final, "fused/compacting unique mismatch"
     print(f"uniques: seed={n_seed} final={n_final} cands={ref_n}", file=sys.stderr)
 
     if os.environ.get("BENCH_PHASES"):
@@ -234,7 +236,7 @@ def main() -> int:
         force(acc.fill)
         t1 = time.perf_counter()
         out = fused_flush_call(acc, table, cfg.tau_parent, cfg.min_child_count)
-        force(out.n_cand)
+        force(out[-1, 0])  # scalar row fetch (axon defers past block_until_ready)
         t2 = time.perf_counter()
         extract_candidates(out)
         t3 = time.perf_counter()
@@ -258,6 +260,20 @@ def main() -> int:
         "unit": "kmers/s/chip",
         "vs_baseline": round(rate / PER_CHIP_TARGET, 4),
     }
+
+    # the OTHER half of BASELINE.json's metric: wall-clock reads/s with the native
+    # feeder attached (benchmarks/e2e_trio.py) — merged into the same JSON line;
+    # any failure degrades to the device-only line rather than killing the bench
+    if os.environ.get("BENCH_E2E", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "benchmarks"))
+            from e2e_trio import run_e2e
+
+            result.update(run_e2e())
+        except Exception as e:  # pragma: no cover - diagnostic path
+            print(f"e2e measurement failed (device-only line): {e}", file=sys.stderr)
+
     print(json.dumps(result))
     return 0
 
