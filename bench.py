@@ -30,19 +30,12 @@ import numpy as np
 PER_CHIP_TARGET = 1e9 / 8  # BASELINE.json north star, v5p-16 aggregate / 8 chips
 
 
-def synth_genome_reads(rng, genome, n_reads, read_len):
-    """Sample reads uniformly from a genome string (coverage-realistic duplicate k-mers)."""
-    starts = rng.integers(0, len(genome) - read_len + 1, size=n_reads)
-    return [genome[s : s + read_len] for s in starts]
-
-
 def main() -> int:
     import jax
     import jax.numpy as jnp
 
     from denovo_kmer_tpu.config import EngineConfig
     from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast
-    from denovo_kmer_tpu.ops.pack import pack_seqs
     from denovo_kmer_tpu.ops.score import call_from_score, flush_score, seed_score_table
     from denovo_kmer_tpu.ops.stream import append, empty_accumulator, flush
     from denovo_kmer_tpu.ops.table import empty_table
@@ -73,16 +66,29 @@ def main() -> int:
     )
 
     # ---- synthetic trio data at ~30x child coverage over a shared genome ----
+    # vectorized packing (identical bytes to pack_seqs on the same reads — the 2-bit
+    # codes ARE the genome draw, base order ACGT): the per-read Python packer cost
+    # ~2-3 min of setup on this 1-vCPU container and starved the bench's wall budget
+    from denovo_kmer_tpu.ops.pack import _pack_codes, padded_length
+
     rng = np.random.default_rng(0)
-    base = np.frombuffer(b"ACGT", dtype=np.uint8)
-    genome = bytes(base[rng.integers(0, 4, genome_len)]).decode()
+    g_codes = rng.integers(0, 4, genome_len).astype(np.uint8)
+    Lp = padded_length(max_read_len)
 
     def packed_batches(n, seed):
         r = np.random.default_rng(seed)
         out = []
+        win = np.arange(max_read_len)
         for _ in range(n):
-            seqs = synth_genome_reads(r, genome, batch_reads, max_read_len)
-            p = pack_seqs(seqs, cfg, batch_size=batch_reads)
+            starts = r.integers(0, genome_len - max_read_len + 1, size=batch_reads)
+            codes = np.zeros((batch_reads, Lp), np.uint8)
+            valid = np.zeros((batch_reads, Lp), bool)
+            codes[:, :max_read_len] = g_codes[starts[:, None] + win[None, :]]
+            valid[:, :max_read_len] = True
+            p = _pack_codes(
+                codes, valid, np.full(batch_reads, max_read_len, np.int32),
+                batch_reads,
+            )
             out.append(
                 (jax.device_put(jnp.asarray(p.words)), jax.device_put(jnp.asarray(p.vwords)))
             )

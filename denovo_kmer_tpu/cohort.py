@@ -276,7 +276,7 @@ def run_cohort_sharded(
     """
     from denovo_kmer_tpu.parallel.mesh import make_mesh
     from denovo_kmer_tpu.parallel.pipeline import (
-        build_score_table_sharded,
+        ingest_score_state,
         load_or_build_parent_sharded,
     )
     from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
@@ -304,10 +304,12 @@ def run_cohort_sharded(
                         f"({pname}): {n_max} > {engine.shard_capacity}; "
                         f"raise --table-capacity"
                     )
-        stab = build_score_table_sharded(
+        state = ingest_score_state(
             _record_stream(trio.child, cfg, region), cfg, engine, mom, dad, m
         )
-        results[trio.name] = engine.call_score(stab)
+        # fused one-sort finalize+call (round 3; engine falls back for even k/large R)
+        cands, _n_child_unique = engine.finalize_call_score(state)
+        results[trio.name] = cands
         m.count("trios", 1)
     if superset is not None:
         m.count("superset_unique_kmers", engine.total_unique(superset))

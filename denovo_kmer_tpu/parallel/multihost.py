@@ -23,7 +23,6 @@ import numpy as np
 
 from denovo_kmer_tpu.config import EngineConfig
 from denovo_kmer_tpu.io.bam import read_bam_records
-from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
 from denovo_kmer_tpu.parallel.distributed import (
     host_packed_stream,
     make_global_batch,
@@ -48,13 +47,16 @@ def build_sample_table_multihost(
     fault_kill_after: Optional[int] = None,
     score_seed: Optional[Tuple] = None,
     feed: str = "stripe",
+    return_state: bool = False,
 ):
     """Stream this host's share of ``path`` through the sharded engine (SPMD-aligned).
 
     ``score_seed``: (mom_table, dad_table) — use the parent-seeded scored build
     (ops/score.py) instead of a plain table build (the child-scoring fast path).
     ``feed``: "stripe" (every host decodes all records, keeps 1/N) or "range"
-    (virtual-offset ranges — each host decodes only its slice; SURVEY.md §5.8)."""
+    (virtual-offset ranges — each host decodes only its slice; SURVEY.md §5.8).
+    ``return_state``: return the raw build state instead of finalizing (callers that
+    run the fused finalize_call_score themselves)."""
     host_id, n_hosts = jax.process_index(), jax.process_count()
     if score_seed is not None:
         state = engine.new_score_build(*score_seed)
@@ -82,6 +84,8 @@ def build_sample_table_multihost(
             os._exit(17)
         words, vwords = make_global_batch(engine, local_packed)
         state = ingest(state, words, vwords)
+    if return_state:
+        return state
     return finalize(state, replicated_fetch=True)
 
 
@@ -128,32 +132,15 @@ def run_trio_multihost(
 
             multihost_utils.sync_global_devices(f"ckpt_{name}")
 
-    # child: parent-seeded scored build — trio resolution rides the flushes
+    # child: parent-seeded scored build — trio resolution rides the flushes; the
+    # finalize+call runs the fused one-sort path (round 3: replicated-fetch safe),
+    # with the engine's own fallback for even k / large R
     kill = None
     if fault and fault[0] == "child" and fault[1] == host_id:
         kill = fault[2]
-    stab = build_sample_table_multihost(
+    state = build_sample_table_multihost(
         child_path, cfg, engine, kill, score_seed=(tables["mom"], tables["dad"]),
-        feed=feed,
+        feed=feed, return_state=True,
     )
-
-    cands = engine._call_score(stab)
-    cands = engine._replicated(cands)
-    keys = np.asarray(cands.keys)[0]
-    cc = np.asarray(cands.child_counts)[0]
-    mc = np.asarray(cands.mom_counts)[0]
-    dc = np.asarray(cands.dad_counts)[0]
-    ns = np.asarray(cands.n)[0]
-    out: List[Tuple[int, int, int, int]] = []
-    for t in range(engine.T):
-        for i in range(int(ns[t])):
-            out.append(
-                (
-                    words_to_kmer_value(keys[t, i]),
-                    int(cc[t, i]),
-                    int(mc[t, i]),
-                    int(dc[t, i]),
-                )
-            )
-    out.sort()
+    out, _n_child_unique = engine.finalize_call_score(state, replicated_fetch=True)
     return out

@@ -831,7 +831,7 @@ class ShardedKmerEngine:
 
         def _fallback():
             stab = self._finalize_score(state.table)
-            res = self.call_score(stab)
+            res = self.call_score(stab, replicated_fetch=replicated_fetch)
             nchild = int(np.asarray(jnp.sum(jnp.where(stab.counts >= 1, 1, 0)))) // self.R
             return res, nchild
 
@@ -840,6 +840,10 @@ class ShardedKmerEngine:
         Kc = self.fused_call_K
         while True:
             cands, nchild = self._finalize_call_score_k(state.table, Kc)
+            if replicated_fetch:
+                # multi-process: shard (0,0) may be non-addressable — fold the
+                # replica-rows output to fully-replicated before host fetches
+                cands, nchild = self._replicated((cands, nchild))
             ns = np.asarray(cands.n)[0]  # (T,) — rows are replicas
             n_over = int(ns.max(initial=0))
             if n_over <= Kc:
@@ -868,12 +872,16 @@ class ShardedKmerEngine:
         n_child_unique = int(np.asarray(jnp.sum(nchild))) // self.R
         return out, n_child_unique
 
-    def call_score(self, stab) -> List[Tuple[int, int, int, int]]:
+    def call_score(
+        self, stab, replicated_fetch: bool = False
+    ) -> List[Tuple[int, int, int, int]]:
         """Candidate call over a finalized sharded scoring table; same output contract as
         ``call`` (host-side tuples sorted ascending by k-mer value)."""
         from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
 
         cands = self._call_score(stab)
+        if replicated_fetch:
+            cands = self._replicated(cands)
         keys = np.asarray(cands.keys)[0]
         cc = np.asarray(cands.child_counts)[0]
         mc = np.asarray(cands.mom_counts)[0]
