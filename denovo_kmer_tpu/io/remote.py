@@ -48,11 +48,14 @@ class HttpStream(io.RawIOBase):
     """
 
     def __init__(self, url: str, timeout: float = 60.0, retries: int = 4,
-                 backoff: float = 0.5):
+                 backoff: float = 0.5, sign=None):
         self.url = url
         self.timeout = timeout
         self.retries = retries
         self.backoff = backoff
+        #: optional per-request signer (io/objstore.py): called with the prepared
+        #: urllib Request AFTER Range is set, so every re-open re-signs correctly
+        self.sign = sign
         self._pos = 0
         self._resp = None
         self._buf = b""
@@ -76,6 +79,8 @@ class HttpStream(io.RawIOBase):
                 req = urllib.request.Request(self.url)
                 if offset:
                     req.add_header("Range", f"bytes={offset}-")
+                if self.sign is not None:
+                    self.sign(req)
                 resp = urllib.request.urlopen(req, timeout=self.timeout)
                 if offset and resp.status != 206:
                     if allow_skip and resp.status == 200:
@@ -185,15 +190,24 @@ class HttpStream(io.RawIOBase):
 
 
 def open_binary(path: str):
-    """Open a local path or http(s) URL as a sequential+seekable binary stream."""
+    """Open a local path, http(s) URL, or credentialed s3://|gs:// URL as a
+    sequential+seekable binary stream."""
     if path.startswith(("http://", "https://")):
         return HttpStream(path)
     if path.startswith(("s3://", "gs://")):
+        from denovo_kmer_tpu.io.objstore import make_signer
+
+        signed = make_signer(path)
+        if signed is not None:
+            url, sign = signed
+            return HttpStream(url, sign=sign)
         scheme = path.split(":", 1)[0]
+        need = ("AWS_ACCESS_KEY_ID + AWS_SECRET_ACCESS_KEY"
+                if scheme == "s3" else "GCS_OAUTH_TOKEN")
         tool = "aws s3 presign" if scheme == "s3" else "gsutil signurl"
         raise ValueError(
-            f"{scheme}:// URLs need object-store credentials, which this engine does not "
-            f"manage; pass a presigned/public https URL instead (e.g. `{tool}`), or "
-            f"download the file locally"
+            f"{scheme}:// URLs need credentials: set {need} (requests are then "
+            f"signed natively, io/objstore.py), pass a presigned/public https URL "
+            f"instead (e.g. `{tool}`), or download the file locally"
         )
     return open(path, "rb")
