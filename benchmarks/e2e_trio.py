@@ -89,27 +89,37 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from denovo_kmer_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
+
     from denovo_kmer_tpu.config import EngineConfig
     from denovo_kmer_tpu.io.prefetch import prefetch_batches
     from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast
     from denovo_kmer_tpu.ops.fused import extract_candidates, fused_flush_call
-    from denovo_kmer_tpu.ops.pack import pack_seqs
     from denovo_kmer_tpu.ops.score import seed_score_table
     from denovo_kmer_tpu.ops.stream import append, empty_accumulator
     from denovo_kmer_tpu.ops.table import empty_table
     from denovo_kmer_tpu.ops.stream import flush
     from denovo_kmer_tpu.pipeline import packed_stream_with_cursor
 
+    # Defaults MIRROR bench.py's device shapes exactly (k=31, max_read_len=160,
+    # 16x16384 batches, table 2^23, seed 2^22): when bench.py runs the e2e after its
+    # own measurement, every executable (extract_append, flush, seed copy, fused
+    # call) is already compiled/cached — the e2e adds wall, not compile time. The
+    # 151-bp reads ride the 160 window with validity masks (same contract as
+    # length bucketing).
     k = int(os.environ.get("E2E_K", 31))
     read_len = int(os.environ.get("E2E_READ_LEN", 151))
-    n_reads = int(os.environ.get("E2E_READS", 163840))
+    n_reads = int(os.environ.get("E2E_READS", 262144))
     genome_len = int(os.environ.get("E2E_GENOME", 1_000_000))
     batch_reads = 16384
-    table_bits = int(os.environ.get("E2E_TABLE_BITS", 22))
+    table_bits = int(os.environ.get("E2E_TABLE_BITS", 23))
+    max_read_len = int(os.environ.get("E2E_MAX_READ_LEN", 160))
     n_batches = -(-n_reads // batch_reads)
 
     cfg = EngineConfig(
-        k=k, max_read_len=read_len, batch_reads=batch_reads,
+        k=k, max_read_len=max_read_len, batch_reads=batch_reads,
         table_capacity=1 << table_bits, accum_batches=n_batches,
     )
     P = cfg.windows_per_read
@@ -129,39 +139,14 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
               f"({os.path.getsize(child_bam)/1e6:.1f} MB) in "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    # parents: in-memory packed batches over the same genome (untimed setup)
-    def parent_table(seed):
-        r = np.random.default_rng(seed)
-        acc = empty_accumulator(batch_reads * P, cfg.words)
-        tab = empty_table(cfg.table_capacity, cfg.words)
-        fl = jax.jit(flush, donate_argnums=(0, 1))
-        ea = jax.jit(
-            lambda acc, w, v: append(
-                acc, *extract_canonical_kmers_fast(
-                    w, v, cfg.k, cfg.max_read_len, barrier=False)
-            ),
-            donate_argnums=(0,),
-        )
-        for _ in range(max(n_batches // 2, 1)):
-            starts = r.integers(0, genome_len - read_len + 1, size=batch_reads)
-            seqs = [genome[s:s + read_len] for s in starts]
-            p = pack_seqs(seqs, cfg, batch_size=batch_reads)
-            acc = ea(acc, jnp.asarray(p.words), jnp.asarray(p.vwords))
-            acc, tab = fl(acc, tab)
-        return tab
-
-    mom, dad = parent_table(2), parent_table(3)
-    seed0 = jax.jit(seed_score_table, static_argnums=(2,))(
-        mom, dad, 1 << (table_bits - 1)
-    )
-    copy_j = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
-
     acc_slots = n_batches * batch_reads * P
 
     import functools
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def extract_append(acc, words, vwords, salt):
+        # identical jaxpr to bench.py's extract_append at identical shapes -> one
+        # shared cached executable
         row = (salt % jnp.uint32(words.shape[0])).astype(jnp.int32)
         flip = jnp.where(salt == 0, jnp.uint32(0),
                          jnp.uint32(1) << (2 * (salt % jnp.uint32(13))))
@@ -170,6 +155,46 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
             words, vwords, cfg.k, cfg.max_read_len, barrier=False
         )
         return append(acc, kmers, valid)
+
+    # parents: in-memory vectorized-packed batches over the same genome (untimed
+    # setup), bench-shaped accumulator + ONE flush
+    from denovo_kmer_tpu.ops.pack import _pack_codes, padded_length
+
+    g_arr = np.frombuffer(genome.encode(), np.uint8)
+    code_lut = np.zeros(256, np.uint8)
+    code_lut[ord("C")], code_lut[ord("G")], code_lut[ord("T")] = 1, 2, 3
+    g_codes = code_lut[g_arr]
+    Lp = padded_length(cfg.max_read_len)
+
+    def packed_batch(r):
+        starts = r.integers(0, genome_len - read_len + 1, size=batch_reads)
+        codes = np.zeros((batch_reads, Lp), np.uint8)
+        valid = np.zeros((batch_reads, Lp), bool)
+        codes[:, :read_len] = g_codes[starts[:, None] + np.arange(read_len)[None, :]]
+        valid[:, :read_len] = True
+        return _pack_codes(
+            codes, valid, np.full(batch_reads, read_len, np.int32), batch_reads
+        )
+
+    fl = jax.jit(flush, donate_argnums=(0, 1))
+
+    def parent_table(seed):
+        r = np.random.default_rng(seed)
+        acc = empty_accumulator(acc_slots, cfg.words)
+        tab = empty_table(cfg.table_capacity, cfg.words)
+        for _ in range(max(n_batches // 2, 1)):
+            p = packed_batch(r)
+            acc = extract_append(
+                acc, jnp.asarray(p.words), jnp.asarray(p.vwords), jnp.uint32(0)
+            )
+        acc, tab = fl(acc, tab)
+        return tab
+
+    mom, dad = parent_table(2), parent_table(3)
+    seed0 = jax.jit(seed_score_table, static_argnums=(2,))(
+        mom, dad, 1 << (table_bits - 1)
+    )
+    copy_j = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
 
     def child_pass(batches_iter, salt):
         acc = empty_accumulator(acc_slots, cfg.words)

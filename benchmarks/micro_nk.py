@@ -1,0 +1,51 @@
+"""num_keys cost probe: does the tiebreak key word (num_keys=3) cost anything over
+num_keys=2 at the fused call's exact shape? If nk=2 is meaningfully faster, a k<=15
+(W=1) engine could pack the tiebreak into the spare key-word bits."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = int(os.environ.get("MICRO_N", 1 << 25)) + (1 << 22)
+
+
+def timed(fn, *args, reps=3):
+    fn_j = jax.jit(fn)
+    jax.block_until_ready(fn_j(*args, jnp.uint32(0)))
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = fn_j(*args, jnp.uint32(i + 1))
+        np.asarray(out).ravel()[0]
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    ops = [jnp.asarray(rng.integers(0, 2**32, N, dtype=np.uint32)) for _ in range(6)]
+
+    def f_nk3(o0, o1, o2, o3, o4, o5, salt):
+        out = jax.lax.sort([o0 ^ salt, o1, o2, o3, o4, o5], num_keys=3,
+                           is_stable=False)
+        return out[0][:1]
+
+    def f_nk2(o0, o1, o2, o3, o4, o5, salt):
+        out = jax.lax.sort([o0 ^ salt, o1, o2, o3, o4], num_keys=2, is_stable=False)
+        return out[0][:1]
+
+    dt3 = timed(f_nk3, *ops)
+    print(f"nk=3 6ops: {N/dt3/1e6:.1f} Mrows/s ({dt3*1e3:.1f} ms)", flush=True)
+    dt2 = timed(f_nk2, *ops)
+    print(f"nk=2 5ops: {N/dt2/1e6:.1f} Mrows/s ({dt2*1e3:.1f} ms)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
