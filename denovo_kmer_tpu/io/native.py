@@ -21,6 +21,7 @@ from denovo_kmer_tpu.ops.pack import PackedReads, padded_length
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "_native", "bam_ingest.cpp")
+_SRC_RANS = os.path.join(_HERE, "_native", "rans_codec.cpp")
 _BUILD_DIR = os.path.join(_HERE, "_native", "build")
 _SO = os.path.join(_BUILD_DIR, "libbam_ingest.so")
 
@@ -58,7 +59,7 @@ def _build() -> Optional[str]:
     san_flags = [f"-fsanitize={san}", "-fno-omit-frame-pointer", "-g"] if san else []
     base = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        *san_flags, _SRC, "-o", _SO, "-lz",
+        *san_flags, _SRC, _SRC_RANS, "-o", _SO, "-lz",
     ]
     # prefer libdeflate (2-3x zlib on whole-block BGZF inflate — the reference's own
     # choice, SURVEY.md ci.yml:27); fall back to zlib-only where it isn't installed
@@ -79,8 +80,9 @@ def _build() -> Optional[str]:
 def _cached_so_stale() -> bool:
     if not os.path.exists(_SO):
         return True
-    if os.path.exists(_SRC) and os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        return True
+    for src in (_SRC, _SRC_RANS):
+        if os.path.exists(src) and os.path.getmtime(_SO) < os.path.getmtime(src):
+            return True
     try:
         with open(_FPRINT) as f:
             return f.read().strip() != _host_fingerprint()
@@ -130,8 +132,33 @@ def _load_locked() -> Optional[ctypes.CDLL]:
     lib.bam_ingest_error.argtypes = [ctypes.c_void_p]
     lib.bam_ingest_close.restype = None
     lib.bam_ingest_close.argtypes = [ctypes.c_void_p]
+    # rANS block decoders (rans_codec.cpp) — used by io/rans.py and io/rans_nx16.py
+    for fn in (lib.dk_rans4x8_decode, lib.dk_rans_nx16_decode):
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
     _lib = lib
     return _lib
+
+
+def rans_decode_native(payload: bytes, out_len: int, nx16: bool) -> Optional[bytes]:
+    """Native rANS decode (4x8 or Nx16); None when the shim is unavailable. Raises on
+    malformed input (negative return code) — never silently degrades to garbage."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(out_len, np.uint8)
+    fn = lib.dk_rans_nx16_decode if nx16 else lib.dk_rans4x8_decode
+    rc = fn(payload, len(payload),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_len)
+    if rc != 0:
+        raise ValueError(
+            f"native rANS{'Nx16' if nx16 else '4x8'} decode failed (code {rc}): "
+            f"malformed block"
+        )
+    return out.tobytes()
 
 
 def native_available() -> bool:

@@ -311,13 +311,25 @@ def decode_o1(payload: bytes) -> bytes:
 
 
 def decode(payload: bytes) -> bytes:
-    """Dispatch on the order byte (CRAM block method 4 payload)."""
+    """Dispatch on the order byte (CRAM block method 4 payload). Uses the C++ shim's
+    decoder when built (io/_native/rans_codec.cpp, ~100x the pure-Python rate;
+    differential-tested against this module in tests/test_native_rans.py), falling
+    back to the normative Python implementation."""
     order = payload[0]
+    if order not in (0, 1):
+        raise ValueError(f"unknown rANS order {order}")
+    import os
+
+    if not os.environ.get("DENOVO_KMER_NO_NATIVE_RANS"):
+        from denovo_kmer_tpu.io.native import rans_decode_native
+
+        raw_size = struct.unpack_from("<I", payload, 5)[0] if len(payload) >= 9 else 0
+        got = rans_decode_native(payload, raw_size, nx16=False)
+        if got is not None:
+            return got
     if order == 0:
         return decode_o0(payload)
-    if order == 1:
-        return decode_o1(payload)
-    raise ValueError(f"unknown rANS order {order}")
+    return decode_o1(payload)
 
 
 def encode(data: bytes, order: int = 0) -> bytes:

@@ -628,7 +628,23 @@ def encode(data: bytes, order: int = 0, use_pack: bool = False,
 
 def decode(data: bytes, expected_len: Optional[int] = None) -> bytes:
     """Decode one complete rANS Nx16 stream. ``expected_len`` is required when the
-    stream was written with NOSZ."""
+    stream was written with NOSZ. Uses the C++ shim's decoder when built
+    (io/_native/rans_codec.cpp; differential-tested in tests/test_native_rans.py),
+    falling back to this normative Python implementation."""
+    import os
+
+    if not os.environ.get("DENOVO_KMER_NO_NATIVE_RANS") and len(data) >= 1:
+        from denovo_kmer_tpu.io.native import rans_decode_native
+
+        if data[0] & F_NOSZ:
+            out_len = expected_len
+        else:
+            out_len, _ = uint7_decode(data, 1)
+        if out_len is not None:
+            got = rans_decode_native(data, out_len, nx16=True)
+            if got is not None:
+                return got
+
     buf = data
     pos = 0
     flags = buf[pos]

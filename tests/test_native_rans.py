@@ -1,0 +1,94 @@
+"""Differential tests: the C++ rANS decoders (io/_native/rans_codec.cpp) must decode
+Python-encoded streams byte-identically to the normative Python decoders, across
+orders, transforms, and edge shapes — and reject corrupt streams instead of
+returning garbage."""
+
+import os
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.io import rans, rans_nx16
+from denovo_kmer_tpu.io.native import native_available, rans_decode_native
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="C++ shim unavailable (no compiler)"
+)
+
+
+def _payloads():
+    rng = np.random.default_rng(0)
+    qual = bytes(rng.choice([30, 35, 40, 2], p=[.5, .3, .15, .05], size=6000)
+                 .astype(np.uint8))
+    seq = bytes(rng.choice([65, 67, 71, 84], size=5000).astype(np.uint8))
+    rnd = bytes(rng.integers(0, 256, 4096).astype(np.uint8))
+    runs = b"".join(bytes([int(s)]) * int(r) for s, r in
+                    zip(rng.integers(0, 5, 800), rng.integers(1, 30, 800)))
+    return {"qual": qual, "seq": seq, "rnd": rnd, "runs": runs,
+            "tiny": b"xyz", "one": b"Q", "empty": b""}
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_rans4x8_native_matches_python(order):
+    for name, data in _payloads().items():
+        enc = rans.encode(data, order=order)
+        got = rans_decode_native(enc, len(data), nx16=False)
+        assert got == data, (name, order)
+
+
+@pytest.mark.parametrize("order", [0, 1])
+@pytest.mark.parametrize("pack", [False, True])
+@pytest.mark.parametrize("rle", [False, True])
+def test_nx16_native_matches_python(order, pack, rle):
+    for name, data in _payloads().items():
+        for n32 in (False, True):
+            enc = rans_nx16.encode(data, order=order, use_pack=pack, use_rle=rle,
+                                   n32=n32)
+            got = rans_decode_native(enc, len(data), nx16=True)
+            assert got == data, (name, n32)
+            # and the module-level decode dispatches to the same result
+            assert rans_nx16.decode(enc) == data
+
+
+def test_nx16_native_stripe_and_nosz():
+    for name, data in _payloads().items():
+        enc = rans_nx16.encode(data, order=1, stripe=4, use_pack=True, use_rle=True)
+        assert rans_decode_native(enc, len(data), nx16=True) == data, name
+        enc2 = rans_nx16.encode(data, order=0, nosz=True)
+        assert rans_decode_native(enc2, len(data), nx16=True) == data, name
+
+
+def test_native_rejects_corrupt():
+    data = b"ACGTACGT" * 500
+    enc = bytearray(rans_nx16.encode(data, order=0))
+    enc[8] ^= 0x3F  # first frequency byte: breaks the sum invariant
+    with pytest.raises(ValueError, match="native rANS"):
+        rans_decode_native(bytes(enc), len(data), nx16=True)
+    enc4 = bytearray(rans.encode(data, order=0))
+    enc4[5] ^= 0xFF  # raw-size field mismatch
+    with pytest.raises(ValueError, match="native rANS"):
+        rans_decode_native(bytes(enc4), len(data), nx16=False)
+
+
+def test_python_fallback_forced(monkeypatch):
+    monkeypatch.setenv("DENOVO_KMER_NO_NATIVE_RANS", "1")
+    data = b"hello rans world" * 100
+    assert rans.decode(rans.encode(data, order=1)) == data
+    assert rans_nx16.decode(rans_nx16.encode(data, order=1)) == data
+
+
+def test_native_decode_rate():
+    """Sanity: native decode should be orders of magnitude past Python (~1 MB/s);
+    assert a loose floor so a silently-broken build surfaces."""
+    import time
+
+    rng = np.random.default_rng(1)
+    data = bytes(rng.choice([30, 35, 40, 2], p=[.5, .3, .15, .05], size=1 << 20)
+                 .astype(np.uint8))
+    enc = rans_nx16.encode(data, order=1)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        assert rans_decode_native(enc, len(data), nx16=True) == data
+    rate = 3 * len(data) / (time.perf_counter() - t0) / 1e6
+    print(f"native Nx16 o1 decode: {rate:.0f} MB/s")
+    assert rate > 20, f"native decode suspiciously slow: {rate:.1f} MB/s"
