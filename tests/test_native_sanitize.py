@@ -55,3 +55,90 @@ def test_ingest_shim_clean_under_asan_ubsan(tmp_path):
                           timeout=300, env=env)
     assert "ERROR: AddressSanitizer" not in run2.stderr
     assert "runtime error" not in run2.stderr
+
+
+@pytest.mark.slow
+def test_rans_codec_clean_under_asan_ubsan(tmp_path):
+    """The rANS decoders (rans_codec.cpp) under ASan/UBSan: valid streams decode,
+    and randomly mutated streams must return an error code — never a sanitizer
+    report (bounds discipline is the whole point of the Cursor struct)."""
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    import numpy as np
+
+    from denovo_kmer_tpu.io import rans, rans_nx16
+
+    main_cpp = tmp_path / "rans_fuzz.cpp"
+    main_cpp.write_text(r'''
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+extern "C" {
+int dk_rans4x8_decode(const unsigned char*, long long, unsigned char*, long long);
+int dk_rans_nx16_decode(const unsigned char*, long long, unsigned char*, long long);
+}
+int main(int argc, char** argv) {
+  // argv: <file> <out_len> <nx16:0|1> <n_mutations>
+  FILE* f = fopen(argv[1], "rb");
+  if (!f) return 2;
+  std::vector<unsigned char> buf;
+  unsigned char tmp[4096];
+  size_t n;
+  while ((n = fread(tmp, 1, sizeof tmp, f)) > 0) buf.insert(buf.end(), tmp, tmp + n);
+  fclose(f);
+  long long out_len = atoll(argv[2]);
+  int nx16 = atoi(argv[3]);
+  int muts = atoi(argv[4]);
+  std::vector<unsigned char> out(out_len ? out_len : 1);
+  int rc = nx16 ? dk_rans_nx16_decode(buf.data(), buf.size(), out.data(), out_len)
+                : dk_rans4x8_decode(buf.data(), buf.size(), out.data(), out_len);
+  if (rc != 0) return 3;  // valid stream must decode
+  // fuzz: single-byte mutations + truncations must never crash
+  unsigned seed = 12345;
+  for (int i = 0; i < muts; i++) {
+    std::vector<unsigned char> m = buf;
+    seed = seed * 1103515245 + 12345;
+    size_t at = seed % m.size();
+    seed = seed * 1103515245 + 12345;
+    m[at] ^= (unsigned char)(1 + (seed % 255));
+    if (nx16) dk_rans_nx16_decode(m.data(), m.size(), out.data(), out_len);
+    else dk_rans4x8_decode(m.data(), m.size(), out.data(), out_len);
+    size_t cut = m.size() * (i % 7 + 1) / 8;
+    if (nx16) dk_rans_nx16_decode(m.data(), cut, out.data(), out_len);
+    else dk_rans4x8_decode(m.data(), cut, out.data(), out_len);
+  }
+  printf("rans fuzz ok\n");
+  return 0;
+}
+''')
+    exe = str(tmp_path / "rans_fuzz")
+    build = subprocess.run(
+        ["g++", "-O1", "-g", "-std=c++17", "-fsanitize=address,undefined",
+         "-fno-omit-frame-pointer", str(main_cpp),
+         os.path.join(_NATIVE, "rans_codec.cpp"), "-o", exe],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert build.returncode == 0, build.stderr
+
+    rng = np.random.default_rng(5)
+    data = bytes(rng.choice([30, 35, 40, 2], p=[.5, .3, .15, .05], size=20000)
+                 .astype(np.uint8))
+    env = dict(os.environ,
+               ASAN_OPTIONS="detect_leaks=1:abort_on_error=1",
+               UBSAN_OPTIONS="halt_on_error=1")
+    cases = [
+        ("o1_4x8.bin", rans.encode(data, order=1), 0),
+        ("o1_nx16.bin", rans_nx16.encode(data, order=1, use_pack=True,
+                                         use_rle=True), 1),
+        ("stripe.bin", rans_nx16.encode(data, order=1, stripe=4), 1),
+    ]
+    for fname, enc, nx in cases:
+        p = tmp_path / fname
+        p.write_bytes(enc)
+        run = subprocess.run([exe, str(p), str(len(data)), str(nx), "300"],
+                             capture_output=True, text=True, timeout=300, env=env)
+        assert run.returncode == 0, (fname, run.stdout, run.stderr[-2000:])
+        assert "rans fuzz ok" in run.stdout
+        assert "AddressSanitizer" not in run.stderr
+        assert "runtime error" not in run.stderr
