@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from denovo_kmer_tpu.config import DEFAULT_FILTER_MASK, EngineConfig
@@ -375,6 +376,18 @@ def _enable_compile_cache():
 
 def main(argv=None) -> int:
     _enable_compile_cache()
+    # restore standard JAX_PLATFORMS semantics: the experimental axon TPU plugin
+    # prepends itself to jax_platforms at import, so the env var alone cannot force
+    # another backend — honor an explicit setting via the config (hermetic CI
+    # subprocess runs depend on JAX_PLATFORMS=cpu actually meaning CPU)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # unknown platform strings fail later with jax's own error
     p = argparse.ArgumentParser(prog="denovo_kmer_tpu", description=__doc__)
     p.add_argument("--version", action="version", version="denovo_kmer_tpu 0.2.0")
     sub = p.add_subparsers(dest="cmd", required=True)

@@ -122,18 +122,19 @@ def fused_flush_call(
     accumulation window. Unlike ``flush_score`` there is no table capacity to overflow —
     the group structure lives in the sorted stream itself.
 
-    Round-3 cost shaves (benchmarks/micro_colsort.py, v5e):
-    - The sort is UNSTABLE with an explicit tiebreak key word (0 = table row, 1 = staged)
-      instead of stable-with-table-rows-first: measured 227 Mrows/s vs ~141 for the
-      stable 2-key sort — stability is the expensive way to say "table row first", and
-      equal (key, tiebreak) rows are interchangeable (staged rows are identical
-      (cnt=0, pc=0); table keys are unique).
-    - The reverse ``cummin`` for next-head indices (40 ms at 38M rows) is replaced by a
-      log2(128)-step lane suffix-min + one 128x-shorter block cummin (~7 cheap
-      elementwise passes instead of a full-length scan).
-    - The full-length ``cumsum`` rank for sparse candidate extraction (40 ms) is
-      replaced by per-128-block flag sums + a 128x-shorter cumsum; each candidate then
-      finds its block by binary search and its lane by a (K, 128) local scan.
+    Round-3 cost shaves (benchmarks/micro_colsort.py + micro_nk.py, v5e):
+    - The sort is UNSTABLE with ``num_keys=W`` and NO ordering invariant at all: child
+      totals are computed as order-independent SEGMENTED SUMS (staged rows weigh 1,
+      the group's unique table row weighs its carried count, the parental pack is the
+      group's pc sum — at most one nonzero). Measured: the stable 2-key sort ran
+      ~141 Mrows/s, a tiebreak-key 3-key unstable sort 187-227, and the bare 2-key
+      unstable sort 251 — stability and the extra key word were both pure cost.
+    - The per-group sums are two-level segmented suffix scans: 7 lane-doubling passes
+      over (NB, 128) rows + one 128x-shorter block-carry ``associative_scan`` —
+      no full-length scan anywhere (the round-2 ``cummin``+``cumsum`` cost ~80 ms).
+    - Sparse candidate extraction: per-128-block flag sums + a 128x-shorter cumsum;
+      each candidate finds its block by binary search and its lane by a (K, 128)
+      local scan.
     """
     assert 0 <= tau_parent < 0xFFFF, "tau_parent must fit the 16-bit saturated pack"
     assert min_child_count >= 1, "min_child_count < 1 would report parent-only seed rows"
@@ -150,19 +151,22 @@ def fused_flush_call(
     tslot = jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
     tab_valid = tslot < tab.n
 
-    # key words (invalid -> all-ones padding) + tiebreak + payload columns
+    # key words (invalid -> all-ones padding) + weight/pcount payload columns.
+    # Staged rows weigh 1 and table rows weigh their carried count, so the per-group
+    # child total is a SEGMENTED SUM — order-independent, which is what lets the sort
+    # run with num_keys=W and NO tiebreak key at all (micro_nk.py: the third key word
+    # cost ~25% of the sort; v3's tiebreak replaced stability, v4 removes the need).
     ops = []
     for w in range(W):
         col = jnp.concatenate([tab.keys[:, w], acc.kmers[:, w]])
         vld = jnp.concatenate([tab_valid, acc_valid])
         ops.append(jnp.where(vld, col, _PAD))
-    tb = jnp.concatenate(
-        [jnp.zeros((C,), jnp.uint32), jnp.ones((S,), jnp.uint32)]
+    cnt = jnp.concatenate(
+        [tab.counts, jnp.ones((S,), jnp.uint32)]
     )
-    cnt = jnp.concatenate([tab.counts, jnp.zeros((S,), jnp.uint32)])
     pc = jnp.concatenate([tab.pcounts, jnp.zeros((S,), jnp.uint32)])
-    s = jax.lax.sort(ops + [tb, cnt, pc], num_keys=W + 1, is_stable=False)
-    s_words, s_tb, s_cnt, s_pc = s[:W], s[W], s[W + 1], s[W + 2]
+    s = jax.lax.sort(ops + [cnt, pc], num_keys=W, is_stable=False)
+    s_words, s_cnt, s_pc = s[:W], s[W], s[W + 1]
 
     head = jnp.zeros((N,), bool)
     for w in range(W):
@@ -170,35 +174,54 @@ def fused_flush_call(
             [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
         )
 
-    # next-head index per row: two-level suffix-min in row-major (NB, 128) layout —
-    # lane suffix-min by 7 doubling shifts, then a block-level carry cummin over NB
-    iota = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
-    hv = jnp.where(head, iota, N)
+    # segmented suffix sums of (cnt, pc) with segments delimited by head flags:
+    # two-level — 7 lane-doubling passes over (NB, 128) rows, then one short
+    # block-carry segmented scan over NB row summaries. At a head row the suffix sum
+    # spans exactly its group: child total and the group's unique parental pack
+    # (at most one nonzero pc per group; invalid table slots carry pc garbage but
+    # only into the PAD group, which `real` masks).
+    blocked = jnp.concatenate([head[1:], jnp.ones((1,), bool)])  # j ends its segment
+    v1, v2, fb = s_cnt, s_pc, blocked
     if NP != N:
-        hv = jnp.concatenate([hv, jnp.full((NP - N,), N, jnp.int32)])
-    hv = hv.reshape(NB, L)
-    x = hv
+        padv = jnp.zeros((NP - N,), jnp.uint32)
+        v1 = jnp.concatenate([v1, padv])
+        v2 = jnp.concatenate([v2, padv])
+        fb = jnp.concatenate([fb, jnp.ones((NP - N,), bool)])
+    v1, v2, fb = v1.reshape(NB, L), v2.reshape(NB, L), fb.reshape(NB, L)
     sh = 1
     while sh < L:
-        shifted = jnp.concatenate(
-            [x[:, sh:], jnp.full((NB, sh), N, jnp.int32)], axis=1
-        )
-        x = jnp.minimum(x, shifted)
+        # row-boundary pad is the NEUTRAL element (V=0, F=False): V gains nothing
+        # and F stays the honest "any segment end within this row" — the cross-row
+        # continuation is applied by the block carry below
+        z = jnp.zeros((NB, sh), jnp.uint32)
+        t = jnp.zeros((NB, sh), bool)
+        b1 = jnp.concatenate([v1[:, sh:], z], axis=1)
+        b2 = jnp.concatenate([v2[:, sh:], z], axis=1)
+        bf = jnp.concatenate([fb[:, sh:], t], axis=1)
+        keep = jnp.where(fb, jnp.uint32(0), jnp.uint32(1))
+        v1 = v1 + keep * b1
+        v2 = v2 + keep * b2
+        fb = fb | bf
         sh *= 2
-    # x[i, j] = min(hv[i, j:]); carry[i] = min over blocks > i
-    row_min = x[:, 0]
-    carry = jnp.concatenate(
-        [jax.lax.cummin(row_min, reverse=True)[1:], jnp.full((1,), N, jnp.int32)]
-    )
-    rcm = jnp.minimum(x, carry[:, None]).reshape(NP)[:N]
-    nh = jnp.concatenate([rcm[1:], jnp.full((1,), N, jnp.int32)])  # next head after j
+    # row summaries combine over rows below via one short segmented suffix scan.
+    # NB: under reverse=True, associative_scan passes (later, earlier) — the UPPER
+    # span (whose F gates propagation) arrives as the SECOND argument
+    def _comb(b, a):
+        av1, av2, af = a
+        bv1, bv2, bf_ = b
+        k = jnp.where(af, jnp.uint32(0), jnp.uint32(1))
+        return (av1 + k * bv1, av2 + k * bv2, af | bf_)
 
-    is_tab_i = jnp.where(s_tb == 0, 1, 0).astype(jnp.int32)
-    staged = (nh - iota - is_tab_i).astype(jnp.uint32)
-    is_tab = s_tb == 0
-    child = staged + jnp.where(is_tab, s_cnt, 0)
-    momc = jnp.where(is_tab, s_pc & _SAT, 0)
-    dadc = jnp.where(is_tab, s_pc >> 16, 0)
+    suf = jax.lax.associative_scan(
+        _comb, (v1[:, 0], v2[:, 0], fb[:, 0]), reverse=True
+    )
+    c1 = jnp.concatenate([suf[0][1:], jnp.zeros((1,), jnp.uint32)])
+    c2 = jnp.concatenate([suf[1][1:], jnp.zeros((1,), jnp.uint32)])
+    keep = jnp.where(fb, jnp.uint32(0), jnp.uint32(1))
+    child = (v1 + keep * c1[:, None]).reshape(NP)[:N]
+    pcsum = (v2 + keep * c2[:, None]).reshape(NP)[:N]
+    momc = pcsum & _SAT
+    dadc = pcsum >> 16
 
     real = s_words[0] != _PAD  # padding unreachable by real keys (fused_supported)
     flags = (
