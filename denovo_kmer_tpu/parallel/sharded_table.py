@@ -392,7 +392,9 @@ class ShardedKmerEngine:
             ops = [jnp.where(valid, kf[:, w], _PADW) for w in range(W)]
             cnt = jnp.where(valid, g.counts.reshape(N), 0)
             pc = jnp.where(valid, g.pcounts.reshape(N), 0)
-            s = jax.lax.sort(ops + [cnt, pc], num_keys=W, is_stable=True)
+            # unstable: the bounded-R shifted-add group sums below are
+            # order-independent (micro_nk.py: stability/tiebreaks cost ~25-40%)
+            s = jax.lax.sort(ops + [cnt, pc], num_keys=W, is_stable=False)
             s_words, s_cnt, s_pc = s[:W], s[W], s[W + 1]
 
             head = jnp.zeros((N,), bool)
