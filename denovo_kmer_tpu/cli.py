@@ -230,8 +230,15 @@ def cmd_sweep(args) -> int:
         raise SystemExit("--passes is only supported by `call` (single-chip WGS path)")
     ks = [int(x) for x in args.ks.split(",")]
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
-    results = run_trio_multi_k(args.mom, args.dad, args.child, cfg, ks, metrics,
-                               region=args.region)
+    if cfg.mesh_shape != (1, 1):
+        from denovo_kmer_tpu.cohort import run_trio_multi_k_sharded
+
+        results = run_trio_multi_k_sharded(
+            args.mom, args.dad, args.child, cfg, ks, metrics, region=args.region
+        )
+    else:
+        results = run_trio_multi_k(args.mom, args.dad, args.child, cfg, ks, metrics,
+                                   region=args.region)
     for k, res in sorted(results.items()):
         path = args.output_pattern.format(k=k)
         with open(path, "w") as f:

@@ -148,6 +148,107 @@ def run_trio_multi_k(
     return out
 
 
+def run_trio_multi_k_sharded(
+    mom_path: str,
+    dad_path: str,
+    child_path: str,
+    base_cfg: EngineConfig,
+    ks: Sequence[int],
+    metrics: Optional[Metrics] = None,
+    mesh=None,
+    region: Optional[str] = None,
+    max_route_retries: int = 3,
+) -> Dict[int, TrioResult]:
+    """Multi-k sweep over a device mesh — SURVEY config 4's "per-k table shards":
+    one decode+pack pass per sample (packing is k-independent) feeds a per-k
+    ``ShardedKmerEngine`` sharing ONE mesh, each hash-sharding its own table over the
+    T axis; every k finishes through the fused finalize+call. Route overflow retries
+    the whole sweep with a doubled capacity factor, like ``run_trio_sharded``."""
+    from denovo_kmer_tpu.parallel.sharded_table import RouteOverflowError
+
+    if max_route_retries < 1:
+        raise ValueError(f"max_route_retries must be >= 1, got {max_route_retries}")
+    last_err = None
+    cfg = base_cfg
+    for attempt in range(max_route_retries):
+        attempt_metrics = Metrics(
+            json_stream=metrics._json if metrics is not None else None
+        )
+        try:
+            res = _run_trio_multi_k_sharded_once(
+                mom_path, dad_path, child_path, cfg, ks, attempt_metrics, mesh,
+                region,
+            )
+            if metrics is not None:
+                metrics.merge_from(attempt_metrics)
+            return res
+        except RouteOverflowError as e:
+            last_err = e
+            if attempt + 1 < max_route_retries:
+                new_factor = cfg.route_capacity_factor * 2
+                if metrics is not None:
+                    metrics.event("route_overflow_retry", attempt=attempt,
+                                  factor=new_factor)
+                cfg = dataclasses.replace(cfg, route_capacity_factor=new_factor)
+    raise last_err
+
+
+def _run_trio_multi_k_sharded_once(
+    mom_path, dad_path, child_path, base_cfg, ks, m, mesh, region
+) -> Dict[int, TrioResult]:
+    from denovo_kmer_tpu.io.prefetch import prefetch_batches
+    from denovo_kmer_tpu.parallel.mesh import make_mesh
+    from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
+
+    mesh = mesh if mesh is not None else make_mesh(base_cfg.mesh_shape)
+    cfgs = {k: dataclasses.replace(base_cfg, k=k) for k in ks}
+    engines = {k: ShardedKmerEngine(cfgs[k], mesh) for k in ks}
+    e0 = engines[ks[0]]
+
+    def stream_all(path, states, ingest_global):
+        # ONE decode+pack+device_put per batch; every k's engine ingests the same
+        # placed arrays (identical sharding spec — they share the mesh)
+        for packed in prefetch_batches(
+            pack_records(_record_stream(path, base_cfg, region), base_cfg)
+        ):
+            m.count("reads_ingested", packed.n_reads)
+            words, vwords = e0.put_batch(packed)
+            for k in ks:
+                with m.timer("extract_probe"):
+                    states[k] = ingest_global[k](states[k], words, vwords)
+                m.count("kmers_extracted",
+                        packed.n_reads * cfgs[k].windows_per_read)
+
+    tables: Dict[str, Dict[int, object]] = {}
+    for name, path in (("mom", mom_path), ("dad", dad_path)):
+        states = {k: engines[k].new_build() for k in ks}
+        stream_all(path, states, {k: engines[k].ingest_global for k in ks})
+        tables[name] = {k: engines[k].finalize(states[k]) for k in ks}
+
+    states = {
+        k: engines[k].new_score_build(tables["mom"][k], tables["dad"][k]) for k in ks
+    }
+    stream_all(child_path, states, {k: engines[k].ingest_score_global for k in ks})
+
+    from denovo_kmer_tpu.oracle.scalar import decode_kmer
+
+    out: Dict[int, TrioResult] = {}
+    for k in ks:
+        cands, child_uniques = engines[k].finalize_call_score(states[k])
+        lines = ["#kmer\tchild_count\tmom_count\tdad_count"]
+        for v, c, mo, d in cands:
+            lines.append(f"{decode_kmer(v, k)}\t{c}\t{mo}\t{d}")
+        out[k] = TrioResult(
+            candidates=list(cands),
+            report="\n".join(lines) + "\n",
+            metrics=m,
+            tables_n={"mom": engines[k].total_unique(tables["mom"][k]),
+                      "dad": engines[k].total_unique(tables["dad"][k]),
+                      "child": child_uniques},
+        )
+    return out
+
+
 @dataclasses.dataclass
 class TrioPaths:
     name: str

@@ -98,3 +98,24 @@ def test_cohort_sharded_matches_single_chip(trios):
 
     tot_sharded = int(np.asarray(jnp.sum(superset.n))) // 2  # rows are replicas (R=2)
     assert tot_sharded == int(ref_superset.n)
+
+
+def test_multi_k_sharded_matches_single_chip(trios):
+    """Sharded multi-k sweep (SURVEY config 4: per-k table shards over one mesh) must
+    equal the single-chip sweep byte-exactly for every k."""
+    import dataclasses
+
+    from denovo_kmer_tpu.cohort import run_trio_multi_k_sharded
+
+    tp = trios[0]
+    base = EngineConfig(k=31, max_read_len=64, batch_reads=64,
+                        table_capacity=1 << 13)
+    ks = [15, 21, 31]
+    ref = run_trio_multi_k(tp.mom, tp.dad, tp.child, base, ks)
+    base_m = dataclasses.replace(base, mesh_shape=(2, 2))
+    got = run_trio_multi_k_sharded(tp.mom, tp.dad, tp.child, base_m, ks)
+    assert set(got) == set(ks)
+    for k in ks:
+        assert got[k].candidates == ref[k].candidates
+        assert got[k].report == ref[k].report
+        assert got[k].tables_n == ref[k].tables_n
