@@ -269,11 +269,36 @@ def cmd_cohort(args) -> int:
     if getattr(args, "passes", 1) > 1:
         raise SystemExit("--passes is only supported by `call` (single-chip WGS path)")
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
+    os.makedirs(args.outdir, exist_ok=True)
+    if cfg.mesh_shape != (1, 1):
+        # mesh cohort (config 5's native home): one sharded engine streams all 3N
+        # samples; reports built from the candidate tuples (same byte format), the
+        # superset saved in engine layout by the engine itself
+        from denovo_kmer_tpu.cohort import run_cohort_sharded
+        from denovo_kmer_tpu.oracle.scalar import decode_kmer
+
+        sup_path = (os.path.join(args.outdir, "parental_superset.npz")
+                    if not args.no_superset else None)
+        results_t, superset = run_cohort_sharded(
+            trios, cfg, metrics, build_parental_superset=not args.no_superset,
+            region=args.region, superset_out=sup_path,
+        )
+        for name, cands in results_t.items():
+            path = os.path.join(args.outdir, f"{name}.candidates.tsv")
+            lines = ["#kmer\tchild_count\tmom_count\tdad_count"]
+            for v, c, mo, d in cands:
+                lines.append(f"{decode_kmer(v, cfg.k)}\t{c}\t{mo}\t{d}")
+            with open(path, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            print(f"{name}: {len(cands)} candidates -> {path}", file=sys.stderr)
+        if sup_path is not None:
+            print(f"parental superset -> {sup_path}", file=sys.stderr)
+        print(metrics.summary(), file=sys.stderr)
+        return 0
     results, superset = run_cohort(
         trios, cfg, metrics, build_parental_superset=not args.no_superset,
         region=args.region,
     )
-    os.makedirs(args.outdir, exist_ok=True)
     for name, res in results.items():
         path = os.path.join(args.outdir, f"{name}.candidates.tsv")
         with open(path, "w") as f:

@@ -366,6 +366,7 @@ def run_cohort_sharded(
     mesh=None,
     build_parental_superset: bool = True,
     region: Optional[str] = None,
+    superset_out: Optional[str] = None,
 ):
     """Cohort mode on a device mesh (BASELINE.json config 5: 8 trios on a v5p-32):
     ONE ShardedKmerEngine (one set of compiled collectives) streams all 3N samples; the
@@ -414,4 +415,6 @@ def run_cohort_sharded(
         m.count("trios", 1)
     if superset is not None:
         m.count("superset_unique_kmers", engine.total_unique(superset))
+        if superset_out is not None:
+            engine.save_table(superset_out, superset, source="cohort-superset")
     return results, superset
