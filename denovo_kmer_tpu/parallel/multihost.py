@@ -48,6 +48,7 @@ def build_sample_table_multihost(
     score_seed: Optional[Tuple] = None,
     feed: str = "stripe",
     return_state: bool = False,
+    pass_id: int = 0,
 ):
     """Stream this host's share of ``path`` through the sharded engine (SPMD-aligned).
 
@@ -83,7 +84,7 @@ def build_sample_table_multihost(
             # fault injection (tests): die mid-build without cleanup
             os._exit(17)
         words, vwords = make_global_batch(engine, local_packed)
-        state = ingest(state, words, vwords)
+        state = ingest(state, words, vwords, pass_id)
     if return_state:
         return state
     return finalize(state, replicated_fetch=True)
@@ -97,50 +98,69 @@ def run_trio_multihost(
     checkpoint_dir: Optional[str] = None,
     fault: Optional[Tuple[str, int, int]] = None,
     feed: str = "stripe",
+    n_passes: int = 1,
 ) -> List[Tuple[int, int, int, int]]:
     """Full trio on an already-initialized multi-process JAX runtime.
 
     ``checkpoint_dir``: per-sample sharded-table checkpoints; samples whose checkpoint exists
     are loaded, others are built and saved — restart-after-failure resumes here.
     ``fault``: (sample, process_id, after_batches) — kill that process mid-build (tests only).
+    ``n_passes``: hash-pass partition composed with the multi-host mesh (config 3 at
+    true WGS scale: tables beyond the aggregate HBM of ALL hosts); each pass re-reads
+    the streams and the candidate union is exactly the single-pass result. Per-sample
+    checkpoints are single-pass only (a pass-sliced sharded checkpoint is not
+    representable in the engine-layout format).
     Returns candidate tuples (kmer_value, child, mom, dad) ascending; identical on all
     processes.
     """
+    if n_passes > 1 and checkpoint_dir:
+        raise ValueError("checkpoint_dir does not compose with n_passes > 1")
     mesh = make_mesh(cfg.mesh_shape)
-    engine = ShardedKmerEngine(cfg, mesh)
+    engine = ShardedKmerEngine(cfg, mesh, n_passes=n_passes)
     host_id = jax.process_index()
 
-    tables: Dict[str, object] = {}
-    for name, path in (("mom", mom_path), ("dad", dad_path)):
-        ckpt = (
-            os.path.join(checkpoint_dir, f"{name}.table.npz") if checkpoint_dir else None
-        )
-        if ckpt and _all_processes_see(ckpt):
-            # the load-vs-build decision must be COLLECTIVE: if the checkpoint is only
-            # visible on some filesystems, a split decision deadlocks the collectives —
-            # so load only when every process sees the file, else all rebuild
-            tables[name] = engine.load_table(ckpt)
-            continue
+    all_out: List[Tuple[int, int, int, int]] = []
+    for p in range(n_passes):
+        tables: Dict[str, object] = {}
+        for name, path in (("mom", mom_path), ("dad", dad_path)):
+            ckpt = (
+                os.path.join(checkpoint_dir, f"{name}.table.npz")
+                if checkpoint_dir else None
+            )
+            if ckpt and _all_processes_see(ckpt):
+                # the load-vs-build decision must be COLLECTIVE: if the checkpoint is
+                # only visible on some filesystems, a split decision deadlocks the
+                # collectives — so load only when every process sees the file
+                tables[name] = engine.load_table(ckpt)
+                continue
+            kill = None
+            if fault and fault[0] == name and fault[1] == host_id:
+                kill = fault[2]
+            tables[name] = build_sample_table_multihost(
+                path, cfg, engine, kill, feed=feed, pass_id=p
+            )
+            if ckpt:
+                # collective: every process joins the gather; only host 0 writes
+                engine.save_table(ckpt, tables[name], source=path,
+                                  write=host_id == 0)
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(f"ckpt_{name}")
+
+        # child: parent-seeded scored build — trio resolution rides the flushes; the
+        # finalize+call runs the fused one-sort path (round 3: replicated-fetch safe),
+        # with the engine's own fallback for even k / large R
         kill = None
-        if fault and fault[0] == name and fault[1] == host_id:
+        if fault and fault[0] == "child" and fault[1] == host_id:
             kill = fault[2]
-        tables[name] = build_sample_table_multihost(path, cfg, engine, kill, feed=feed)
-        if ckpt:
-            # collective: every process joins the gather; only host 0 writes the file
-            engine.save_table(ckpt, tables[name], source=path, write=host_id == 0)
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices(f"ckpt_{name}")
-
-    # child: parent-seeded scored build — trio resolution rides the flushes; the
-    # finalize+call runs the fused one-sort path (round 3: replicated-fetch safe),
-    # with the engine's own fallback for even k / large R
-    kill = None
-    if fault and fault[0] == "child" and fault[1] == host_id:
-        kill = fault[2]
-    state = build_sample_table_multihost(
-        child_path, cfg, engine, kill, score_seed=(tables["mom"], tables["dad"]),
-        feed=feed, return_state=True,
-    )
-    out, _n_child_unique = engine.finalize_call_score(state, replicated_fetch=True)
-    return out
+        state = build_sample_table_multihost(
+            child_path, cfg, engine, kill,
+            score_seed=(tables["mom"], tables["dad"]), feed=feed,
+            return_state=True, pass_id=p,
+        )
+        out, _n_child_unique = engine.finalize_call_score(
+            state, replicated_fetch=True
+        )
+        all_out.extend(out)
+    all_out.sort()  # pass partition splits the key space: union == single-pass
+    return all_out

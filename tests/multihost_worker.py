@@ -24,6 +24,7 @@ def main() -> int:
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--fault", default=None, help="sample:proc_id:after_batches")
     ap.add_argument("--feed", default="stripe", choices=("stripe", "range"))
+    ap.add_argument("--passes", type=int, default=1)
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -68,6 +69,7 @@ def main() -> int:
         checkpoint_dir=args.ckpt_dir,
         fault=fault,
         feed=args.feed,
+        n_passes=args.passes,
     )
     if args.proc_id == 0:
         with open(args.out_tsv, "w") as f:

@@ -154,3 +154,19 @@ def test_range_fed_trio_matches_single_host(trio_dir, tmp_path):
     golden = _single_host_report(trio_dir, tmp_path)
     with open(out) as f:
         assert f.read() == golden
+
+
+@pytest.mark.slow
+def test_two_process_multipass_matches_single_host(trio_dir, tmp_path):
+    """--passes × multi-host (config 3 at true WGS scale: tables beyond the aggregate
+    HBM of all hosts): 2 processes × 2 hash-passes must reproduce the single-host
+    single-pass report byte-exactly."""
+    out = str(tmp_path / "mh_mp.tsv")
+    port = _free_port()
+    procs = _launch(2, port, trio_dir, out, extra=("--passes", "2"))
+    results = _wait_all(procs, timeout=420)
+    for rc, so, se in results:
+        assert rc == 0, f"worker failed rc={rc}\nstderr:\n{se[-3000:]}"
+    golden = _single_host_report(trio_dir, tmp_path)
+    with open(out) as f:
+        assert f.read() == golden
