@@ -120,3 +120,30 @@ def test_truncated_inputs_fail_loudly(fixtures, tmp_path):
             _consume(read_bam_records(str(p)))
         except _BIN_ERRORS:
             pass
+
+
+def test_cram31_nx16_corruption_fails_loudly(fixtures, tmp_path):
+    """CRAM 3.1 with rANS Nx16 blocks (decoded by the NATIVE C++ codec when built):
+    random bit flips must raise, never return wrong records silently — the block CRC
+    catches most, the codec's own invariants the rest."""
+    from denovo_kmer_tpu.io.bam import read_bam_records as rb
+    from denovo_kmer_tpu.io.cram import M_RANSNX16, read_cram_records, write_cram
+
+    d, paths = fixtures
+    recs = [(r.seq, r.qual, r.flag) for r in rb(paths["child"])][:60]
+    cram = str(tmp_path / "c31.cram")
+    write_cram(cram, recs, method=M_RANSNX16, rans_order=1, version=(3, 1))
+    golden = [(r.seq, tuple(r.qual or ()), r.flag)
+              for r in read_cram_records(cram)]
+    data = open(cram, "rb").read()
+    p = tmp_path / "x31.cram"
+    for mutated in _trials(data, 30, seed=5):
+        p.write_bytes(mutated)
+        try:
+            got = [(r.seq, tuple(r.qual or ()), r.flag)
+                   for r in read_cram_records(str(p))]
+        except _BIN_ERRORS + (AssertionError,):
+            continue
+        # decoded without error: the records must be UNCHANGED (flip hit padding /
+        # ignored bytes) — silent corruption is the one forbidden outcome
+        assert got == golden
