@@ -177,8 +177,8 @@ int rans4x8_decode_impl(const uint8_t* in, int64_t in_len, uint8_t* out,
 constexpr uint32_t NX16_L = 1u << 15;
 
 enum : uint8_t {
-  F_ORDER1 = 0x01, F_RLE = 0x04, F_PACK = 0x08, F_N32 = 0x10,
-  F_STRIPE = 0x20, F_NOSZ = 0x40, F_CAT = 0x80,
+  F_ORDER1 = 0x01, F_N32 = 0x04, F_STRIPE = 0x08, F_NOSZ = 0x10,
+  F_CAT = 0x20, F_RLE = 0x40, F_PACK = 0x80,
 };
 
 // alphabet: ascending, consecutive-run byte, 0-terminated

@@ -19,12 +19,12 @@ Layout summary (decode order):
 
     flags:u8
       0x01 ORDER1   order-1 (context = previous byte) instead of order-0
-      0x04 RLE      run-length pre-transform (meta: run symbols + uint7 run lengths)
-      0x08 PACK     bit-packing pre-transform (1/2/4 bits per symbol, <=16 symbols)
-      0x10 N32      32 interleaved states instead of 4
-      0x20 STRIPE   X byte-interleaved sub-streams, each its own ransNx16 stream
-      0x40 NOSZ     uncompressed size omitted (caller supplies it; used by STRIPE subs)
-      0x80 CAT      payload stored raw
+      0x04 N32      32 interleaved states instead of 4
+      0x08 STRIPE   X byte-interleaved sub-streams, each its own ransNx16 stream
+      0x10 NOSZ     uncompressed size omitted (caller supplies it; used by STRIPE subs)
+      0x20 CAT      payload stored raw
+      0x40 RLE      run-length pre-transform (meta: run symbols + uint7 run lengths)
+      0x80 PACK     bit-packing pre-transform (1/2/4 bits per symbol, <=16 symbols)
     [ulen:uint7 unless NOSZ]
     STRIPE: N:u8, clen[N]:uint7, then N complete sub-streams
     else:   [PACK meta] [RLE meta] entropy-coded payload
@@ -39,12 +39,12 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 F_ORDER1 = 0x01
-F_RLE = 0x04
-F_PACK = 0x08
-F_N32 = 0x10
-F_STRIPE = 0x20
-F_NOSZ = 0x40
-F_CAT = 0x80
+F_N32 = 0x04
+F_STRIPE = 0x08
+F_NOSZ = 0x10
+F_CAT = 0x20
+F_RLE = 0x40
+F_PACK = 0x80
 
 _L = 1 << 15  # lower bound of the rANS state interval
 _TF_SHIFT_O0 = 12
