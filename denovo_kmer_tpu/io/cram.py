@@ -46,7 +46,7 @@ M_RANSNX16, M_ARITH, M_FQZCOMP, M_TOK3 = 5, 6, 7, 8
 
 
 class UnsupportedCodecError(ValueError):
-    """A block uses a codec this reader does not implement (arith / fqzcomp / tok3).
+    """A block uses a codec this reader does not implement (fqzcomp / tok3).
     Raised lazily, when the block's bytes are actually consumed — name-only blocks
     degrade to dropped names instead (the engine's feeder contract needs only
     seq/qual/flag, SURVEY.md §3.3)."""
@@ -163,6 +163,10 @@ def _compress(data: bytes, method: int, rans_order: int = 0) -> bytes:
         from denovo_kmer_tpu.io import rans_nx16
 
         return rans_nx16.encode(data, order=rans_order, use_pack=True, use_rle=True)
+    if method == M_ARITH:
+        from denovo_kmer_tpu.io import arith
+
+        return arith.encode(data, order=rans_order, use_pack=True, use_rle=True)
     raise ValueError(f"unknown compression method {method}")
 
 
@@ -186,9 +190,12 @@ def _decompress(data: bytes, method: int, raw_size: int) -> bytes:
         from denovo_kmer_tpu.io import rans_nx16
 
         return rans_nx16.decode(data, expected_len=raw_size)
-    if method in (M_ARITH, M_FQZCOMP, M_TOK3):
-        name = {M_ARITH: "adaptive arithmetic", M_FQZCOMP: "fqzcomp",
-                M_TOK3: "name tokenizer"}[method]
+    if method == M_ARITH:
+        from denovo_kmer_tpu.io import arith
+
+        return arith.decode(data, expected_len=raw_size)
+    if method in (M_FQZCOMP, M_TOK3):
+        name = {M_FQZCOMP: "fqzcomp", M_TOK3: "name tokenizer"}[method]
         raise UnsupportedCodecError(
             f"CRAM 3.1 block codec '{name}' (method {method}) is not implemented; "
             f"re-encode with `samtools view -O cram,version=3.0` or with "
@@ -199,10 +206,11 @@ def _decompress(data: bytes, method: int, raw_size: int) -> bytes:
 
 # fixture hook (tests only): per-series block-method overrides for the writer, e.g.
 # {"RN": M_TOK3} to emit a name block labeled with an unimplemented codec and exercise
-# the reader's drop-names degradation. Methods 6-8 cannot be compressed by this writer,
-# so overridden blocks carry the raw series bytes under the foreign method label.
+# the reader's drop-names degradation. Methods 7-8 cannot be compressed by this writer,
+# so overridden blocks carry the raw series bytes under the foreign method label;
+# method 6 (arith) is a real codec here and compresses normally.
 _METHOD_OVERRIDES: Dict[str, int] = {}
-_FIXTURE_LABEL_METHODS = (M_ARITH, M_FQZCOMP, M_TOK3)
+_FIXTURE_LABEL_METHODS = (M_FQZCOMP, M_TOK3)
 
 
 def write_block(out, method: int, ctype: int, cid: int, data: bytes,
@@ -580,8 +588,8 @@ class CramReader:
                 f"CRAM 3.0 and 3.1)"
             )
         # 3.1 containers decode through the same structure; the added block codecs are
-        # dispatched per method byte in _decompress (rANS Nx16 implemented; arith /
-        # fqzcomp raise lazily; tok3 name blocks degrade to dropped names — the engine
+        # dispatched per method byte in _decompress (rANS Nx16 + arith implemented;
+        # fqzcomp raises lazily; tok3 name blocks degrade to dropped names — the engine
         # consumes only seq/qual/flag, SURVEY.md §3.3)
         f.read(20)  # file id
         self.sam_header = self._read_file_header()
@@ -1060,13 +1068,13 @@ def write_cram(
     - mapped (``mapped`` + ``reference``): X-substitution features computed against the
       reference; exercises the reader's reconstruction path.
 
-    ``version=(3, 1)`` with ``method=M_RANSNX16`` exercises the 3.1 rANS Nx16 block
-    codec end to end (io/rans_nx16.py).
+    ``version=(3, 1)`` with ``method=M_RANSNX16`` (or ``M_ARITH``) exercises the 3.1
+    block codecs end to end (io/rans_nx16.py, io/arith.py).
     """
     if version not in ((3, 0), (3, 1)):
         raise ValueError(f"unsupported CRAM version {version}")
-    if method == M_RANSNX16 and version == (3, 0):
-        raise ValueError("rANS Nx16 blocks require CRAM 3.1")
+    if method in (M_RANSNX16, M_ARITH) and version == (3, 0):
+        raise ValueError("rANS Nx16 / arith blocks require CRAM 3.1")
     counter = 0
     with open(path, "wb") as f:
         f.write(CRAM_MAGIC + bytes(version) + b"\x00" * 20)

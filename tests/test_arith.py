@@ -1,0 +1,210 @@
+"""Adaptive arithmetic codec (CRAM 3.1 method 4) — io/arith.py.
+
+Same discipline as tests/test_rans_nx16.py: exhaustive flag roundtrips, an
+independently-transcribed spec-twin decoder (catches transcription asymmetries a
+same-module roundtrip cannot), corrupt-stream behavior, and CRAM 3.1 end-to-end
+through the trio pipeline.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.io import arith
+
+
+def _cases():
+    rng = np.random.default_rng(3)
+    qual = bytes(rng.choice([30, 35, 40, 2], p=[.5, .3, .15, .05], size=5000)
+                 .astype(np.uint8))
+    seq = bytes(rng.choice([65, 67, 71, 84], size=3000).astype(np.uint8))
+    rnd = bytes(rng.integers(0, 256, 4000).astype(np.uint8))
+    runs = b"".join(bytes([int(s)]) * int(r) for s, r in
+                    zip(rng.integers(0, 5, 700), rng.integers(1, 30, 700)))
+    return {"qual": qual, "seq": seq, "rnd": rnd, "runs": runs,
+            "tiny": b"abc", "one": b"A", "empty": b""}
+
+
+# ---------------------------------------------------------------- spec twin
+
+class _TwinDecoder:
+    """Independent range decoder written directly from the spec's decode relations
+    (GetFreq = code // (range // total); renorm when range < 2^24 after a 5-byte
+    prime), with its own model update transcription."""
+
+    def __init__(self, buf):
+        self.buf = buf
+        self.pos = 0
+        self.range = (1 << 32) - 1
+        self.code = 0
+        for _ in range(5):
+            self.code = ((self.code << 8) | self._byte()) & 0xFFFFFFFF
+
+    def _byte(self):
+        b = self.buf[self.pos] if self.pos < len(self.buf) else 0
+        self.pos += 1
+        return b
+
+    def decode_sym(self, model):
+        total, freqs, syms = model
+        self.range //= total
+        target = self.code // self.range
+        acc = i = 0
+        while acc + freqs[i] <= target:
+            acc += freqs[i]
+            i += 1
+        self.code -= acc * self.range
+        self.range *= freqs[i]
+        while self.range < (1 << 24):
+            self.code = ((self.code << 8) | self._byte()) & 0xFFFFFFFF
+            self.range <<= 8
+        sym = syms[i]
+        # model update: +16, halve (round up) past (1<<16)-16, bubble forward
+        freqs[i] += 16
+        model[0] = total + 16
+        if model[0] > (1 << 16) - 16:
+            model[0] = 0
+            for j in range(len(freqs)):
+                freqs[j] -= freqs[j] >> 1
+                model[0] += freqs[j]
+        if i and freqs[i] > freqs[i - 1]:
+            freqs[i - 1], freqs[i] = freqs[i], freqs[i - 1]
+            syms[i - 1], syms[i] = syms[i], syms[i - 1]
+        return sym
+
+
+def _twin_model():
+    return [256, [1] * 256, list(range(256))]
+
+
+@pytest.mark.parametrize("name", ["qual", "seq", "rnd", "runs"])
+def test_o0_cross_implementation(name):
+    data = _cases()[name]
+    enc = arith.encode(data, order=0)
+    assert enc[0] == 0  # plain order-0, no transforms
+    ulen = 0
+    pos = 1
+    while True:  # uint7
+        ulen = (ulen << 7) | (enc[pos] & 0x7F)
+        pos += 1
+        if not (enc[pos - 1] & 0x80):
+            break
+    assert ulen == len(data)
+    twin = _TwinDecoder(enc[pos:])
+    model = _twin_model()
+    got = bytes(twin.decode_sym(model) for _ in range(len(data)))
+    assert got == data
+
+
+# ---------------------------------------------------------------- roundtrips
+
+@pytest.mark.parametrize("order", [0, 1])
+@pytest.mark.parametrize("pack", [False, True])
+@pytest.mark.parametrize("rle", [False, True])
+def test_roundtrip_flags(order, pack, rle):
+    for name, data in _cases().items():
+        enc = arith.encode(data, order=order, use_pack=pack, use_rle=rle)
+        assert arith.decode(enc) == data, name
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_roundtrip_ext_and_stripe(order):
+    for name, data in _cases().items():
+        enc = arith.encode(data, order=order, ext=True, use_pack=True)
+        assert arith.decode(enc) == data, (name, "ext")
+        for X in (2, 4):
+            enc = arith.encode(data, order=order, stripe=X, use_rle=True)
+            assert arith.decode(enc) == data, (name, X)
+
+
+def test_nosz_roundtrip():
+    data = _cases()["qual"]
+    enc = arith.encode(data, order=1, use_rle=True, nosz=True)
+    assert arith.decode(enc, expected_len=len(data)) == data
+    with pytest.raises(ValueError, match="NOSZ"):
+        arith.decode(enc)
+
+
+def test_compresses_biased_streams():
+    data = _cases()["qual"]
+    assert len(arith.encode(data, order=1)) < len(data) // 2
+
+
+def test_corrupt_stream_fails_or_wrong_never_hangs():
+    """Codec-level guarantee (block CRCs catch corruption at the CRAM layer): a
+    flipped byte either raises ValueError or yields wrong bytes of the right
+    length — never a crash or hang."""
+    data = _cases()["runs"]
+    enc = bytearray(arith.encode(data, order=1, use_rle=True))
+    for off in range(3, min(len(enc), 40)):
+        bad = bytes(enc[:off]) + bytes([enc[off] ^ 0x55]) + bytes(enc[off + 1:])
+        try:
+            got = arith.decode(bad)
+            assert len(got) == len(data)
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------- CRAM 3.1
+
+def _synth_reads(rng, n, L=80):
+    return [
+        ("".join(rng.choice("ACGT") for _ in range(L)),
+         [rng.randrange(10, 40) for _ in range(L)],
+         0)
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_cram31_unmapped_roundtrip(tmp_path, order):
+    from denovo_kmer_tpu.io.cram import CramReader, M_ARITH, write_cram
+
+    rng = random.Random(13)
+    reads = _synth_reads(rng, 120)
+    path = str(tmp_path / f"a31_{order}.cram")
+    write_cram(path, reads, method=M_ARITH, rans_order=order,
+               reads_per_container=50, version=(3, 1))
+    with open(path, "rb") as f:
+        r = CramReader(f)
+        assert r.version == (3, 1)
+        got = list(r)
+    assert len(got) == len(reads)
+    for (seq, qual, flag), rec in zip(reads, got):
+        assert rec.seq == seq
+        assert rec.qual == qual
+
+
+def test_arith_blocks_need_31():
+    from denovo_kmer_tpu.io.cram import M_ARITH, write_cram
+
+    with pytest.raises(ValueError, match="require CRAM 3.1"):
+        write_cram("/dev/null", [], method=M_ARITH, version=(3, 0))
+
+
+def test_cram31_arith_pipeline_matches_bam(tmp_path):
+    """A trio stored as CRAM 3.1 with arith-coded blocks produces the byte-identical
+    candidate report as the same trio stored as BAM."""
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.io.bam import read_bam_records
+    from denovo_kmer_tpu.io.cram import M_ARITH, write_cram
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+    from denovo_kmer_tpu.pipeline import run_trio
+
+    spec = TrioSpec(genome_len=1200, read_len=50, coverage=5.0, seed=31,
+                    n_inherited_snvs=3, n_denovo_snvs=2)
+    paths = write_trio_bams(make_trio(spec), str(tmp_path))
+    cram_paths = {}
+    for s, p in paths.items():
+        recs = [(r.seq, r.qual, r.flag) for r in read_bam_records(p)]
+        cp = str(tmp_path / f"{s}.a31.cram")
+        write_cram(cp, recs, method=M_ARITH, rans_order=1, version=(3, 1))
+        cram_paths[s] = cp
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                       table_capacity=1 << 13,
+                       filter_flag_mask=0x100 | 0x200 | 0x400 | 0x800)
+    bam_res = run_trio(paths["mom"], paths["dad"], paths["child"], cfg)
+    cram_res = run_trio(cram_paths["mom"], cram_paths["dad"], cram_paths["child"], cfg)
+    assert cram_res.report == bam_res.report
+    assert cram_res.candidates == bam_res.candidates
