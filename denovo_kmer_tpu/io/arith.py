@@ -1,4 +1,4 @@
-"""Adaptive arithmetic codec (CRAM 3.1 block compression method 4).
+"""Adaptive arithmetic codec (CRAM 3.1 block compression method 6).
 
 CRAM 3.1's archive profile compresses data series with an adaptive range coder
 (the "Adaptive arithmetic coding" section of the hts-specs CRAMcodecs document):

@@ -1,8 +1,8 @@
 """Adaptive range coder + byte-wise adaptive models (CRAM 3.1 archive codecs).
 
-CRAM 3.1's three archive-profile codecs — adaptive arithmetic (block method 4),
-fqzcomp quality (method 5), and the tok3 name tokenizer's arithmetic mode
-(method 6) — all sit on one entropy-coding substrate, specified in the
+CRAM 3.1's three archive-profile codecs — adaptive arithmetic (block method 6),
+fqzcomp quality (method 7), and the tok3 name tokenizer's arithmetic mode
+(method 8) — all sit on one entropy-coding substrate, specified in the
 "Adaptive arithmetic coding" section of the hts-specs CRAMcodecs document:
 
   * a carry-counting byte-oriented range coder (the Shelwien/Subbotin lineage

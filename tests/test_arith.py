@@ -1,4 +1,4 @@
-"""Adaptive arithmetic codec (CRAM 3.1 method 4) — io/arith.py.
+"""Adaptive arithmetic codec (CRAM 3.1 method 6) — io/arith.py.
 
 Same discipline as tests/test_rans_nx16.py: exhaustive flag roundtrips, an
 independently-transcribed spec-twin decoder (catches transcription asymmetries a
