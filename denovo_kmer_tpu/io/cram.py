@@ -167,6 +167,10 @@ def _compress(data: bytes, method: int, rans_order: int = 0) -> bytes:
         from denovo_kmer_tpu.io import arith
 
         return arith.encode(data, order=rans_order, use_pack=True, use_rle=True)
+    if method == M_TOK3:
+        from denovo_kmer_tpu.io import tok3
+
+        return tok3.encode(data)
     raise ValueError(f"unknown compression method {method}")
 
 
@@ -194,28 +198,43 @@ def _decompress(data: bytes, method: int, raw_size: int) -> bytes:
         from denovo_kmer_tpu.io import arith
 
         return arith.decode(data, expected_len=raw_size)
-    if method in (M_FQZCOMP, M_TOK3):
-        name = {M_FQZCOMP: "fqzcomp", M_TOK3: "name tokenizer"}[method]
+    if method == M_TOK3:
+        from denovo_kmer_tpu.io import tok3
+
+        try:
+            return tok3.decode(data, expected_len=raw_size)
+        except ValueError as e:
+            # foreign tok3 layouts this spec-shaped container can't parse degrade
+            # like an unsupported codec: name blocks drop, anything else fails
+            # loudly (io/tok3.py docstring)
+            raise UnsupportedCodecError(
+                f"CRAM 3.1 name tokenizer block did not parse ({e}); "
+                f"names are dropped when this block carries the RN series"
+            )
+    if method == M_FQZCOMP:
         raise UnsupportedCodecError(
-            f"CRAM 3.1 block codec '{name}' (method {method}) is not implemented; "
-            f"re-encode with `samtools view -O cram,version=3.0` or with "
-            f"archive-profile codecs disabled"
+            "CRAM 3.1 block codec 'fqzcomp' (method 7) is not implemented; "
+            "re-encode with `samtools view -O cram,version=3.0` or with "
+            "archive-profile codecs disabled"
         )
     raise ValueError(f"unknown compression method {method}")
 
 
 # fixture hook (tests only): per-series block-method overrides for the writer, e.g.
-# {"RN": M_TOK3} to emit a name block labeled with an unimplemented codec and exercise
-# the reader's drop-names degradation. Methods 7-8 cannot be compressed by this writer,
-# so overridden blocks carry the raw series bytes under the foreign method label;
-# method 6 (arith) is a real codec here and compresses normally.
+# {"RN": M_TOK3} to compress a single series with a different codec. Method 7
+# (fqzcomp) cannot be compressed by this writer, so it labels the raw series bytes
+# with the foreign method byte; setting _OVERRIDES_LABEL_RAW forces that label-only
+# behavior for implemented methods too (used to fixture a tok3 block whose payload
+# is NOT a valid tok3 container, exercising the drop-names degradation).
 _METHOD_OVERRIDES: Dict[str, int] = {}
-_FIXTURE_LABEL_METHODS = (M_FQZCOMP, M_TOK3)
+_OVERRIDES_LABEL_RAW = False
+_FIXTURE_LABEL_METHODS = (M_FQZCOMP,)
 
 
 def write_block(out, method: int, ctype: int, cid: int, data: bytes,
                 rans_order: int = 0) -> None:
-    if method in _FIXTURE_LABEL_METHODS:
+    if method in _FIXTURE_LABEL_METHODS or (
+            _OVERRIDES_LABEL_RAW and method in _METHOD_OVERRIDES.values()):
         comp = data  # fixture-only: label raw bytes with the foreign method
     else:
         comp = _compress(data, method, rans_order)
@@ -1073,8 +1092,8 @@ def write_cram(
     """
     if version not in ((3, 0), (3, 1)):
         raise ValueError(f"unsupported CRAM version {version}")
-    if method in (M_RANSNX16, M_ARITH) and version == (3, 0):
-        raise ValueError("rANS Nx16 / arith blocks require CRAM 3.1")
+    if method in (M_RANSNX16, M_ARITH, M_TOK3) and version == (3, 0):
+        raise ValueError("rANS Nx16 / arith / tok3 blocks require CRAM 3.1")
     counter = 0
     with open(path, "wb") as f:
         f.write(CRAM_MAGIC + bytes(version) + b"\x00" * 20)

@@ -1,0 +1,302 @@
+"""Name tokenizer codec ("tok3", CRAM 3.1 block compression method 8).
+
+CRAM 3.1's archive profile compresses read-name blocks with a structure-aware
+tokenizer (the "Name tokenisation codec" section of the hts-specs CRAMcodecs
+document): each name is split into tokens (alphabetic runs, digit runs with and
+without leading zeros, single separator chars), token position t across all
+names forms a column, and each column's token-type byte stream plus per-type
+payload streams are entropy-coded independently — rANS Nx16 or the adaptive
+arithmetic coder per a header flag. Illumina-style names (`machine:run:flow:
+lane:tile:x:y`) collapse to a handful of MATCH/DELTA streams that compress
+10-20x better than order-1 byte coding of the raw names.
+
+Clean-room from the specification with the same interop caveat as
+io/rans_nx16.py / io/arith.py, and one honesty note more: the spec's exact
+stream-descriptor bit layout could not be cross-checked against any upstream
+stream in this environment, so the container below is a spec-SHAPED layout
+(same tokenization model, same per-column stream decomposition, same codec
+substrate) whose bytes are self-consistent rather than verified-interoperable.
+The CRAM reader therefore treats a tok3 block that fails to parse as an
+unsupported-codec block and falls back to dropped names (io/cram.py — the
+engine's feeder contract needs only seq/qual/flag), which keeps foreign 3.1
+archives readable either way. Reference dependency set:
+/root/reference/.github/workflows/ci.yml:24-25.
+
+Layout (decode order):
+
+    ulen:uint7  nnames:uint7  flags:u8   (0x01 use_arith, 0x02 trailing sep)
+    repeated until end of input:
+      col:uint7  type:u8  clen:uint7  payload[clen]   (payload = Nx16|arith stream)
+
+Per-name reconstruction walks column TYPE streams with one cursor per stream:
+column 0 holds DUP (copy previous name) or DIFF (tokens follow); columns >= 1
+hold the token type per participating name, terminated by END. Names are
+separated by NUL (the CRAM writer's BYTE_ARRAY_STOP stop byte for RN).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+from denovo_kmer_tpu.io.rans_nx16 import uint7_decode, uint7_encode
+
+# token types, in the spec enum's order
+(T_TYPE, T_ALPHA, T_CHAR, T_DIGITS0, T_DZLEN, T_DUP, T_DIFF, T_DIGITS,
+ T_DELTA, T_DELTA0, T_MATCH, T_NOP, T_END) = range(13)
+
+F_USE_ARITH = 0x01
+F_TRAILING_SEP = 0x02
+
+_SEP = 0  # NUL: the RN series' BYTE_ARRAY_STOP stop byte
+
+
+def _entropy(use_arith: bool):
+    if use_arith:
+        from denovo_kmer_tpu.io import arith as codec
+    else:
+        from denovo_kmer_tpu.io import rans_nx16 as codec
+    return codec
+
+
+# ------------------------------------------------------------------ tokenization
+
+def _tokenize(name: bytes) -> List[Tuple[int, bytes]]:
+    """Split into (kind, text) tokens: digit runs (DIGITS without leading zero and
+    <= 9 chars, else DIGITS0 fixed-width chunks of <= 9) and non-digit runs (CHAR
+    for single bytes, ALPHA otherwise)."""
+    toks: List[Tuple[int, bytes]] = []
+    n = len(name)
+    i = 0
+    while i < n:
+        b = name[i]
+        if 0x30 <= b <= 0x39:
+            j = i + 1
+            while j < n and 0x30 <= name[j] <= 0x39:
+                j += 1
+            run = name[i:j]
+            # chunk to <= 9 digits so values fit u32
+            for s in range(0, len(run), 9):
+                chunk = run[s:s + 9]
+                if chunk[0] == 0x30 and len(chunk) > 1:
+                    toks.append((T_DIGITS0, chunk))
+                elif len(run) > 9 and len(chunk) < 9:
+                    # short tail of a split run keeps fixed width so DELTA0 can
+                    # still apply across names
+                    toks.append((T_DIGITS0, chunk))
+                else:
+                    toks.append((T_DIGITS, chunk))
+            i = j
+        else:
+            j = i + 1
+            while j < n and not (0x30 <= name[j] <= 0x39):
+                j += 1
+            run = name[i:j]
+            toks.append((T_CHAR if len(run) == 1 else T_ALPHA, run))
+            i = j
+    return toks
+
+
+# ------------------------------------------------------------------ encode
+
+def encode(data: bytes, use_arith: bool = False) -> bytes:
+    """Encode one name block (NUL-separated names, as the RN series stores them)."""
+    trailing = len(data) > 0 and data[-1] == _SEP
+    names = data.split(bytes([_SEP]))
+    if trailing:
+        names = names[:-1]
+    nnames = len(names)
+    flags = (F_USE_ARITH if use_arith else 0) | (F_TRAILING_SEP if trailing else 0)
+
+    streams: Dict[Tuple[int, int], bytearray] = {}
+
+    def put(col: int, typ: int, payload: bytes = b"") -> None:
+        streams.setdefault((col, typ), bytearray()).extend(payload)
+
+    prev_toks: Optional[List[Tuple[int, bytes]]] = None
+    for name in names:
+        toks = _tokenize(name)
+        if prev_toks is not None and toks == prev_toks:
+            put(0, T_TYPE, bytes([T_DUP]))
+            continue
+        put(0, T_TYPE, bytes([T_DIFF]))
+        for c, (kind, text) in enumerate(toks, start=1):
+            p = prev_toks[c - 1] if prev_toks and c - 1 < len(prev_toks) else None
+            if p is not None and p == (kind, text):
+                put(c, T_TYPE, bytes([T_MATCH]))
+                continue
+            if (p is not None and kind == T_DIGITS and p[0] == T_DIGITS
+                    and 0 <= int(text) - int(p[1]) <= 255):
+                put(c, T_TYPE, bytes([T_DELTA]))
+                put(c, T_DELTA, bytes([int(text) - int(p[1])]))
+                continue
+            if (p is not None and kind == T_DIGITS0 and p[0] == T_DIGITS0
+                    and len(text) == len(p[1]) and 0 <= int(text) - int(p[1]) <= 255):
+                put(c, T_TYPE, bytes([T_DELTA0]))
+                put(c, T_DELTA0, bytes([int(text) - int(p[1])]))
+                continue
+            put(c, T_TYPE, bytes([kind]))
+            if kind == T_ALPHA:
+                put(c, T_ALPHA, text + b"\x00")
+            elif kind == T_CHAR:
+                put(c, T_CHAR, text)
+            elif kind == T_DIGITS:
+                put(c, T_DIGITS, struct.pack("<I", int(text)))
+            else:  # T_DIGITS0
+                put(c, T_DIGITS0, struct.pack("<I", int(text)))
+                put(c, T_DZLEN, bytes([len(text)]))
+        put(len(toks) + 1, T_TYPE, bytes([T_END]))
+        prev_toks = toks
+
+    codec = _entropy(use_arith)
+    out = bytearray()
+    out += uint7_encode(len(data))
+    out += uint7_encode(nnames)
+    out.append(flags)
+    for (col, typ) in sorted(streams):
+        raw = bytes(streams[(col, typ)])
+        if typ in (T_TYPE, T_CHAR, T_DELTA, T_DELTA0, T_DZLEN):
+            comp = codec.encode(raw, order=0, use_pack=True, use_rle=True)
+        else:
+            comp = codec.encode(raw, order=1, use_pack=True, use_rle=True)
+        out += uint7_encode(col)
+        out.append(typ)
+        out += uint7_encode(len(comp))
+        out += comp
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ decode
+
+class _Cursor:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("tok3: token stream exhausted")
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def u32(self) -> int:
+        if self.pos + 4 > len(self.buf):
+            raise ValueError("tok3: token stream exhausted")
+        v = struct.unpack_from("<I", self.buf, self.pos)[0]
+        self.pos += 4
+        return v
+
+    def zstring(self) -> bytes:
+        end = self.buf.find(b"\x00", self.pos)
+        if end < 0:
+            raise ValueError("tok3: unterminated ALPHA token")
+        s = self.buf[self.pos:end]
+        self.pos = end + 1
+        return s
+
+
+def decode(data: bytes, expected_len: Optional[int] = None) -> bytes:
+    """Decode one name block back to NUL-separated names. Raises ValueError on any
+    structural inconsistency (the CRAM reader maps that to UnsupportedCodecError
+    so foreign tok3 layouts degrade to dropped names, never a hard failure)."""
+    if len(data) < 3:
+        raise ValueError("tok3: truncated header")
+    ulen, pos = uint7_decode(data, 0)
+    nnames, pos = uint7_decode(data, pos)
+    if pos >= len(data):
+        raise ValueError("tok3: truncated header")
+    flags = data[pos]
+    pos += 1
+    if flags & ~(F_USE_ARITH | F_TRAILING_SEP):
+        raise ValueError(f"tok3: unknown flags 0x{flags:02x}")
+    if expected_len is not None and ulen != expected_len:
+        raise ValueError(f"tok3: header length {ulen} != block length {expected_len}")
+    codec = _entropy(bool(flags & F_USE_ARITH))
+
+    streams: Dict[Tuple[int, int], _Cursor] = {}
+    while pos < len(data):
+        col, pos = uint7_decode(data, pos)
+        if pos >= len(data):
+            raise ValueError("tok3: truncated stream descriptor")
+        typ = data[pos]
+        pos += 1
+        if typ > T_END:
+            raise ValueError(f"tok3: unknown token type {typ}")
+        clen, pos = uint7_decode(data, pos)
+        if pos + clen > len(data):
+            raise ValueError("tok3: stream overruns block")
+        if (col, typ) in streams:
+            raise ValueError(f"tok3: duplicate stream ({col},{typ})")
+        streams[(col, typ)] = _Cursor(codec.decode(bytes(data[pos:pos + clen])))
+        pos += clen
+
+    def cur(col: int, typ: int) -> _Cursor:
+        c = streams.get((col, typ))
+        if c is None:
+            raise ValueError(f"tok3: missing stream ({col},{typ})")
+        return c
+
+    names: List[bytes] = []
+    prev_toks: Optional[List[Tuple[int, bytes]]] = None
+    for _ in range(nnames):
+        t0 = cur(0, T_TYPE).byte()
+        if t0 == T_DUP:
+            if prev_toks is None:
+                raise ValueError("tok3: DUP with no previous name")
+            names.append(b"".join(t for _, t in prev_toks))
+            continue
+        if t0 != T_DIFF:
+            raise ValueError(f"tok3: bad column-0 token {t0}")
+        toks: List[Tuple[int, bytes]] = []
+        c = 1
+        while True:
+            typ = cur(c, T_TYPE).byte()
+            if typ == T_END:
+                break
+            if typ == T_ALPHA:
+                toks.append((T_ALPHA, cur(c, T_ALPHA).zstring()))
+            elif typ == T_CHAR:
+                toks.append((T_CHAR, bytes([cur(c, T_CHAR).byte()])))
+            elif typ == T_DIGITS:
+                toks.append((T_DIGITS, str(cur(c, T_DIGITS).u32()).encode()))
+            elif typ == T_DIGITS0:
+                v = cur(c, T_DIGITS0).u32()
+                w = cur(c, T_DZLEN).byte()
+                s = str(v).encode().rjust(w, b"0")
+                if len(s) != w:
+                    raise ValueError("tok3: DIGITS0 value wider than its width")
+                toks.append((T_DIGITS0, s))
+            elif typ == T_MATCH:
+                if prev_toks is None or c - 1 >= len(prev_toks):
+                    raise ValueError("tok3: MATCH with no previous token")
+                toks.append(prev_toks[c - 1])
+            elif typ == T_DELTA:
+                if (prev_toks is None or c - 1 >= len(prev_toks)
+                        or prev_toks[c - 1][0] != T_DIGITS):
+                    raise ValueError("tok3: DELTA with no previous DIGITS token")
+                v = int(prev_toks[c - 1][1]) + cur(c, T_DELTA).byte()
+                toks.append((T_DIGITS, str(v).encode()))
+            elif typ == T_DELTA0:
+                if (prev_toks is None or c - 1 >= len(prev_toks)
+                        or prev_toks[c - 1][0] != T_DIGITS0):
+                    raise ValueError("tok3: DELTA0 with no previous DIGITS0 token")
+                p = prev_toks[c - 1][1]
+                v = int(p) + cur(c, T_DELTA0).byte()
+                s = str(v).encode().rjust(len(p), b"0")
+                if len(s) != len(p):
+                    raise ValueError("tok3: DELTA0 overflowed its width")
+                toks.append((T_DIGITS0, s))
+            else:
+                raise ValueError(f"tok3: unexpected token type {typ} in column {c}")
+            c += 1
+        names.append(b"".join(t for _, t in toks))
+        prev_toks = toks
+
+    sep = bytes([_SEP])
+    out = sep.join(names) + (sep if flags & F_TRAILING_SEP else b"")
+    if len(out) != ulen:
+        raise ValueError(f"tok3: reconstructed {len(out)} bytes, want {ulen}")
+    return out

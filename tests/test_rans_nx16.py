@@ -243,9 +243,11 @@ def test_cram31_pipeline_matches_bam(tmp_path):
 
 
 def test_cram31_tok3_names_degrade_not_fail(tmp_path):
-    """A name block labeled with the (unimplemented) tok3 codec must NOT reject the
-    file: names drop, seq/qual/flag decode — while a tok3-labeled QUALITY block must
-    fail loudly (quals feed the engine's base-quality filter)."""
+    """A tok3-labeled block whose payload is NOT a valid tok3 container (foreign
+    layout / corrupt) must NOT reject the file when it carries names: names drop,
+    seq/qual/flag decode — while the same block carrying QUALITIES must fail
+    loudly (quals feed the engine's base-quality filter). Valid tok3 name blocks
+    roundtrip in tests/test_tok3.py."""
     from denovo_kmer_tpu.io import cram as cram_mod
     from denovo_kmer_tpu.io.cram import (
         CramReader, M_RANSNX16, M_TOK3, UnsupportedCodecError, write_cram,
@@ -255,10 +257,12 @@ def test_cram31_tok3_names_degrade_not_fail(tmp_path):
     reads = _synth_reads(rng, 40)
     p1 = str(tmp_path / "tok3names.cram")
     cram_mod._METHOD_OVERRIDES = {"RN": M_TOK3}
+    cram_mod._OVERRIDES_LABEL_RAW = True  # raw names under the tok3 label: unparseable
     try:
         write_cram(p1, reads, method=M_RANSNX16, version=(3, 1))
     finally:
         cram_mod._METHOD_OVERRIDES = {}
+        cram_mod._OVERRIDES_LABEL_RAW = False
     with open(p1, "rb") as f:
         got = list(CramReader(f))
     assert len(got) == len(reads)
@@ -267,10 +271,12 @@ def test_cram31_tok3_names_degrade_not_fail(tmp_path):
 
     p2 = str(tmp_path / "tok3quals.cram")
     cram_mod._METHOD_OVERRIDES = {"QS": M_TOK3}
+    cram_mod._OVERRIDES_LABEL_RAW = True
     try:
         write_cram(p2, reads, method=M_RANSNX16, version=(3, 1))
     finally:
         cram_mod._METHOD_OVERRIDES = {}
+        cram_mod._OVERRIDES_LABEL_RAW = False
     with open(p2, "rb") as f:
         with pytest.raises(UnsupportedCodecError, match="name tokenizer"):
             list(CramReader(f))

@@ -1,0 +1,112 @@
+"""Name tokenizer codec (CRAM 3.1 method 8) — io/tok3.py.
+
+Roundtrips across name shapes and both entropy substrates, compression vs plain
+order-1 byte coding, strict rejection of non-tok3 payloads (the CRAM reader's
+drop-names degradation depends on it), and CRAM 3.1 end-to-end with names
+preserved through a genuinely tok3-coded RN block.
+"""
+
+import random
+
+import pytest
+
+from denovo_kmer_tpu.io import tok3
+
+
+def _illumina(rng, n):
+    return [
+        f"M01234:55:000000000-A1B2C:1:{1100 + i // 500}:"
+        f"{10000 + rng.randrange(20000)}:{rng.randrange(99999):05d}".encode()
+        for i in range(n)
+    ]
+
+
+def _blocks(rng):
+    names = _illumina(rng, 400)
+    return {
+        "illumina": b"\x00".join(names) + b"\x00",
+        "no_trailing": b"\x00".join(names),
+        "empty": b"",
+        "dups": b"read1\x00" * 30,
+        "empty_names": b"\x00\x00\x00",
+        "binary": bytes(rng.randrange(1, 256) for _ in range(500)),
+        "srr": b"".join(f"SRR123456.{i}\x00".encode() for i in range(1, 60)),
+        "long_runs": ("x" * 300 + "9" * 25 + ":0012:").encode() + b"\x00",
+        "zero_pad": b"".join(f"q:{i:07d}\x00".encode() for i in range(400)),
+    }
+
+
+@pytest.mark.parametrize("use_arith", [False, True])
+def test_roundtrip_shapes(use_arith):
+    rng = random.Random(2)
+    for name, blk in _blocks(rng).items():
+        enc = tok3.encode(blk, use_arith=use_arith)
+        assert tok3.decode(enc, expected_len=len(blk)) == blk, name
+
+
+def test_beats_order1_byte_coding_on_names():
+    from denovo_kmer_tpu.io import rans_nx16
+
+    rng = random.Random(4)
+    blk = b"\x00".join(_illumina(rng, 2000)) + b"\x00"
+    t = len(tok3.encode(blk))
+    o1 = len(rans_nx16.encode(blk, order=1))
+    assert t < o1 < len(blk)
+
+
+def test_non_tok3_payload_raises():
+    rng = random.Random(6)
+    blk = b"\x00".join(_illumina(rng, 50)) + b"\x00"
+    for garbage in (blk[:100], bytes(rng.randrange(256) for _ in range(80)), b"\x01"):
+        with pytest.raises(ValueError):
+            tok3.decode(garbage)
+
+
+def test_length_mismatch_raises():
+    enc = tok3.encode(b"a\x00b\x00")
+    with pytest.raises(ValueError, match="header length"):
+        tok3.decode(enc, expected_len=99)
+
+
+def test_cram31_tok3_names_roundtrip(tmp_path):
+    """An RN series genuinely compressed with tok3 decodes names back (the writer
+    emits r0, r1, ... — the degenerate-delta shape tok3 eats for breakfast)."""
+    from denovo_kmer_tpu.io import cram as cram_mod
+    from denovo_kmer_tpu.io.cram import CramReader, M_RANSNX16, M_TOK3, write_cram
+
+    rng = random.Random(8)
+    reads = [("".join(rng.choice("ACGT") for _ in range(70)),
+              [rng.randrange(10, 40) for _ in range(70)], 0) for _ in range(150)]
+    path = str(tmp_path / "tok3real.cram")
+    cram_mod._METHOD_OVERRIDES = {"RN": M_TOK3}
+    try:
+        write_cram(path, reads, method=M_RANSNX16, rans_order=1,
+                   reads_per_container=60, version=(3, 1))
+    finally:
+        cram_mod._METHOD_OVERRIDES = {}
+    calls = []
+    real_decode = tok3.decode
+
+    def counting_decode(data, expected_len=None):
+        out = real_decode(data, expected_len=expected_len)
+        calls.append(len(out))
+        return out
+
+    tok3.decode = counting_decode
+    try:
+        with open(path, "rb") as f:
+            got = list(CramReader(f))
+    finally:
+        tok3.decode = real_decode
+    assert calls, "no block was actually tok3-coded (writer fell back?)"
+    assert len(got) == len(reads)
+    for i, ((seq, qual, flag), rec) in enumerate(zip(reads, got)):
+        assert rec.seq == seq and rec.qual == qual
+        assert rec.name == f"r{i}"
+
+
+def test_tok3_blocks_need_31():
+    from denovo_kmer_tpu.io.cram import M_TOK3, write_cram
+
+    with pytest.raises(ValueError, match="require CRAM 3.1"):
+        write_cram("/dev/null", [], method=M_TOK3, version=(3, 0))
