@@ -46,10 +46,10 @@ M_RANSNX16, M_ARITH, M_FQZCOMP, M_TOK3 = 5, 6, 7, 8
 
 
 class UnsupportedCodecError(ValueError):
-    """A block uses a codec this reader does not implement (fqzcomp / tok3).
-    Raised lazily, when the block's bytes are actually consumed — name-only blocks
-    degrade to dropped names instead (the engine's feeder contract needs only
-    seq/qual/flag, SURVEY.md §3.3)."""
+    """A block's codec could not decode it (a foreign fqz/tok3 layout the
+    spec-shaped containers can't parse). Raised lazily, when the block's bytes
+    are actually consumed — name-only blocks degrade to dropped names instead
+    (the engine's feeder contract needs only seq/qual/flag, SURVEY.md §3.3)."""
 
 # encoding codec ids
 E_NULL, E_EXTERNAL, E_GOLOMB, E_HUFFMAN, E_BYTE_ARRAY_LEN, E_BYTE_ARRAY_STOP, E_BETA = (
@@ -148,7 +148,8 @@ class Block:
     error: Optional[str] = None  # set iff data is None
 
 
-def _compress(data: bytes, method: int, rans_order: int = 0) -> bytes:
+def _compress(data: bytes, method: int, rans_order: int = 0,
+              lens: Optional[List[int]] = None) -> bytes:
     if method == M_RAW:
         return data
     if method == M_GZIP:
@@ -171,6 +172,10 @@ def _compress(data: bytes, method: int, rans_order: int = 0) -> bytes:
         from denovo_kmer_tpu.io import tok3
 
         return tok3.encode(data)
+    if method == M_FQZCOMP:
+        from denovo_kmer_tpu.io import fqz
+
+        return fqz.encode(data, lens=lens)
     raise ValueError(f"unknown compression method {method}")
 
 
@@ -212,32 +217,38 @@ def _decompress(data: bytes, method: int, raw_size: int) -> bytes:
                 f"names are dropped when this block carries the RN series"
             )
     if method == M_FQZCOMP:
-        raise UnsupportedCodecError(
-            "CRAM 3.1 block codec 'fqzcomp' (method 7) is not implemented; "
-            "re-encode with `samtools view -O cram,version=3.0` or with "
-            "archive-profile codecs disabled"
-        )
+        from denovo_kmer_tpu.io import fqz
+
+        try:
+            return fqz.decode(data, expected_len=raw_size)
+        except ValueError as e:
+            # foreign fqz layouts this spec-shaped container can't parse: the
+            # lazy block error is LOUD when the block feeds QS (quals drive the
+            # base-quality filter) and only degrades for droppable series
+            raise UnsupportedCodecError(
+                f"CRAM 3.1 fqzcomp block did not parse ({e}); re-encode with "
+                f"`samtools view -O cram,version=3.0` or with archive-profile "
+                f"codecs disabled"
+            )
     raise ValueError(f"unknown compression method {method}")
 
 
 # fixture hook (tests only): per-series block-method overrides for the writer, e.g.
-# {"RN": M_TOK3} to compress a single series with a different codec. Method 7
-# (fqzcomp) cannot be compressed by this writer, so it labels the raw series bytes
-# with the foreign method byte; setting _OVERRIDES_LABEL_RAW forces that label-only
-# behavior for implemented methods too (used to fixture a tok3 block whose payload
-# is NOT a valid tok3 container, exercising the drop-names degradation).
+# {"RN": M_TOK3} to compress a single series with a different codec. Setting
+# _OVERRIDES_LABEL_RAW makes overridden blocks carry the RAW series bytes under the
+# override's method byte instead of compressing (used to fixture a tok3/fqz block
+# whose payload is NOT a valid container, exercising the reader's foreign-layout
+# handling: drop-names degradation vs loud quality failure).
 _METHOD_OVERRIDES: Dict[str, int] = {}
 _OVERRIDES_LABEL_RAW = False
-_FIXTURE_LABEL_METHODS = (M_FQZCOMP,)
 
 
 def write_block(out, method: int, ctype: int, cid: int, data: bytes,
-                rans_order: int = 0) -> None:
-    if method in _FIXTURE_LABEL_METHODS or (
-            _OVERRIDES_LABEL_RAW and method in _METHOD_OVERRIDES.values()):
+                rans_order: int = 0, lens: Optional[List[int]] = None) -> None:
+    if _OVERRIDES_LABEL_RAW and method in _METHOD_OVERRIDES.values():
         comp = data  # fixture-only: label raw bytes with the foreign method
     else:
-        comp = _compress(data, method, rans_order)
+        comp = _compress(data, method, rans_order, lens=lens)
         if len(comp) >= len(data) and method != M_RAW:
             method, comp = M_RAW, data
     body = bytearray()
@@ -606,10 +617,11 @@ class CramReader:
                 f"CRAM {ver[0]}.{ver[1]} is not supported (this reader implements "
                 f"CRAM 3.0 and 3.1)"
             )
-        # 3.1 containers decode through the same structure; the added block codecs are
-        # dispatched per method byte in _decompress (rANS Nx16 + arith implemented;
-        # fqzcomp raises lazily; tok3 name blocks degrade to dropped names — the engine
-        # consumes only seq/qual/flag, SURVEY.md §3.3)
+        # 3.1 containers decode through the same structure; the added block codecs
+        # (rANS Nx16, arith, fqzcomp, tok3) are dispatched per method byte in
+        # _decompress; foreign fqz/tok3 layouts raise lazily — loud for quality
+        # blocks, dropped names for name blocks (the engine consumes only
+        # seq/qual/flag, SURVEY.md §3.3)
         f.read(20)  # file id
         self.sam_header = self._read_file_header()
         # ref id → name from the @SQ lines, in order (the CRAM's authoritative mapping)
@@ -975,6 +987,7 @@ def read_cram_records(path: str, reference: Optional[str] = None):
 class _ExtBuf:
     def __init__(self):
         self.buf = bytearray()
+        self.lens: List[int] = []  # per-raw()-call sizes (fqz needs QS record lengths)
 
     def itf8(self, v: int):
         self.buf += itf8_encode(v)
@@ -984,6 +997,7 @@ class _ExtBuf:
 
     def raw(self, b: bytes):
         self.buf += b
+        self.lens.append(len(b))
 
 
 # fixed external content ids per data series (writer profile)
@@ -1092,8 +1106,8 @@ def write_cram(
     """
     if version not in ((3, 0), (3, 1)):
         raise ValueError(f"unsupported CRAM version {version}")
-    if method in (M_RANSNX16, M_ARITH, M_TOK3) and version == (3, 0):
-        raise ValueError("rANS Nx16 / arith / tok3 blocks require CRAM 3.1")
+    if method in (M_RANSNX16, M_ARITH, M_FQZCOMP, M_TOK3) and version == (3, 0):
+        raise ValueError("rANS Nx16 / arith / fqzcomp / tok3 blocks require CRAM 3.1")
     counter = 0
     with open(path, "wb") as f:
         f.write(CRAM_MAGIC + bytes(version) + b"\x00" * 20)
@@ -1147,7 +1161,8 @@ def _slice_blob(ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int, start: int,
     write_block(bio, M_RAW, CT_CORE, 0, b"")
     for k, b in used:
         write_block(bio, _METHOD_OVERRIDES.get(k, method), CT_EXTERNAL,
-                    _W_IDS[k], bytes(b.buf), rans_order=rans_order)
+                    _W_IDS[k], bytes(b.buf), rans_order=rans_order,
+                    lens=b.lens if k == "QS" else None)
     return bio.getvalue(), 2 + len(used)
 
 

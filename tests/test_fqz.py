@@ -1,0 +1,206 @@
+"""fqzcomp quality codec (CRAM 3.1 method 7) — io/fqz.py.
+
+Roundtrips across quality shapes, geometry racing, compression vs plain order-1
+byte coding on position-structured quals, strict rejection of non-fqz payloads
+(quality blocks must fail LOUDLY — quals feed the engine's base-quality filter),
+and CRAM 3.1 end-to-end with a genuinely fqz-coded QS series.
+"""
+
+import random
+
+import pytest
+
+from denovo_kmer_tpu.io import fqz
+
+
+def _smooth_quals(rng, n_reads, L=151):
+    """Illumina-like: per-cycle mean decay + per-read offset + low-qual bursts."""
+    cyc = [40 - (p // 12) - (2 if p < 3 else 0) for p in range(L)]
+    data = bytearray()
+    for _ in range(n_reads):
+        off = rng.choice([-2, -1, 0, 0, 0, 1])
+        bs = rng.randrange(L - 10) if rng.random() < 0.08 else -1
+        for p in range(L):
+            q = cyc[p] + off + rng.choice([0, 0, 0, 1, -1])
+            if bs <= p < bs + 6 and bs >= 0:
+                q = rng.randrange(2, 12)
+            data.append(max(2, min(41, q)))
+    return bytes(data), [L] * n_reads
+
+
+def _binned_quals(rng, n_reads, L=151):
+    """NovaSeq-style 4-level binning with position-dependent error rate."""
+    data = bytearray()
+    for _ in range(n_reads):
+        for p in range(L):
+            r = rng.random() + p / L * 0.25
+            data.append(2 if r > 0.97 else (12 if r > 0.9 else
+                                            (24 if r > 0.8 else 37)))
+    return bytes(data), [L] * n_reads
+
+
+def test_roundtrip_shapes():
+    rng = random.Random(2)
+    smooth = _smooth_quals(rng, 120)
+    binned = _binned_quals(rng, 120)
+    cases = {
+        "smooth": smooth,
+        "binned": binned,
+        "empty": (b"", []),
+        "empty_none": (b"", None),
+        "single_record": (bytes(rng.randrange(0, 45) for _ in range(500)), None),
+        "zero_len_records": (bytes([30] * 100), [0, 50, 0, 50, 0]),
+        "all_dups": (bytes([35] * 80) * 40, [80] * 40),
+        "mixed_lens": (bytes(rng.randrange(2, 42) for _ in range(430)),
+                       [100, 0, 151, 36, 143]),
+        "binary": (bytes(rng.randrange(256) for _ in range(700)), [350, 350]),
+        "constant": (bytes([7] * 1000), [250] * 4),
+    }
+    for name, (data, lens) in cases.items():
+        enc = fqz.encode(data, lens=lens)
+        assert fqz.decode(enc, expected_len=len(data)) == data, name
+        # dedup off must roundtrip too
+        enc2 = fqz.encode(data, lens=lens, dedup=False)
+        assert fqz.decode(enc2, expected_len=len(data)) == data, name
+
+
+def test_geometry_racing_picks_per_shape():
+    """Blocks big enough to race geometries still roundtrip, and the smooth
+    shape beats order-1 byte coding (the codec's reason to exist)."""
+    from denovo_kmer_tpu.io import rans_nx16
+
+    rng = random.Random(4)
+    data, lens = _smooth_quals(rng, 600)
+    enc = fqz.encode(data, lens=lens)
+    assert fqz.decode(enc, expected_len=len(data)) == data
+    assert len(enc) < len(rans_nx16.encode(data, order=1)) < len(data)
+
+    # binned/iid data must stay within a whisker of order-1 (geometry race
+    # falls back to the order-1-analog context instead of splitting stats)
+    data2, lens2 = _binned_quals(rng, 600)
+    enc2 = fqz.encode(data2, lens=lens2)
+    assert fqz.decode(enc2, expected_len=len(data2)) == data2
+    assert len(enc2) < 1.03 * len(rans_nx16.encode(data2, order=1))
+
+
+def test_lens_must_sum():
+    with pytest.raises(ValueError, match="record lengths"):
+        fqz.encode(b"abcd", lens=[3])
+
+
+def test_non_fqz_payload_raises():
+    rng = random.Random(6)
+    data, lens = _smooth_quals(rng, 10)
+    enc = fqz.encode(data, lens=lens)
+    garbage = [
+        b"", b"\x05", enc[:20],
+        bytes([5, 0xFF]) + b"x" * 20,              # unknown flags
+        bytes([9, 0, 1, 30, 6, 2, 5, 3, 10]),      # bad version
+        bytes([5, 0, 0, 6, 2, 5, 3, 10]),          # zero symbols
+        bytes([5, 0, 1, 30, 6, 6, 5, 3, 10]) + b"\x00" * 8,  # geometry > 16 bits
+        bytes(rng.randrange(256) for _ in range(60)),
+    ]
+    for g in garbage:
+        with pytest.raises(ValueError):
+            fqz.decode(g)
+    # truncated payloads: fail loudly OR decode unchanged (cuts inside the
+    # range coder's 5-byte tail flush can be recovered by the zero-fill —
+    # same contract as tests/test_corruption.py)
+    for cut in (10, len(enc) // 2, len(enc) - 6):
+        try:
+            out = fqz.decode(enc[:cut], expected_len=len(data))
+        except ValueError:
+            continue
+        assert out == data, f"cut at {cut} decoded silently to DIFFERENT bytes"
+
+
+def test_length_mismatch_raises():
+    enc = fqz.encode(bytes([30] * 40), lens=[40])
+    with pytest.raises(ValueError, match="header length"):
+        fqz.decode(enc, expected_len=99)
+
+
+def test_cram31_fqz_quals_roundtrip(tmp_path):
+    """A QS series genuinely compressed with fqzcomp decodes back byte-exactly
+    through the CRAM reader (per-record lens threaded from the writer)."""
+    from denovo_kmer_tpu.io import cram as cram_mod
+    from denovo_kmer_tpu.io.cram import (
+        CramReader, M_FQZCOMP, M_RANSNX16, write_cram,
+    )
+
+    rng = random.Random(8)
+    reads = [("".join(rng.choice("ACGT") for _ in range(101)),
+              [max(2, min(41, 38 - p // 10 + rng.choice([-1, 0, 0, 1])))
+               for p in range(101)], 0) for _ in range(150)]
+    path = str(tmp_path / "fqz.cram")
+    cram_mod._METHOD_OVERRIDES = {"QS": M_FQZCOMP}
+    try:
+        write_cram(path, reads, method=M_RANSNX16, rans_order=1,
+                   reads_per_container=60, version=(3, 1))
+    finally:
+        cram_mod._METHOD_OVERRIDES = {}
+    calls = []
+    real_decode = fqz.decode
+
+    def counting_decode(data, expected_len=None):
+        out = real_decode(data, expected_len=expected_len)
+        calls.append(len(out))
+        return out
+
+    fqz.decode = counting_decode
+    try:
+        with open(path, "rb") as f:
+            got = list(CramReader(f))
+    finally:
+        fqz.decode = real_decode
+    assert calls, "no block was actually fqz-coded (writer fell back?)"
+    assert len(got) == len(reads)
+    for (seq, qual, flag), rec in zip(reads, got):
+        assert rec.seq == seq and rec.qual == qual
+
+
+def test_cram31_foreign_fqz_quals_fail_loudly(tmp_path):
+    """An fqz-labeled QUALITY block whose payload is not a valid fqz container
+    must reject the file (quals feed the base-quality filter), not decode to
+    garbage or silently drop."""
+    from denovo_kmer_tpu.io import cram as cram_mod
+    from denovo_kmer_tpu.io.cram import (
+        CramReader, M_FQZCOMP, M_RANSNX16, UnsupportedCodecError, write_cram,
+    )
+
+    rng = random.Random(5)
+    reads = [("".join(rng.choice("ACGT") for _ in range(60)),
+              [rng.randrange(2, 42) for _ in range(60)], 0) for _ in range(40)]
+    path = str(tmp_path / "foreignfqz.cram")
+    cram_mod._METHOD_OVERRIDES = {"QS": M_FQZCOMP}
+    cram_mod._OVERRIDES_LABEL_RAW = True  # raw bytes under the fqz label
+    try:
+        write_cram(path, reads, method=M_RANSNX16, version=(3, 1))
+    finally:
+        cram_mod._METHOD_OVERRIDES = {}
+        cram_mod._OVERRIDES_LABEL_RAW = False
+    with open(path, "rb") as f:
+        with pytest.raises(UnsupportedCodecError, match="fqzcomp"):
+            list(CramReader(f))
+
+
+def test_fqz_whole_file_method(tmp_path):
+    """write_cram(method=M_FQZCOMP) compresses every series with fqz in
+    single-record mode (only QS gets per-record lens) and still roundtrips."""
+    from denovo_kmer_tpu.io.cram import CramReader, M_FQZCOMP, write_cram
+
+    rng = random.Random(9)
+    reads = [("".join(rng.choice("ACGT") for _ in range(80)),
+              [rng.randrange(2, 42) for _ in range(80)], 0) for _ in range(50)]
+    path = str(tmp_path / "allfqz.cram")
+    write_cram(path, reads, method=M_FQZCOMP, version=(3, 1))
+    with open(path, "rb") as f:
+        got = list(CramReader(f))
+    assert [(r.seq, r.qual, r.flag & ~0x4) for r in got] == reads
+
+
+def test_fqz_blocks_need_31():
+    from denovo_kmer_tpu.io.cram import M_FQZCOMP, write_cram
+
+    with pytest.raises(ValueError, match="require CRAM 3.1"):
+        write_cram("/dev/null", [], method=M_FQZCOMP, version=(3, 0))
