@@ -478,11 +478,19 @@ class _Decoder:
             return self._ext(k[2]).until(k[1])
         if k[0] == "byte_array_len":
             m = self.len_dec.read_int()
-            return bytes(self.val_dec.read_byte() for _ in range(m))
+            return self.val_dec.read_byte_run(m)
         if k[0] == "external":
             assert n is not None, "external byte array needs an explicit length"
             return self._ext(k[1]).take(n)
         raise ValueError(f"encoding {k[0]} cannot produce byte arrays")
+
+    def read_byte_run(self, n: int) -> bytes:
+        """n per-byte reads. EXTERNAL series hold the run contiguously — one
+        slice, not n Python-level byte reads (the BA series is per-BASE, so this
+        is the CRAM record loop's hottest call)."""
+        if self.kind[0] == "external":
+            return self._ext(self.kind[1]).take(n)
+        return bytes(self.read_byte() for _ in range(n))
 
 
 # ---------------------------------------------------------------------------
@@ -830,7 +838,7 @@ class CramReader:
                     # mirror the RI check in _decode_slice: a reader contract violation
                     # must surface as ValueError, not AttributeError
                     raise ValueError("unmapped record with bases but no BA data series")
-                bases = bytes(ba.read_byte() for _ in range(rl))
+                bases = ba.read_byte_run(rl)
                 seq = bases.decode("ascii", "replace")
                 quals = list(D("QS").read_bytes(rl)) if (cf & 1) and D("QS") else None
             yield CramRecord(seq=seq, qual=quals, flag=bf, name=name)
