@@ -1,0 +1,142 @@
+"""WGS-scale MULTIPASS table build on one chip (VERDICT r02 "scale realism" axis).
+
+BASELINE config 3 (30x WGS trio) implies ~2.5G distinct k-mers — far beyond one
+chip's table+sort HBM budget. The engine's answer is `--passes N`: a hash-pass
+partition (parallel/router.pass_of, decorrelated from the mesh owner hash) where
+each pass re-extracts the read stream and keeps only its bucket, so P passes of
+capacity C cover P*C uniques with the same peak HBM as one pass. This benchmark
+runs that production path (make_ingest_step(n_passes=P), the same jitted
+extract->filter->append->flush the CLI uses) at a deliberately large total:
+
+    default: 480 Mbp random genome x 2.0 coverage, P=6 passes, capacity 2^27
+    -> ~480M total uniques (7.2 x 2^26), ~5.8G raw k-mer extractions,
+       peak HBM per pass unchanged from the single-pass 2^27 datapoint.
+
+Reads are word-aligned slices of a packed random genome generated in the packed
+device layout (same rationale as big_table.py). Guards: no pass may overflow,
+the pass partition must be balanced to <5% spread (pass_of is a mixed hash, so
+imbalance means the partition is wrong), and the total must reach a floor
+derived from the aligned-start coverage model: a k-mer start is covered by a
+read starting at any of the ~(L-k+1)/16 preceding word slots, each slot drawn
+~coverage*16/L times, so the uncovered fraction is e^-(coverage*(L-k+1)/L)
+(~e^-1.625 at the defaults, i.e. ~80% of genome length — NOT the unaligned
+e^-coverage). The floor is 92% of that expectation.
+
+Env: BIG_GENOME_MB (480), BIG_COVERAGE (2.0), BIG_PASSES (6), BIG_TABLE_BITS (27),
+BIG_BATCH (16384), BIG_ACCUM (16), BIG_FLOOR_FRAC (0.92 of model expectation).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    # the axon TPU plugin prepends itself to jax_platforms at import; honor an
+    # explicit JAX_PLATFORMS (cli.py:411-420 does the same for subprocess CI)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    import jax.numpy as jnp
+
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.ops.stream import empty_accumulator
+    from denovo_kmer_tpu.ops.table import empty_table
+    from denovo_kmer_tpu.pipeline import make_ingest_step
+
+    genome_mb = float(os.environ.get("BIG_GENOME_MB", 480))
+    coverage = float(os.environ.get("BIG_COVERAGE", 2.0))
+    n_passes = int(os.environ.get("BIG_PASSES", 6))
+    table_bits = int(os.environ.get("BIG_TABLE_BITS", 27))
+    batch_reads = int(os.environ.get("BIG_BATCH", 16384))
+    max_read_len = 160
+    k = 31
+
+    cfg = EngineConfig(
+        k=k, max_read_len=max_read_len, batch_reads=batch_reads,
+        table_capacity=1 << table_bits,
+        accum_batches=int(os.environ.get("BIG_ACCUM", 16)),
+    )
+    P = cfg.windows_per_read
+    Lw = max_read_len // 16
+    genome_words_n = int(genome_mb * 1e6) // 16
+    n_reads = int(genome_words_n * 16 * coverage) // max_read_len
+    n_batches = n_reads // batch_reads
+    raw_per_pass = n_batches * batch_reads * P
+    print(
+        f"device={jax.devices()[0].device_kind} genome={genome_words_n*16/1e6:.0f}Mbp "
+        f"coverage={coverage} passes={n_passes} reads/pass={n_batches*batch_reads} "
+        f"raw_kmer_extractions={n_passes*raw_per_pass/1e9:.2f}G capacity=2^{table_bits}/pass",
+        file=sys.stderr, flush=True,
+    )
+
+    rng = np.random.default_rng(0)
+    genome_words = rng.integers(0, 2**32, size=genome_words_n, dtype=np.uint32)
+    vwords = jnp.asarray(
+        np.full((batch_reads, max_read_len // 32), 0xFFFFFFFF, np.uint32))
+
+    def batch_words(bi):
+        r = np.random.default_rng(1000 + bi)
+        offs = r.integers(0, genome_words_n - Lw, size=batch_reads)
+        return jnp.asarray(genome_words[np.add.outer(offs, np.arange(Lw))])
+
+    extract_append, flush_fn = make_ingest_step(cfg, n_passes=n_passes)
+
+    per_pass = []
+    t0 = time.perf_counter()
+    for p in range(n_passes):
+        acc = empty_accumulator(cfg.accum_batches * batch_reads * P, cfg.words)
+        table = empty_table(cfg.table_capacity, cfg.words)
+        pid = jnp.uint32(p)
+        pending = 0
+        tp = time.perf_counter()
+        for bi in range(n_batches):
+            acc = extract_append(acc, batch_words(bi), vwords, pid)
+            pending += 1
+            if pending == cfg.accum_batches:
+                acc, table = flush_fn(acc, table)
+                pending = 0
+        if pending:
+            acc, table = flush_fn(acc, table)
+        n = int(np.asarray(table.n))
+        per_pass.append(n)
+        del acc, table
+        print(f"  pass {p}: uniques={n} ({n/2**26:.2f} x 2^26) "
+              f"{time.perf_counter()-tp:.1f}s", file=sys.stderr, flush=True)
+
+    dt = time.perf_counter() - t0
+    total = sum(per_pass)
+    # distinct k-mers in a random genome ~= genome length (collisions negligible
+    # at 4^31); word-aligned read starts cover every position once coverage
+    # saturates, minus the unsampled tail windows
+    spread = (max(per_pass) - min(per_pass)) / (total / n_passes)
+    hbm_gb = cfg.table_capacity * (cfg.words + 1) * 4 / 1e9
+    print(
+        f"total_uniques={total} ({total/2**26:.2f} x 2^26) passes={n_passes} "
+        f"pass_spread={spread*100:.1f}% wall={dt:.1f}s "
+        f"extract_rate={n_passes*raw_per_pass/dt/1e6:.0f} Mk-mers/s "
+        f"table_hbm_per_pass={hbm_gb:.2f} GB",
+        flush=True,
+    )
+    assert all(n < cfg.table_capacity for n in per_pass), "a pass overflowed"
+    # the hash partition must be balanced (pass_of is a mixed hash)
+    assert spread < 0.05, f"pass imbalance {spread:.3f}"
+    # aligned-start coverage model (docstring): lambda = eff_coverage*(L-k+1)/L,
+    # with eff_coverage from the reads actually issued (n_batches floors).
+    eff_cov = n_batches * batch_reads * max_read_len / (genome_words_n * 16)
+    lam = eff_cov * (max_read_len - k + 1) / max_read_len
+    expected = genome_words_n * 16 * (1.0 - np.exp(-lam))
+    floor = float(os.environ.get("BIG_FLOOR_FRAC", 0.92)) * expected
+    assert total >= floor, (
+        f"datapoint requires >= {floor:.0f} uniques (model {expected:.0f}), got {total}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
