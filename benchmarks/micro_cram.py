@@ -1,0 +1,59 @@
+"""CRAM feeder microbenchmark: records/s through CramReader.
+
+Writes a 151-bp unmapped CRAM with the fixture writer (one file per block
+method), then times full iteration — the host-side cost the CRAM feeder adds
+over BAM. Tracks the record-loop optimizations (bulk byte runs, predecoded
+itf8 frames, native entropy decode).
+
+Env: CRAM_READS (40000), CRAM_METHODS (comma list: gzip,rans0,rans1,nx16,arith).
+"""
+
+import os
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from denovo_kmer_tpu.io.cram import (  # noqa: E402
+    M_ARITH, M_GZIP, M_RANS, M_RANSNX16, CramReader, write_cram,
+)
+
+METHODS = {
+    "gzip": (M_GZIP, 0, (3, 0)),
+    "rans0": (M_RANS, 0, (3, 0)),
+    "rans1": (M_RANS, 1, (3, 0)),
+    "nx16": (M_RANSNX16, 1, (3, 1)),
+    "arith": (M_ARITH, 1, (3, 1)),
+}
+
+
+def main() -> int:
+    n = int(os.environ.get("CRAM_READS", 40000))
+    names = os.environ.get("CRAM_METHODS", "gzip,rans1,nx16,arith").split(",")
+    rng = random.Random(0)
+    reads = [
+        ("".join(rng.choice("ACGT") for _ in range(151)),
+         [rng.randrange(2, 41) for _ in range(151)], 4)
+        for _ in range(1000)
+    ]
+    records = [reads[i % len(reads)] for i in range(n)]
+    for name in names:
+        method, order, version = METHODS[name]
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, f"{name}.cram")
+            write_cram(path, records, method=method, rans_order=order,
+                       version=version, reads_per_container=10000)
+            t0 = time.perf_counter()
+            with open(path, "rb") as f:
+                cnt = sum(1 for r in CramReader(f) if r.seq)
+            dt = time.perf_counter() - t0
+            assert cnt == n, (cnt, n)
+            print(f"{name:6s} v{version[0]}.{version[1]}: {n/dt/1e3:8.1f} Kreads/s "
+                  f"({dt:.2f}s, {os.path.getsize(path)/1e6:.1f} MB)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

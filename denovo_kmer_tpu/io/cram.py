@@ -29,6 +29,8 @@ import struct
 import zlib
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from denovo_kmer_tpu.io import rans
 
 CRAM_MAGIC = b"CRAM"
@@ -310,10 +312,42 @@ class _BitReader:
         return v
 
 
+def _resolve_itf8_run():
+    """Native bulk varint decoder, or None (pure-Python envs). Resolved once."""
+    global _ITF8_RUN
+    try:
+        from denovo_kmer_tpu.io.native import itf8_decode_run_native, native_available
+
+        _ITF8_RUN = itf8_decode_run_native if native_available() else None
+    except Exception:
+        _ITF8_RUN = None
+    return _ITF8_RUN
+
+
+_ITF8_RUN: object = _resolve_itf8_run  # sentinel: unresolved until first itf8()
+
+
 class _ByteStream:
+    """External block reader. ``itf8`` predecodes a run of varint frames in one
+    native call (the record loop reads ~9 small ints per record — BF/CF/RL/AP/
+    MQ/TL/... — and the per-call Python varint parse dominated the CRAM feeder
+    after byte runs went bulk). The cache is valid only while consumption stays
+    on the predecoded frame boundaries: any byte()/take()/until() moves ``pos``
+    off the expected frame start, which the next itf8() detects and re-decodes
+    from the live position — semantics are bit-identical to the scalar path
+    (differential-tested in tests/test_cram_native.py). The predecode size
+    adapts: it doubles on cleanly-consumed runs (pure int series) and shrinks
+    on mixed access (shared len+val blocks), so worst-case cost stays scalar."""
+
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
+        self._ivals: List[int] = []
+        self._iends: List[int] = []
+        self._ii = 0  # next cached frame
+        self._in = 0  # cached frame count
+        self._iexp = -1  # pos the next cached frame is valid at
+        self._ichunk = 512
 
     def byte(self) -> int:
         b = self.data[self.pos]
@@ -328,6 +362,35 @@ class _ByteStream:
         return b
 
     def itf8(self) -> int:
+        i = self._ii
+        if i < self._in and self.pos == self._iexp:
+            v = self._ivals[i]
+            p = self._iends[i]
+            self._ii = i + 1
+            self.pos = p
+            self._iexp = p
+            return v
+        return self._itf8_refill()
+
+    def _itf8_refill(self) -> int:
+        run = _ITF8_RUN
+        if run is _resolve_itf8_run:
+            run = _resolve_itf8_run()
+        if self._ii < self._in:
+            # mixed access invalidated the cache mid-run: predecoding is mostly
+            # wasted here, shrink toward scalar cost
+            self._ichunk = max(1, self._ichunk >> 3)
+        elif self._in:
+            self._ichunk = min(131072, self._ichunk << 1)
+        self._ii = self._in = 0
+        if run is not None and self._ichunk > 1:
+            vals, ends = run(self.data, self.pos, self._ichunk)
+            if len(vals):
+                self._ivals = vals.tolist()  # Python ints, as the scalar path yields
+                self._iends = ends.tolist()
+                self._in = len(self._ivals)
+                self._iexp = self.pos
+                return self.itf8()
         v, self.pos = itf8_decode(self.data, self.pos)
         return v
 
@@ -494,6 +557,135 @@ class _Decoder:
 
 
 # ---------------------------------------------------------------------------
+# columnar slice decode (fast path)
+# ---------------------------------------------------------------------------
+#
+# The record loop costs ~9 Python-level series reads per record. But the only
+# record fields this reader surfaces are seq/qual/flag/name (SURVEY.md §3.3:
+# the engine consumes nothing else), so when every series the OUTPUT needs
+# lives in its own external block — the common htslib layout and this module's
+# writer profile — a slice can be decoded column-at-a-time instead:
+#
+# - int series (BF/CF/RL) become ONE native varint-run call per slice
+#   (io/_native/cram_util.cpp), not n_records Python calls;
+# - BA/QS byte series become slab slices at cumsum(RL) offsets;
+# - RN (byte_array_stop) becomes one split on the stop byte;
+# - series consumed only for stream sync in the record loop (AP, MQ, RG, the
+#   mate fields, TL and every tag) are never touched at all: their blocks are
+#   isolated, so skipping them cannot desync anything.
+#
+# Eligibility is static per compression header (_columnar_plan): a needed
+# series must be EXTERNAL with a content id referenced by NO other series
+# (sharing would interleave frames), or constant HUFFMAN, or absent where the
+# record loop tolerates absence. Mapped records with stored sequences fall
+# back to the record loop (reference reconstruction is feature-interleaved).
+# The fallback is always the plain record loop — byte-identical output,
+# differential-tested across every fixture profile in tests/test_cram.py.
+
+
+class _ColumnarIneligible(Exception):
+    """Slice outside the columnar fast path — decode via the record loop."""
+
+
+def _itf8_column(data: bytes, n: int):
+    """First ``n`` ITF8 frames of an external block as an int64 array."""
+    run = _ITF8_RUN
+    if run is _resolve_itf8_run:
+        run = _resolve_itf8_run()
+    if run is not None:
+        vals, _ = run(data, 0, n)
+        if len(vals) != n:
+            raise ValueError(
+                f"external stream underrun: {len(vals)} of {n} varints")
+        return vals
+    vals = np.empty(n, np.int64)
+    pos = 0
+    for i in range(n):
+        v, pos = itf8_decode(data, pos)
+        vals[i] = v
+    return vals
+
+
+def _columnar_plan(ch: "CompressionHeader"):
+    """Static fast-path plan for a compression header, or None.
+
+    Returns {series: spec} where spec is ("ext", cid) / ("const", v) /
+    ("absent",) / ("stop", stop_byte, cid) / ("bad",) for the output-bearing
+    series BF/CF/RL/QS/BA/RN. "bad" defers the decision to slice time: it only
+    forces the record-loop fallback if that series is actually consumed.
+    """
+    kinds: Dict[str, tuple] = {}
+    try:
+        for key, enc in ch.data_series.items():
+            kinds[key] = enc.parse()
+        tag_kinds = [enc.parse() for enc in ch.tag_encodings.values()]
+    except ValueError:
+        return None  # an unparseable encoding hides its block refs — no plan
+
+    # every external content id referenced by ANY series or tag encoding;
+    # a needed column requires sole ownership of its block
+    refs: Dict[int, int] = {}
+
+    def count(kind):
+        if kind[0] == "external":
+            refs[kind[1]] = refs.get(kind[1], 0) + 1
+        elif kind[0] == "byte_array_stop":
+            refs[kind[2]] = refs.get(kind[2], 0) + 1
+        elif kind[0] == "byte_array_len":
+            count(kind[1].parse() if isinstance(kind[1], Encoding) else kind[1])
+            count(kind[2].parse() if isinstance(kind[2], Encoding) else kind[2])
+
+    try:
+        for kind in kinds.values():
+            count(kind)
+        for kind in tag_kinds:
+            count(kind)
+    except ValueError:
+        return None  # unparseable nested encoding — refs unknowable
+
+    def const_of(kind):
+        if kind[0] == "huffman" and len(kind[1]) == 1 and kind[2][0] == 0:
+            return kind[1][0]
+        return None
+
+    def int_spec(key):
+        kind = kinds.get(key)
+        if kind is None:
+            return ("absent",)
+        if kind[0] == "external" and refs.get(kind[1]) == 1:
+            return ("ext", kind[1])
+        c = const_of(kind)
+        return ("const", c) if c is not None else ("bad",)
+
+    def bytes_spec(key):
+        kind = kinds.get(key)
+        if kind is None:
+            return ("absent",)
+        if kind[0] == "external" and refs.get(kind[1]) == 1:
+            return ("ext", kind[1])
+        return ("bad",)
+
+    rn = kinds.get("RN")
+    if rn is None:
+        rn_spec = ("absent",)
+    elif rn[0] == "byte_array_stop" and refs.get(rn[2]) == 1:
+        rn_spec = ("stop", rn[1], rn[2])
+    else:
+        rn_spec = ("bad",)
+
+    plan = {
+        "BF": int_spec("BF"), "CF": int_spec("CF"), "RL": int_spec("RL"),
+        "QS": bytes_spec("QS"), "BA": bytes_spec("BA"), "RN": rn_spec,
+        "has_RI": "RI" in kinds,
+    }
+    # BF and RL are unconditionally consumed per record: without clean columns
+    # for them the fast path can never run under this header
+    if plan["BF"][0] in ("bad", "absent") or plan["RL"][0] in ("bad", "absent"):
+        return None
+    return plan
+
+
+# ---------------------------------------------------------------------------
 # compression header / slice header
 # ---------------------------------------------------------------------------
 
@@ -612,9 +804,13 @@ class CramReader:
     matched by @SQ ordinal); required for reference-based slices without an embedded
     reference."""
 
-    def __init__(self, f, reference: Optional[Dict[object, str]] = None):
+    def __init__(self, f, reference: Optional[Dict[object, str]] = None,
+                 columnar: bool = True):
         self._f = f
         self.reference = reference or {}
+        # columnar=False forces the record loop everywhere — the differential
+        # oracle for the fast path (tests/test_cram.py columnar parity suite)
+        self.columnar = columnar
         magic = f.read(4)
         if magic != CRAM_MAGIC:
             raise ValueError("not a CRAM file")
@@ -718,6 +914,7 @@ class CramReader:
         if blk.data is None:
             raise UnsupportedCodecError(blk.error)
         ch = _parse_compression_header(blk.data)
+        plan = _columnar_plan(ch) if self.columnar else None
         while pos < len(body):
             sblk, pos = read_block(body, pos)
             if sblk.content_type != CT_SLICE_HEADER:
@@ -745,8 +942,136 @@ class CramReader:
                         if b.data is None:
                             raise UnsupportedCodecError(b.error)
                         embedded_ref = b.data
+            if plan is not None:
+                try:
+                    # list, not generator: eligibility must settle before the
+                    # first yield so the fallback never re-emits records
+                    yield from self._decode_slice_columnar(ch, sh, externals, plan)
+                    continue
+                except _ColumnarIneligible:
+                    pass
             yield from self._decode_slice(ch, sh, core, externals, embedded_ref,
                                           c["ref_id"])
+
+    def _decode_slice_columnar(self, ch, sh, externals, plan) -> List["CramRecord"]:
+        """Column-at-a-time decode of one slice (see the fast-path comment at
+        _columnar_plan). Stateless over the block buffers: nothing advances a
+        stream cursor, so raising _ColumnarIneligible at ANY point before the
+        return leaves the slice pristine for the record-loop fallback —
+        which is why this returns a list instead of yielding."""
+        n = sh.n_records
+        if n <= 0:
+            return []
+        needed_cids = set()
+
+        def ext_data(cid) -> bytes:
+            b = externals.get(cid)
+            if b is None:
+                raise ValueError(f"missing external block {cid}")
+            if isinstance(b, _FailedByteStream):
+                raise UnsupportedCodecError(b.error)
+            return b.data
+
+        def int_col(key, default=None):
+            spec = plan[key]
+            if spec[0] == "ext":
+                needed_cids.add(spec[1])
+                return _itf8_column(ext_data(spec[1]), n)
+            if spec[0] == "const":
+                return np.full(n, spec[1], np.int64)
+            if spec[0] == "absent" and default is not None:
+                return np.full(n, default, np.int64)
+            raise _ColumnarIneligible
+
+        def byte_slab(key, mask):
+            """(slab, starts, ends) for per-record byte runs of length rl."""
+            spec = plan[key]
+            if spec[0] != "ext":
+                raise _ColumnarIneligible
+            needed_cids.add(spec[1])
+            lens = np.where(mask, rl, 0)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            slab = ext_data(spec[1])
+            if int(ends[-1]) > len(slab):
+                raise ValueError("external stream underrun")
+            return slab, starts.tolist(), ends.tolist()
+
+        bf = int_col("BF")
+        cf = int_col("CF", default=0)
+        rl = int_col("RL")
+        if bool(np.any(rl < 0)):
+            raise ValueError("negative read length")
+        u_mask = (cf & 8) != 0  # CF bit 3: sequence unknown, no BA/QS written
+        seq_mask = ~u_mask
+        if bool(np.any(seq_mask & ((bf & BAM_FUNMAP) == 0))):
+            # mapped record with a stored sequence: reference reconstruction is
+            # feature-interleaved — record-loop territory
+            raise _ColumnarIneligible
+        if sh.ref_id == -2 and not plan["has_RI"]:
+            raise _ColumnarIneligible  # record loop raises the contract error
+
+        ba_slab = ba_starts = ba_ends = None
+        if bool(np.any(seq_mask)):
+            ba_slab, ba_starts, ba_ends = byte_slab("BA", seq_mask)
+
+        q_mask = ((cf & 1) != 0) & seq_mask
+        qs_slab = qs_starts = qs_ends = None
+        if plan["QS"][0] == "absent":
+            q_mask = np.zeros(n, bool)
+        elif bool(np.any(q_mask)):
+            qs_slab, qs_starts, qs_ends = byte_slab("QS", q_mask)
+
+        # names: every record consumes one when the header keeps names; only
+        # detached records do otherwise (mirrors the record loop's two sites)
+        rn_spec = plan["RN"]
+        name_mask = None
+        if rn_spec[0] != "absent":
+            if ch.read_names_included:
+                name_mask = np.ones(n, bool)
+            else:
+                name_mask = (cf & 2) != 0
+                if not bool(np.any(name_mask)):
+                    name_mask = None
+        names = None
+        if name_mask is not None:
+            if rn_spec[0] == "bad":
+                raise _ColumnarIneligible
+            needed_cids.add(rn_spec[2])
+            try:
+                slab = ext_data(rn_spec[2])
+            except UnsupportedCodecError:
+                names = None  # tok3-coded names degrade to dropped names
+            else:
+                parts = slab.split(bytes([rn_spec[1]]))
+                k = int(np.count_nonzero(name_mask))
+                if len(parts) - 1 < k:
+                    raise ValueError(f"name stream underrun: {len(parts)-1} < {k}")
+                names = [p.decode("ascii", "replace") for p in parts[:k]]
+
+        if sh.embedded_ref_id in needed_cids:
+            raise _ColumnarIneligible  # a column block aliased as embedded ref
+
+        flags = bf.tolist()
+        useq = u_mask.tolist()
+        qm = q_mask.tolist()
+        nm = name_mask.tolist() if name_mask is not None else None
+        out: List[CramRecord] = []
+        ni = 0
+        for i in range(n):
+            if useq[i]:
+                seq: str = ""
+                quals = None
+            else:
+                seq = ba_slab[ba_starts[i] : ba_ends[i]].decode("ascii", "replace")
+                quals = list(qs_slab[qs_starts[i] : qs_ends[i]]) if qm[i] else None
+            name = None
+            if nm is not None and nm[i]:
+                if names is not None:
+                    name = names[ni]
+                ni += 1
+            out.append(CramRecord(seq=seq, qual=quals, flag=flags[i], name=name))
+        return out
 
     def _decode_slice(self, ch, sh, core, externals, embedded_ref, cont_ref):
         dec: Dict[str, _Decoder] = {}

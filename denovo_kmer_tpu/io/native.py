@@ -17,11 +17,18 @@ from typing import Iterator, Optional
 import numpy as np
 
 from denovo_kmer_tpu.config import EngineConfig
-from denovo_kmer_tpu.ops.pack import PackedReads, padded_length
+
+# NOTE: denovo_kmer_tpu.ops.pack is imported lazily inside NativeBamFeeder —
+# importing it executes the ops package __init__, which pulls in JAX and
+# initializes the device backend. This module is also used by host-only paths
+# (the CRAM reader's bulk varint decode) that must stay importable without a
+# device runtime.
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "_native", "bam_ingest.cpp")
 _SRC_RANS = os.path.join(_HERE, "_native", "rans_codec.cpp")
+_SRC_CRAM = os.path.join(_HERE, "_native", "cram_util.cpp")
+_SRCS = (_SRC, _SRC_RANS, _SRC_CRAM)
 _BUILD_DIR = os.path.join(_HERE, "_native", "build")
 _SO = os.path.join(_BUILD_DIR, "libbam_ingest.so")
 
@@ -59,7 +66,7 @@ def _build() -> Optional[str]:
     san_flags = [f"-fsanitize={san}", "-fno-omit-frame-pointer", "-g"] if san else []
     base = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        *san_flags, _SRC, _SRC_RANS, "-o", _SO, "-lz",
+        *san_flags, *_SRCS, "-o", _SO, "-lz",
     ]
     # prefer libdeflate (2-3x zlib on whole-block BGZF inflate — the reference's own
     # choice, SURVEY.md ci.yml:27); fall back to zlib-only where it isn't installed
@@ -80,7 +87,7 @@ def _build() -> Optional[str]:
 def _cached_so_stale() -> bool:
     if not os.path.exists(_SO):
         return True
-    for src in (_SRC, _SRC_RANS):
+    for src in _SRCS:
         if os.path.exists(src) and os.path.getmtime(_SO) < os.path.getmtime(src):
             return True
     try:
@@ -139,6 +146,12 @@ def _load_locked() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ]
+    # CRAM varint run decoder (cram_util.cpp) — used by io/cram.py _ByteStream
+    lib.dk_itf8_decode_run.restype = ctypes.c_int64
+    lib.dk_itf8_decode_run.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return _lib
 
@@ -161,6 +174,27 @@ def rans_decode_native(payload: bytes, out_len: int, nx16: bool) -> Optional[byt
     return out.tobytes()
 
 
+def itf8_decode_run_native(buf: bytes, pos: int, max_n: int):
+    """Decode up to ``max_n`` consecutive ITF8 varints starting at ``pos``.
+
+    Returns ``(vals, ends)`` int64 arrays of the frames fully contained in the
+    buffer (possibly fewer than max_n, possibly empty), or ``None`` when the
+    shim is unavailable. Semantics mirror cram.itf8_decode frame-for-frame; a
+    truncated trailing frame is simply not decoded.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.empty(max_n, np.int64)
+    ends = np.empty(max_n, np.int64)
+    n = lib.dk_itf8_decode_run(
+        buf, len(buf), pos, max_n,
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return vals[:n], ends[:n]
+
+
 def native_available() -> bool:
     return _load() is not None
 
@@ -174,11 +208,14 @@ class NativeBamFeeder:
     """Streams PackedReads batches straight from a BAM file via the C++ shim."""
 
     def __init__(self, path: str, cfg: EngineConfig):
+        from denovo_kmer_tpu.ops.pack import PackedReads, padded_length
+
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native ingest unavailable: {_build_error}")
         self._lib = lib
         self._cfg = cfg
+        self._packed_cls = PackedReads
         self._h = lib.bam_ingest_open(
             path.encode(), cfg.filter_flag_mask, cfg.min_base_quality,
             cfg.max_read_len,
@@ -187,7 +224,7 @@ class NativeBamFeeder:
             raise IOError(f"cannot open BAM: {path}")
         self._lp = padded_length(cfg.max_read_len)
 
-    def next_batch(self) -> Optional[PackedReads]:
+    def next_batch(self) -> Optional["PackedReads"]:
         cfg = self._cfg
         B, lp = cfg.batch_reads, self._lp
         words = np.zeros((B, lp // 16), np.uint32)
@@ -205,7 +242,8 @@ class NativeBamFeeder:
             )
         if n == 0:
             return None
-        return PackedReads(words=words, vwords=vwords, length=lengths, n_reads=int(n))
+        return self._packed_cls(
+            words=words, vwords=vwords, length=lengths, n_reads=int(n))
 
     def __iter__(self) -> Iterator[PackedReads]:
         while True:

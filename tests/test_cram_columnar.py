@@ -1,0 +1,125 @@
+"""Columnar fast-path parity: CramReader(columnar=True) must be observationally
+identical to the record loop (columnar=False) on every writer profile, and must
+actually ENGAGE on the unmapped all-external profile (guarded by poisoning the
+record loop)."""
+
+import random
+
+import pytest
+
+from denovo_kmer_tpu.io.cram import (
+    M_ARITH, M_GZIP, M_RANS, M_RANSNX16, CramReader, write_cram,
+)
+
+
+def _read(path, columnar, **kw):
+    with open(path, "rb") as f:
+        return [(r.seq, r.qual, r.flag, r.name)
+                for r in CramReader(f, columnar=columnar, **kw)]
+
+
+def _synth(rng, n, L=73):
+    return [
+        ("".join(rng.choice("ACGT") for _ in range(L)),
+         [rng.randrange(2, 41) for _ in range(L)], 4)
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("method,order,version", [
+    (M_GZIP, 0, (3, 0)),
+    (M_RANS, 1, (3, 0)),
+    (M_RANSNX16, 1, (3, 1)),
+    (M_ARITH, 1, (3, 1)),
+])
+def test_unmapped_parity_and_engagement(tmp_path, method, order, version, monkeypatch):
+    rng = random.Random(method * 10 + order)
+    reads = _synth(rng, 203)
+    p = str(tmp_path / "u.cram")
+    write_cram(p, reads, method=method, rans_order=order, version=version,
+               reads_per_container=80)
+    slow = _read(p, columnar=False)
+    fast = _read(p, columnar=True)
+    assert fast == slow
+    # the writer's unmapped profile is all-external with distinct content ids:
+    # the fast path must engage — poison the record loop and re-read
+    def _poisoned(self, *a, **k):
+        raise AssertionError("record loop used on a columnar-eligible slice")
+    monkeypatch.setattr(CramReader, "_decode_slice", _poisoned)
+    assert _read(p, columnar=True) == slow
+
+
+def test_seqless_mix_parity(tmp_path):
+    rng = random.Random(3)
+    reads = _synth(rng, 10, L=40)
+    mixed = reads[:4] + [(None, None, 0)] + reads[4:] + [(None, None, 0)]
+    p = str(tmp_path / "star.cram")
+    write_cram(p, mixed, method=M_GZIP)
+    fast, slow = _read(p, columnar=True), _read(p, columnar=False)
+    assert fast == slow
+    assert fast[4][0] == "" and fast[4][1] is None
+
+
+def test_multi_slice_parity(tmp_path):
+    rng = random.Random(5)
+    reads = _synth(rng, 90, L=60)
+    p = str(tmp_path / "ms.cram")
+    write_cram(p, reads, method=M_RANS, rans_order=0,
+               reads_per_container=40, slices_per_container=4)
+    assert _read(p, columnar=True) == _read(p, columnar=False)
+
+
+def test_mapped_falls_back_to_record_loop(tmp_path):
+    """Mapped slices (feature-coded sequences) are record-loop territory; the
+    reader must produce identical output with columnar enabled (via fallback)."""
+    rng = random.Random(11)
+    ref = "".join(rng.choice("ACGT") for _ in range(3000))
+    reads = []
+    for _ in range(57):
+        pos = rng.randrange(0, len(ref) - 90)
+        seq = list(ref[pos : pos + 90])
+        for _ in range(rng.randrange(0, 3)):
+            j = rng.randrange(90)
+            seq[j] = rng.choice([b for b in "ACGT" if b != seq[j]])
+        reads.append(("".join(seq), pos + 1))
+    p = str(tmp_path / "m.cram")
+    write_cram(p, [], mapped=reads, reference=ref, method=M_RANS, rans_order=1,
+               reads_per_container=30)
+    kw = dict(reference={0: ref})
+    assert _read(p, columnar=True, **kw) == _read(p, columnar=False, **kw)
+    assert [t[0] for t in _read(p, columnar=True, **kw)] == [s for s, _ in reads]
+
+
+def test_varied_lengths_parity(tmp_path):
+    """Mixed read lengths stress the cumsum slab offsets."""
+    rng = random.Random(17)
+    reads = [
+        ("".join(rng.choice("ACGT") for _ in range(rng.randrange(1, 160))),
+         None, 4)
+        for _ in range(120)
+    ]
+    reads = [(s, [rng.randrange(2, 41) for _ in s], f) for s, _, f in reads]
+    p = str(tmp_path / "v.cram")
+    write_cram(p, reads, method=M_GZIP, reads_per_container=50)
+    fast, slow = _read(p, columnar=True), _read(p, columnar=False)
+    assert fast == slow
+    assert [t[0] for t in fast] == [s for s, _, _ in reads]
+
+
+def test_truncated_column_fails_loudly(tmp_path):
+    """Clipping bytes off a needed column block must raise, not desync."""
+    rng = random.Random(29)
+    reads = _synth(rng, 64, L=50)
+    p = str(tmp_path / "t.cram")
+    write_cram(p, reads, method=M_GZIP, reads_per_container=64)
+    import denovo_kmer_tpu.io.cram as cram_mod
+
+    raw = open(p, "rb").read()
+    # find the BA slab content (2-bit packed? no — raw bases) and cut the file
+    # mid-container: a blunt truncation must raise on either path
+    cut = raw[: int(len(raw) * 0.7)]
+    p2 = str(tmp_path / "cut.cram")
+    open(p2, "wb").write(cut)
+    for columnar in (True, False):
+        with pytest.raises((ValueError, IndexError, cram_mod.UnsupportedCodecError)):
+            _read(p2, columnar=columnar)

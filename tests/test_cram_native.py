@@ -1,0 +1,161 @@
+"""Differential tests for the native CRAM varint run decoder (cram_util.cpp)
+and the _ByteStream itf8 predecode cache.
+
+The native run decoder must mirror io/cram.itf8_decode frame-for-frame, and the
+cached stream must be observationally identical to a scalar-only stream under
+arbitrary interleavings of itf8/byte/take/until — including the adaptive-chunk
+shrink/grow paths and truncated tails.
+"""
+
+import random
+
+import pytest
+
+from denovo_kmer_tpu.io import cram
+from denovo_kmer_tpu.io.cram import _ByteStream, itf8_decode, itf8_encode
+from denovo_kmer_tpu.io.native import itf8_decode_run_native, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native shim unavailable"
+)
+
+# values hitting every ITF8 width and the sign boundary
+EDGE_VALUES = [
+    0, 1, 0x7F, 0x80, 0x3FFF, 0x4000, 0x1FFFFF, 0x200000,
+    0xFFFFFFF, 0x10000000, 0x7FFFFFFF, -1, -2, -0x80000000,
+]
+
+
+def _stream_of(values):
+    return b"".join(itf8_encode(v) for v in values)
+
+
+def test_run_decoder_matches_scalar_edge_values():
+    buf = _stream_of(EDGE_VALUES)
+    vals, ends = itf8_decode_run_native(buf, 0, len(EDGE_VALUES) + 10)
+    assert vals.tolist() == EDGE_VALUES
+    # ends must be the scalar decoder's positions
+    pos = 0
+    for v, e in zip(EDGE_VALUES, ends.tolist()):
+        sv, pos = itf8_decode(buf, pos)
+        assert sv == v and pos == e
+    assert ends[-1] == len(buf)
+
+
+def test_run_decoder_matches_scalar_random():
+    rng = random.Random(7)
+    values = [rng.randint(-(2**31), 2**31 - 1) for _ in range(5000)]
+    buf = _stream_of(values)
+    vals, ends = itf8_decode_run_native(buf, 0, len(values))
+    assert vals.tolist() == values
+    vals2, _ = itf8_decode_run_native(buf, int(ends[999]), 4000)
+    assert vals2.tolist() == values[1000:]
+
+
+def test_run_decoder_stops_before_truncated_frame():
+    buf = _stream_of([5, 300000])  # 1-byte + 3-byte frames
+    for cut in range(len(buf)):
+        vals, ends = itf8_decode_run_native(buf[:cut], 0, 10)
+        # every decoded frame must be fully contained and correct
+        pos = 0
+        for v, e in zip(vals.tolist(), ends.tolist()):
+            sv, pos = itf8_decode(buf, pos)
+            assert sv == v and pos == e
+        assert len(vals) == (0 if cut < 1 else 1 if cut < 4 else 2)
+    # max_n = 0 decodes nothing
+    vals, ends = itf8_decode_run_native(buf, 0, 0)
+    assert len(vals) == 0 and len(ends) == 0
+
+
+class _ScalarStream:
+    """Reference: _ByteStream behavior with no cache."""
+
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+
+    def byte(self):
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def take(self, n):
+        b = self.data[self.pos : self.pos + n]
+        if len(b) != n:
+            raise ValueError("external stream underrun")
+        self.pos += n
+        return b
+
+    def itf8(self):
+        v, self.pos = itf8_decode(self.data, self.pos)
+        return v
+
+    def until(self, stop):
+        end = self.data.index(stop, self.pos)
+        b = self.data[self.pos : end]
+        self.pos = end + 1
+        return b
+
+
+def _random_program(rng, n_ops):
+    """A byte stream plus the op sequence that consumes it frame-consistently."""
+    ops = []
+    buf = bytearray()
+    for _ in range(n_ops):
+        op = rng.choice(["itf8", "itf8", "itf8", "byte", "take", "until"])
+        if op == "itf8":
+            v = rng.choice(EDGE_VALUES + [rng.randint(0, 2**31 - 1)])
+            buf += itf8_encode(v)
+            ops.append(("itf8",))
+        elif op == "byte":
+            buf.append(rng.randrange(256))
+            ops.append(("byte",))
+        elif op == "take":
+            n = rng.randrange(0, 9)
+            buf += bytes(rng.randrange(256) for _ in range(n))
+            ops.append(("take", n))
+        else:
+            body = bytes(rng.choice(b"ACGT") for _ in range(rng.randrange(0, 6)))
+            buf += body + b"\x00"
+            ops.append(("until", 0))
+    return bytes(buf), ops
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_cached_stream_matches_scalar_under_mixed_access(seed):
+    rng = random.Random(seed)
+    buf, ops = _random_program(rng, 4000)
+    fast, slow = _ByteStream(buf), _ScalarStream(buf)
+    for op in ops:
+        if op[0] == "itf8":
+            assert fast.itf8() == slow.itf8()
+        elif op[0] == "byte":
+            assert fast.byte() == slow.byte()
+        elif op[0] == "take":
+            assert fast.take(op[1]) == slow.take(op[1])
+        else:
+            assert fast.until(op[1]) == slow.until(op[1])
+        assert fast.pos == slow.pos
+    assert fast.pos == len(buf)
+
+
+def test_cached_stream_pure_int_series_grows_chunk():
+    values = [i * 7 - 3 for i in range(200000)]
+    s = _ByteStream(_stream_of(values))
+    out = [s.itf8() for _ in range(len(values))]
+    assert out == values
+    assert s._ichunk > 512  # clean consumption grew the predecode run
+    with pytest.raises(IndexError):
+        s.itf8()  # exhausted stream raises exactly like the scalar path
+
+
+def test_cached_stream_truncated_tail_raises_like_scalar():
+    buf = _stream_of([1000])[:-1]  # 2-byte frame cut to 1
+    s = _ByteStream(buf)
+    with pytest.raises(IndexError):
+        s.itf8()
+
+
+def test_values_are_python_ints():
+    s = _ByteStream(_stream_of([5, -5]))
+    assert type(s.itf8()) is int and type(s.itf8()) is int
