@@ -5,7 +5,8 @@ method), then times full iteration — the host-side cost the CRAM feeder adds
 over BAM. Tracks the record-loop optimizations (bulk byte runs, predecoded
 itf8 frames, native entropy decode).
 
-Env: CRAM_READS (40000), CRAM_METHODS (comma list: gzip,rans0,rans1,nx16,arith).
+Env: CRAM_READS (40000), CRAM_METHODS (comma list: gzip,rans0,rans1,nx16,arith;
+prefix "mapped-" for the reference-based profile, e.g. mapped-rans1).
 """
 
 import os
@@ -39,18 +40,37 @@ def main() -> int:
         for _ in range(1000)
     ]
     records = [reads[i % len(reads)] for i in range(n)]
+    # mapped profile inputs: reads drawn from a reference with ~1% mismatches
+    ref = "".join(rng.choice("ACGT") for _ in range(100_000))
+    mapped_reads = []
+    for _ in range(n):
+        pos = rng.randrange(0, len(ref) - 151)
+        seq = list(ref[pos : pos + 151])
+        for _ in range(rng.randrange(0, 4)):
+            j = rng.randrange(151)
+            seq[j] = rng.choice([b for b in "ACGT" if b != seq[j]])
+        mapped_reads.append(("".join(seq), pos + 1))
+
     for name in names:
-        method, order, version = METHODS[name]
+        is_mapped = name.startswith("mapped-")
+        method, order, version = METHODS[name.removeprefix("mapped-")]
         with tempfile.TemporaryDirectory() as td:
             path = os.path.join(td, f"{name}.cram")
-            write_cram(path, records, method=method, rans_order=order,
-                       version=version, reads_per_container=10000)
+            if is_mapped:
+                write_cram(path, [], mapped=mapped_reads, reference=ref,
+                           method=method, rans_order=order, version=version,
+                           reads_per_container=10000)
+                kw = dict(reference={0: ref})
+            else:
+                write_cram(path, records, method=method, rans_order=order,
+                           version=version, reads_per_container=10000)
+                kw = {}
             t0 = time.perf_counter()
             with open(path, "rb") as f:
-                cnt = sum(1 for r in CramReader(f) if r.seq)
+                cnt = sum(1 for r in CramReader(f, **kw) if r.seq)
             dt = time.perf_counter() - t0
             assert cnt == n, (cnt, n)
-            print(f"{name:6s} v{version[0]}.{version[1]}: {n/dt/1e3:8.1f} Kreads/s "
+            print(f"{name:12s} v{version[0]}.{version[1]}: {n/dt/1e3:8.1f} Kreads/s "
                   f"({dt:.2f}s, {os.path.getsize(path)/1e6:.1f} MB)", flush=True)
     return 0
 

@@ -583,6 +583,73 @@ class _Decoder:
 # differential-tested across every fixture profile in tests/test_cram.py.
 
 
+def _sub_table(ch: "CompressionHeader") -> Dict[Tuple[str, int], str]:
+    """Substitution matrix (spec §10.6): row per reference base ACGTN; the 2-bit
+    field at alt position j holds the BS code assigned to that alternative base,
+    so BS code v under reference base rb selects the alt whose field equals v."""
+    sm = ch.sub_matrix
+    sub: Dict[Tuple[str, int], str] = {}
+    for ri, rb in enumerate(_SUB_BASES):
+        alts = [b for b in _SUB_BASES if b != rb]
+        row = sm[ri]
+        for j, alt in enumerate(alts):
+            v = (row >> (6 - 2 * j)) & 3
+            sub[(rb, v)] = alt
+    return sub
+
+
+def _apply_features(ref: str, ref_off: int, pos0: int, rl: int, feats, sub) -> str:
+    """Rebuild one read's bases from the reference and its feature list
+    [(code, 1-based read pos, operand)] — the normative reconstruction both the
+    record loop and the columnar per-record lane share."""
+    out = []
+    rp = pos0  # 1-based reference position
+    i = 1  # 1-based read position
+    fi = 0
+    while i <= rl:
+        if fi < len(feats) and feats[fi][1] == i:
+            code, _, op = feats[fi]
+            fi += 1
+            if code == "X":  # substitution
+                rb = ref[rp - ref_off] if 0 <= rp - ref_off < len(ref) else "N"
+                out.append(sub.get((rb.upper(), op), "N"))
+                rp += 1
+                i += 1
+            elif code == "S":  # soft clip
+                out.append(op.decode("ascii", "replace"))
+                i += len(op)
+            elif code == "I":  # insertion
+                out.append(op.decode("ascii", "replace"))
+                i += len(op)
+            elif code == "i":  # single-base insertion
+                out.append(chr(op))
+                i += 1
+            elif code == "b":  # stretch of bases
+                out.append(op.decode("ascii", "replace"))
+                rp += len(op)
+                i += len(op)
+            elif code == "D":  # deletion
+                rp += op
+            elif code == "N":  # ref skip
+                rp += op
+            elif code in ("H", "P"):  # hard clip / pad: no read bases
+                pass
+            elif code == "B":  # base + qual
+                out.append(chr(op[0]))
+                rp += 1
+                i += 1
+            elif code in ("q", "Q"):  # qual-only features
+                pass
+            else:
+                raise ValueError(f"unsupported read feature {code!r}")
+        else:
+            idx = rp - ref_off
+            out.append(ref[idx] if 0 <= idx < len(ref) else "N")
+            rp += 1
+            i += 1
+    return "".join(out)[:rl]
+
+
 class _ColumnarIneligible(Exception):
     """Slice outside the columnar fast path — decode via the record loop."""
 
@@ -665,18 +732,27 @@ def _columnar_plan(ch: "CompressionHeader"):
             return ("ext", kind[1])
         return ("bad",)
 
-    rn = kinds.get("RN")
-    if rn is None:
-        rn_spec = ("absent",)
-    elif rn[0] == "byte_array_stop" and refs.get(rn[2]) == 1:
-        rn_spec = ("stop", rn[1], rn[2])
-    else:
-        rn_spec = ("bad",)
+    def stop_spec(key):
+        kind = kinds.get(key)
+        if kind is None:
+            return ("absent",)
+        if kind[0] == "byte_array_stop" and refs.get(kind[2]) == 1:
+            return ("stop", kind[1], kind[2])
+        return ("bad",)
 
     plan = {
         "BF": int_spec("BF"), "CF": int_spec("CF"), "RL": int_spec("RL"),
-        "QS": bytes_spec("QS"), "BA": bytes_spec("BA"), "RN": rn_spec,
+        "QS": bytes_spec("QS"), "BA": bytes_spec("BA"), "RN": stop_spec("RN"),
         "has_RI": "RI" in kinds,
+        # mapped reconstruction columns (consumed only when a slice holds
+        # mapped records with stored sequences)
+        "AP": int_spec("AP"), "RI": int_spec("RI"), "FN": int_spec("FN"),
+        "FP": int_spec("FP"),
+        # FC/BS are byte series: "ext" means a raw byte slab, "const" a fill
+        "FC": int_spec("FC"), "BS": int_spec("BS"),
+        "DL": int_spec("DL"), "RS": int_spec("RS"), "HC": int_spec("HC"),
+        "PD": int_spec("PD"),
+        "SC": stop_spec("SC"), "IN": stop_spec("IN"), "BB": stop_spec("BB"),
     }
     # BF and RL are unconditionally consumed per record: without clean columns
     # for them the fast path can never run under this header
@@ -946,19 +1022,29 @@ class CramReader:
                 try:
                     # list, not generator: eligibility must settle before the
                     # first yield so the fallback never re-emits records
-                    yield from self._decode_slice_columnar(ch, sh, externals, plan)
+                    yield from self._decode_slice_columnar(
+                        ch, sh, externals, plan, embedded_ref)
                     continue
                 except _ColumnarIneligible:
                     pass
             yield from self._decode_slice(ch, sh, core, externals, embedded_ref,
                                           c["ref_id"])
 
-    def _decode_slice_columnar(self, ch, sh, externals, plan) -> List["CramRecord"]:
+    def _decode_slice_columnar(self, ch, sh, externals, plan,
+                               embedded_ref=None) -> List["CramRecord"]:
         """Column-at-a-time decode of one slice (see the fast-path comment at
         _columnar_plan). Stateless over the block buffers: nothing advances a
         stream cursor, so raising _ColumnarIneligible at ANY point before the
         return leaves the slice pristine for the record-loop fallback —
-        which is why this returns a list instead of yielding."""
+        which is why this returns a list instead of yielding.
+
+        Mapped records with stored sequences reconstruct in two lanes:
+        a vectorized lane for records whose features are all X substitutions
+        (one reference gather + one LUT scatter per slice — the dominant
+        short-read archive shape), and a per-record lane running the shared
+        _apply_features for anything else (clips, indels, base stretches,
+        multi-ref slices). Feature codes B/Q/q force the record-loop fallback:
+        they consume QS bytes interleaved with the per-record quality runs."""
         n = sh.n_records
         if n <= 0:
             return []
@@ -972,55 +1058,103 @@ class CramReader:
                 raise UnsupportedCodecError(b.error)
             return b.data
 
-        def int_col(key, default=None):
+        def int_col(key, count, default=None):
             spec = plan[key]
+            if count == 0:
+                return np.zeros(0, np.int64)
             if spec[0] == "ext":
                 needed_cids.add(spec[1])
-                return _itf8_column(ext_data(spec[1]), n)
+                return _itf8_column(ext_data(spec[1]), count)
             if spec[0] == "const":
-                return np.full(n, spec[1], np.int64)
+                return np.full(count, spec[1], np.int64)
             if spec[0] == "absent" and default is not None:
-                return np.full(n, default, np.int64)
+                return np.full(count, default, np.int64)
             raise _ColumnarIneligible
 
-        def byte_slab(key, mask):
-            """(slab, starts, ends) for per-record byte runs of length rl."""
+        def byte_col(key, count):
             spec = plan[key]
-            if spec[0] != "ext":
-                raise _ColumnarIneligible
-            needed_cids.add(spec[1])
-            lens = np.where(mask, rl, 0)
-            ends = np.cumsum(lens)
-            starts = ends - lens
-            slab = ext_data(spec[1])
-            if int(ends[-1]) > len(slab):
-                raise ValueError("external stream underrun")
-            return slab, starts.tolist(), ends.tolist()
+            if count == 0:
+                return np.zeros(0, np.int64)
+            if spec[0] == "ext":
+                needed_cids.add(spec[1])
+                slab = ext_data(spec[1])
+                if len(slab) < count:
+                    raise ValueError("external stream underrun")
+                return np.frombuffer(slab, np.uint8, count).astype(np.int64)
+            if spec[0] == "const":
+                return np.full(count, spec[1], np.int64)
+            raise _ColumnarIneligible
 
-        bf = int_col("BF")
-        cf = int_col("CF", default=0)
-        rl = int_col("RL")
+        def stop_col(key, count):
+            spec = plan[key]
+            if count == 0:
+                return []
+            if spec[0] != "stop":
+                raise _ColumnarIneligible
+            needed_cids.add(spec[2])
+            parts = ext_data(spec[2]).split(bytes([spec[1]]))
+            if len(parts) - 1 < count:
+                raise ValueError(f"{key} stream underrun: {len(parts)-1} < {count}")
+            return parts[:count]
+
+        bf = int_col("BF", n)
+        cf = int_col("CF", n, default=0)
+        rl = int_col("RL", n)
         if bool(np.any(rl < 0)):
             raise ValueError("negative read length")
         u_mask = (cf & 8) != 0  # CF bit 3: sequence unknown, no BA/QS written
         seq_mask = ~u_mask
-        if bool(np.any(seq_mask & ((bf & BAM_FUNMAP) == 0))):
-            # mapped record with a stored sequence: reference reconstruction is
-            # feature-interleaved — record-loop territory
-            raise _ColumnarIneligible
+        r_mask = seq_mask & ((bf & BAM_FUNMAP) == 0)  # mapped: reconstruct vs ref
+        ba_run_mask = seq_mask & ~r_mask  # unmapped: bases stored verbatim in BA
         if sh.ref_id == -2 and not plan["has_RI"]:
             raise _ColumnarIneligible  # record loop raises the contract error
 
-        ba_slab = ba_starts = ba_ends = None
-        if bool(np.any(seq_mask)):
-            ba_slab, ba_starts, ba_ends = byte_slab("BA", seq_mask)
+        # ---- mapped stage 1: positions + feature columns (before BA offsets:
+        # 'i' features and unmapped base runs share the BA block) ----
+        mapped = None
+        ba_extra = None
+        if bool(np.any(r_mask)):
+            mapped = self._mapped_columns(
+                ch, sh, externals, plan, n, rl, r_mask, int_col, byte_col,
+                stop_col, embedded_ref)
+            ba_extra = mapped["i_per_rec_full"]
+
+        ba_slab = None
+        ba_starts = ba_ends = None
+        lens = np.where(ba_run_mask, rl, 0)
+        if ba_extra is not None:
+            lens = lens + ba_extra
+        # a BA run record touches the stream even at rl=0 (the record loop's
+        # take(0) still resolves the block), so any run record requires the slab
+        if int(lens.sum()) > 0 or bool(np.any(ba_run_mask)):
+            spec = plan["BA"]
+            if spec[0] != "ext":
+                raise _ColumnarIneligible
+            needed_cids.add(spec[1])
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            ba_slab = ext_data(spec[1])
+            if int(ends[-1]) > len(ba_slab):
+                raise ValueError("external stream underrun")
+            ba_starts = starts.tolist()
+            ba_ends = (ends - (ba_extra if ba_extra is not None else 0)).tolist()
 
         q_mask = ((cf & 1) != 0) & seq_mask
         qs_slab = qs_starts = qs_ends = None
         if plan["QS"][0] == "absent":
             q_mask = np.zeros(n, bool)
         elif bool(np.any(q_mask)):
-            qs_slab, qs_starts, qs_ends = byte_slab("QS", q_mask)
+            spec = plan["QS"]
+            if spec[0] != "ext":
+                raise _ColumnarIneligible
+            needed_cids.add(spec[1])
+            qlens = np.where(q_mask, rl, 0)
+            qends = np.cumsum(qlens)
+            qstarts = qends - qlens
+            qs_slab = ext_data(spec[1])
+            if int(qends[-1]) > len(qs_slab):
+                raise ValueError("external stream underrun")
+            qs_starts, qs_ends = qstarts.tolist(), qends.tolist()
 
         # names: every record consumes one when the header keeps names; only
         # detached records do otherwise (mirrors the record loop's two sites)
@@ -1052,18 +1186,31 @@ class CramReader:
         if sh.embedded_ref_id in needed_cids:
             raise _ColumnarIneligible  # a column block aliased as embedded ref
 
+        # ---- mapped stage 2: materialize reconstructed sequences (needs the
+        # BA offsets for 'i' operands) ----
+        recon_seqs = None
+        if mapped is not None:
+            recon_seqs = self._mapped_seqs(ch, sh, mapped, ba_slab, ba_starts,
+                                           embedded_ref)
+
         flags = bf.tolist()
         useq = u_mask.tolist()
+        recm = r_mask.tolist()
         qm = q_mask.tolist()
         nm = name_mask.tolist() if name_mask is not None else None
         out: List[CramRecord] = []
         ni = 0
+        ri = 0
         for i in range(n):
             if useq[i]:
                 seq: str = ""
                 quals = None
             else:
-                seq = ba_slab[ba_starts[i] : ba_ends[i]].decode("ascii", "replace")
+                if recm[i]:
+                    seq = recon_seqs[ri]
+                    ri += 1
+                else:
+                    seq = ba_slab[ba_starts[i] : ba_ends[i]].decode("ascii", "replace")
                 quals = list(qs_slab[qs_starts[i] : qs_ends[i]]) if qm[i] else None
             name = None
             if nm is not None and nm[i]:
@@ -1072,6 +1219,201 @@ class CramReader:
                 ni += 1
             out.append(CramRecord(seq=seq, qual=quals, flag=flags[i], name=name))
         return out
+
+    def _mapped_columns(self, ch, sh, externals, plan, n, rl, r_mask,
+                        int_col, byte_col, stop_col, embedded_ref):
+        """Stage 1 of columnar mapped reconstruction: decode the position and
+        feature columns, classify records into the vectorized X-only lane vs
+        the per-record applier lane, and count per-record BA consumption by
+        'i' features (the BA block is shared with unmapped base runs, so these
+        counts must exist before the BA offsets can)."""
+        r_idx = np.nonzero(r_mask)[0]
+        nR = len(r_idx)
+
+        # positions: AP is consumed for every record by the record loop; in
+        # delta mode it accumulates slice-wide from the slice start
+        ap = int_col("AP", n)
+        pos = sh.start + np.cumsum(ap) if ch.ap_delta else ap
+        ri = int_col("RI", n) if sh.ref_id == -2 else None
+
+        fn = int_col("FN", nR)
+        if bool(np.any(fn < 0)):
+            raise ValueError("negative feature count")
+        F = int(fn.sum())
+        fc = byte_col("FC", F)
+        fp = int_col("FP", F)
+        if F and bool(np.any((fc == ord("B")) | (fc == ord("Q")) | (fc == ord("q")))):
+            # B/Q/q consume QS bytes interleaved with the per-record quality
+            # runs — the quality slab offsets would be wrong for the rest of
+            # the slice
+            raise _ColumnarIneligible
+
+        rec_of_feat = np.repeat(np.arange(nR), fn)
+        idx_start = np.concatenate([[0], np.cumsum(fn)])[:-1]
+        total_fp = np.cumsum(fp)
+        before = np.concatenate([[0], total_fp])[idx_start]
+        fpos = total_fp - np.repeat(before, fn)  # absolute 1-based read pos
+
+        # operand columns, indexed per code in feature order
+        known = b"XSIibDNHP"
+        op_idx = np.zeros(F, np.int64)
+        counts = {}
+        for code in known:
+            m = fc == code
+            c = int(m.sum())
+            counts[code] = c
+            if c:
+                op_idx[m] = np.arange(c)
+        ops = {
+            ord("X"): byte_col("BS", counts[ord("X")]),
+            ord("D"): int_col("DL", counts[ord("D")]),
+            ord("N"): int_col("RS", counts[ord("N")]),
+            ord("H"): int_col("HC", counts[ord("H")]),
+            ord("P"): int_col("PD", counts[ord("P")]),
+            ord("S"): stop_col("SC", counts[ord("S")]),
+            ord("I"): stop_col("IN", counts[ord("I")]),
+            ord("b"): stop_col("BB", counts[ord("b")]),
+        }
+
+        # 'i' features: per-record BA byte counts + within-record ordinals
+        m_i = fc == ord("i")
+        i_per_rec = np.bincount(rec_of_feat[m_i], minlength=nR) if F else np.zeros(nR, np.int64)
+        c_i = np.cumsum(m_i) if F else np.zeros(0, np.int64)
+        before_i = np.concatenate([[0], c_i])[idx_start]
+        iord = (c_i - np.repeat(before_i, fn)) - 1  # valid at m_i positions
+        i_per_rec_full = np.zeros(n, np.int64)
+        i_per_rec_full[r_idx] = i_per_rec
+
+        # vectorized-lane eligibility per record: all features X, positions
+        # strictly increasing and inside the read (the record loop's cursor
+        # semantics silently skip out-of-order features — applier territory)
+        rl_R = rl[r_idx]
+        widx = np.arange(F) - np.repeat(idx_start, fn)
+        bad_feat = (
+            (fc != ord("X"))
+            | (fpos < 1)
+            | (fpos > rl_R[rec_of_feat])
+            | ((widx > 0) & (fp <= 0))
+        )
+        rec_applier = (np.bincount(rec_of_feat[bad_feat], minlength=nR) > 0) if F else np.zeros(nR, bool)
+
+        return {
+            "r_idx": r_idx, "nR": nR, "pos": pos, "ri": ri, "fn": fn,
+            "fc": fc, "fpos": fpos, "rec_of_feat": rec_of_feat,
+            "idx_start": idx_start, "op_idx": op_idx, "ops": ops,
+            "iord": iord, "i_per_rec_full": i_per_rec_full,
+            "rec_applier": rec_applier, "rl_R": rl_R,
+        }
+
+    def _ref_bytes(self, ref: str, cache_key):
+        """ASCII bytes of a reference (cached per ref id), or None when the
+        reference holds non-ASCII characters (vector lane would mangle them)."""
+        cache = self.__dict__.setdefault("_refcache", {})
+        hit = cache.get(cache_key)
+        if hit is not None and hit[0] == len(ref):
+            return hit[1]
+        rb = (np.frombuffer(ref.encode("ascii"), np.uint8)
+              if ref.isascii() else None)
+        if cache_key is not None:
+            cache[cache_key] = (len(ref), rb)
+        return rb
+
+    def _mapped_seqs(self, ch, sh, mapped, ba_slab, ba_starts, embedded_ref):
+        """Stage 2: materialize the reconstructed sequences for every mapped
+        record, vectorized X-only lane first, shared applier for the rest."""
+        emb_str = (embedded_ref.decode("ascii", "replace")
+                   if embedded_ref is not None else None)
+        r_idx = mapped["r_idx"]
+        nR = mapped["nR"]
+        pos, rl_R = mapped["pos"], mapped["rl_R"]
+        fc, fpos, fn = mapped["fc"], mapped["fpos"], mapped["fn"]
+        rec_of_feat, idx_start = mapped["rec_of_feat"], mapped["idx_start"]
+        op_idx, ops, iord = mapped["op_idx"], mapped["ops"], mapped["iord"]
+        rec_applier = mapped["rec_applier"].copy()
+        sub = _sub_table(ch)
+        seqs: List[Optional[str]] = [None] * nR
+
+        slice_ref = None  # resolved lazily; (ref, ref_off)
+        vec_ok = emb_str is not None or sh.ref_id != -2
+        if vec_ok and not bool(np.all(rec_applier)):
+            ref, ref_off = self._resolve_slice_ref(ch, sh, emb_str, sh.ref_id)
+            slice_ref = (ref, ref_off)
+            key = None if emb_str is not None else ("ref", sh.ref_id)
+            ref_b = self._ref_bytes(ref, key)
+            if ref_b is None:
+                vec_ok = False  # non-ASCII reference: applier lane everywhere
+        if not vec_ok:
+            rec_applier[:] = True
+
+        if not bool(np.all(rec_applier)):
+            vec_sel = ~rec_applier
+            vecpos = np.full(nR, -1, np.int64)
+            vecpos[vec_sel] = np.arange(int(vec_sel.sum()))
+            rlv = rl_R[vec_sel]
+            startsv = pos[r_idx[vec_sel]] - ref_off
+            tot = int(rlv.sum())
+            ends_f = np.cumsum(rlv)
+            starts_f = ends_f - rlv
+            within = np.arange(tot) - np.repeat(starts_f, rlv)
+            gidx = np.repeat(startsv, rlv) + within
+            if len(ref_b):
+                ok = (gidx >= 0) & (gidx < len(ref_b))
+                flat = np.where(ok, ref_b[np.clip(gidx, 0, len(ref_b) - 1)],
+                                np.uint8(ord("N"))).astype(np.uint8)
+            else:
+                flat = np.full(tot, ord("N"), np.uint8)
+            fm = (fc == ord("X")) & vec_sel[rec_of_feat] if len(fc) else np.zeros(0, bool)
+            if bool(np.any(fm)):
+                lut = np.full((256, 4), ord("N"), np.uint8)
+                for (rb_ch, v), alt in sub.items():
+                    lut[ord(rb_ch), v] = ord(alt)
+                    lut[ord(rb_ch.lower()), v] = ord(alt)
+                at = starts_f[vecpos[rec_of_feat[fm]]] + (fpos[fm] - 1)
+                code = mapped["ops"][ord("X")][op_idx[fm]]
+                rbb = flat[at]
+                alt = np.where(code <= 3,
+                               lut[rbb, np.minimum(code, 3)], np.uint8(ord("N")))
+                flat[at] = alt
+            blob = flat.tobytes()
+            sf, ef = starts_f.tolist(), ends_f.tolist()
+            for vj, j in enumerate(np.nonzero(vec_sel)[0].tolist()):
+                seqs[j] = blob[sf[vj] : ef[vj]].decode("ascii", "replace")
+
+        if bool(np.any(rec_applier)):
+            fc_l = fc.tolist()
+            fpos_l = fpos.tolist()
+            oi = op_idx.tolist()
+            iord_l = iord.tolist()
+            fn_l = fn.tolist()
+            start_l = idx_start.tolist()
+            for j in np.nonzero(rec_applier)[0].tolist():
+                gi = int(r_idx[j])
+                if emb_str is not None:
+                    ref_j, off_j = emb_str, sh.start
+                elif sh.ref_id == -2:
+                    ref_j, off_j = self._resolve_slice_ref(
+                        ch, sh, None, int(mapped["ri"][gi]))
+                else:
+                    if slice_ref is None:
+                        slice_ref = self._resolve_slice_ref(ch, sh, None, sh.ref_id)
+                    ref_j, off_j = slice_ref
+                feats = []
+                for k in range(start_l[j], start_l[j] + fn_l[j]):
+                    code = chr(fc_l[k])
+                    if code == "X":
+                        op = int(ops[ord("X")][oi[k]])
+                    elif code in ("S", "I", "b"):
+                        op = ops[ord(code)][oi[k]]
+                    elif code in ("D", "N", "H", "P"):
+                        op = int(ops[ord(code)][oi[k]])
+                    elif code == "i":
+                        op = ba_slab[ba_starts[gi] + iord_l[k]]
+                    else:
+                        raise ValueError(f"unsupported read feature {code!r}")
+                    feats.append((code, fpos_l[k], op))
+                seqs[j] = _apply_features(ref_j, off_j, int(pos[gi]),
+                                          int(rl_R[j]), feats, sub)
+        return seqs
 
     def _decode_slice(self, ch, sh, core, externals, embedded_ref, cont_ref):
         dec: Dict[str, _Decoder] = {}
@@ -1082,17 +1424,7 @@ class CramReader:
                 dec[key] = _Decoder(enc, core, externals) if enc else None
             return dec[key]
 
-        sm = ch.sub_matrix
-        # substitution matrix (spec §10.6): row per reference base ACGTN; the 2-bit field
-        # at alt position j holds the BS code assigned to that alternative base, so BS code
-        # v under reference base rb selects the alt whose field equals v
-        sub = {}
-        for ri, rb in enumerate(_SUB_BASES):
-            alts = [b for b in _SUB_BASES if b != rb]
-            row = sm[ri]
-            for j, alt in enumerate(alts):
-                v = (row >> (6 - 2 * j)) & 3
-                sub[(rb, v)] = alt
+        sub = _sub_table(ch)
 
         # decode the embedded reference ONCE per slice (was once per record)
         emb_ref_str = (
@@ -1196,21 +1528,23 @@ class CramReader:
                 d = decoders[key] = _Decoder(enc, core, externals)
             d.read_bytes()
 
-    def _reconstruct(self, ch, sh, D, sub, pos0, rl, emb_ref_str, ref_id) -> str:
+    def _resolve_slice_ref(self, ch, sh, emb_ref_str, ref_id) -> Tuple[str, int]:
+        """(reference string, offset of its first base in 1-based ref coords)."""
         if emb_ref_str is not None:
-            ref = emb_ref_str
-            ref_off = sh.start  # embedded ref starts at the slice start
-        else:
-            ref = self._ref_seq(ref_id)
-            ref_off = 1  # CRAM positions are 1-based
-            if ref is None:
-                if ch.preservation.get("RR", True):
-                    raise ValueError(
-                        f"slice needs reference sequence {ref_id}; pass reference="
-                    )
-                # RR=false (no-ref CRAM, e.g. samtools --output-fmt-option no_ref):
-                # every base is feature-coded; positions the features miss decode as N
-                ref = ""
+            return emb_ref_str, sh.start  # embedded ref starts at the slice start
+        ref = self._ref_seq(ref_id)
+        if ref is None:
+            if ch.preservation.get("RR", True):
+                raise ValueError(
+                    f"slice needs reference sequence {ref_id}; pass reference="
+                )
+            # RR=false (no-ref CRAM, e.g. samtools --output-fmt-option no_ref):
+            # every base is feature-coded; positions the features miss decode as N
+            ref = ""
+        return ref, 1  # CRAM positions are 1-based
+
+    def _reconstruct(self, ch, sh, D, sub, pos0, rl, emb_ref_str, ref_id) -> str:
+        ref, ref_off = self._resolve_slice_ref(ch, sh, emb_ref_str, ref_id)
         fn = D("FN").read_int()
         feats = []
         fpos = 0
@@ -1218,52 +1552,7 @@ class CramReader:
             code = chr(D("FC").read_byte())
             fpos += D("FP").read_int()
             feats.append((code, fpos, self._feat_operand(code, D)))
-        out = []
-        rp = pos0  # 1-based reference position
-        i = 1  # 1-based read position
-        fi = 0
-        while i <= rl:
-            if fi < len(feats) and feats[fi][1] == i:
-                code, _, op = feats[fi]
-                fi += 1
-                if code == "X":  # substitution
-                    rb = ref[rp - ref_off] if 0 <= rp - ref_off < len(ref) else "N"
-                    out.append(sub.get((rb.upper(), op), "N"))
-                    rp += 1
-                    i += 1
-                elif code == "S":  # soft clip
-                    out.append(op.decode("ascii", "replace"))
-                    i += len(op)
-                elif code == "I":  # insertion
-                    out.append(op.decode("ascii", "replace"))
-                    i += len(op)
-                elif code == "i":  # single-base insertion
-                    out.append(chr(op))
-                    i += 1
-                elif code == "b":  # stretch of bases
-                    out.append(op.decode("ascii", "replace"))
-                    rp += len(op)
-                    i += len(op)
-                elif code == "D":  # deletion
-                    rp += op
-                elif code == "N":  # ref skip
-                    rp += op
-                elif code in ("H", "P"):  # hard clip / pad: no read bases
-                    pass
-                elif code == "B":  # base + qual
-                    out.append(chr(op[0]))
-                    rp += 1
-                    i += 1
-                elif code in ("q", "Q"):  # qual-only features
-                    pass
-                else:
-                    raise ValueError(f"unsupported read feature {code!r}")
-            else:
-                idx = rp - ref_off
-                out.append(ref[idx] if 0 <= idx < len(ref) else "N")
-                rp += 1
-                i += 1
-        return "".join(out)[:rl]
+        return _apply_features(ref, ref_off, pos0, rl, feats, sub)
 
     def _feat_operand(self, code, D):
         if code == "X":
@@ -1337,7 +1626,8 @@ class _ExtBuf:
 _W_IDS = {
     "BF": 1, "CF": 2, "RL": 3, "AP": 4, "RG": 5, "RN": 6, "MF": 7, "NS": 8,
     "NP": 9, "TS": 10, "TL": 11, "FN": 12, "FP": 13, "FC": 14, "BS": 15,
-    "DL": 16, "BA": 17, "QS": 18, "MQ": 19, "SC": 20, "IN": 21,
+    "DL": 16, "BA": 17, "QS": 18, "MQ": 19, "SC": 20, "IN": 21, "RS": 22,
+    "HC": 23, "PD": 24, "BB": 25,
 }
 
 
@@ -1364,11 +1654,13 @@ def _compression_header_blob(mapped: bool) -> bytes:
     series = bytearray()
     encs: List[Tuple[bytes, bytes]] = []
     for key in ("BF", "CF", "RL", "AP", "MF", "NS", "NP", "TS", "TL",
-                "FN", "FP", "BS", "DL", "BA", "QS", "MQ", "FC"):
+                "FN", "FP", "BS", "DL", "BA", "QS", "MQ", "FC", "RS",
+                "HC", "PD"):
         encs.append((key.encode(), _enc_external(_W_IDS[key])))
     encs.append((b"RN", _enc_byte_array_stop(0, _W_IDS["RN"])))
     encs.append((b"SC", _enc_byte_array_stop(0, _W_IDS["SC"])))
     encs.append((b"IN", _enc_byte_array_stop(0, _W_IDS["IN"])))
+    encs.append((b"BB", _enc_byte_array_stop(0, _W_IDS["BB"])))
     series += itf8_encode(len(encs))
     for k, e in encs:
         series += k + e

@@ -69,9 +69,9 @@ def test_multi_slice_parity(tmp_path):
     assert _read(p, columnar=True) == _read(p, columnar=False)
 
 
-def test_mapped_falls_back_to_record_loop(tmp_path):
-    """Mapped slices (feature-coded sequences) are record-loop territory; the
-    reader must produce identical output with columnar enabled (via fallback)."""
+def test_mapped_x_only_parity_and_engagement(tmp_path, monkeypatch):
+    """Mapped X-substitution slices decode through the vectorized columnar
+    lane (one reference gather + LUT scatter) — identical to the record loop."""
     rng = random.Random(11)
     ref = "".join(rng.choice("ACGT") for _ in range(3000))
     reads = []
@@ -86,8 +86,119 @@ def test_mapped_falls_back_to_record_loop(tmp_path):
     write_cram(p, [], mapped=reads, reference=ref, method=M_RANS, rans_order=1,
                reads_per_container=30)
     kw = dict(reference={0: ref})
-    assert _read(p, columnar=True, **kw) == _read(p, columnar=False, **kw)
-    assert [t[0] for t in _read(p, columnar=True, **kw)] == [s for s, _ in reads]
+    slow = _read(p, columnar=False, **kw)
+    assert _read(p, columnar=True, **kw) == slow
+    assert [t[0] for t in slow] == [s for s, _ in reads]
+
+    def _poisoned(self, *a, **k):
+        raise AssertionError("record loop used on a columnar-eligible mapped slice")
+    monkeypatch.setattr(CramReader, "_decode_slice", _poisoned)
+    assert _read(p, columnar=True, **kw) == slow
+
+
+def _write_feature_cram(path, ref, recs, sam_extra=""):
+    """Hand-built mapped container with arbitrary read features.
+
+    recs: [(pos1, rl, feats)] with feats = [(code, fp_delta, operand)] —
+    operands: X→BS code int, S/I→bytes, i→base byte int, D/N/H/P→int.
+    Exercises the columnar per-record applier lane (the fixture writer only
+    emits X features)."""
+    import io as _io
+    import struct
+
+    from denovo_kmer_tpu.io.cram import (
+        CRAM_MAGIC, CT_FILE_HEADER, M_GZIP, M_RAW, _container, _ExtBuf,
+        _W_IDS, _write_series_blocks, itf8_encode, write_block,
+    )
+
+    with open(path, "wb") as f:
+        f.write(CRAM_MAGIC + bytes((3, 0)) + b"\x00" * 20)
+        hdr = f"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:{len(ref)}\n{sam_extra}".encode()
+        blob = struct.pack("<i", len(hdr)) + hdr
+        bio = _io.BytesIO()
+        write_block(bio, M_RAW, CT_FILE_HEADER, 0, blob)
+        _container(f, bio.getvalue(), 0, 0, 0, 0, 0, 1, [0])
+
+        ext = {k: _ExtBuf() for k in _W_IDS}
+        op_series = {"X": "BS", "S": "SC", "I": "IN", "i": "BA",
+                     "D": "DL", "N": "RS", "H": "HC", "P": "PD"}
+        for pos1, rl, feats in recs:
+            ext["BF"].itf8(0)
+            ext["CF"].itf8(2)  # detached, no stored quals
+            ext["RL"].itf8(rl)
+            ext["AP"].itf8(pos1)
+            ext["RN"].raw(b"r\x00")
+            ext["MF"].itf8(0)
+            ext["NS"].itf8(-1)
+            ext["NP"].itf8(0)
+            ext["TS"].itf8(0)
+            ext["TL"].itf8(0)
+            ext["FN"].itf8(len(feats))
+            for code, fpd, op in feats:
+                ext["FP"].itf8(fpd)
+                ext["FC"].byte(ord(code))
+                series = op_series[code]
+                if code in ("S", "I"):
+                    ext[series].raw(op + b"\x00")
+                elif code == "i":
+                    ext[series].raw(bytes([op]))
+                elif code == "X":
+                    ext[series].byte(op)
+                else:
+                    ext[series].itf8(op)
+            ext["MQ"].itf8(30)
+        start = min(p for p, _, _ in recs)
+        end = max(p + rl for p, rl, _ in recs)
+        _write_series_blocks(f, ext, len(recs), 0, start, end - start + 1, 0,
+                             M_GZIP, 0, mapped=True)
+
+        from denovo_kmer_tpu.io.cram import CT_COMPRESSION_HEADER
+        bio = _io.BytesIO()
+        write_block(bio, M_RAW, CT_COMPRESSION_HEADER, 0,
+                    itf8_encode(1) + itf8_encode(0)
+                    + itf8_encode(1) + itf8_encode(0)
+                    + itf8_encode(1) + itf8_encode(0))
+        _container(f, bio.getvalue(), -1, 4542278, 0, 0, 0, 1, [0])
+
+
+def test_mapped_feature_codes_applier_lane_parity(tmp_path):
+    """Clips, indels and base-insertion features route records through the
+    per-record applier lane; output must match the record loop and the
+    hand-computed expectations. RS/HC/PD columns are exercised too."""
+    from denovo_kmer_tpu.io.cram import _sub_code
+
+    ref = "ACGTACGTACGTACGTACGTACGTACGTACGT"  # 32 bp
+    recs = [
+        # pure ref copy (vector lane)
+        (1, 8, []),
+        # X at read pos 3 (ref G -> T), vector lane
+        (1, 8, [("X", 3, _sub_code("G", "T"))]),
+        # soft clip of 3 at read start, then ref from pos 5 (applier lane)
+        (5, 9, [("S", 1, b"TTT")]),
+        # insertion of 2 bp after 2 ref bases (applier)
+        (9, 8, [("I", 3, b"GG")]),
+        # single-base insertion 'i' (applier; BA operand byte)
+        (1, 6, [("i", 4, ord("A"))]),
+        # deletion of 2 ref bases after read pos 2 (applier)
+        (1, 6, [("D", 3, 2)]),
+        # ref skip N, hard clip H, pad P (position-less codes, applier)
+        (3, 6, [("N", 2, 3), ("H", 5, 2), ("P", 6, 1)]),
+        # mixed X + S in one record (applier; X must still substitute)
+        (9, 8, [("X", 2, _sub_code("C", "A")), ("S", 7, b"CC")]),
+    ]
+    p = str(tmp_path / "feat.cram")
+    _write_feature_cram(p, ref, recs)
+    kw = dict(reference={"chr1": ref})
+    slow = _read(p, columnar=False, **kw)
+    fast = _read(p, columnar=True, **kw)
+    assert fast == slow
+    seqs = [t[0] for t in fast]
+    assert seqs[0] == "ACGTACGT"
+    assert seqs[1] == "ACTTACGT"        # X: G->T at read pos 3
+    assert seqs[2] == "TTTACGTAC"       # S(3) + ref[5..10]
+    assert seqs[3] == "ACGGGTAC"        # 2 ref + I(GG) + 4 ref from pos 11
+    assert seqs[4] == "ACGATA"          # 3 ref + i(A), ref cursor stays at 4
+    assert seqs[5] == "ACACGT"          # 2 ref + D(2) + 4 ref from pos 5
 
 
 def test_varied_lengths_parity(tmp_path):
