@@ -50,33 +50,52 @@ def pack_seqs(
     quals: Optional[Sequence[Optional[Sequence[int]]]] = None,
     batch_size: Optional[int] = None,
 ) -> PackedReads:
-    """Pack sequences (already record-filtered) into one PackedReads batch."""
+    """Pack sequences (already record-filtered) into one PackedReads batch.
+
+    Batch-vectorized: one flat byte buffer → one LUT lookup → one fancy-index
+    placement, instead of per-read numpy calls (the per-read loop measured
+    ~30 Kreads/s and capped every non-native feeder; differential-tested
+    against the scalar formulation in tests/test_pack_vectorized.py)."""
     Lp = padded_length(cfg.max_read_len)
     B = batch_size if batch_size is not None else len(seqs)
-    if len(seqs) > B:
-        raise ValueError(f"batch overflow: {len(seqs)} > {B}")
+    nseq = len(seqs)
+    if nseq > B:
+        raise ValueError(f"batch overflow: {nseq} > {B}")
     codes = np.zeros((B, Lp), dtype=np.uint8)
     valid = np.zeros((B, Lp), dtype=bool)
     length = np.zeros(B, dtype=np.int32)
-    for i, s in enumerate(seqs):
-        b = s.encode("ascii", "replace")[: cfg.max_read_len]
-        n = len(b)
-        c = _CODE_LUT[np.frombuffer(b, dtype=np.uint8)]
+    if nseq:
+        bufs = [s.encode("ascii", "replace")[: cfg.max_read_len] for s in seqs]
+        lens = np.fromiter((len(b) for b in bufs), np.int64, nseq)
+        flat = np.frombuffer(b"".join(bufs), np.uint8)
+        c = _CODE_LUT[flat]
         ok = c != 255
-        if cfg.min_base_quality > 0 and quals is not None and quals[i] is not None:
-            if len(quals[i]) < len(s):
-                # same contract as the oracle (scalar.read_kmers): a malformed record
-                # errors, before any max_read_len truncation can mask it
-                raise ValueError(
-                    f"quality string shorter than sequence ({len(quals[i])} < "
-                    f"{len(s)}) in read {i} of the batch — malformed input record"
-                )
-            q = np.asarray(quals[i][: cfg.max_read_len], dtype=np.int32)
-            ok = ok & (q[:n] >= cfg.min_base_quality)
-        codes[i, :n] = np.where(ok, c, 0)
-        valid[i, :n] = ok
-        length[i] = n
-    return _pack_codes(codes, valid, length, len(seqs))
+        if cfg.min_base_quality > 0 and quals is not None:
+            qparts = []
+            for i, q in enumerate(quals[:nseq]):
+                if q is None:
+                    # no qualities for this read: no quality filtering
+                    qparts.append(np.full(int(lens[i]), 0x7FFF, np.int32))
+                    continue
+                if len(q) < len(seqs[i]):
+                    # same contract as the oracle (scalar.read_kmers): a
+                    # malformed record errors, before any max_read_len
+                    # truncation can mask it
+                    raise ValueError(
+                        f"quality string shorter than sequence ({len(q)} < "
+                        f"{len(seqs[i])}) in read {i} of the batch — malformed "
+                        f"input record"
+                    )
+                qparts.append(np.asarray(q[: int(lens[i])], dtype=np.int32))
+            qflat = np.concatenate(qparts) if qparts else np.zeros(0, np.int32)
+            ok = ok & (qflat >= cfg.min_base_quality)
+        ends = np.cumsum(lens)
+        rows = np.repeat(np.arange(nseq), lens)
+        cols = np.arange(int(ends[-1])) - np.repeat(ends - lens, lens)
+        codes[rows, cols] = np.where(ok, c, 0)
+        valid[rows, cols] = ok
+        length[:nseq] = lens
+    return _pack_codes(codes, valid, length, nseq)
 
 
 def _pack_codes(

@@ -1,0 +1,79 @@
+"""Differential test: the batch-vectorized pack_seqs against a scalar
+reference formulation (the original per-read loop), across quality policies,
+N bases, truncation, empty reads and ragged batches."""
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.pack import _CODE_LUT, _pack_codes, pack_seqs, padded_length
+
+
+def _pack_seqs_scalar(seqs, cfg, quals=None, batch_size=None):
+    Lp = padded_length(cfg.max_read_len)
+    B = batch_size if batch_size is not None else len(seqs)
+    codes = np.zeros((B, Lp), dtype=np.uint8)
+    valid = np.zeros((B, Lp), dtype=bool)
+    length = np.zeros(B, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        b = s.encode("ascii", "replace")[: cfg.max_read_len]
+        n = len(b)
+        c = _CODE_LUT[np.frombuffer(b, dtype=np.uint8)]
+        ok = c != 255
+        if cfg.min_base_quality > 0 and quals is not None and quals[i] is not None:
+            if len(quals[i]) < len(s):
+                raise ValueError("quality string shorter than sequence")
+            q = np.asarray(quals[i][: cfg.max_read_len], dtype=np.int32)
+            ok = ok & (q[:n] >= cfg.min_base_quality)
+        codes[i, :n] = np.where(ok, c, 0)
+        valid[i, :n] = ok
+        length[i] = n
+    return _pack_codes(codes, valid, length, len(seqs))
+
+
+def _assert_same(a, b):
+    np.testing.assert_array_equal(a.words, b.words)
+    np.testing.assert_array_equal(a.vwords, b.vwords)
+    np.testing.assert_array_equal(a.length, b.length)
+    assert a.n_reads == b.n_reads
+
+
+@pytest.mark.parametrize("minq", [0, 20])
+def test_differential_random(minq):
+    import random
+
+    rng = random.Random(minq)
+    cfg = EngineConfig(k=11, max_read_len=96, batch_reads=64,
+                       table_capacity=1 << 10, min_base_quality=minq)
+    seqs, quals = [], []
+    for i in range(64):
+        L = rng.randrange(0, 130)  # some exceed max_read_len -> truncation
+        seqs.append("".join(rng.choice("ACGTNacgtn") for _ in range(L)))
+        quals.append(None if i % 5 == 0
+                     else [rng.randrange(0, 45) for _ in range(L)])
+    _assert_same(pack_seqs(seqs, cfg, quals, batch_size=64),
+                 _pack_seqs_scalar(seqs, cfg, quals, batch_size=64))
+
+
+def test_empty_batch_and_empty_reads():
+    cfg = EngineConfig(k=5, max_read_len=32, batch_reads=8,
+                       table_capacity=1 << 8)
+    _assert_same(pack_seqs([], cfg, batch_size=8),
+                 _pack_seqs_scalar([], cfg, batch_size=8))
+    seqs = ["", "ACGT", ""]
+    _assert_same(pack_seqs(seqs, cfg, batch_size=8),
+                 _pack_seqs_scalar(seqs, cfg, batch_size=8))
+
+
+def test_short_quality_raises():
+    cfg = EngineConfig(k=5, max_read_len=32, batch_reads=4,
+                       table_capacity=1 << 8, min_base_quality=10)
+    with pytest.raises(ValueError, match="quality string shorter"):
+        pack_seqs(["ACGTACGT"], cfg, [[30, 30]], batch_size=4)
+
+
+def test_batch_overflow_raises():
+    cfg = EngineConfig(k=5, max_read_len=32, batch_reads=2,
+                       table_capacity=1 << 8)
+    with pytest.raises(ValueError, match="batch overflow"):
+        pack_seqs(["A", "C", "G"], cfg, batch_size=2)
