@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from denovo_kmer_tpu.config import EngineConfig
-from denovo_kmer_tpu.ops.pack import pack_records
 from denovo_kmer_tpu.ops.table import KmerTable, empty_table, merge_tables
 from denovo_kmer_tpu.pipeline import (
     TrioResult,
@@ -25,6 +24,7 @@ from denovo_kmer_tpu.pipeline import (
     build_sample_table,
     format_report_np,
     make_ingest_step,
+    packed_batches,
 )
 from denovo_kmer_tpu.utils.metrics import Metrics
 
@@ -68,7 +68,7 @@ def run_trio_multi_k(
         ``flush_tail=False`` leaves the final window in the accumulators — the fused
         one-sort call (ops/fused.py) consumes it directly, skipping a compaction."""
         pending = 0
-        for packed in pack_records(_record_stream(path, base_cfg, region), base_cfg):
+        for packed in packed_batches(path, base_cfg, region):
             m.count("reads_ingested", packed.n_reads)
             words = jnp.asarray(packed.words)
             vwords = jnp.asarray(packed.vwords)
@@ -209,7 +209,7 @@ def _run_trio_multi_k_sharded_once(
         # ONE decode+pack+device_put per batch; every k's engine ingests the same
         # placed arrays (identical sharding spec — they share the mesh)
         for packed in prefetch_batches(
-            pack_records(_record_stream(path, base_cfg, region), base_cfg)
+            packed_batches(path, base_cfg, region)
         ):
             m.count("reads_ingested", packed.n_reads)
             words, vwords = e0.put_batch(packed)
@@ -297,7 +297,7 @@ def run_cohort(
                 continue
             with m.timer("build"):
                 tables[sample] = build_sample_table(
-                    _record_stream(path, cfg, region), cfg, m, step
+                    path, cfg, m, step, region=region
                 )
         if superset is not None:
             # check after EVERY merge: a later merge recomputes n from the surviving
@@ -317,7 +317,7 @@ def run_cohort(
             with m.timer("build"):
                 cands, _nu, child_uniques = scorer.build_call(
                     tables["mom"], tables["dad"],
-                    pack_records(_record_stream(trio.child, cfg, region), cfg), m,
+                    packed_batches(trio.child, cfg, region), m,
                 )
             n = int(cands.n)
             keys = np.asarray(cands.keys)[:n]
@@ -328,7 +328,7 @@ def run_cohort(
             with m.timer("build"):
                 score_tab = scorer.build(
                     tables["mom"], tables["dad"],
-                    pack_records(_record_stream(trio.child, cfg, region), cfg), m,
+                    packed_batches(trio.child, cfg, region), m,
                 )
             cands = call_from_score(score_tab, cfg.tau_parent, cfg.min_child_count)
             n = int(cands.n)
@@ -407,7 +407,9 @@ def run_cohort_sharded(
                         f"raise --table-capacity"
                     )
         state = ingest_score_state(
-            _record_stream(trio.child, cfg, region), cfg, engine, mom, dad, m
+            trio.child if region is None
+            else _record_stream(trio.child, cfg, region),
+            cfg, engine, mom, dad, m,
         )
         # fused one-sort finalize+call (round 3; engine falls back for even k/large R)
         cands, _n_child_unique = engine.finalize_call_score(state)

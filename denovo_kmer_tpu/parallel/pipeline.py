@@ -17,19 +17,26 @@ from denovo_kmer_tpu.oracle.scalar import decode_kmer
 from denovo_kmer_tpu.parallel.mesh import make_mesh
 from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
 from denovo_kmer_tpu.pipeline import TrioResult, _record_stream
-from denovo_kmer_tpu.ops.pack import pack_records
+
 from denovo_kmer_tpu.utils.metrics import Metrics
 
 
 def _packed_batches(records, cfg: EngineConfig):
     """Packed batches for the mesh: length-bucketed when cfg.read_len_buckets is set
     (the sharded ingest derives extraction width from the batch shape — one cached
-    executable per bucket width, results bit-identical to max-width packing)."""
+    executable per bucket width, results bit-identical to max-width packing).
+
+    ``records`` may be a reads-file path — unbucketed local BAM then rides the
+    native decode+pack feeder (pipeline.packed_batches dispatch)."""
     if cfg.read_len_buckets:
         from denovo_kmer_tpu.ops.pack import pack_records_bucketed
 
+        if isinstance(records, str):
+            records = _record_stream(records, cfg)
         return (packed for _w, packed in pack_records_bucketed(records, cfg))
-    return pack_records(records, cfg)
+    from denovo_kmer_tpu.pipeline import packed_batches
+
+    return packed_batches(records, cfg)
 
 
 def build_sample_table_sharded(
@@ -75,7 +82,8 @@ def load_or_build_parent_sharded(path, cfg: EngineConfig, engine: ShardedKmerEng
             loaded = _filter_table_by_pass(loaded, engine.n_passes, pass_id)
         return engine.place_flat_table(loaded)
     return build_sample_table_sharded(
-        _record_stream(path, cfg, region), cfg, engine, m, pass_id
+        path if region is None else _record_stream(path, cfg, region),
+        cfg, engine, m, pass_id,
     )
 
 
@@ -194,8 +202,8 @@ def _run_trio_sharded_once(
     # the compacting finalize for even k / large R / K overflow)
     with m.timer("build_child"):
         state = ingest_score_state(
-            _record_stream(child_path, cfg, region), cfg, engine,
-            tables["mom"], tables["dad"], m,
+            child_path if region is None else _record_stream(child_path, cfg, region),
+            cfg, engine, tables["mom"], tables["dad"], m,
         )
     with m.timer("trio_call"):
         cand_tuples, child_uniques = engine.finalize_call_score(state)
@@ -299,8 +307,9 @@ def _run_trio_multipass_sharded_once(
             tables_n[name] += engine.total_unique(ptables[name])
         with m.timer("build_child"):
             state = ingest_score_state(
-                _record_stream(child_path, cfg, region), cfg, engine,
-                ptables["mom"], ptables["dad"], m, pass_id=p,
+                child_path if region is None
+                else _record_stream(child_path, cfg, region),
+                cfg, engine, ptables["mom"], ptables["dad"], m, pass_id=p,
             )
         with m.timer("trio_call"):
             cand_tuples, child_uniques = engine.finalize_call_score(state)

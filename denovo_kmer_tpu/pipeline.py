@@ -518,11 +518,43 @@ class ScoringTableBuilder:
         return table
 
 
+def packed_batches(
+    source, cfg: EngineConfig, region: Optional[str] = None
+) -> Iterator[PackedReads]:
+    """PackedReads stream from a reads-file path or an open record iterable,
+    through the fastest eligible feeder.
+
+    Output is bit-identical to ``pack_records`` over the record stream (the
+    layout property in tests/test_native_ingest.py); a plain local BAM path
+    with the C++ shim available takes the native decode+pack feeder instead
+    of the per-record Python loop (measured ~15x on one core — previously
+    only the resumable build and the e2e bench used it; the run_trio/cohort
+    feeders ran the pure loop even when the shim was built)."""
+    if not isinstance(source, str):
+        return pack_records(source, cfg)
+    if region is None and source.lower().endswith(".bam") and "://" not in source:
+        from denovo_kmer_tpu.io.native import native_available
+
+        if native_available():
+            from denovo_kmer_tpu.io.native import NativeBamFeeder
+
+            def gen():
+                feeder = NativeBamFeeder(source, cfg)
+                try:
+                    yield from feeder
+                finally:
+                    feeder.close()
+
+            return gen()
+    return pack_records(_record_stream(source, cfg, region), cfg)
+
+
 def build_sample_table(
-    records: Iterable,
+    records,  # record iterable, or a reads-file path (fastest-feeder dispatch)
     cfg: EngineConfig,
     metrics: Optional[Metrics] = None,
     step=None,
+    region: Optional[str] = None,
 ) -> KmerTable:
     """Fold a record stream into a k-mer table (SURVEY.md §3.2 build_parent_table).
 
@@ -535,8 +567,10 @@ def build_sample_table(
         # keep the unbucketed layout
         from denovo_kmer_tpu.ops.pack import pack_records_bucketed
 
+        if isinstance(records, str):
+            records = _record_stream(records, cfg, region)
         return builder.build_bucketed(pack_records_bucketed(records, cfg), metrics)
-    return builder.build(pack_records(records, cfg), metrics)
+    return builder.build(packed_batches(records, cfg, region), metrics)
 
 
 def decode_kmers_np(keys: np.ndarray, k: int) -> List[str]:
@@ -671,7 +705,7 @@ def run_trio_multipass(
             else:
                 with m.timer(f"build_{name}"):
                     ptables[name] = build_sample_table(
-                        _record_stream(path, cfg, region), cfg, m, pstep
+                        path, cfg, m, pstep, region=region
                     )
             tables_n[name] += int(ptables[name].n)
         scorer.extract_append = ea
@@ -682,7 +716,7 @@ def run_trio_multipass(
                 _record_stream(child_path, cfg, region), cfg
             )
         else:
-            child_batches = pack_records(_record_stream(child_path, cfg, region), cfg)
+            child_batches = packed_batches(child_path, cfg, region)
         with m.timer("build_child"):
             if fused_supported(cfg.k):
                 cands, _nu, n_child = scorer.build_call(
@@ -694,9 +728,7 @@ def run_trio_multipass(
                 if pass_bucket_steps is not None:
                     # the compacting fallback (even k) has no bucketed variant —
                     # re-open the stream unbucketed (results identical either way)
-                    child_batches = pack_records(
-                        _record_stream(child_path, cfg, region), cfg
-                    )
+                    child_batches = packed_batches(child_path, cfg, region)
                 stab = scorer.build(ptables["mom"], ptables["dad"], child_batches, m)
                 n_child = int(jnp.sum(stab.counts >= 1))
                 cands = call_from_score(stab, cfg.tau_parent, cfg.min_child_count)
@@ -761,9 +793,7 @@ def run_trio(
                 )
         else:
             with m.timer(f"build_{name}"):
-                tables[name] = build_sample_table(
-                    _record_stream(path, cfg, region), cfg, m, step
-                )
+                tables[name] = build_sample_table(path, cfg, m, step, region=region)
         m.event("table_built", sample=name, unique=int(tables[name].n))
 
     # child scoring: parent-seeded path (ops/score.py); when the k geometry allows it the
@@ -779,7 +809,7 @@ def run_trio(
             _record_stream(child_path, cfg, region), cfg
         )
     else:
-        child_batches = pack_records(_record_stream(child_path, cfg, region), cfg)
+        child_batches = packed_batches(child_path, cfg, region)
     if fused_supported(cfg.k):
         with m.timer("build_child"):
             cands, _n_union, child_uniques = scorer.build_call(
