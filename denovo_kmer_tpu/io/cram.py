@@ -973,51 +973,7 @@ class CramReader:
         return blk.data[4 : 4 + ln].decode()
 
     def __iter__(self) -> Iterator[CramRecord]:
-        while True:
-            c = self._read_container()
-            if c is None or c["eof"]:
-                return
-            yield from self._decode_container(c)
-
-    # --- record decode ---
-
-    def _decode_container(self, c) -> Iterator[CramRecord]:
-        body = c["body"]
-        pos = 0
-        blk, pos = read_block(body, pos)
-        if blk.content_type != CT_COMPRESSION_HEADER:
-            raise ValueError("expected compression header block")
-        if blk.data is None:
-            raise UnsupportedCodecError(blk.error)
-        ch = _parse_compression_header(blk.data)
-        plan = _columnar_plan(ch) if self.columnar else None
-        while pos < len(body):
-            sblk, pos = read_block(body, pos)
-            if sblk.content_type != CT_SLICE_HEADER:
-                raise ValueError("expected slice header block")
-            if sblk.data is None:
-                raise UnsupportedCodecError(sblk.error)
-            sh = _parse_slice_header(sblk.data)
-            core = None
-            externals: Dict[int, _ByteStream] = {}
-            embedded_ref = None
-            for _ in range(sh.n_blocks):
-                b, pos = read_block(body, pos)
-                if b.content_type == CT_CORE:
-                    if b.data is None:
-                        raise UnsupportedCodecError(b.error)
-                    core = _BitReader(b.data)
-                elif b.content_type == CT_EXTERNAL:
-                    if b.data is None:
-                        # lazily-failing stream: raises only if a data series
-                        # actually pulls bytes from this block
-                        externals[b.content_id] = _FailedByteStream(b.error)
-                    else:
-                        externals[b.content_id] = _ByteStream(b.data)
-                    if b.content_id == sh.embedded_ref_id:
-                        if b.data is None:
-                            raise UnsupportedCodecError(b.error)
-                        embedded_ref = b.data
+        for ch, plan, sh, core, externals, embedded_ref, cont_ref in self._slices():
             if plan is not None:
                 try:
                     # list, not generator: eligibility must settle before the
@@ -1028,15 +984,92 @@ class CramReader:
                 except _ColumnarIneligible:
                     pass
             yield from self._decode_slice(ch, sh, core, externals, embedded_ref,
-                                          c["ref_id"])
+                                          cont_ref)
 
-    def _decode_slice_columnar(self, ch, sh, externals, plan,
-                               embedded_ref=None) -> List["CramRecord"]:
-        """Column-at-a-time decode of one slice (see the fast-path comment at
-        _columnar_plan). Stateless over the block buffers: nothing advances a
-        stream cursor, so raising _ColumnarIneligible at ANY point before the
-        return leaves the slice pristine for the record-loop fallback —
-        which is why this returns a list instead of yielding.
+    def iter_seq_chunks(self, flag_mask: int = 0,
+                        max_read_len: int = 1 << 30,
+                        with_quals: bool = True) -> Iterator["object"]:
+        """Yield one ops.pack.SeqChunk per slice — the packed-feeder handoff
+        (pipeline.packed_batches → ops.pack.pack_chunks): flag-filtered,
+        length-truncated flat sequence/quality byte columns with NO per-record
+        Python on columnar-eligible slices. The RN (name) series is never
+        touched on this path — the engine consumes only seq/qual/flag
+        (SURVEY.md §3.3). Ineligible slices fall back to the record loop and
+        are wrapped into the same chunk form; bit-parity with
+        pack_records(CramReader(...)) is the differential contract
+        (tests/test_cram_packed.py)."""
+        for ch, plan, sh, core, externals, embedded_ref, cont_ref in self._slices():
+            if plan is not None:
+                try:
+                    C = self._slice_columns(ch, sh, externals, plan,
+                                            embedded_ref, want_names=False)
+                    if C is not None:
+                        yield _chunk_from_columns(C, flag_mask, max_read_len,
+                                                  with_quals)
+                    continue
+                except _ColumnarIneligible:
+                    pass
+            yield _chunk_from_records(
+                self._decode_slice(ch, sh, core, externals, embedded_ref,
+                                   cont_ref),
+                flag_mask, max_read_len, with_quals)
+
+    # --- record decode ---
+
+    def _slices(self):
+        """Walk every slice of every data container: yields (compression
+        header, columnar plan, slice header, core bit stream, external block
+        map, embedded reference bytes, container ref id) — shared by the
+        record iterator and the packed-chunk iterator."""
+        while True:
+            c = self._read_container()
+            if c is None or c["eof"]:
+                return
+            body = c["body"]
+            pos = 0
+            blk, pos = read_block(body, pos)
+            if blk.content_type != CT_COMPRESSION_HEADER:
+                raise ValueError("expected compression header block")
+            if blk.data is None:
+                raise UnsupportedCodecError(blk.error)
+            ch = _parse_compression_header(blk.data)
+            plan = _columnar_plan(ch) if self.columnar else None
+            while pos < len(body):
+                sblk, pos = read_block(body, pos)
+                if sblk.content_type != CT_SLICE_HEADER:
+                    raise ValueError("expected slice header block")
+                if sblk.data is None:
+                    raise UnsupportedCodecError(sblk.error)
+                sh = _parse_slice_header(sblk.data)
+                core = None
+                externals: Dict[int, _ByteStream] = {}
+                embedded_ref = None
+                for _ in range(sh.n_blocks):
+                    b, pos = read_block(body, pos)
+                    if b.content_type == CT_CORE:
+                        if b.data is None:
+                            raise UnsupportedCodecError(b.error)
+                        core = _BitReader(b.data)
+                    elif b.content_type == CT_EXTERNAL:
+                        if b.data is None:
+                            # lazily-failing stream: raises only if a data series
+                            # actually pulls bytes from this block
+                            externals[b.content_id] = _FailedByteStream(b.error)
+                        else:
+                            externals[b.content_id] = _ByteStream(b.data)
+                        if b.content_id == sh.embedded_ref_id:
+                            if b.data is None:
+                                raise UnsupportedCodecError(b.error)
+                            embedded_ref = b.data
+                yield ch, plan, sh, core, externals, embedded_ref, c["ref_id"]
+
+    def _slice_columns(self, ch, sh, externals, plan, embedded_ref=None,
+                       want_names=True):
+        """Column-at-a-time decode of one slice into flat columns (see the
+        fast-path comment at _columnar_plan). Stateless over the block
+        buffers: nothing advances a stream cursor, so raising
+        _ColumnarIneligible at ANY point leaves the slice pristine for the
+        record-loop fallback. Returns None for an empty slice.
 
         Mapped records with stored sequences reconstruct in two lanes:
         a vectorized lane for records whose features are all X substitutions
@@ -1044,10 +1077,13 @@ class CramReader:
         short-read archive shape), and a per-record lane running the shared
         _apply_features for anything else (clips, indels, base stretches,
         multi-ref slices). Feature codes B/Q/q force the record-loop fallback:
-        they consume QS bytes interleaved with the per-record quality runs."""
+        they consume QS bytes interleaved with the per-record quality runs.
+
+        ``want_names=False`` (the packed-chunk path) never touches the RN
+        series — the engine consumes only seq/qual/flag (SURVEY.md §3.3)."""
         n = sh.n_records
         if n <= 0:
-            return []
+            return None
         needed_cids = set()
 
         def ext_data(cid) -> bytes:
@@ -1136,8 +1172,8 @@ class CramReader:
             ba_slab = ext_data(spec[1])
             if int(ends[-1]) > len(ba_slab):
                 raise ValueError("external stream underrun")
-            ba_starts = starts.tolist()
-            ba_ends = (ends - (ba_extra if ba_extra is not None else 0)).tolist()
+            ba_starts = starts
+            ba_ends = ends - (ba_extra if ba_extra is not None else 0)
 
         q_mask = ((cf & 1) != 0) & seq_mask
         qs_slab = qs_starts = qs_ends = None
@@ -1154,50 +1190,91 @@ class CramReader:
             qs_slab = ext_data(spec[1])
             if int(qends[-1]) > len(qs_slab):
                 raise ValueError("external stream underrun")
-            qs_starts, qs_ends = qstarts.tolist(), qends.tolist()
+            qs_starts, qs_ends = qstarts, qends
 
         # names: every record consumes one when the header keeps names; only
         # detached records do otherwise (mirrors the record loop's two sites)
-        rn_spec = plan["RN"]
-        name_mask = None
-        if rn_spec[0] != "absent":
-            if ch.read_names_included:
-                name_mask = np.ones(n, bool)
-            else:
-                name_mask = (cf & 2) != 0
-                if not bool(np.any(name_mask)):
-                    name_mask = None
         names = None
-        if name_mask is not None:
-            if rn_spec[0] == "bad":
-                raise _ColumnarIneligible
-            needed_cids.add(rn_spec[2])
-            try:
-                slab = ext_data(rn_spec[2])
-            except UnsupportedCodecError:
-                names = None  # tok3-coded names degrade to dropped names
-            else:
-                parts = slab.split(bytes([rn_spec[1]]))
-                k = int(np.count_nonzero(name_mask))
-                if len(parts) - 1 < k:
-                    raise ValueError(f"name stream underrun: {len(parts)-1} < {k}")
-                names = [p.decode("ascii", "replace") for p in parts[:k]]
+        name_mask = None
+        if want_names:
+            rn_spec = plan["RN"]
+            if rn_spec[0] != "absent":
+                if ch.read_names_included:
+                    name_mask = np.ones(n, bool)
+                else:
+                    name_mask = (cf & 2) != 0
+                    if not bool(np.any(name_mask)):
+                        name_mask = None
+            if name_mask is not None:
+                if rn_spec[0] == "bad":
+                    raise _ColumnarIneligible
+                needed_cids.add(rn_spec[2])
+                try:
+                    slab = ext_data(rn_spec[2])
+                except UnsupportedCodecError:
+                    names = None  # tok3-coded names degrade to dropped names
+                else:
+                    parts = slab.split(bytes([rn_spec[1]]))
+                    k = int(np.count_nonzero(name_mask))
+                    if len(parts) - 1 < k:
+                        raise ValueError(
+                            f"name stream underrun: {len(parts)-1} < {k}")
+                    names = [p.decode("ascii", "replace") for p in parts[:k]]
 
         if sh.embedded_ref_id in needed_cids:
             raise _ColumnarIneligible  # a column block aliased as embedded ref
 
-        # ---- mapped stage 2: materialize reconstructed sequences (needs the
-        # BA offsets for 'i' operands) ----
-        recon_seqs = None
+        # ---- mapped stage 2: reconstructed sequence lanes (need the BA
+        # offsets for 'i' operands) ----
+        mseq = None
         if mapped is not None:
-            recon_seqs = self._mapped_seqs(ch, sh, mapped, ba_slab, ba_starts,
-                                           embedded_ref)
+            mseq = self._mapped_seqs(ch, sh, mapped, ba_slab, ba_starts,
+                                     embedded_ref)
 
-        flags = bf.tolist()
-        useq = u_mask.tolist()
-        recm = r_mask.tolist()
-        qm = q_mask.tolist()
-        nm = name_mask.tolist() if name_mask is not None else None
+        return {
+            "n": n, "bf": bf, "rl": rl, "u_mask": u_mask, "r_mask": r_mask,
+            "ba_run_mask": ba_run_mask, "q_mask": q_mask,
+            "ba_slab": ba_slab, "ba_starts": ba_starts, "ba_ends": ba_ends,
+            "qs_slab": qs_slab, "qs_starts": qs_starts, "qs_ends": qs_ends,
+            "names": names, "name_mask": name_mask,
+            "r_idx": None if mapped is None else mapped["r_idx"],
+            "mseq": mseq,
+        }
+
+    def _decode_slice_columnar(self, ch, sh, externals, plan,
+                               embedded_ref=None) -> List["CramRecord"]:
+        """Columnar slice decode materialized as CramRecords (the record-API
+        face of _slice_columns; the packed feeder consumes the columns
+        directly via iter_seq_chunks). Returns a list, not a generator:
+        eligibility must settle before the first yield so the record-loop
+        fallback never re-emits records."""
+        C = self._slice_columns(ch, sh, externals, plan, embedded_ref)
+        if C is None:
+            return []
+        n = C["n"]
+        recon = None
+        mseq = C["mseq"]
+        if mseq is not None:
+            recon = [None] * len(C["r_idx"])
+            blob = mseq["blob"].tobytes()
+            sf = mseq["starts_f"].tolist()
+            ef = mseq["ends_f"].tolist()
+            for vj, j in enumerate(np.nonzero(mseq["vec_sel"])[0].tolist()):
+                recon[j] = blob[sf[vj] : ef[vj]].decode("ascii", "replace")
+            for j, s in mseq["applier"].items():
+                recon[j] = s
+        ba_slab = C["ba_slab"]
+        ba_starts = C["ba_starts"].tolist() if C["ba_starts"] is not None else None
+        ba_ends = C["ba_ends"].tolist() if C["ba_ends"] is not None else None
+        qs_slab = C["qs_slab"]
+        qs_starts = C["qs_starts"].tolist() if C["qs_starts"] is not None else None
+        qs_ends = C["qs_ends"].tolist() if C["qs_ends"] is not None else None
+        names = C["names"]
+        flags = C["bf"].tolist()
+        useq = C["u_mask"].tolist()
+        recm = C["r_mask"].tolist()
+        qm = C["q_mask"].tolist()
+        nm = C["name_mask"].tolist() if C["name_mask"] is not None else None
         out: List[CramRecord] = []
         ni = 0
         ri = 0
@@ -1207,7 +1284,7 @@ class CramReader:
                 quals = None
             else:
                 if recm[i]:
-                    seq = recon_seqs[ri]
+                    seq = recon[ri]
                     ri += 1
                 else:
                     seq = ba_slab[ba_starts[i] : ba_ends[i]].decode("ascii", "replace")
@@ -1319,8 +1396,13 @@ class CramReader:
         return rb
 
     def _mapped_seqs(self, ch, sh, mapped, ba_slab, ba_starts, embedded_ref):
-        """Stage 2: materialize the reconstructed sequences for every mapped
-        record, vectorized X-only lane first, shared applier for the rest."""
+        """Stage 2: reconstruct sequence bytes for every mapped record.
+
+        Returns a lane struct instead of per-record strings so the packed-chunk
+        path can consume the vectorized lane's flat blob directly:
+        ``vec_sel`` bool[nR] (vectorized X-only lane membership),
+        ``blob`` uint8[] + ``starts_f``/``ends_f`` (per-vec-record segments, in
+        ascending record order), ``applier`` {R-index → str} for the rest."""
         emb_str = (embedded_ref.decode("ascii", "replace")
                    if embedded_ref is not None else None)
         r_idx = mapped["r_idx"]
@@ -1331,7 +1413,7 @@ class CramReader:
         op_idx, ops, iord = mapped["op_idx"], mapped["ops"], mapped["iord"]
         rec_applier = mapped["rec_applier"].copy()
         sub = _sub_table(ch)
-        seqs: List[Optional[str]] = [None] * nR
+        applier: Dict[int, str] = {}
 
         slice_ref = None  # resolved lazily; (ref, ref_off)
         vec_ok = emb_str is not None or sh.ref_id != -2
@@ -1345,8 +1427,10 @@ class CramReader:
         if not vec_ok:
             rec_applier[:] = True
 
-        if not bool(np.all(rec_applier)):
-            vec_sel = ~rec_applier
+        flat = np.zeros(0, np.uint8)
+        starts_f = ends_f = np.zeros(0, np.int64)
+        vec_sel = ~rec_applier
+        if bool(np.any(vec_sel)):
             vecpos = np.full(nR, -1, np.int64)
             vecpos[vec_sel] = np.arange(int(vec_sel.sum()))
             rlv = rl_R[vec_sel]
@@ -1354,12 +1438,19 @@ class CramReader:
             tot = int(rlv.sum())
             ends_f = np.cumsum(rlv)
             starts_f = ends_f - rlv
-            within = np.arange(tot) - np.repeat(starts_f, rlv)
-            gidx = np.repeat(startsv, rlv) + within
+            # one repeat: base-j of vec-record v reads ref[startsv[v] + j], and
+            # flat position = starts_f[v] + j, so gather index = position +
+            # (startsv - starts_f) repeated per record
+            gidx = np.arange(tot) + np.repeat(startsv - starts_f, rlv)
             if len(ref_b):
-                ok = (gidx >= 0) & (gidx < len(ref_b))
-                flat = np.where(ok, ref_b[np.clip(gidx, 0, len(ref_b) - 1)],
-                                np.uint8(ord("N"))).astype(np.uint8)
+                lo = int(gidx.min()) if tot else 0
+                hi = int(gidx.max()) if tot else -1
+                if 0 <= lo and hi < len(ref_b):
+                    flat = ref_b[gidx]  # fully in-bounds: plain gather
+                else:
+                    ok = (gidx >= 0) & (gidx < len(ref_b))
+                    flat = np.where(ok, ref_b[np.clip(gidx, 0, len(ref_b) - 1)],
+                                    np.uint8(ord("N"))).astype(np.uint8)
             else:
                 flat = np.full(tot, ord("N"), np.uint8)
             fm = (fc == ord("X")) & vec_sel[rec_of_feat] if len(fc) else np.zeros(0, bool)
@@ -1374,11 +1465,6 @@ class CramReader:
                 alt = np.where(code <= 3,
                                lut[rbb, np.minimum(code, 3)], np.uint8(ord("N")))
                 flat[at] = alt
-            blob = flat.tobytes()
-            sf, ef = starts_f.tolist(), ends_f.tolist()
-            for vj, j in enumerate(np.nonzero(vec_sel)[0].tolist()):
-                seqs[j] = blob[sf[vj] : ef[vj]].decode("ascii", "replace")
-
         if bool(np.any(rec_applier)):
             fc_l = fc.tolist()
             fpos_l = fpos.tolist()
@@ -1411,9 +1497,10 @@ class CramReader:
                     else:
                         raise ValueError(f"unsupported read feature {code!r}")
                     feats.append((code, fpos_l[k], op))
-                seqs[j] = _apply_features(ref_j, off_j, int(pos[gi]),
-                                          int(rl_R[j]), feats, sub)
-        return seqs
+                applier[j] = _apply_features(ref_j, off_j, int(pos[gi]),
+                                             int(rl_R[j]), feats, sub)
+        return {"vec_sel": vec_sel, "blob": flat, "starts_f": starts_f,
+                "ends_f": ends_f, "applier": applier}
 
     def _decode_slice(self, ch, sh, core, externals, embedded_ref, cont_ref):
         dec: Dict[str, _Decoder] = {}
@@ -1599,6 +1686,161 @@ def read_cram_records(path: str, reference: Optional[str] = None):
     ref = load_reference(reference) if reference else None
     with open_binary(path) as f:
         yield from CramReader(f, reference=ref)
+
+
+def _chunk_from_columns(C, flag_mask: int, max_read_len: int, with_quals: bool):
+    """ops.pack.SeqChunk from one slice's columns (_slice_columns): flag
+    filter + length truncation, then sequence bytes spliced from their source
+    slabs with two fancy-index passes per slab — per-record Python survives
+    only on the rare applier lane (clips/indels)."""
+    from denovo_kmer_tpu.ops.pack import SeqChunk
+
+    n = C["n"]
+    keep = (C["bf"] & flag_mask) == 0
+    kept = np.nonzero(keep)[0]
+    nk = len(kept)
+    rl = C["rl"]
+    # per-record sequence source: -1 = no sequence, 0 = BA slab, 1 = vec blob,
+    # 2 = applier string
+    src = np.full(n, -1, np.int8)
+    start = np.zeros(n, np.int64)
+    seq_len = np.where(C["u_mask"], 0, rl)
+    if C["ba_starts"] is not None:
+        run = C["ba_run_mask"]
+        src[run] = 0
+        start[run] = C["ba_starts"][run]
+    mseq = C["mseq"]
+    by_rec = {}
+    if mseq is not None:
+        r_idx = C["r_idx"]
+        vrec = r_idx[mseq["vec_sel"]]
+        src[vrec] = 1
+        start[vrec] = mseq["starts_f"]
+        for j, s in mseq["applier"].items():
+            rec = int(r_idx[j])
+            src[rec] = 2
+            by_rec[rec] = s
+            # the applier produces the final string — its length is
+            # authoritative (clips/pads may disagree with RL in theory)
+            seq_len[rec] = len(s)
+    L = np.minimum(seq_len[kept], max_read_len)
+    ends = np.cumsum(L)
+    starts_dst = ends - L
+    total = int(ends[-1]) if nk else 0
+    src_k = src[kept]
+    start_k = start[kept]
+
+    def _contiguous_view(slab, st, ln):
+        """One slab view when the per-record offsets are consecutive — the
+        dominant archive shapes (an unfiltered untruncated unmapped slice is
+        one BA run; a vec-lane mapped slice is the blob in record order) need
+        zero index arrays and zero copies."""
+        fin = st + ln
+        if not bool(np.all(st[1:] == fin[:-1])):
+            return None
+        arr = (slab if isinstance(slab, np.ndarray)
+               else np.frombuffer(slab, np.uint8))
+        return arr[int(st[0]) : int(fin[-1])]
+
+    one = None
+    live = np.nonzero(L > 0)[0]
+    if not by_rec and len(live):
+        for sid, slab in ((0, C["ba_slab"]),
+                          (1, None if mseq is None else mseq["blob"])):
+            if slab is not None and bool(np.all(src_k[live] == sid)):
+                one = _contiguous_view(slab, start_k[live], L[live])
+                break
+    elif not len(live):
+        one = np.empty(0, np.uint8)
+    if one is not None:
+        flat = one
+    else:
+        flat = np.empty(total, np.uint8)
+        for sid, slab in ((0, C["ba_slab"]),
+                          (1, None if mseq is None else mseq["blob"])):
+            m = (src_k == sid) & (L > 0)
+            if not bool(np.any(m)):
+                continue
+            slab_arr = (slab if isinstance(slab, np.ndarray)
+                        else np.frombuffer(slab, np.uint8))
+            Lm = L[m]
+            seg_ends = np.cumsum(Lm)
+            within = np.arange(int(seg_ends[-1])) - np.repeat(seg_ends - Lm, Lm)
+            rep_src = np.repeat(start_k[m], Lm) + within
+            rep_dst = np.repeat(starts_dst[m], Lm) + within
+            flat[rep_dst] = slab_arr[rep_src]
+        m2 = np.nonzero(src_k == 2)[0]
+        if len(m2):
+            ds = starts_dst.tolist()
+            Ll = L.tolist()
+            kl = kept.tolist()
+            for p in m2.tolist():
+                b = by_rec[kl[p]].encode("ascii", "replace")[: Ll[p]]
+                flat[ds[p] : ds[p] + len(b)] = np.frombuffer(b, np.uint8)
+    qflat = None
+    if with_quals and C["qs_slab"] is not None and total:
+        qm = C["q_mask"][kept] & (L > 0)
+        if bool(np.any(qm)):
+            qs = np.frombuffer(C["qs_slab"], np.uint8)
+            qst = C["qs_starts"][kept]
+            qflat = None
+            if bool(np.all(qm == (L > 0))):
+                # every byte-bearing record stores qualities: same contiguity
+                # shortcut as the sequence lane
+                live = np.nonzero(L > 0)[0]
+                st = qst[live]
+                fin = st + L[live]
+                if bool(np.all(st[1:] == fin[:-1])):
+                    qflat = qs[int(st[0]) : int(fin[-1])]
+            if qflat is None:
+                # 0xFF = "no stored quality" → passes any min_base_quality
+                # ≤ 255, same outcome as the record path's qual=None
+                qflat = np.full(total, 0xFF, np.uint8)
+                Lm = L[qm]
+                seg_ends = np.cumsum(Lm)
+                within = (np.arange(int(seg_ends[-1]))
+                          - np.repeat(seg_ends - Lm, Lm))
+                rep_src = np.repeat(qst[qm], Lm) + within
+                rep_dst = np.repeat(starts_dst[qm], Lm) + within
+                qflat[rep_dst] = qs[rep_src]
+    return SeqChunk(flat=flat, lens=L.astype(np.int64), qflat=qflat)
+
+
+def _chunk_from_records(records, flag_mask: int, max_read_len: int,
+                        with_quals: bool):
+    """ops.pack.SeqChunk from a record stream — the fallback wrapper that
+    keeps the packed feeder uniform when a slice is columnar-ineligible."""
+    from denovo_kmer_tpu.ops.pack import SeqChunk
+
+    seqs: List[bytes] = []
+    qparts: List[bytes] = []
+    any_q = False
+    for r in records:
+        if r.flag & flag_mask:
+            continue
+        b = r.seq.encode("ascii", "replace")[:max_read_len]
+        seqs.append(b)
+        if not with_quals:
+            continue
+        q = r.qual
+        if q is None:
+            qparts.append(b"\xff" * len(b))
+        else:
+            if len(q) < len(r.seq):
+                # same contract as pack_seqs: malformed record errors before
+                # truncation can mask it
+                raise ValueError(
+                    f"quality string shorter than sequence ({len(q)} < "
+                    f"{len(r.seq)}) — malformed input record")
+            any_q = True
+            qparts.append(bytes(q[: len(b)]))
+    n = len(seqs)
+    lens = (np.fromiter((len(b) for b in seqs), np.int64, n)
+            if n else np.zeros(0, np.int64))
+    flat = np.frombuffer(b"".join(seqs), np.uint8)
+    qflat = (np.frombuffer(b"".join(qparts), np.uint8)
+             if (with_quals and any_q) else None)
+    return SeqChunk(flat=flat, lens=lens, qflat=qflat)
 
 
 # ---------------------------------------------------------------------------

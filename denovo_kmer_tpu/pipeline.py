@@ -546,6 +546,25 @@ def packed_batches(
                     feeder.close()
 
             return gen()
+    if (region is None and source.lower().endswith(".cram")
+            and "://" not in source and cfg.min_base_quality <= 255):
+        # columnar CRAM feeder: slice columns → PackedReads, no CramRecord
+        # objects (io/cram.py iter_seq_chunks + ops/pack.py pack_chunks)
+        from denovo_kmer_tpu.io.cram import CramReader, load_reference
+        from denovo_kmer_tpu.ops.pack import pack_chunks
+
+        def cram_gen():
+            ref = (load_reference(cfg.reference_fasta)
+                   if cfg.reference_fasta else None)
+            with open(source, "rb") as f:
+                reader = CramReader(f, reference=ref)
+                yield from pack_chunks(
+                    reader.iter_seq_chunks(
+                        cfg.filter_flag_mask, cfg.max_read_len,
+                        with_quals=cfg.min_base_quality > 0),
+                    cfg)
+
+        return cram_gen()
     return pack_records(_record_stream(source, cfg, region), cfg)
 
 

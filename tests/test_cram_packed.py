@@ -1,0 +1,185 @@
+"""Packed CRAM feeder differential: pack_chunks over CramReader.iter_seq_chunks
+must be bit-identical to pack_records over the record iterator — across block
+methods, mapped/unmapped lanes, feature codes (applier lane), flag filtering,
+quality policies, truncation, seqless records, batch splits spanning slices,
+and the record-loop fallback."""
+
+import random
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.cram import (
+    M_GZIP, M_RANS, M_RANSNX16, CramReader, write_cram,
+)
+from denovo_kmer_tpu.ops.pack import pack_chunks, pack_records
+
+from test_cram_columnar import _write_feature_cram  # noqa: E402 (applier fixture)
+
+
+def _packed_equal(a, b):
+    assert a.n_reads == b.n_reads
+    np.testing.assert_array_equal(a.words, b.words)
+    np.testing.assert_array_equal(a.vwords, b.vwords)
+    np.testing.assert_array_equal(a.length, b.length)
+
+
+def _assert_parity(path, cfg, **reader_kw):
+    with open(path, "rb") as f:
+        got = list(pack_chunks(
+            CramReader(f, **reader_kw).iter_seq_chunks(
+                cfg.filter_flag_mask, cfg.max_read_len,
+                with_quals=cfg.min_base_quality > 0),
+            cfg))
+    with open(path, "rb") as f:
+        want = list(pack_records(CramReader(f, **reader_kw), cfg))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        _packed_equal(a, b)
+    return got
+
+
+def _cfg(**kw):
+    base = dict(k=7, max_read_len=64, batch_reads=37, table_capacity=1 << 10,
+                filter_flag_mask=0)
+    base.update(kw)
+    return EngineConfig(**base)
+
+
+@pytest.mark.parametrize("method,order,version", [
+    (M_GZIP, 0, (3, 0)),
+    (M_RANS, 1, (3, 0)),
+    (M_RANSNX16, 1, (3, 1)),
+])
+@pytest.mark.parametrize("minq", [0, 20])
+def test_unmapped_parity(tmp_path, method, order, version, minq):
+    rng = random.Random(method * 7 + minq)
+    reads = [
+        ("".join(rng.choice("ACGTN") for _ in range(rng.randrange(1, 90))),
+         None, 4)
+        for _ in range(150)
+    ]
+    reads = [(s, [rng.randrange(0, 41) for _ in s], f) for s, _, f in reads]
+    p = str(tmp_path / "u.cram")
+    write_cram(p, reads, method=method, rans_order=order, version=version,
+               reads_per_container=60)
+    # batch_reads=37 is coprime with the 60-record slices: every batch spans
+    # a chunk boundary; max_read_len=64 truncates the longer reads
+    _assert_parity(p, _cfg(min_base_quality=minq))
+
+
+def test_flag_filter_and_seqless(tmp_path):
+    rng = random.Random(5)
+    reads = []
+    for i in range(120):
+        L = rng.randrange(1, 50)
+        flag = (1024 if i % 3 == 0 else 4)  # a third are duplicates
+        reads.append(("".join(rng.choice("ACGT") for _ in range(L)),
+                      [rng.randrange(0, 41) for _ in range(L)], flag))
+    reads.insert(10, (None, None, 4))   # seqless ('*') records
+    reads.insert(50, (None, None, 1024))
+    p = str(tmp_path / "f.cram")
+    write_cram(p, reads, method=M_GZIP, reads_per_container=45)
+    got = _assert_parity(p, _cfg(filter_flag_mask=1024, min_base_quality=10))
+    n_kept = sum(1 for _s, _q, f in reads if not (f & 1024))
+    assert sum(b.n_reads for b in got) == n_kept
+
+
+def test_mapped_vec_lane_parity_and_engagement(tmp_path, monkeypatch):
+    rng = random.Random(11)
+    ref = "".join(rng.choice("ACGT") for _ in range(4000))
+    reads = []
+    for _ in range(130):
+        pos = rng.randrange(0, len(ref) - 80)
+        seq = list(ref[pos : pos + 80])
+        for _ in range(rng.randrange(0, 3)):
+            j = rng.randrange(80)
+            seq[j] = rng.choice([b for b in "ACGT" if b != seq[j]])
+        reads.append(("".join(seq), pos + 1))
+    p = str(tmp_path / "m.cram")
+    write_cram(p, [], mapped=reads, reference=ref, method=M_RANS, rans_order=1,
+               reads_per_container=50)
+    kw = dict(reference={0: ref})
+    cfg = _cfg(max_read_len=80)
+    _assert_parity(p, cfg, **kw)
+    # the packed path must never touch the record loop on eligible slices
+    def _poisoned(self, *a, **k):
+        raise AssertionError("record loop used on a columnar-eligible slice")
+    monkeypatch.setattr(CramReader, "_decode_slice", _poisoned)
+    with open(p, "rb") as f:
+        n = sum(b.n_reads for b in pack_chunks(
+            CramReader(f, **kw).iter_seq_chunks(0, cfg.max_read_len, False), cfg))
+    assert n == len(reads)
+
+
+def test_applier_lane_parity(tmp_path):
+    """Feature codes beyond X (clips/indels) run the per-record applier lane
+    inside the packed path — same bytes as the record loop."""
+    from denovo_kmer_tpu.io.cram import _sub_code
+
+    ref = "ACGTACGTACGTACGTACGTACGTACGTACGT"
+    recs = [
+        (1, 8, []),
+        (1, 8, [("X", 3, _sub_code("G", "T"))]),
+        (5, 9, [("S", 1, b"TTT")]),
+        (9, 8, [("I", 3, b"GG")]),
+        (1, 6, [("i", 4, ord("A"))]),
+        (1, 6, [("D", 3, 2)]),
+        (3, 6, [("N", 2, 3), ("H", 5, 2), ("P", 6, 1)]),
+        (9, 8, [("X", 2, _sub_code("C", "A")), ("S", 7, b"CC")]),
+    ]
+    p = str(tmp_path / "feat.cram")
+    _write_feature_cram(p, ref, recs)
+    _assert_parity(p, _cfg(k=5, max_read_len=16, batch_reads=3),
+                   reference={"chr1": ref})
+
+
+def test_fallback_record_loop_parity(tmp_path):
+    """columnar=False forces every slice through the record loop; the chunk
+    wrapper must still produce identical batches."""
+    rng = random.Random(23)
+    reads = [
+        ("".join(rng.choice("ACGTN") for _ in range(rng.randrange(1, 70))),
+         [rng.randrange(0, 41) for _ in range(70)], 4)
+        for _ in range(100)
+    ]
+    p = str(tmp_path / "fb.cram")
+    write_cram(p, reads, method=M_GZIP, reads_per_container=40)
+    _assert_parity(p, _cfg(min_base_quality=15), columnar=False)
+
+
+def test_empty_cram(tmp_path):
+    p = str(tmp_path / "e.cram")
+    write_cram(p, [], method=M_GZIP)
+    cfg = _cfg()
+    with open(p, "rb") as f:
+        assert list(pack_chunks(
+            CramReader(f).iter_seq_chunks(0, cfg.max_read_len, False), cfg)) == []
+
+
+def test_pipeline_dispatch_uses_packed_path(tmp_path, monkeypatch):
+    """pipeline.packed_batches on a .cram path must take the chunk feeder and
+    match the record-loop batches."""
+    from denovo_kmer_tpu.pipeline import packed_batches, _record_stream
+
+    rng = random.Random(31)
+    reads = [
+        ("".join(rng.choice("ACGT") for _ in range(60)),
+         [rng.randrange(0, 41) for _ in range(60)], 4)
+        for _ in range(90)
+    ]
+    p = str(tmp_path / "d.cram")
+    write_cram(p, reads, method=M_GZIP, reads_per_container=40)
+    cfg = _cfg(filter_flag_mask=1024)
+    want = list(pack_records(_record_stream(p, cfg), cfg))
+    # poison pack_records: the dispatch must not fall back for local CRAM
+    import denovo_kmer_tpu.pipeline as pl
+
+    def _poisoned(*a, **k):
+        raise AssertionError("packed_batches fell back to pack_records")
+    monkeypatch.setattr(pl, "pack_records", _poisoned)
+    got = list(packed_batches(p, cfg))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        _packed_equal(a, b)
