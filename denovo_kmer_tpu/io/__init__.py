@@ -21,7 +21,8 @@ __all__ = [
     "read_fasta",
     "read_fastq",
     # imported lazily by consumers (keep module import light):
-    #   io.cram (CramReader, write_cram, read_cram_records), io.rans,
+    #   io.cram (CramReader [.iter_seq_chunks = packed-feeder handoff],
+    #            write_cram, read_cram_records), io.rans,
     #   io.remote (HttpStream, open_binary), io.prefetch, io.native, io.synth,
     #   io.sam (SamReader, read_sam_records, write_sam),
     #   io.vcf (VcfReader, read_vcf_records, write_vcf),
