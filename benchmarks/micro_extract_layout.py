@@ -1,0 +1,94 @@
+"""Extraction layout probe: is the (B, P) window plane's lane padding the cost?
+
+At the bench shape (B=16384, L=160, k=31) the per-position plane is (16384, 130):
+the minor (lane) dim 130 pads to 256 — every elementwise op in the extractor wastes
+~49% of the VPU. Variants measured (salted, fetch-forced, reduced to one scalar):
+
+  A. extract_fast, (B=16384, P=130)              — current production shape
+  B. extract_fast, (B=16640, P=128)  (L=158)     — same total windows, lane-exact P
+  C. transposed extractor, planes (P, B)         — lanes = the read axis (16384),
+     sublane dim P pads 130->136 (~5%); one (Lw, B) transpose of the packed words up
+     front. Bit-identical to A modulo transpose (checked here on the first rep).
+
+If B or C wins big, the production extractor grows a layout switch.
+"""
+
+import os
+import sys
+import time
+
+# repo root importable without PYTHONPATH (PYTHONPATH breaks axon plugin discovery)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denovo_kmer_tpu.ops.extract_fast import (
+    extract_canonical_kmers_fast,
+    extract_canonical_kmers_fast_t,
+)
+from denovo_kmer_tpu.ops.pack import _pack_codes, padded_length
+
+
+def mk_batch(B, L, seed):
+    rng = np.random.default_rng(seed)
+    Lp = padded_length(L)
+    codes = np.zeros((B, Lp), np.uint8)
+    valid = np.zeros((B, Lp), bool)
+    codes[:, :L] = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    valid[:, :L] = True
+    p = _pack_codes(codes, valid, np.full(B, L, np.int32), B)
+    return (jax.device_put(jnp.asarray(p.words)),
+            jax.device_put(jnp.asarray(p.vwords)))
+
+
+def timed(fn_j, words, vwords, reps=4):
+    out = fn_j(words, vwords, jnp.uint32(0))
+    int(np.asarray(out))
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = fn_j(words, vwords, jnp.uint32(i + 1))
+        int(np.asarray(out))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    k = 31
+    print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr, flush=True)
+
+    shapes = [("A (16384,130)", 16384, 160, "bp"),
+              ("B (16640,128)", 16640, 158, "bp"),
+              ("C transposed", 16384, 160, "pb")]
+
+    # CPU-free parity check of the transposed variant at a tiny shape is in
+    # tests/test_extract_fast.py; here just measure.
+    for name, B, L, layout in shapes:
+        P = L - k + 1
+        words, vwords = mk_batch(B, L, seed=3)
+        nwin = B * P
+
+        if layout == "bp":
+            def f(w, v, salt):
+                w = w.at[0, 0].set(w[0, 0] ^ salt)
+                km, vd = extract_canonical_kmers_fast(w, v, k, L, barrier=False)
+                return (jnp.sum(km[..., 0] ^ km[..., -1])
+                        + jnp.sum(vd.astype(jnp.uint32)))
+        else:
+            def f(w, v, salt):
+                w = w.at[0, 0].set(w[0, 0] ^ salt)
+                km, vd = extract_canonical_kmers_fast_t(w, v, k, L, barrier=False)
+                return (jnp.sum(km[..., 0] ^ km[..., -1])
+                        + jnp.sum(vd.astype(jnp.uint32)))
+
+        dt = timed(jax.jit(f), words, vwords)
+        print(f"{name}: {dt*1e3:.2f} ms for {nwin/1e6:.2f}M windows "
+              f"({dt/nwin*1e9:.2f} ns/window)", flush=True)
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

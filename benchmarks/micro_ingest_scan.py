@@ -1,0 +1,204 @@
+"""Dispatch-structure probe at the bench shape: where do the non-sort milliseconds go?
+
+Isolates, with salted inputs and fetch-forced timing (bench.py methodology):
+  A. 16x per-batch ``extract_append`` dispatches (the bench's current ingest loop)
+  B. ONE dispatch: ``lax.scan`` over the 16 stacked batches inside a single jit
+     (same math, same accumulator writes — tests how much of A is per-dispatch cost
+     that the bench's noop calibration fails to subtract)
+  C. ``fused_flush_call`` alone on a pre-filled accumulator + realistic seed table
+  D. the bare 38.3M-row nk=2 4-operand unstable sort (the call's floor)
+
+If B ≪ A − calibration, the bench ingest should become a scanned single dispatch.
+"""
+
+import functools
+import os
+import sys
+import time
+
+# repo root importable without PYTHONPATH (PYTHONPATH breaks axon plugin discovery)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast
+from denovo_kmer_tpu.ops.fused import fused_flush_call
+from denovo_kmer_tpu.ops.pack import _pack_codes, padded_length
+from denovo_kmer_tpu.ops.score import seed_score_table
+from denovo_kmer_tpu.ops.stream import append, empty_accumulator
+from denovo_kmer_tpu.ops.table import build_table
+
+
+def main():
+    k, B, nb, L = 31, 16384, 16, 160
+    cfg = EngineConfig(k=k, max_read_len=L, batch_reads=B,
+                       table_capacity=1 << 23, accum_batches=nb)
+    P = cfg.windows_per_read
+    print(f"device: {jax.devices()[0].device_kind} P={P}", file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(0)
+    genome_len = 4_000_000
+    g_codes = rng.integers(0, 4, genome_len).astype(np.uint8)
+    Lp = padded_length(L)
+    win = np.arange(L)
+
+    def packed(nbatches, seed):
+        r = np.random.default_rng(seed)
+        ws, vs = [], []
+        for _ in range(nbatches):
+            starts = r.integers(0, genome_len - L + 1, size=B)
+            codes = np.zeros((B, Lp), np.uint8)
+            valid = np.zeros((B, Lp), bool)
+            codes[:, :L] = g_codes[starts[:, None] + win[None, :]]
+            valid[:, :L] = True
+            p = _pack_codes(codes, valid, np.full(B, L, np.int32), B)
+            ws.append(p.words)
+            vs.append(p.vwords)
+        return np.stack(ws), np.stack(vs)
+
+    wstack_np, vstack_np = packed(nb, seed=1)
+    wstack = jax.device_put(jnp.asarray(wstack_np))
+    vstack = jax.device_put(jnp.asarray(vstack_np))
+    batches = [(wstack[i], vstack[i]) for i in range(nb)]
+    batches = jax.block_until_ready(batches)
+
+    S = nb * B * P
+
+    def _edit(words, salt):
+        row = (salt % jnp.uint32(words.shape[0])).astype(jnp.int32)
+        flip = jnp.uint32(1) << (2 * (salt % jnp.uint32(13)))
+        return words.at[row, 3].set(words[row, 3] ^ flip)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def extract_append(acc, words, vwords, salt):
+        words = _edit(words, salt)
+        kmers, valid = extract_canonical_kmers_fast(words, vwords, k, L, barrier=False)
+        return append(acc, kmers, valid)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def extract_append_scan(acc, wstack, vstack, salt):
+        def body(a, x):
+            w, v, i = x
+            w = _edit(w, salt + i)
+            kmers, valid = extract_canonical_kmers_fast(w, v, k, L, barrier=False)
+            return append(a, kmers, valid), None
+        acc, _ = jax.lax.scan(
+            body, acc, (wstack, vstack, jnp.arange(nb, dtype=jnp.uint32)))
+        return acc
+
+    def force(x):
+        return int(np.asarray(x))
+
+    # --- dispatch-overhead calibration (same as bench.py) ---
+    @jax.jit
+    def noop(words, salt):
+        return jnp.sum(words ^ salt)
+
+    def cal_run(n, seed):
+        out = jnp.uint32(seed)
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = noop(batches[i % nb][0], out & jnp.uint32(1))
+        force(out)
+        return time.perf_counter() - t0
+
+    cal_run(nb, 11)
+    cal16 = min(cal_run(nb, 12 + i) for i in range(4))
+    cal1 = min(cal_run(1, 30 + i) for i in range(4))
+    print(f"calibration: 16 dispatches {cal16*1e3:.1f} ms, 1 dispatch {cal1*1e3:.1f} ms",
+          flush=True)
+
+    # --- A: 16 per-batch dispatches ---
+    def run_a(salt):
+        acc = empty_accumulator(S, cfg.words)
+        for i in range(nb):
+            acc = extract_append(acc, batches[i][0], batches[i][1],
+                                 jnp.uint32(salt + i))
+        return acc
+
+    acc_w = run_a(1)
+    jax.block_until_ready(acc_w)
+    ts = []
+    accs = [acc_w]
+    for r in range(3):
+        t0 = time.perf_counter()
+        acc = run_a(100 + 16 * r)
+        force(acc.fill)
+        ts.append(time.perf_counter() - t0)
+        accs.append(acc)
+    a = min(ts)
+    print(f"A 16x extract_append: {a*1e3:.1f} ms raw, {(a-cal16)*1e3:.1f} ms net "
+          f"({(a-cal16)/S*1e9:.2f} ns/kmer)", flush=True)
+
+    # --- B: one scanned dispatch ---
+    accb = extract_append_scan(empty_accumulator(S, cfg.words), wstack, vstack,
+                               jnp.uint32(1))
+    jax.block_until_ready(accb)
+    ts = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        acc = extract_append_scan(empty_accumulator(S, cfg.words), wstack, vstack,
+                                  jnp.uint32(200 + 16 * r))
+        force(acc.fill)
+        ts.append(time.perf_counter() - t0)
+        accs.append(acc)
+    b = min(ts)
+    print(f"B scanned 1-dispatch: {b*1e3:.1f} ms raw, {(b-cal1)*1e3:.1f} ms net "
+          f"({(b-cal1)/S*1e9:.2f} ns/kmer)", flush=True)
+
+    # --- C: fused call alone (realistic seed) ---
+    kmers1, valid1 = jax.jit(
+        lambda w, v: extract_canonical_kmers_fast(w, v, k, L)
+    )(batches[0][0], batches[0][1])
+    par = build_table(kmers1, valid1, 1 << 22)
+    seed = jax.jit(seed_score_table, static_argnums=(2,))(par, par, 1 << 22)
+    jax.block_until_ready(seed)
+
+    fuse_j = jax.jit(functools.partial(
+        fused_flush_call, tau_parent=0, min_child_count=2))
+    out_w = fuse_j(accs[0], seed)
+    force(out_w[-1, 0])
+    ts = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        out = fuse_j(accs[(r + 1) % len(accs)], seed)
+        force(out[-1, 0])
+        ts.append(time.perf_counter() - t0)
+    c = min(ts)
+    print(f"C fused_flush_call: {c*1e3:.1f} ms raw, {(c-cal1)*1e3:.1f} ms net",
+          flush=True)
+
+    # --- D: bare nk=2 sort at N = S + seed rows ---
+    N = S + (1 << 22)
+    r = np.random.default_rng(7)
+    ops4 = [jnp.asarray(r.integers(0, 2**32, N, dtype=np.uint32)) for _ in range(4)]
+    ops4 = jax.block_until_ready(ops4)
+
+    @jax.jit
+    def bare_sort(o0, o1, o2, o3, salt):
+        out = jax.lax.sort([o0 ^ salt, o1, o2, o3], num_keys=2, is_stable=False)
+        return out[0][:1]
+
+    force(bare_sort(*ops4, jnp.uint32(0))[0])
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = bare_sort(*ops4, jnp.uint32(i + 1))
+        force(out[0])
+        ts.append(time.perf_counter() - t0)
+    d = min(ts)
+    print(f"D bare sort {N} rows nk=2 4ops: {d*1e3:.1f} ms raw, "
+          f"{(d-cal1)*1e3:.1f} ms net ({N/(d-cal1)/1e6:.0f} Mrows/s)", flush=True)
+
+    print(f"summary: ingest A {(a-cal16)*1e3:.0f} / B {(b-cal1)*1e3:.0f} ms, "
+          f"call {(c-cal1)*1e3:.0f} ms (sort floor {(d-cal1)*1e3:.0f}), "
+          f"total B+C {(b-cal1+c-cal1)*1e3:.0f} ms for {S/1e6:.1f}M k-mers "
+          f"-> {S/(b-cal1+c-cal1)/1e6:.0f} Mk/s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -127,3 +127,91 @@ def extract_canonical_kmers_fast(
     # the staging write instead of materializing an intermediate k-mer tensor.
     res = (jnp.stack(out, axis=-1), win_valid)
     return jax.lax.optimization_barrier(res) if barrier else res
+
+
+def extract_canonical_kmers_fast_t(
+    words: jnp.ndarray,
+    vwords: jnp.ndarray,
+    k: int,
+    max_read_len: int,
+    canonical: bool = True,
+    barrier: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Transposed-layout twin of ``extract_canonical_kmers_fast``: window planes are
+    (P, B) instead of (B, P), so the VPU lane (minor) dim is the BATCH axis.
+
+    Why: at the production shape (B=16384, P=130) every (B, P) elementwise op pads
+    its 130-lane minor dim to 256 — ~49% of the VPU is spent on padding. With lanes
+    = B (a power of two) and P on the 8-wide sublane axis (130 -> 136, ~5% pad),
+    the ~40 u32 ops per window run on full tiles. Costs one (Lw, B) transpose of
+    the packed words up front (small: Lw ≈ L/16 rows).
+
+    Returns ``kmers (P, B, W)`` and ``valid (P, B)`` — the TRANSPOSE of the (B, P)
+    variant's output (bit-identical per window, property-tested). Staging-append
+    callers reshape to (P·B, W); downstream is order-independent (everything is
+    sorted or aggregated), so row order differences never surface.
+    """
+    B, Lw = words.shape
+    L = Lw * 16
+    P = max_read_len - k + 1
+    W = words_per_kmer(k)
+    R = 32 * W - 2 * k
+    wT = words.T  # (Lw, B) — the one relayout this path pays
+    pad = jnp.zeros((W + 1, B), _U)
+
+    mw = jnp.concatenate([_reverse_2bit_fields(wT), pad], axis=0)
+    cw = jnp.concatenate([wT ^ _U(0xFFFFFFFF), pad], axis=0)
+
+    pos = np.arange(P)
+    sh = jnp.asarray((2 * (pos % 16)).astype(np.uint32))[:, None]  # (P, 1)
+    shc = jnp.asarray((31 - 2 * (pos % 16)).astype(np.uint32))[:, None]
+
+    def rep(a: jnp.ndarray, w: int) -> jnp.ndarray:
+        # row i of the result = a[i//16 + w, :]; aligned broadcast+reshape
+        return jnp.repeat(a[w : w + Lw + 1], 16, axis=0)[:P]
+
+    win = []
+    for w in range(W):
+        hi = rep(mw, w) << sh
+        lo = (rep(mw, w + 1) >> 1) >> shc
+        win.append(hi | lo)
+    if R == 0:
+        fwd = win
+    else:
+        fwd = [win[0] >> _U(R)]
+        for w in range(1, W):
+            fwd.append((win[w] >> _U(R)) | (win[w - 1] << _U(32 - R)))
+
+    rc_le = []
+    for w in range(W):
+        lo = rep(cw, w) >> sh
+        hi = (rep(cw, w + 1) << 1) << (_U(31) - sh)
+        rc_le.append(lo | hi)
+    u = 2 * k - 32 * (W - 1)
+    if u < 32:
+        rc_le[W - 1] = rc_le[W - 1] & _U((1 << u) - 1)
+    rc = rc_le[::-1]
+
+    if canonical:
+        lt = jnp.zeros((P, B), bool)
+        eq = jnp.ones((P, B), bool)
+        for w in range(W):
+            lt = lt | (eq & (fwd[w] < rc[w]))
+            eq = eq & (fwd[w] == rc[w])
+        use_fwd = lt | eq
+        out = [jnp.where(use_fwd, f, r) for f, r in zip(fwd, rc)]
+    else:
+        out = fwd
+
+    vT = vwords.T  # (Lv, B)
+    vbits = (jnp.repeat(vT, 32, axis=0) >> jnp.asarray(
+        (np.arange(L) % 32).astype(np.uint32)
+    )[:, None]) & _U(1)
+    inv = (vbits ^ _U(1)).astype(jnp.int32)
+    csum = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.int32), jnp.cumsum(inv, axis=0)], axis=0
+    )
+    win_valid = (csum[k : k + P] - csum[:P]) == 0
+
+    res = (jnp.stack(out, axis=-1), win_valid)
+    return jax.lax.optimization_barrier(res) if barrier else res

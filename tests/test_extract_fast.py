@@ -8,7 +8,10 @@ import pytest
 
 from denovo_kmer_tpu.config import EngineConfig
 from denovo_kmer_tpu.ops.extract import extract_canonical_kmers
-from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast
+from denovo_kmer_tpu.ops.extract_fast import (
+    extract_canonical_kmers_fast,
+    extract_canonical_kmers_fast_t,
+)
 from denovo_kmer_tpu.ops.pack import pack_seqs
 
 
@@ -33,3 +36,10 @@ def test_fast_extract_bit_identical(k, canonical):
     k1n, k2n = np.asarray(k1), np.asarray(k2)
     # compare only valid windows (invalid lanes may contain garbage in the fast path)
     assert np.array_equal(k1n[v1n], k2n[v2n])
+
+    # the transposed-layout twin is the same extraction with (P, B) planes:
+    # its outputs must equal the (B, P) variant's, transposed, bit for bit
+    # (including invalid-lane garbage — the math is identical, only layout moves)
+    kt, vt = extract_canonical_kmers_fast_t(w, v, k, max_len, canonical=canonical)
+    assert np.array_equal(np.asarray(vt).T, v2n)
+    assert np.array_equal(np.asarray(kt).transpose(1, 0, 2)[v2n], k2n[v2n])
