@@ -107,11 +107,22 @@ def main() -> int:
     # ---- compiled steps (shared with the production pipeline) ----
     acc_slots = cfg.accum_batches * batch_reads * P
 
-    if os.environ.get("BENCH_EXTRACTOR", "fast") == "pallas":
+    extractor = os.environ.get("BENCH_EXTRACTOR", "fast")
+    if extractor == "pallas":
         from denovo_kmer_tpu.ops.extract_pallas import extract_canonical_kmers_pallas
 
         def _extract(words, vwords):
             return extract_canonical_kmers_pallas(words, vwords, cfg.k, cfg.max_read_len)
+    elif extractor == "fast_t":
+        # transposed layout: (P, B) planes, lanes = batch axis (full tiles at B=16384
+        # vs P=130 padded to 256). Output order differs ((P·B) vs (B·P) rows) but
+        # everything downstream sorts/aggregates — candidate outputs are identical.
+        from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast_t
+
+        def _extract(words, vwords):
+            return extract_canonical_kmers_fast_t(
+                words, vwords, cfg.k, cfg.max_read_len, barrier=False
+            )
     else:
         def _extract(words, vwords):
             return extract_canonical_kmers_fast(

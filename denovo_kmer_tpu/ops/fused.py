@@ -60,7 +60,7 @@ from denovo_kmer_tpu.ops.stream import KmerAccumulator
 from denovo_kmer_tpu.ops.table import _PAD
 from denovo_kmer_tpu.ops.trio import Candidates
 
-_SAT = jnp.uint32(0xFFFF)
+_SAT = np.uint32(0xFFFF)  # host scalar: no backend init at import (see ops/table._PAD)
 
 DEFAULT_MAX_CANDIDATES = 1 << 14
 

@@ -25,12 +25,13 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from denovo_kmer_tpu.ops.stream import KmerAccumulator, empty_accumulator
 from denovo_kmer_tpu.ops.table import KmerTable, _aggregate_multi, _PAD
 from denovo_kmer_tpu.ops.trio import Candidates
 
-_SAT = jnp.uint32(0xFFFF)
+_SAT = np.uint32(0xFFFF)  # host scalar: no backend init at import (see ops/table._PAD)
 
 
 class ScoreTable(NamedTuple):

@@ -19,8 +19,12 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_PAD = jnp.uint32(0xFFFFFFFF)
+# host-side scalar, NOT jnp: a module-level jnp constant initializes the JAX backend at
+# import time, which blocks every host-only consumer (the CRAM feeder imports ops.pack
+# through this package) whenever the TPU tunnel is unreachable
+_PAD = np.uint32(0xFFFFFFFF)
 
 
 class KmerTable(NamedTuple):

@@ -1,0 +1,43 @@
+"""Host-only modules must import without initializing a JAX backend.
+
+The CRAM/BAM feeders run on hosts whose TPU tunnel may be down or absent; a
+module-level jnp constant anywhere in their import graph initializes the backend
+at import time and blocks forever in the axon plugin's retry loop (observed:
+``iter_seq_chunks`` → ``ops.pack`` → ``ops/__init__`` → ``ops.table._PAD``).
+Regression guard: importing the feeder surface with JAX_PLATFORMS pointed at a
+nonexistent backend must succeed — any import-time device-array creation would
+raise (unknown backend) instead.
+"""
+
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PROG = """
+import sys
+sys.path.insert(0, {repo!r})
+# a backend that can never exist: any import-time backend use raises instead of hanging
+import denovo_kmer_tpu
+from denovo_kmer_tpu.ops.pack import SeqChunk, pack_chunks, pack_records
+from denovo_kmer_tpu.io.cram import CramReader
+from denovo_kmer_tpu.io.bam import BamReader
+from denovo_kmer_tpu.io import native, rans, rans_nx16, fqz, tok3, bgzf
+import denovo_kmer_tpu.ops.table
+import denovo_kmer_tpu.ops.score
+import denovo_kmer_tpu.ops.fused
+print("IMPORT_OK")
+"""
+
+
+def test_feeder_imports_are_backend_free():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "no_such_backend_7f3a"
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [sys.executable, "-c", _PROG.format(repo=_REPO)],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "IMPORT_OK" in out.stdout
