@@ -76,33 +76,43 @@ bool read_rle_keys(Cursor& c, F take) {
   return false;
 }
 
-struct Freq4x8 {
+// Packed decode-table entry, one 32-bit load per symbol instead of three array
+// lookups (lut/freq/cum live on different cache lines; the packed form is the
+// standard rANS layout, cf. htslib's rANS_static):
+//   bits 20..31 = freq-1   (freq ∈ [1, 4096] — every reachable slot has freq ≥ 1)
+//   bits  8..19 = bias     (slot - cum[sym], < 4096)
+//   bits  0..7  = sym
+// Works for any shift ≤ 12 (4x8 uses 12; Nx16 uses 10 or 12).
+inline void build_ent(const uint16_t* freq, uint32_t* ent) {
+  uint32_t acc = 0;
+  for (uint32_t s = 0; s < 256; s++) {
+    uint32_t f = freq[s];
+    for (uint32_t i = 0; i < f; i++, acc++)
+      ent[acc] = ((f - 1) << 20) | (i << 8) | s;
+  }
+}
+
+inline uint32_t ent_step(uint32_t x, uint32_t e, uint32_t shift) {
+  return ((e >> 20) + 1) * (x >> shift) + ((e >> 8) & 4095);
+}
+
+struct FreqHdr {  // header-side accumulation only; decode uses the ent table
   uint16_t freq[256] = {0};
-  uint16_t cum[257] = {0};
-  uint8_t lut[4096];
-  bool finish() {
+  uint32_t total() const {
     uint32_t acc = 0;
-    for (int s = 0; s < 256; s++) {
-      cum[s] = (uint16_t)acc;
-      acc += freq[s];
-    }
-    if (acc != 4096) return false;
-    cum[256] = 4096;
-    for (int s = 0; s < 256; s++)
-      for (uint32_t i = cum[s]; i < (uint32_t)cum[s] + freq[s]; i++) lut[i] = (uint8_t)s;
-    return true;
+    for (int s = 0; s < 256; s++) acc += freq[s];
+    return acc;
   }
 };
 
-bool read_freqs_4x8(Cursor& c, Freq4x8& t) {
-  bool ok = read_rle_keys(c, [&](int sym) {
+bool read_freqs_4x8(Cursor& c, FreqHdr& t) {
+  return read_rle_keys(c, [&](int sym) {
     uint32_t f = c.u8();
     if (f >= 128) f = ((f & 0x7F) << 8) | c.u8();
     if (!c.ok) return false;
     t.freq[sym] = (uint16_t)f;
     return true;
   });
-  return ok && t.finish();
 }
 
 constexpr uint32_t RANS8_L = 1u << 23;
@@ -118,28 +128,59 @@ int rans4x8_decode_impl(const uint8_t* in, int64_t in_len, uint8_t* out,
   if (raw == 0) return 0;
 
   if (order == 0) {
-    Freq4x8 t;
-    if (!read_freqs_4x8(c, t)) return -3;
+    FreqHdr t;
+    if (!read_freqs_4x8(c, t) || t.total() != 4096) return -3;
+    std::vector<uint32_t> ent(4096);
+    build_ent(t.freq, ent.data());
     uint32_t R[4];
     for (int j = 0; j < 4; j++) R[j] = c.u32le();
     if (!c.ok) return -4;
-    for (int64_t i = 0; i < out_len; i++) {
+    const uint8_t* p = c.p;
+    const uint8_t* end = c.end;
+    uint32_t x0 = R[0], x1 = R[1], x2 = R[2], x3 = R[3];
+    int64_t i = 0;
+    // independent per-stream states in registers; renorm order is stream order
+    for (int64_t n4 = out_len & ~(int64_t)3; i < n4; i += 4) {
+      uint32_t e0 = ent[x0 & 4095];
+      out[i] = (uint8_t)e0;
+      x0 = ent_step(x0, e0, 12);
+      while (x0 < RANS8_L && p < end) x0 = (x0 << 8) | *p++;
+      uint32_t e1 = ent[x1 & 4095];
+      out[i + 1] = (uint8_t)e1;
+      x1 = ent_step(x1, e1, 12);
+      while (x1 < RANS8_L && p < end) x1 = (x1 << 8) | *p++;
+      uint32_t e2 = ent[x2 & 4095];
+      out[i + 2] = (uint8_t)e2;
+      x2 = ent_step(x2, e2, 12);
+      while (x2 < RANS8_L && p < end) x2 = (x2 << 8) | *p++;
+      uint32_t e3 = ent[x3 & 4095];
+      out[i + 3] = (uint8_t)e3;
+      x3 = ent_step(x3, e3, 12);
+      while (x3 < RANS8_L && p < end) x3 = (x3 << 8) | *p++;
+    }
+    R[0] = x0; R[1] = x1; R[2] = x2; R[3] = x3;
+    for (; i < out_len; i++) {
       uint32_t& x = R[i & 3];
-      uint32_t slot = x & 4095;
-      uint8_t s = t.lut[slot];
-      out[i] = s;
-      x = t.freq[s] * (x >> 12) + slot - t.cum[s];
-      while (x < RANS8_L && c.p < c.end) x = (x << 8) | *c.p++;
+      uint32_t e = ent[x & 4095];
+      out[i] = (uint8_t)e;
+      x = ent_step(x, e, 12);
+      while (x < RANS8_L && p < end) x = (x << 8) | *p++;
     }
     return 0;
   }
   if (order == 1) {
-    // context-major nested tables over the RLE'd context list
-    std::vector<Freq4x8> tabs(256);
-    std::vector<uint8_t> have(256, 0);
+    // context-major nested tables over the RLE'd context list; ent tables are
+    // built lazily per PRESENT context (16 KB each) instead of zero-initializing
+    // 256 table structs per block
+    std::vector<std::vector<uint32_t>> pool;
+    const uint32_t* etab[256] = {nullptr};
     bool ok = read_rle_keys(c, [&](int ctx) {
-      have[ctx] = 1;
-      return read_freqs_4x8(c, tabs[ctx]);
+      FreqHdr t;
+      if (!read_freqs_4x8(c, t) || t.total() != 4096) return false;
+      pool.emplace_back(4096);
+      build_ent(t.freq, pool.back().data());
+      etab[ctx] = pool.back().data();
+      return true;
     });
     if (!ok) return -3;
     uint32_t R[4];
@@ -147,26 +188,55 @@ int rans4x8_decode_impl(const uint8_t* in, int64_t in_len, uint8_t* out,
     if (!c.ok) return -4;
     int64_t n = out_len;
     int64_t q = n >> 2;
-    int64_t base[4] = {0, q, 2 * q, 3 * q};
-    uint8_t lasts[4] = {0, 0, 0, 0};
-    auto step = [&](int k, int64_t at) -> bool {
-      uint8_t ctx = lasts[k];
-      if (!have[ctx]) return false;
-      Freq4x8& t = tabs[ctx];
-      uint32_t& x = R[k];
-      uint32_t slot = x & 4095;
-      uint8_t s = t.lut[slot];
+    const uint8_t* p = c.p;
+    const uint8_t* end = c.end;
+    uint32_t x0 = R[0], x1 = R[1], x2 = R[2], x3 = R[3];
+    const uint32_t* t0 = etab[0];
+    const uint32_t* t1 = etab[0];
+    const uint32_t* t2 = etab[0];
+    const uint32_t* t3 = etab[0];
+    uint8_t* o0 = out;
+    uint8_t* o1 = out + q;
+    uint8_t* o2 = out + 2 * q;
+    uint8_t* o3 = out + 3 * q;
+    for (int64_t r = 0; r < q; r++) {
+      // context-missing is checked at USE time (a symbol may name an absent
+      // context as long as that stream never steps again) — matches io/rans.py
+      if (!t0 || !t1 || !t2 || !t3) return -5;
+      uint32_t e0 = t0[x0 & 4095];
+      uint8_t s0 = (uint8_t)e0;
+      o0[r] = s0;
+      x0 = ent_step(x0, e0, 12);
+      while (x0 < RANS8_L && p < end) x0 = (x0 << 8) | *p++;
+      uint32_t e1 = t1[x1 & 4095];
+      uint8_t s1 = (uint8_t)e1;
+      o1[r] = s1;
+      x1 = ent_step(x1, e1, 12);
+      while (x1 < RANS8_L && p < end) x1 = (x1 << 8) | *p++;
+      uint32_t e2 = t2[x2 & 4095];
+      uint8_t s2 = (uint8_t)e2;
+      o2[r] = s2;
+      x2 = ent_step(x2, e2, 12);
+      while (x2 < RANS8_L && p < end) x2 = (x2 << 8) | *p++;
+      uint32_t e3 = t3[x3 & 4095];
+      uint8_t s3 = (uint8_t)e3;
+      o3[r] = s3;
+      x3 = ent_step(x3, e3, 12);
+      while (x3 < RANS8_L && p < end) x3 = (x3 << 8) | *p++;
+      t0 = etab[s0]; t1 = etab[s1]; t2 = etab[s2]; t3 = etab[s3];
+    }
+    // stream 3 decodes the ragged tail (n not divisible by 4)
+    uint32_t x = x3;
+    const uint32_t* t = t3;
+    for (int64_t at = 4 * q; at < n; at++) {
+      if (!t) return -5;
+      uint32_t e = t[x & 4095];
+      uint8_t s = (uint8_t)e;
       out[at] = s;
-      x = t.freq[s] * (x >> 12) + slot - t.cum[s];
-      while (x < RANS8_L && c.p < c.end) x = (x << 8) | *c.p++;
-      lasts[k] = s;
-      return true;
-    };
-    for (int64_t r = 0; r < q; r++)
-      for (int k = 0; k < 4; k++)
-        if (!step(k, base[k] + r)) return -5;
-    for (int64_t at = base[3] + q; at < n; at++)
-      if (!step(3, at)) return -5;
+      x = ent_step(x, e, 12);
+      while (x < RANS8_L && p < end) x = (x << 8) | *p++;
+      t = etab[s];
+    }
     return 0;
   }
   return -6;
@@ -201,45 +271,27 @@ bool read_alphabet(Cursor& c, std::vector<int>& syms) {
   return false;
 }
 
-struct FreqN {
-  uint16_t freq[256] = {0};
-  uint16_t cum[257] = {0};
-  std::vector<uint8_t> lut;
-  bool finish(int shift) {
-    uint32_t total = 1u << shift;
-    uint32_t acc = 0;
-    for (int s = 0; s < 256; s++) {
-      cum[s] = (uint16_t)acc;
-      acc += freq[s];
-    }
-    if (acc != total) return false;
-    cum[256] = (uint16_t)total;
-    lut.assign(total, 0);
-    for (int s = 0; s < 256; s++)
-      for (uint32_t i = cum[s]; i < (uint32_t)cum[s] + freq[s]; i++) lut[i] = (uint8_t)s;
-    return true;
-  }
-};
-
 bool decode_o0_payload_nx16(Cursor& c, uint8_t* out, int64_t out_len, int N) {
   std::vector<int> syms;
   if (!read_alphabet(c, syms)) return false;
-  FreqN t;
+  FreqHdr t;
   for (int s : syms) {
     uint64_t f = c.uint7();
     if (!c.ok || f > 4096) return false;
     t.freq[s] = (uint16_t)f;
   }
-  if (!t.finish(12)) return false;
+  if (t.total() != 4096) return false;
+  std::vector<uint32_t> ent(4096);
+  build_ent(t.freq, ent.data());
   std::vector<uint32_t> R(N);
   for (int j = 0; j < N; j++) R[j] = c.u32le();
   if (!c.ok) return false;
+  const uint32_t kmask = (uint32_t)(N - 1);  // N ∈ {4, 32}
   for (int64_t i = 0; i < out_len; i++) {
-    uint32_t& x = R[i % N];
-    uint32_t slot = x & 4095;
-    uint8_t s = t.lut[slot];
-    out[i] = s;
-    x = t.freq[s] * (x >> 12) + slot - t.cum[s];
+    uint32_t& x = R[i & kmask];
+    uint32_t e = ent[x & 4095];
+    out[i] = (uint8_t)e;
+    x = ent_step(x, e, 12);
     if (x < NX16_L) {
       if (c.p + 2 > c.end) {
         if (c.p < c.end) return false;  // odd trailing byte: malformed
@@ -272,11 +324,12 @@ bool decode_o1_payload_nx16(Cursor& c, uint8_t* out, int64_t out_len, int N) {
   }
   std::vector<int> present;
   if (!read_alphabet(tc, present)) return false;
-  std::vector<FreqN> tabs(256);
-  std::vector<uint8_t> have(256, 0);
   uint32_t total = 1u << shift;
+  // ent tables built lazily per PRESENT context (cf. rans4x8 order-1)
+  std::vector<std::vector<uint32_t>> pool;
+  const uint32_t* etab[256] = {nullptr};
   for (int ctx : present) {
-    FreqN& t = tabs[ctx];
+    FreqHdr t;
     int run = 0;
     uint32_t acc = 0;
     for (int j : present) {
@@ -288,45 +341,57 @@ bool decode_o1_payload_nx16(Cursor& c, uint8_t* out, int64_t out_len, int N) {
       if (f == 0) run = tc.u8();
     }
     if (acc == 0) continue;  // context never used: row omitted-equivalent
-    if (!t.finish(shift)) return false;
-    have[ctx] = 1;
+    if (acc != total) return false;
+    pool.emplace_back(total);
+    build_ent(t.freq, pool.back().data());
+    etab[ctx] = pool.back().data();
   }
   if (inline_tbl) c = tc;
   std::vector<uint32_t> R(N);
   for (int j = 0; j < N; j++) R[j] = c.u32le();
   if (!c.ok) return false;
   int64_t frag = out_len / N;
-  std::vector<int64_t> cur(N), ends(N);
-  std::vector<uint8_t> ctxs(N, 0);
-  for (int k = 0; k < N; k++) {
-    cur[k] = k * frag;
-    ends[k] = (k == N - 1) ? out_len : (k + 1) * frag;
-  }
   uint32_t mask = total - 1;
-  bool live = true;
-  while (live) {
-    live = false;
+  // all N fragments have >= frag symbols, so rounds 0..frag-1 step every stream
+  // in k order (identical byte-consumption order to the reference's round-robin);
+  // the ragged remainder then belongs to stream N-1 alone
+  const uint32_t* tptr[32];
+  for (int k = 0; k < N; k++) tptr[k] = etab[0];
+  const uint8_t* p = c.p;
+  const uint8_t* end = c.end;
+  for (int64_t r = 0; r < frag; r++) {
     for (int k = 0; k < N; k++) {
-      int64_t i = cur[k];
-      if (i >= ends[k]) continue;
-      live = true;
-      if (!have[ctxs[k]]) return false;
-      FreqN& t = tabs[ctxs[k]];
+      const uint32_t* t = tptr[k];
+      if (!t) return false;
       uint32_t& x = R[k];
-      uint32_t slot = x & mask;
-      uint8_t s = t.lut[slot];
-      out[i] = s;
-      x = t.freq[s] * (x >> shift) + slot - t.cum[s];
-      if (x < NX16_L) {
-        if (c.p + 2 <= c.end) {
-          x = (x << 16) | (uint32_t)(c.p[0] | (c.p[1] << 8));
-          c.p += 2;
-        }
+      uint32_t e = t[x & mask];
+      uint8_t s = (uint8_t)e;
+      out[(int64_t)k * frag + r] = s;
+      x = ent_step(x, e, shift);
+      if (x < NX16_L && p + 2 <= end) {
+        x = (x << 16) | (uint32_t)(p[0] | (p[1] << 8));
+        p += 2;
       }
-      ctxs[k] = s;
-      cur[k] = i + 1;
+      tptr[k] = etab[s];
     }
   }
+  {
+    uint32_t x = R[N - 1];
+    const uint32_t* t = tptr[N - 1];
+    for (int64_t i = (int64_t)N * frag; i < out_len; i++) {
+      if (!t) return false;
+      uint32_t e = t[x & mask];
+      uint8_t s = (uint8_t)e;
+      out[i] = s;
+      x = ent_step(x, e, shift);
+      if (x < NX16_L && p + 2 <= end) {
+        x = (x << 16) | (uint32_t)(p[0] | (p[1] << 8));
+        p += 2;
+      }
+      t = etab[s];
+    }
+  }
+  c.p = p;
   return true;
 }
 
