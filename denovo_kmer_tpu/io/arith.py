@@ -115,6 +115,22 @@ def _encode_entropy(data: bytes, order: int, rle: bool) -> bytes:
 
 
 def _decode_entropy(buf, pos: int, out_len: int, order: int, rle: bool) -> bytes:
+    # native hot loop when the shim is built (io/_native/arith_codec.cpp — the
+    # Python model loop below stays the normative reference, ~800x slower);
+    # import kept lazy and failure-tolerant: decode must work from a bare checkout
+    try:
+        from denovo_kmer_tpu.io.native import arith_entropy_decode_native
+
+        res = arith_entropy_decode_native(
+            bytes(buf), pos, out_len, bool(order), bool(rle))
+        if res is not None:
+            return res
+    except ImportError:  # pragma: no cover - shim loader missing entirely
+        pass
+    return _decode_entropy_py(buf, pos, out_len, order, rle)
+
+
+def _decode_entropy_py(buf, pos: int, out_len: int, order: int, rle: bool) -> bytes:
     rc = RangeDecoder(buf, pos)
     if order:
         lit = [None] * 256

@@ -218,6 +218,21 @@ def decode(data: bytes, expected_len: Optional[int] = None) -> bytes:
         raise ValueError("fqz: payload shorter than the range-coder prime")
 
     dedup = bool(gflags & G_DEDUP)
+
+    # native record loop when the shim is built (io/_native/arith_codec.cpp);
+    # the Python loop below stays the normative reference (~100x slower)
+    try:
+        from denovo_kmer_tpu.io.native import fqz_decode_native
+
+        res = fqz_decode_native(bytes(data), pos, bytes(qmap),
+                                (qbits, q2bits, pbits, dbits), dedup, ulen)
+    except ImportError:  # pragma: no cover - shim loader missing entirely
+        res = None
+    if res is not None:
+        if zlib.crc32(res) != ucrc:
+            raise ValueError("fqz: checksum mismatch (corrupt or foreign stream)")
+        return res
+
     st = _Ctx(nsym, qbits, q2bits, pbits, dbits)
     rc = RangeDecoder(data, pos)
     out = bytearray()

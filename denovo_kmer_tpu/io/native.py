@@ -28,7 +28,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "_native", "bam_ingest.cpp")
 _SRC_RANS = os.path.join(_HERE, "_native", "rans_codec.cpp")
 _SRC_CRAM = os.path.join(_HERE, "_native", "cram_util.cpp")
-_SRCS = (_SRC, _SRC_RANS, _SRC_CRAM)
+_SRC_ARITH = os.path.join(_HERE, "_native", "arith_codec.cpp")
+_SRCS = (_SRC, _SRC_RANS, _SRC_CRAM, _SRC_ARITH)
 _BUILD_DIR = os.path.join(_HERE, "_native", "build")
 _SO = os.path.join(_BUILD_DIR, "libbam_ingest.so")
 
@@ -146,6 +147,21 @@ def _load_locked() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ]
+    # adaptive-arithmetic entropy decoder (arith_codec.cpp) — used by io/arith.py
+    lib.dk_arith_entropy_decode.restype = ctypes.c_int
+    lib.dk_arith_entropy_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    # fqzcomp record-loop decoder (arith_codec.cpp) — used by io/fqz.py
+    lib.dk_fqz_decode.restype = ctypes.c_int
+    lib.dk_fqz_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
     # CRAM varint run decoder (cram_util.cpp) — used by io/cram.py _ByteStream
     lib.dk_itf8_decode_run.restype = ctypes.c_int64
     lib.dk_itf8_decode_run.argtypes = [
@@ -171,6 +187,52 @@ def rans_decode_native(payload: bytes, out_len: int, nx16: bool) -> Optional[byt
             f"native rANS{'Nx16' if nx16 else '4x8'} decode failed (code {rc}): "
             f"malformed block"
         )
+    return out.tobytes()
+
+
+def arith_entropy_decode_native(buf: bytes, pos: int, out_len: int,
+                                order: bool, rle: bool) -> Optional[bytes]:
+    """Native adaptive-arithmetic entropy decode (io/arith.py hot loop); None when
+    the shim is unavailable. Raises ValueError on malformed input (negative return
+    code) with the same messages as the Python reference — never degrades to
+    garbage."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(out_len, np.uint8)
+    rc = lib.dk_arith_entropy_decode(
+        buf, len(buf), pos,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_len,
+        1 if order else 0, 1 if rle else 0,
+    )
+    if rc == -3:
+        raise ValueError("arith: RLE run overran output")
+    if rc != 0:
+        raise ValueError("range_coder: corrupt stream (frequency out of range)")
+    return out.tobytes()
+
+
+def fqz_decode_native(buf: bytes, pos: int, qmap: bytes,
+                      geom, dedup: bool, ulen: int) -> Optional[bytes]:
+    """Native fqzcomp record-loop decode (io/fqz.py); None when the shim is
+    unavailable. Raises ValueError on malformed input with messages matching the
+    Python reference's failure modes."""
+    lib = _load()
+    if lib is None:
+        return None
+    qbits, q2bits, pbits, dbits = geom
+    out = np.empty(ulen, np.uint8)
+    rc = lib.dk_fqz_decode(
+        buf, len(buf), pos, qmap, len(qmap), qbits, q2bits, pbits, dbits,
+        1 if dedup else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ulen,
+    )
+    if rc == -2:
+        raise ValueError("fqz: stream exhausted before block was rebuilt")
+    if rc == -3:
+        raise ValueError("fqz: record overruns block")
+    if rc != 0:
+        raise ValueError("range_coder: corrupt stream (frequency out of range)")
     return out.tobytes()
 
 

@@ -1,0 +1,147 @@
+"""Differential tests: the C++ adaptive-arithmetic entropy decoder
+(io/_native/arith_codec.cpp) must decode Python-encoded method-6 streams
+byte-identically to the normative Python decoder (io/range_coder.py +
+io/arith.py), across orders/transforms/edge shapes — and reject corrupt
+streams with an error instead of returning garbage."""
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.io import arith
+from denovo_kmer_tpu.io.arith import _decode_entropy_py
+from denovo_kmer_tpu.io.native import arith_entropy_decode_native, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="C++ shim unavailable (no compiler)"
+)
+
+
+def _payloads():
+    rng = np.random.default_rng(1)
+    qual = bytes(rng.choice([30, 35, 40, 2], p=[.5, .3, .15, .05], size=6000)
+                 .astype(np.uint8))
+    seq = bytes(rng.choice([65, 67, 71, 84], size=5000).astype(np.uint8))
+    rnd = bytes(rng.integers(0, 256, 4096).astype(np.uint8))
+    runs = b"".join(bytes([int(s)]) * int(r) for s, r in
+                    zip(rng.integers(0, 5, 800), rng.integers(1, 30, 800)))
+    long_run = b"A" * 70000 + b"B" + b"C" * 300  # multi-chunk (255+) RLE runs
+    return {"qual": qual, "seq": seq, "rnd": rnd, "runs": runs,
+            "long_run": long_run, "tiny": b"xyzxyzxyzx", "one": b"QQQQQQQQQ"}
+
+
+@pytest.mark.parametrize("order", [0, 1])
+@pytest.mark.parametrize("rle", [False, True])
+@pytest.mark.parametrize("pack", [False, True])
+def test_arith_native_matches_python(order, rle, pack):
+    for name, data in _payloads().items():
+        enc = arith.encode(data, order=order, use_rle=rle, use_pack=pack)
+        # module-level decode (native-dispatched) and the pure-Python loop agree
+        assert arith.decode(enc) == data, (name, order, rle, pack)
+
+
+@pytest.mark.parametrize("order", [0, 1])
+@pytest.mark.parametrize("rle", [False, True])
+def test_arith_entropy_core_differential(order, rle):
+    """The raw entropy payload decodes identically through both loops."""
+    for name, data in _payloads().items():
+        enc = arith.encode(data, order=order, use_rle=rle)
+        flags = enc[0]
+        if flags & (arith.F_CAT | arith.F_PACK):
+            continue  # encoder fell back to CAT (tiny payload) — no entropy body
+        pos = 1
+        from denovo_kmer_tpu.io.rans_nx16 import uint7_decode
+
+        _ulen, pos = uint7_decode(enc, pos)
+        want = _decode_entropy_py(enc, pos, len(data), order, rle)
+        got = arith_entropy_decode_native(bytes(enc), pos, len(data),
+                                          bool(order), rle)
+        assert got == want == data, (name, order, rle)
+
+
+def test_arith_stripe_and_ext_still_work():
+    data = bytes(np.random.default_rng(2).integers(0, 200, 9001).astype(np.uint8))
+    enc = arith.encode(data, order=1, stripe=4, use_rle=True)
+    assert arith.decode(enc) == data
+    enc2 = arith.encode(data, order=0, ext=True)
+    assert arith.decode(enc2) == data
+
+
+@pytest.mark.parametrize("dedup", [False, True])
+def test_fqz_native_matches_python_loop(monkeypatch, dedup):
+    """fqz.decode's native record loop vs the normative Python loop, bit for bit,
+    including dedup'd records, multi-length records, and binned alphabets."""
+    from denovo_kmer_tpu.io import fqz
+
+    rng = np.random.default_rng(7)
+    lens = [151] * 40 + [90, 151, 0, 37, 151]
+    total = sum(lens)
+    quals = rng.choice([2, 12, 23, 37], p=[.05, .15, .2, .6], size=total)
+    data = bytes(quals.astype(np.uint8))
+    enc = fqz.encode(data, lens, dedup=dedup)
+    got_native = fqz.decode(enc)
+
+    import denovo_kmer_tpu.io.native as native_mod
+
+    monkeypatch.setattr(native_mod, "fqz_decode_native",
+                        lambda *a, **k: None)
+    got_py = fqz.decode(enc)
+    assert got_native == got_py == data
+
+
+def test_fqz_native_corrupt_matches_python(monkeypatch):
+    """Mutated fqz payload bytes: native and Python loops agree — same bytes or
+    both raise — and never crash (the CRC gate makes most mutations loud)."""
+    from denovo_kmer_tpu.io import fqz
+
+    rng = np.random.default_rng(8)
+    data = bytes(rng.choice([30, 35, 40], size=600).astype(np.uint8))
+    enc = fqz.encode(data, [60] * 10)
+    import denovo_kmer_tpu.io.native as native_mod
+
+    orig = native_mod.fqz_decode_native
+    for i in range(12, len(enc), 9):
+        m = bytearray(enc)
+        m[i] ^= 0x2A
+        monkeypatch.setattr(native_mod, "fqz_decode_native", orig)
+        try:
+            got = fqz.decode(bytes(m))
+        except ValueError:
+            got = None
+        monkeypatch.setattr(native_mod, "fqz_decode_native",
+                            lambda *a, **k: None)
+        try:
+            want = fqz.decode(bytes(m))
+        except ValueError:
+            want = None
+        assert got == want
+
+
+def test_arith_native_corrupt_streams_match_python():
+    """Single-byte mutations and truncations of the entropy BODY: the native
+    loop must agree with the Python reference — identical bytes out, or both
+    raise — and never crash."""
+    rng = np.random.default_rng(3)
+    data = bytes(rng.choice([30, 35, 40], size=800).astype(np.uint8))
+    enc = arith.encode(data, order=1, use_rle=True)
+    from denovo_kmer_tpu.io.rans_nx16 import uint7_decode
+
+    _ulen, pos = uint7_decode(enc, 1)
+
+    def both(payload):
+        try:
+            want = _decode_entropy_py(payload, pos, len(data), 1, True)
+        except (ValueError, IndexError):
+            want = None
+        try:
+            got = arith_entropy_decode_native(bytes(payload), pos, len(data),
+                                              True, True)
+        except ValueError:
+            got = None
+        assert got == want
+
+    for i in range(pos, len(enc), 7):
+        m = bytearray(enc)
+        m[i] ^= 0x55
+        both(bytes(m))
+    for cut in range(pos + 1, len(enc), 11):
+        both(bytes(enc[:cut]))

@@ -142,3 +142,132 @@ int main(int argc, char** argv) {
         assert "rans fuzz ok" in run.stdout
         assert "AddressSanitizer" not in run.stderr
         assert "runtime error" not in run.stderr
+
+
+@pytest.mark.slow
+def test_arith_fqz_codec_clean_under_asan_ubsan(tmp_path):
+    """The adaptive-arithmetic + fqzcomp decoders (arith_codec.cpp) under
+    ASan/UBSan: valid streams decode; mutated/truncated streams must return an
+    error code or garbage bytes — never a sanitizer report."""
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    import numpy as np
+
+    from denovo_kmer_tpu.io import arith, fqz
+    from denovo_kmer_tpu.io.rans_nx16 import uint7_decode
+
+    main_cpp = tmp_path / "arith_fuzz.cpp"
+    main_cpp.write_text(r'''
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+extern "C" {
+int dk_arith_entropy_decode(const unsigned char*, long long, long long,
+                            unsigned char*, long long, int, int);
+int dk_fqz_decode(const unsigned char*, long long, long long,
+                  const unsigned char*, int, int, int, int, int, int,
+                  unsigned char*, long long);
+}
+int main(int argc, char** argv) {
+  // argv: <file> <out_len> <mode:arith|fqz> <pos> <n_mutations>
+  //   arith extra: <order> <rle>
+  //   fqz extra:   <qmap-file> <qbits> <q2bits> <pbits> <dbits> <dedup>
+  FILE* f = fopen(argv[1], "rb");
+  if (!f) return 2;
+  std::vector<unsigned char> buf;
+  unsigned char tmp[4096];
+  size_t n;
+  while ((n = fread(tmp, 1, sizeof tmp, f)) > 0) buf.insert(buf.end(), tmp, tmp + n);
+  fclose(f);
+  long long out_len = atoll(argv[2]);
+  int is_fqz = strcmp(argv[3], "fqz") == 0;
+  long long pos = atoll(argv[4]);
+  int muts = atoi(argv[5]);
+  std::vector<unsigned char> out(out_len ? out_len : 1);
+  std::vector<unsigned char> qmap;
+  int qb = 0, q2b = 0, pb = 0, db = 0, dd = 0, order = 0, rle = 0;
+  if (is_fqz) {
+    FILE* qf = fopen(argv[6], "rb");
+    if (!qf) return 2;
+    while ((n = fread(tmp, 1, sizeof tmp, qf)) > 0) qmap.insert(qmap.end(), tmp, tmp + n);
+    fclose(qf);
+    qb = atoi(argv[7]); q2b = atoi(argv[8]); pb = atoi(argv[9]);
+    db = atoi(argv[10]); dd = atoi(argv[11]);
+  } else {
+    order = atoi(argv[6]); rle = atoi(argv[7]);
+  }
+  auto run = [&](const unsigned char* p, long long len) {
+    return is_fqz ? dk_fqz_decode(p, len, pos, qmap.data(), (int)qmap.size(),
+                                  qb, q2b, pb, db, dd, out.data(), out_len)
+                  : dk_arith_entropy_decode(p, len, pos, out.data(), out_len,
+                                            order, rle);
+  };
+  if (run(buf.data(), (long long)buf.size()) != 0) return 3;  // valid must decode
+  unsigned seed = 54321;
+  for (int i = 0; i < muts; i++) {
+    std::vector<unsigned char> m = buf;
+    seed = seed * 1103515245 + 12345;
+    size_t at = pos + seed % (m.size() - pos);
+    seed = seed * 1103515245 + 12345;
+    m[at] ^= (unsigned char)(1 + (seed % 255));
+    run(m.data(), (long long)m.size());
+    size_t cut = pos + (m.size() - pos) * (i % 7 + 1) / 8;
+    run(m.data(), (long long)cut);
+  }
+  printf("arith fuzz ok\n");
+  return 0;
+}
+''')
+    exe = str(tmp_path / "arith_fuzz")
+    build = subprocess.run(
+        ["g++", "-O1", "-g", "-std=c++17", "-fsanitize=address,undefined",
+         "-fno-omit-frame-pointer", str(main_cpp),
+         os.path.join(_NATIVE, "arith_codec.cpp"), "-o", exe],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert build.returncode == 0, build.stderr
+
+    rng = np.random.default_rng(6)
+    data = bytes(rng.choice([30, 35, 40, 2], p=[.5, .3, .15, .05], size=20000)
+                 .astype(np.uint8))
+    env = dict(os.environ,
+               ASAN_OPTIONS="detect_leaks=1:abort_on_error=1",
+               UBSAN_OPTIONS="halt_on_error=1")
+
+    # arith order-1 RLE stream: skip flags byte + ulen varint
+    enc = arith.encode(data, order=1, use_rle=True)
+    assert not (enc[0] & (arith.F_CAT | arith.F_PACK))
+    _ulen, body = uint7_decode(enc, 1)
+    p = tmp_path / "arith.bin"
+    p.write_bytes(enc)
+    run = subprocess.run(
+        [exe, str(p), str(len(data)), "arith", str(body), "300", "1", "1"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert run.returncode == 0, (run.stdout, run.stderr[-2000:])
+    assert "arith fuzz ok" in run.stdout
+    assert "AddressSanitizer" not in run.stderr
+    assert "runtime error" not in run.stderr
+
+    # fqz stream: parse the header in Python, hand the payload geometry over
+    lens = [200] * 100
+    fenc = fqz.encode(data, lens)
+    nsym = fenc[2]
+    qmap = fenc[3:3 + nsym]
+    hp = 3 + nsym
+    qb, q2b, pb, db = fenc[hp:hp + 4]
+    hp += 4
+    ulen, hp = uint7_decode(fenc, hp)
+    hp += 4  # crc
+    qp = tmp_path / "fqz_qmap.bin"
+    qp.write_bytes(bytes(qmap))
+    fp = tmp_path / "fqz.bin"
+    fp.write_bytes(fenc)
+    run = subprocess.run(
+        [exe, str(fp), str(ulen), "fqz", str(hp), "300", str(qp),
+         str(qb), str(q2b), str(pb), str(db), "1"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert run.returncode == 0, (run.stdout, run.stderr[-2000:])
+    assert "arith fuzz ok" in run.stdout
+    assert "AddressSanitizer" not in run.stderr
+    assert "runtime error" not in run.stderr
