@@ -83,8 +83,10 @@ class EngineConfig:
 
     # --- kernels ---
     #: extraction kernel: "fast" (jnp packed-word assembly — XLA fuses it optimally,
-    #: measured fastest) or "pallas" (blockwise Pallas kernel, ops/extract_pallas.py —
-    #: bit-identical; select-cascade gather makes it ~par on v5e)
+    #: measured fastest), "fast_t" (same math on transposed (P, B) planes — lanes =
+    #: batch axis, no 130→256 lane padding at the production shape), or "pallas"
+    #: (blockwise Pallas kernel, ops/extract_pallas.py — bit-identical;
+    #: select-cascade gather makes it ~par on v5e)
     extractor: str = "fast"
 
     # --- I/O ---
@@ -134,7 +136,7 @@ class EngineConfig:
             raise ValueError(
                 f"min_child_count ({self.min_child_count}) must be >= 1"
             )
-        if self.extractor not in ("fast", "pallas"):
+        if self.extractor not in ("fast", "fast_t", "pallas"):
             raise ValueError(f"unknown extractor {self.extractor!r}")
         if self.accum_batches < 1:
             raise ValueError("accum_batches must be >= 1")

@@ -133,6 +133,17 @@ def make_ingest_step(cfg: EngineConfig, n_passes: int = 1):
                 words, vwords, cfg.k, cfg.max_read_len, canonical=cfg.canonical,
                 block_reads=min(256, cfg.batch_reads),
             )
+    elif cfg.extractor == "fast_t":
+        # transposed planes: (P, B) with lanes = the batch axis. Staging-row ORDER
+        # differs from "fast" ((P·B) vs (B·P)) — invisible downstream: batches
+        # append atomically and everything after staging is sort/aggregate.
+        from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast_t
+
+        def _extract(words, vwords):
+            return extract_canonical_kmers_fast_t(
+                words, vwords, cfg.k, cfg.max_read_len, canonical=cfg.canonical,
+                barrier=False,
+            )
     else:
         def _extract(words, vwords):
             return extract_canonical_kmers(

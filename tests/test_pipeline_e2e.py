@@ -52,6 +52,19 @@ def test_trio_pipeline_matches_oracle_byte_exact(trio_dir):
     assert len(res.candidates) > 0
 
 
+def test_trio_pipeline_fast_t_extractor_byte_exact(trio_dir):
+    """extractor='fast_t' (transposed (P, B) planes) must produce the identical
+    report — staging-row order differs, semantics may not."""
+    import dataclasses
+
+    d, trio, paths = trio_dir
+    want_report, want_cands, _ = oracle_report(paths, CFG)
+    cfg_t = dataclasses.replace(CFG, extractor="fast_t")
+    res = run_trio(paths["mom"], paths["dad"], paths["child"], cfg_t)
+    assert res.candidates == want_cands
+    assert res.report == want_report
+
+
 def test_denovo_snvs_recovered(trio_dir):
     d, trio, paths = trio_dir
     res = run_trio(paths["mom"], paths["dad"], paths["child"], CFG)
