@@ -78,9 +78,9 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     e.add_argument("--output-format", choices=("tsv", "fasta"), default="tsv",
                    help="candidate report format (tsv is the parity artifact)")
     e.add_argument("--ingest-threads", type=int, default=None,
-                   help="BGZF inflate worker threads in the native feeder "
-                        "(default 4; 0 = synchronous; also via "
-                        "DENOVO_KMER_INGEST_THREADS)")
+                   help="decode worker threads in the feeders (BAM BGZF "
+                        "inflate ring + CRAM container pool; default 4; "
+                        "0 = synchronous; also via DENOVO_KMER_INGEST_THREADS)")
     e.add_argument("--json-metrics", action="store_true")
     e.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace here (SURVEY.md §5.1)")

@@ -25,6 +25,7 @@ import bz2
 import dataclasses
 import io as _io
 import lzma
+import os
 import struct
 import zlib
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -988,7 +989,8 @@ class CramReader:
 
     def iter_seq_chunks(self, flag_mask: int = 0,
                         max_read_len: int = 1 << 30,
-                        with_quals: bool = True) -> Iterator["object"]:
+                        with_quals: bool = True,
+                        workers: Optional[int] = None) -> Iterator["object"]:
         """Yield one ops.pack.SeqChunk per slice — the packed-feeder handoff
         (pipeline.packed_batches → ops.pack.pack_chunks): flag-filtered,
         length-truncated flat sequence/quality byte columns with NO per-record
@@ -997,22 +999,62 @@ class CramReader:
         (SURVEY.md §3.3). Ineligible slices fall back to the record loop and
         are wrapped into the same chunk form; bit-parity with
         pack_records(CramReader(...)) is the differential contract
-        (tests/test_cram_packed.py)."""
-        for ch, plan, sh, core, externals, embedded_ref, cont_ref in self._slices():
+        (tests/test_cram_packed.py).
+
+        ``workers`` (default: DENOVO_KMER_INGEST_THREADS capped at the visible
+        core count — pooling on a 1-core host measured ~30% pure overhead;
+        0/1 = synchronous) decodes CONTAINERS in a thread pool, in order:
+        containers are self-contained (own compression header + blocks) and the
+        hot work is inside ctypes entropy calls that release the GIL, so this
+        scales with cores like the BAM feeder's inflate ring. Byte-identical to
+        the serial walk (tests/test_cram_packed.py pool parity)."""
+        if workers is None:
+            cores = len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity") \
+                else (os.cpu_count() or 1)
+            workers = min(int(os.environ.get("DENOVO_KMER_INGEST_THREADS", "4")),
+                          cores)
+        if workers and workers > 1:
+            import collections
+            from concurrent.futures import ThreadPoolExecutor
+
+            args = (flag_mask, max_read_len, with_quals)
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                pending = collections.deque()
+                for body, rid in self._container_bodies():
+                    pending.append(
+                        ex.submit(self._container_seq_chunks, body, rid, *args))
+                    while len(pending) > workers + 2:
+                        yield from pending.popleft().result()
+                while pending:
+                    yield from pending.popleft().result()
+            return
+        for body, rid in self._container_bodies():
+            yield from self._container_seq_chunks(body, rid, flag_mask,
+                                                  max_read_len, with_quals)
+
+    def _container_seq_chunks(self, body, ref_id, flag_mask, max_read_len,
+                              with_quals) -> List["object"]:
+        """One container body → its SeqChunks (a list, so the pool can run whole
+        containers on worker threads). Touches no reader state beyond read-only
+        config and the GIL-atomic reference cache."""
+        out = []
+        for ch, plan, sh, core, externals, embedded_ref, cont_ref in (
+                self._body_slices(body, ref_id)):
             if plan is not None:
                 try:
                     C = self._slice_columns(ch, sh, externals, plan,
                                             embedded_ref, want_names=False)
                     if C is not None:
-                        yield _chunk_from_columns(C, flag_mask, max_read_len,
-                                                  with_quals)
+                        out.append(_chunk_from_columns(C, flag_mask,
+                                                       max_read_len, with_quals))
                     continue
                 except _ColumnarIneligible:
                     pass
-            yield _chunk_from_records(
+            out.append(_chunk_from_records(
                 self._decode_slice(ch, sh, core, externals, embedded_ref,
                                    cont_ref),
-                flag_mask, max_read_len, with_quals)
+                flag_mask, max_read_len, with_quals))
+        return out
 
     # --- record decode ---
 
@@ -1021,47 +1063,58 @@ class CramReader:
         header, columnar plan, slice header, core bit stream, external block
         map, embedded reference bytes, container ref id) — shared by the
         record iterator and the packed-chunk iterator."""
+        for body, rid in self._container_bodies():
+            yield from self._body_slices(body, rid)
+
+    def _container_bodies(self):
+        """Raw (container body bytes, ref id) stream — the ONLY stage that
+        advances the file handle; everything per-body is stateless, which is
+        what lets iter_seq_chunks decode containers on worker threads."""
         while True:
             c = self._read_container()
             if c is None or c["eof"]:
                 return
-            body = c["body"]
-            pos = 0
-            blk, pos = read_block(body, pos)
-            if blk.content_type != CT_COMPRESSION_HEADER:
-                raise ValueError("expected compression header block")
-            if blk.data is None:
-                raise UnsupportedCodecError(blk.error)
-            ch = _parse_compression_header(blk.data)
-            plan = _columnar_plan(ch) if self.columnar else None
-            while pos < len(body):
-                sblk, pos = read_block(body, pos)
-                if sblk.content_type != CT_SLICE_HEADER:
-                    raise ValueError("expected slice header block")
-                if sblk.data is None:
-                    raise UnsupportedCodecError(sblk.error)
-                sh = _parse_slice_header(sblk.data)
-                core = None
-                externals: Dict[int, _ByteStream] = {}
-                embedded_ref = None
-                for _ in range(sh.n_blocks):
-                    b, pos = read_block(body, pos)
-                    if b.content_type == CT_CORE:
+            yield c["body"], c["ref_id"]
+
+    def _body_slices(self, body, container_ref_id):
+        """Slices of ONE container body (block parse + decompress happen here,
+        i.e. on the pool's worker threads under iter_seq_chunks)."""
+        pos = 0
+        blk, pos = read_block(body, pos)
+        if blk.content_type != CT_COMPRESSION_HEADER:
+            raise ValueError("expected compression header block")
+        if blk.data is None:
+            raise UnsupportedCodecError(blk.error)
+        ch = _parse_compression_header(blk.data)
+        plan = _columnar_plan(ch) if self.columnar else None
+        while pos < len(body):
+            sblk, pos = read_block(body, pos)
+            if sblk.content_type != CT_SLICE_HEADER:
+                raise ValueError("expected slice header block")
+            if sblk.data is None:
+                raise UnsupportedCodecError(sblk.error)
+            sh = _parse_slice_header(sblk.data)
+            core = None
+            externals: Dict[int, _ByteStream] = {}
+            embedded_ref = None
+            for _ in range(sh.n_blocks):
+                b, pos = read_block(body, pos)
+                if b.content_type == CT_CORE:
+                    if b.data is None:
+                        raise UnsupportedCodecError(b.error)
+                    core = _BitReader(b.data)
+                elif b.content_type == CT_EXTERNAL:
+                    if b.data is None:
+                        # lazily-failing stream: raises only if a data series
+                        # actually pulls bytes from this block
+                        externals[b.content_id] = _FailedByteStream(b.error)
+                    else:
+                        externals[b.content_id] = _ByteStream(b.data)
+                    if b.content_id == sh.embedded_ref_id:
                         if b.data is None:
                             raise UnsupportedCodecError(b.error)
-                        core = _BitReader(b.data)
-                    elif b.content_type == CT_EXTERNAL:
-                        if b.data is None:
-                            # lazily-failing stream: raises only if a data series
-                            # actually pulls bytes from this block
-                            externals[b.content_id] = _FailedByteStream(b.error)
-                        else:
-                            externals[b.content_id] = _ByteStream(b.data)
-                        if b.content_id == sh.embedded_ref_id:
-                            if b.data is None:
-                                raise UnsupportedCodecError(b.error)
-                            embedded_ref = b.data
-                yield ch, plan, sh, core, externals, embedded_ref, c["ref_id"]
+                        embedded_ref = b.data
+            yield ch, plan, sh, core, externals, embedded_ref, container_ref_id
 
     def _slice_columns(self, ch, sh, externals, plan, embedded_ref=None,
                        want_names=True):

@@ -183,3 +183,29 @@ def test_pipeline_dispatch_uses_packed_path(tmp_path, monkeypatch):
     assert len(got) == len(want)
     for a, b in zip(got, want):
         _packed_equal(a, b)
+
+
+def test_container_pool_parity(tmp_path):
+    """iter_seq_chunks with the container thread pool (workers=4) must yield the
+    SAME chunks in the SAME order as the serial walk, across many containers
+    (containers are the pool's work unit)."""
+    rng = random.Random(11)
+    reads = [("".join(rng.choice("ACGT") for _ in range(73)),
+              [rng.randrange(2, 41) for _ in range(73)], 4)
+             for _ in range(900)]
+    path = str(tmp_path / "pool.cram")
+    write_cram(path, reads, method=M_RANS, rans_order=1,
+               reads_per_container=64)  # ~15 containers
+    def chunks(workers):
+        with open(path, "rb") as f:
+            return list(CramReader(f).iter_seq_chunks(workers=workers))
+    serial = chunks(1)
+    pooled = chunks(4)
+    assert len(serial) == len(pooled) > 4
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(a.flat, b.flat)
+        np.testing.assert_array_equal(a.lens, b.lens)
+        if a.qflat is None:
+            assert b.qflat is None
+        else:
+            np.testing.assert_array_equal(a.qflat, b.qflat)
