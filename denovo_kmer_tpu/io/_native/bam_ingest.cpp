@@ -573,4 +573,20 @@ void bam_ingest_close(void* handle) {
   delete (Reader*)handle;
 }
 
+// One-shot gzip-member decompress for CRAM gzip blocks (io/cram.py _decompress):
+// libdeflate's whole-buffer path, ~2-3x zlib streaming. Returns the decompressed
+// size, or -1 on any mismatch (caller falls back to Python zlib, which also
+// accepts zlib-wrapped streams).
+int64_t dk_gzip_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
+                           int64_t out_len) {
+  static thread_local libdeflate_decompressor* dec =
+      libdeflate_alloc_decompressor();
+  if (!dec || in_len <= 0) return -1;
+  size_t actual = 0;
+  if (libdeflate_gzip_decompress(dec, in, (size_t)in_len, out, (size_t)out_len,
+                                 &actual) != LIBDEFLATE_SUCCESS)
+    return -1;
+  return (int64_t)actual;
+}
+
 }  // extern "C"

@@ -191,6 +191,15 @@ def _decompress(data: bytes, method: int, raw_size: int) -> bytes:
     if method == M_RAW:
         return data
     if method == M_GZIP:
+        if raw_size >= 0:
+            try:
+                from denovo_kmer_tpu.io.native import gzip_decompress_native
+
+                res = gzip_decompress_native(bytes(data), raw_size)
+                if res is not None:
+                    return res
+            except ImportError:  # pragma: no cover - shim loader missing
+                pass
         return zlib.decompress(data, wbits=47)
     if method == M_BZIP2:
         return bz2.decompress(data)

@@ -154,6 +154,12 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.c_int, ctypes.c_int,
     ]
+    # gzip one-shot decompress (bam_ingest.cpp) — used by io/cram.py gzip blocks
+    lib.dk_gzip_decompress.restype = ctypes.c_int64
+    lib.dk_gzip_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
     # fqzcomp record-loop decoder (arith_codec.cpp) — used by io/fqz.py
     lib.dk_fqz_decode.restype = ctypes.c_int
     lib.dk_fqz_decode.argtypes = [
@@ -209,6 +215,22 @@ def arith_entropy_decode_native(buf: bytes, pos: int, out_len: int,
         raise ValueError("arith: RLE run overran output")
     if rc != 0:
         raise ValueError("range_coder: corrupt stream (frequency out of range)")
+    return out.tobytes()
+
+
+def gzip_decompress_native(data: bytes, raw_size: int) -> Optional[bytes]:
+    """One-shot gzip-member decompress via libdeflate; None when the shim is
+    unavailable OR the stream isn't a clean gzip member of the expected size
+    (caller falls back to zlib, which also accepts zlib wrapping)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(raw_size, np.uint8)
+    n = lib.dk_gzip_decompress(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), raw_size)
+    if n != raw_size:
+        return None
     return out.tobytes()
 
 
