@@ -589,4 +589,19 @@ int64_t dk_gzip_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
   return (int64_t)actual;
 }
 
+// Raw-DEFLATE one-shot (io/bgzf.py's pure-Python reader — the remote-BAM and
+// BAI/VCF.gz paths that don't go through the native feeder ring).
+int64_t dk_deflate_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
+                              int64_t out_len) {
+  static thread_local libdeflate_decompressor* dec =
+      libdeflate_alloc_decompressor();
+  if (!dec || in_len < 0) return -1;
+  size_t actual = 0;
+  if (libdeflate_deflate_decompress(dec, in, (size_t)in_len, out,
+                                    (size_t)out_len, &actual) !=
+      LIBDEFLATE_SUCCESS)
+    return -1;
+  return (int64_t)actual;
+}
+
 }  // extern "C"

@@ -60,9 +60,20 @@ def _read_block(f: BinaryIO) -> Optional[Tuple[bytes, int]]:
     if len(cdata) < cdata_len or len(tail) < 8:
         raise BgzfError("truncated BGZF block body")
     crc, isize = struct.unpack("<II", tail)
-    data = zlib.decompress(cdata, wbits=-15)
-    if len(data) != isize:
-        raise BgzfError(f"BGZF ISIZE mismatch: {len(data)} != {isize}")
+    # libdeflate one-shot when the shim is built (~2-3x zlib streaming; ISIZE is
+    # known up front, which is exactly its fast path); zlib stays the fallback
+    # AND the normative behavior for size-mismatched streams
+    data = None
+    try:
+        from denovo_kmer_tpu.io.native import deflate_decompress_native
+
+        data = deflate_decompress_native(cdata, isize)
+    except ImportError:  # pragma: no cover - shim loader missing entirely
+        pass
+    if data is None:
+        data = zlib.decompress(cdata, wbits=-15)
+        if len(data) != isize:
+            raise BgzfError(f"BGZF ISIZE mismatch: {len(data)} != {isize}")
     if zlib.crc32(data) & 0xFFFFFFFF != crc:
         raise BgzfError("BGZF CRC mismatch")
     return data, bsize

@@ -154,12 +154,14 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.c_int, ctypes.c_int,
     ]
-    # gzip one-shot decompress (bam_ingest.cpp) — used by io/cram.py gzip blocks
-    lib.dk_gzip_decompress.restype = ctypes.c_int64
-    lib.dk_gzip_decompress.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-    ]
+    # gzip/deflate one-shot decompress (bam_ingest.cpp) — io/cram.py gzip blocks
+    # and io/bgzf.py's pure-Python reader (remote BAM, BAI, .gz sidecars)
+    for fn in (lib.dk_gzip_decompress, lib.dk_deflate_decompress):
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
     # fqzcomp record-loop decoder (arith_codec.cpp) — used by io/fqz.py
     lib.dk_fqz_decode.restype = ctypes.c_int
     lib.dk_fqz_decode.argtypes = [
@@ -227,6 +229,21 @@ def gzip_decompress_native(data: bytes, raw_size: int) -> Optional[bytes]:
         return None
     out = np.empty(raw_size, np.uint8)
     n = lib.dk_gzip_decompress(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), raw_size)
+    if n != raw_size:
+        return None
+    return out.tobytes()
+
+
+def deflate_decompress_native(data: bytes, raw_size: int) -> Optional[bytes]:
+    """One-shot raw-DEFLATE decompress via libdeflate; None when the shim is
+    unavailable or the stream doesn't inflate to exactly raw_size."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(raw_size, np.uint8)
+    n = lib.dk_deflate_decompress(
         data, len(data),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), raw_size)
     if n != raw_size:
