@@ -25,6 +25,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # the axon TPU plugin prepends itself to jax_platforms at import; honor an
+    # explicit JAX_PLATFORMS (cli.py does the same) so CPU-mesh plumbing runs
+    # can't hang on an unreachable tunnel
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     from denovo_kmer_tpu.config import EngineConfig
     from denovo_kmer_tpu.ops.pack import pack_seqs
     from denovo_kmer_tpu.parallel.mesh import make_mesh
