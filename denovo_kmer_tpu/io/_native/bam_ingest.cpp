@@ -575,10 +575,11 @@ void bam_ingest_close(void* handle) {
 
 // One-shot gzip-member decompress for CRAM gzip blocks (io/cram.py _decompress):
 // libdeflate's whole-buffer path, ~2-3x zlib streaming. Returns the decompressed
-// size, or -1 on any mismatch (caller falls back to Python zlib, which also
-// accepts zlib-wrapped streams).
+// size, or -1 on any mismatch OR when built without libdeflate (caller falls back
+// to Python zlib, which also accepts zlib-wrapped streams).
 int64_t dk_gzip_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
                            int64_t out_len) {
+#ifdef HAVE_LIBDEFLATE
   static thread_local libdeflate_decompressor* dec =
       libdeflate_alloc_decompressor();
   if (!dec || in_len <= 0) return -1;
@@ -587,12 +588,17 @@ int64_t dk_gzip_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
                                  &actual) != LIBDEFLATE_SUCCESS)
     return -1;
   return (int64_t)actual;
+#else
+  (void)in; (void)in_len; (void)out; (void)out_len;
+  return -1;
+#endif
 }
 
 // Raw-DEFLATE one-shot (io/bgzf.py's pure-Python reader — the remote-BAM and
 // BAI/VCF.gz paths that don't go through the native feeder ring).
 int64_t dk_deflate_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
                               int64_t out_len) {
+#ifdef HAVE_LIBDEFLATE
   static thread_local libdeflate_decompressor* dec =
       libdeflate_alloc_decompressor();
   if (!dec || in_len < 0) return -1;
@@ -602,6 +608,10 @@ int64_t dk_deflate_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
       LIBDEFLATE_SUCCESS)
     return -1;
   return (int64_t)actual;
+#else
+  (void)in; (void)in_len; (void)out; (void)out_len;
+  return -1;
+#endif
 }
 
 }  // extern "C"
