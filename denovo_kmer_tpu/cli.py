@@ -346,6 +346,11 @@ def cmd_probe(args) -> int:
 
 
 def cmd_index(args) -> int:
+    if args.bam.lower().endswith(".cram"):
+        from denovo_kmer_tpu.io.crai import write_crai
+
+        print(write_crai(args.bam))
+        return 0
     from denovo_kmer_tpu.io.bai import write_bai, write_csi
 
     out = write_csi(args.bam) if args.csi else write_bai(args.bam)
@@ -471,7 +476,8 @@ def main(argv=None) -> int:
     pq.set_defaults(fn=cmd_probe)
 
     pi = sub.add_parser(
-        "index", help="write a BAI (or CSI) index for a coordinate-sorted BAM"
+        "index", help="write a BAI/CSI index for a coordinate-sorted BAM, "
+                      "or a CRAI for a CRAM"
     )
     pi.add_argument("bam")
     pi.add_argument("--csi", action="store_true", help="write .csi instead of .bai")

@@ -914,14 +914,24 @@ class CramReader:
         # seq/qual/flag, SURVEY.md §3.3)
         f.read(20)  # file id
         self.sam_header = self._read_file_header()
-        # ref id → name from the @SQ lines, in order (the CRAM's authoritative mapping)
+        # ref id → name from the @SQ lines, in order (the CRAM's authoritative mapping);
+        # (name, length) pairs feed io/bai.parse_region for CRAM region queries
         self._sq_names: List[str] = []
+        self.references: List[Tuple[str, int]] = []
         for line in self.sam_header.splitlines():
             if line.startswith("@SQ"):
+                name, ln = None, 0
                 for field in line.split("\t"):
                     if field.startswith("SN:"):
-                        self._sq_names.append(field[3:])
-                        break
+                        name = field[3:]
+                    elif field.startswith("LN:"):
+                        try:
+                            ln = int(field[3:])
+                        except ValueError:
+                            ln = 0
+                if name is not None:
+                    self._sq_names.append(name)
+                    self.references.append((name, ln))
 
     def _ref_seq(self, ref_id: int) -> Optional[str]:
         """Resolve a reference id to its sequence by @SQ NAME first, ordinal second."""
@@ -950,25 +960,30 @@ class CramReader:
         return v
 
     def _read_container(self):
+        try:
+            offset = self._f.tell()  # absolute offset of the container (CRAI unit)
+        except (OSError, AttributeError):
+            offset = -1  # non-seekable stream: indexing impossible, decoding fine
         head = self._f.read(4)
         if len(head) < 4:
             return None
         length = struct.unpack("<i", head)[0]
         ref_id = self._stream_itf8()
-        self._stream_itf8()  # start
-        self._stream_itf8()  # span
+        start = self._stream_itf8()
+        span = self._stream_itf8()
         n_rec = self._stream_itf8()
         self._stream_ltf8()  # record counter
         self._stream_ltf8()  # bases
         n_blocks = self._stream_itf8()
         n_land = self._stream_itf8()
-        for _ in range(n_land):
-            self._stream_itf8()
+        landmarks = [self._stream_itf8() for _ in range(n_land)]
         self._f.read(4)  # header CRC32
         body = self._f.read(length)
         if len(body) != length:
             raise ValueError("truncated CRAM container body")
-        return dict(ref_id=ref_id, n_rec=n_rec, n_blocks=n_blocks, body=body,
+        return dict(ref_id=ref_id, start=start, span=span, n_rec=n_rec,
+                    n_blocks=n_blocks, body=body, offset=offset,
+                    landmarks=landmarks,
                     eof=(ref_id == -1 and n_rec == 0 and n_blocks == 1
                          and length < 40))
 
@@ -1564,7 +1579,12 @@ class CramReader:
         return {"vec_sel": vec_sel, "blob": flat, "starts_f": starts_f,
                 "ends_f": ends_f, "applier": applier}
 
-    def _decode_slice(self, ch, sh, core, externals, embedded_ref, cont_ref):
+    def _decode_slice(self, ch, sh, core, externals, embedded_ref, cont_ref,
+                      with_pos: bool = False):
+        """Record-loop slice decode. ``with_pos=True`` (the region-query path,
+        io/crai.py) yields ``(record, ref_id, pos0, ref_span)`` tuples instead of
+        bare records — positions never surface on CramRecord so the columnar and
+        record paths stay field-identical."""
         dec: Dict[str, _Decoder] = {}
 
         def D(key) -> Optional[_Decoder]:
@@ -1632,8 +1652,11 @@ class CramReader:
                 if not unmapped and D("MQ"):
                     D("MQ").read_int()
                 seq, quals = "", None
+                # no features to measure: the padded read length is the best span
+                rspan = max(rl, 1)
             elif not unmapped:
-                seq = self._reconstruct(ch, sh, D, sub, pos0, rl, emb_ref_str, ref_id)
+                seq, rspan = self._reconstruct(ch, sh, D, sub, pos0, rl,
+                                               emb_ref_str, ref_id)
                 if D("MQ"):
                     D("MQ").read_int()
                 # CF bit 0 = per-base qualities stored as an RL-byte QS run
@@ -1647,7 +1670,12 @@ class CramReader:
                 bases = ba.read_byte_run(rl)
                 seq = bases.decode("ascii", "replace")
                 quals = list(D("QS").read_bytes(rl)) if (cf & 1) and D("QS") else None
-            yield CramRecord(seq=seq, qual=quals, flag=bf, name=name)
+                rspan = 1  # placed-unmapped overlaps at its coordinate (io/bai.py)
+            rec = CramRecord(seq=seq, qual=quals, flag=bf, name=name)
+            if with_pos:
+                yield rec, ref_id, pos0, rspan
+            else:
+                yield rec
 
     @staticmethod
     def _tag_state(ch):
@@ -1692,16 +1720,30 @@ class CramReader:
             ref = ""
         return ref, 1  # CRAM positions are 1-based
 
-    def _reconstruct(self, ch, sh, D, sub, pos0, rl, emb_ref_str, ref_id) -> str:
+    def _reconstruct(self, ch, sh, D, sub, pos0, rl, emb_ref_str,
+                     ref_id) -> Tuple[str, int]:
+        """→ (sequence, reference span). Span = reference bases the alignment
+        consumes (read length minus read-only features plus ref-only features,
+        min 1) — the CRAM analog of io/bai.record_ref_span for region overlap."""
         ref, ref_off = self._resolve_slice_ref(ch, sh, emb_ref_str, ref_id)
         fn = D("FN").read_int()
         feats = []
         fpos = 0
+        read_only = 0
+        ref_only = 0
         for _ in range(fn):
             code = chr(D("FC").read_byte())
             fpos += D("FP").read_int()
-            feats.append((code, fpos, self._feat_operand(code, D)))
-        return _apply_features(ref, ref_off, pos0, rl, feats, sub)
+            op = self._feat_operand(code, D)
+            feats.append((code, fpos, op))
+            if code in ("S", "I"):  # soft clip / insertion: read bases, no ref
+                read_only += len(op)
+            elif code == "i":  # single inserted base
+                read_only += 1
+            elif code in ("D", "N"):  # deletion / ref skip: ref bases, no read
+                ref_only += op
+        span = max(rl - read_only + ref_only, 1)
+        return _apply_features(ref, ref_off, pos0, rl, feats, sub), span
 
     def _feat_operand(self, code, D):
         if code == "X":

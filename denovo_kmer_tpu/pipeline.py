@@ -69,19 +69,25 @@ class TrioResult:
 def _record_stream(path: str, cfg: EngineConfig, region: Optional[str] = None) -> Iterator:
     """Open a reads file as a record stream (BAM/FASTQ/FASTA by extension).
 
-    ``region`` (``chr20`` / ``chr20:1,000-2,000``): BAM only — served through the BAI/CSI
-    index when one sits next to the file (io/bai.py), full-scan overlap filter otherwise
-    (SAM text has no index format; pre-convert to BAM for region queries).
+    ``region`` (``chr20`` / ``chr20:1,000-2,000``): BAM (BAI/CSI) or CRAM (CRAI) —
+    served through the index when one sits next to the file, full-scan overlap
+    filter otherwise (SAM text has no index format; pre-convert for region queries).
     """
     low = path.lower()
-    if region and not low.endswith(".bam"):
-        raise ValueError(f"--region requires a BAM input, got {path}")
+    if region and not low.endswith((".bam", ".cram")):
+        raise ValueError(f"--region requires a BAM or CRAM input, got {path}")
     if low.endswith(".bam"):
         if region:
             from denovo_kmer_tpu.io.bai import read_bam_records_region
 
             return read_bam_records_region(path, region)
         return read_bam_records(path)
+    if low.endswith(".cram") and region:
+        from denovo_kmer_tpu.io.crai import read_cram_records_region
+        from denovo_kmer_tpu.io.cram import load_reference
+
+        ref = load_reference(cfg.reference_fasta) if cfg.reference_fasta else None
+        return read_cram_records_region(path, region, reference=ref)
     if low.endswith((".sam", ".sam.gz")):
         from denovo_kmer_tpu.io.sam import read_sam_records
 
