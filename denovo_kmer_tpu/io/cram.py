@@ -1973,7 +1973,7 @@ _W_IDS = {
     "BF": 1, "CF": 2, "RL": 3, "AP": 4, "RG": 5, "RN": 6, "MF": 7, "NS": 8,
     "NP": 9, "TS": 10, "TL": 11, "FN": 12, "FP": 13, "FC": 14, "BS": 15,
     "DL": 16, "BA": 17, "QS": 18, "MQ": 19, "SC": 20, "IN": 21, "RS": 22,
-    "HC": 23, "PD": 24, "BB": 25,
+    "HC": 23, "PD": 24, "BB": 25, "RI": 26,
 }
 
 
@@ -1987,7 +1987,7 @@ def _enc_byte_array_stop(stop: int, cid: int) -> bytes:
     return itf8_encode(E_BYTE_ARRAY_STOP) + itf8_encode(len(params)) + params
 
 
-def _compression_header_blob(mapped: bool) -> bytes:
+def _compression_header_blob(mapped: bool, multiref: bool = False) -> bytes:
     # preservation map: RN=1 (names kept), AP=0 (absolute positions), RR per mode,
     # SM default matrix, TD = one empty tag line
     pres = bytearray()
@@ -1999,9 +1999,12 @@ def _compression_header_blob(mapped: bool) -> bytes:
 
     series = bytearray()
     encs: List[Tuple[bytes, bytes]] = []
-    for key in ("BF", "CF", "RL", "AP", "MF", "NS", "NP", "TS", "TL",
-                "FN", "FP", "BS", "DL", "BA", "QS", "MQ", "FC", "RS",
-                "HC", "PD"):
+    keys = ["BF", "CF", "RL", "AP", "MF", "NS", "NP", "TS", "TL",
+            "FN", "FP", "BS", "DL", "BA", "QS", "MQ", "FC", "RS",
+            "HC", "PD"]
+    if multiref:
+        keys.insert(4, "RI")  # per-record reference id (slices written as -2)
+    for key in keys:
         encs.append((key.encode(), _enc_external(_W_IDS[key])))
     encs.append((b"RN", _enc_byte_array_stop(0, _W_IDS["RN"])))
     encs.append((b"SC", _enc_byte_array_stop(0, _W_IDS["SC"])))
@@ -2090,10 +2093,18 @@ def write_cram(
 
         if mapped is not None:
             assert reference is not None, "mapped profile needs the reference"
+            multiref = bool(mapped) and len(mapped[0]) == 3
             chunks = [mapped[i : i + reads_per_container]
                       for i in range(0, len(mapped), reads_per_container)]
             for chunk in chunks:
-                _write_mapped_container(f, chunk, reference, counter, method, rans_order)
+                if multiref:
+                    # [(seq, pos1, ref_id)] + reference as {ref_id: sequence}:
+                    # slices written as ref -2 with a per-record RI series
+                    _write_multiref_container(f, chunk, reference, counter,
+                                              method, rans_order)
+                else:
+                    _write_mapped_container(f, chunk, reference, counter,
+                                            method, rans_order)
                 counter += len(chunk)
         else:
             recs = list(records)
@@ -2137,15 +2148,53 @@ def _slice_blob(ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int, start: int,
     return bio.getvalue(), 2 + len(used)
 
 
+def _write_multiref_container(f, chunk, references, counter, method, rans_order):
+    """One multi-reference container (slice ref_id -2, per-record RI series):
+    ``chunk`` = [(seq, pos1, ref_id)], ``references`` = {ref_id: sequence}.
+    Mirrors _write_mapped_container otherwise (X features vs the per-record ref)."""
+    ext: Dict[str, _ExtBuf] = {k: _ExtBuf() for k in _W_IDS}
+    for i, (seq, pos1, rid) in enumerate(chunk):
+        reference = references[rid]
+        ext["BF"].itf8(0)
+        ext["CF"].itf8(2)  # detached, no stored quals
+        ext["RI"].itf8(rid)
+        ext["RL"].itf8(len(seq))
+        ext["AP"].itf8(pos1)
+        ext["RN"].raw(f"m{counter + i}".encode() + b"\x00")
+        ext["MF"].itf8(0)
+        ext["NS"].itf8(-1)
+        ext["NP"].itf8(0)
+        ext["TS"].itf8(0)
+        ext["TL"].itf8(0)
+        feats = []
+        for j, b in enumerate(seq):
+            rb = reference[pos1 - 1 + j]
+            if b != rb:
+                feats.append((j + 1, rb, b))
+        ext["FN"].itf8(len(feats))
+        last = 0
+        for rpos, rb, alt in feats:
+            ext["FP"].itf8(rpos - last)
+            ext["FC"].byte(ord("X"))
+            ext["BS"].byte(_sub_code(rb, alt))
+            last = rpos
+        ext["MQ"].itf8(30)
+    # spec: multi-ref slices/containers carry ref -2 with start/span 0
+    _write_series_blocks(f, ext, len(chunk), -2, 0, 0, counter, method,
+                         rans_order, mapped=True, multiref=True)
+
+
 def _write_series_blocks(f, ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int,
                          start: int, span: int, counter: int, method: int,
-                         rans_order: int, mapped: bool, extra_slices=()):
+                         rans_order: int, mapped: bool, extra_slices=(),
+                         multiref: bool = False):
     """Emit one container: compression header + one slice from ``ext`` (+ any pre-built
     ``extra_slices`` sharing the same compression header — multi-slice containers).
     Landmarks: one byte offset per SLICE HEADER within the container body (spec §9;
     htslib derives the slice count from the landmark count)."""
     bio = _io.BytesIO()
-    write_block(bio, M_RAW, CT_COMPRESSION_HEADER, 0, _compression_header_blob(mapped))
+    write_block(bio, M_RAW, CT_COMPRESSION_HEADER, 0,
+                _compression_header_blob(mapped, multiref))
     landmarks = [bio.tell()]
     blob, n_blocks = _slice_blob(ext, n_rec, ref_id, start, span, counter, method,
                                  rans_order)
