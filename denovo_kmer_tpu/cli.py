@@ -73,8 +73,9 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                         "times (WGS-scale tables; single-chip path)")
     e.add_argument("--reference", default=None,
                    help="reference FASTA (required for reference-based CRAM inputs)")
-    e.add_argument("--extractor", choices=("fast", "pallas"), default="fast",
-                   help="extraction kernel (jnp packed-word assembly / Pallas blockwise)")
+    e.add_argument("--extractor", choices=("fast", "fast_t", "pallas"), default="fast",
+                   help="extraction kernel (jnp packed-word assembly / transposed-plane "
+                        "twin / Pallas blockwise)")
     e.add_argument("--output-format", choices=("tsv", "fasta"), default="tsv",
                    help="candidate report format (tsv is the parity artifact)")
     e.add_argument("--ingest-threads", type=int, default=None,
@@ -347,6 +348,9 @@ def cmd_probe(args) -> int:
 
 def cmd_index(args) -> int:
     if args.bam.lower().endswith(".cram"):
+        if args.csi:
+            raise SystemExit("CSI indexes are BAM-only; CRAM files take a CRAI "
+                             "(rerun without --csi)")
         from denovo_kmer_tpu.io.crai import write_crai
 
         print(write_crai(args.bam))

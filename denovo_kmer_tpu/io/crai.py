@@ -116,9 +116,14 @@ def _candidate_offsets(entries: List[CraiEntry], refid: int, beg: int,
     seen = set()
     for e in entries:
         # CRAI starts are 1-based; beg/end are 0-based half-open (parse_region)
+        # span == 0 is legal (encoders that don't track AP spans, e.g. on
+        # unsorted data); such slices can hold anything → keep them candidates
+        # so the indexed query matches the full-scan path (which only prunes
+        # slices with span > 0) — the per-record filter decides.
         hit = (e.ref_id == -2) or (
-            e.ref_id == refid and e.start - 1 < end
-            and (e.start - 1) + e.span > beg)
+            e.ref_id == refid and (
+                e.span == 0
+                or (e.start - 1 < end and (e.start - 1) + e.span > beg)))
         if hit and e.container_offset not in seen:
             seen.add(e.container_offset)
             offs.append(e.container_offset)

@@ -1035,8 +1035,11 @@ class CramReader:
         if workers is None:
             cores = len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity") \
                 else (os.cpu_count() or 1)
-            workers = min(int(os.environ.get("DENOVO_KMER_INGEST_THREADS", "4")),
-                          cores)
+            try:
+                env_workers = int(os.environ.get("DENOVO_KMER_INGEST_THREADS", "4"))
+            except ValueError:
+                env_workers = 4  # lenient like the C++ feeder's getenv parse
+            workers = min(env_workers, cores)
         if workers and workers > 1:
             import collections
             from concurrent.futures import ThreadPoolExecutor

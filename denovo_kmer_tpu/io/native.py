@@ -105,9 +105,11 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         try:
             return _load_locked()
-        except OSError as e:
+        except (OSError, AttributeError) as e:
             # missing source next to a prebuilt .so, corrupt/ABI-mismatched cached .so,
-            # etc. — the contract is a clean fallback to the pure-Python feeder
+            # or a prebuilt .so from an older source set missing newly added symbols
+            # (AttributeError from the ctypes bindings) — the contract is a clean
+            # fallback to the pure-Python feeder
             _build_error = f"native shim unusable: {e}"
             return None
 

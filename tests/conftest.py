@@ -8,6 +8,12 @@ env var alone cannot force CPU — we must override the config after importing j
 
 import os
 
+# Pin the env var as well as the config: cli.main() honors JAX_PLATFORMS when the
+# process hasn't initialized a backend yet, so an inherited JAX_PLATFORMS=axon would
+# flip an IN-PROCESS main() call (and any fresh single-module pytest run) onto the
+# TPU tunnel. Subprocess tests inherit the forced value too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 # Must be set before the CPU backend is initialized.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

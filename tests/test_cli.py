@@ -162,3 +162,18 @@ def test_probe_subcommand(trio_dir, tmp_path, capsys, monkeypatch):
     for v, s in zip(some, queries[:3]):
         assert int(out[s]) == oracle[v]
     assert int(out["A" * 21]) == oracle.get(0, 0)
+
+
+def test_extractor_fast_t_selectable(trio_dir, tmp_path):
+    """--extractor fast_t must be reachable from the CLI and byte-match the
+    default extractor's report (the transposed twin is bit-identical)."""
+    outs = {}
+    for ex in ("fast", "fast_t"):
+        out = tmp_path / f"c_{ex}.tsv"
+        rc = main(["call", "--mom", str(trio_dir / "mom.bam"),
+                   "--dad", str(trio_dir / "dad.bam"),
+                   "--child", str(trio_dir / "child.bam"),
+                   "--extractor", ex, "-o", str(out), *ENGINE_ARGS])
+        assert rc == 0
+        outs[ex] = out.read_bytes()
+    assert outs["fast"] == outs["fast_t"]

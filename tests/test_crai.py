@@ -193,3 +193,40 @@ def test_multiref_region_query(tmp_path):
         assert sorted(got) == sorted(want) and got
     entries = read_crai(path + ".crai")
     assert entries and all(e.ref_id == -2 for e in entries)
+
+
+def test_span_zero_slice_stays_candidate():
+    """Spec allows slice AP span 0 (encoder didn't track spans); such slices can
+    hold anything overlapping the ref, so the index must keep them candidates —
+    matching the full-scan path, which only prunes slices with span > 0."""
+    from denovo_kmer_tpu.io.crai import CraiEntry, _candidate_offsets
+
+    entries = [
+        CraiEntry(0, 100, 0, 1000, 0, 500),   # span 0: always a candidate
+        CraiEntry(0, 100, 50, 2000, 0, 500),  # span 50: real interval test
+    ]
+    # region far to the right of start=100: the span-50 slice is pruned, the
+    # span-0 slice must survive
+    offs = _candidate_offsets(entries, 0, 4000, 4100)
+    assert offs == [1000]
+    # and it never leaks into other-ref queries
+    assert _candidate_offsets(entries, 1, 0, 10**9) == []
+
+
+def test_cli_index_cram_rejects_csi(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    path, ref, reads = _mapped_cram(tmp_path, n=40)
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    import denovo_kmer_tpu
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(
+        denovo_kmer_tpu.__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "denovo_kmer_tpu", "index", path, "--csi"],
+        capture_output=True, text=True, timeout=300, cwd=repo, env=env)
+    assert out.returncode != 0
+    assert "CRAI" in out.stderr
+    assert not os.path.exists(path + ".crai")

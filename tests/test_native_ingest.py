@@ -58,3 +58,41 @@ def test_native_virtual_seek(bam_path):
         second_again = feeder.next_batch()
         assert np.array_equal(second.words, second_again.words)
         assert second.n_reads == second_again.n_reads
+
+
+def test_stale_so_missing_symbols_falls_back_cleanly(monkeypatch):
+    """A prebuilt cached .so from an older source set lacks newly added symbols:
+    the ctypes binding raises AttributeError inside _load_locked, and _load must
+    convert that into the documented clean pure-Python fallback (return None,
+    record the build error) instead of crashing every feeder call."""
+    from denovo_kmer_tpu.io import native as nat
+
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_build_error", None)
+
+    def boom():
+        raise AttributeError("dk_arith_entropy_decode: symbol not found")
+
+    monkeypatch.setattr(nat, "_load_locked", boom)
+    assert nat._load() is None
+    assert "symbol not found" in (nat._build_error or "")
+    # subsequent calls stay on the fallback without retrying the load
+    assert nat._load() is None
+
+
+def test_cram_workers_env_parse_is_lenient(tmp_path, monkeypatch):
+    """A malformed DENOVO_KMER_INGEST_THREADS must not abort the CRAM packed
+    feeder (the C++ BAM feeder parses the env leniently; parity of behavior)."""
+    import random
+
+    from denovo_kmer_tpu.io.cram import CramReader, write_cram
+
+    rng = random.Random(0)
+    recs = [("".join(rng.choice("ACGT") for _ in range(60)), None, 4)
+            for _ in range(50)]
+    path = str(tmp_path / "u.cram")
+    write_cram(path, recs, reads_per_container=20)
+    monkeypatch.setenv("DENOVO_KMER_INGEST_THREADS", "not-a-number")
+    with open(path, "rb") as f:
+        chunks = list(CramReader(f).iter_seq_chunks())
+    assert sum(len(c.lens) for c in chunks) == 50
