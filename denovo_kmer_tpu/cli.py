@@ -347,7 +347,13 @@ def cmd_probe(args) -> int:
 
 
 def cmd_index(args) -> int:
-    if args.bam.lower().endswith(".cram"):
+    low = args.bam.lower()
+    if low.endswith((".fa", ".fasta", ".fna", ".fa.gz", ".fasta.gz")):
+        from denovo_kmer_tpu.io.fasta import build_fai
+
+        print(build_fai(args.bam))
+        return 0
+    if low.endswith(".cram"):
         if args.csi:
             raise SystemExit("CSI indexes are BAM-only; CRAM files take a CRAI "
                              "(rerun without --csi)")
@@ -481,7 +487,7 @@ def main(argv=None) -> int:
 
     pi = sub.add_parser(
         "index", help="write a BAI/CSI index for a coordinate-sorted BAM, "
-                      "or a CRAI for a CRAM"
+                      "a CRAI for a CRAM, or a FAI for a FASTA"
     )
     pi.add_argument("bam")
     pi.add_argument("--csi", action="store_true", help="write .csi instead of .bai")

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import bz2
 import dataclasses
+import hashlib
 import io as _io
 import lzma
 import os
@@ -848,6 +849,10 @@ class SliceHeader:
     n_blocks: int
     block_ids: List[int]
     embedded_ref_id: int
+    md5: bytes = b"\x00" * 16
+
+
+_ZERO_MD5 = b"\x00" * 16
 
 
 def _parse_slice_header(data: bytes) -> SliceHeader:
@@ -864,9 +869,13 @@ def _parse_slice_header(data: bytes) -> SliceHeader:
         v, pos = itf8_decode(data, pos)
         ids.append(v)
     emb, pos = itf8_decode(data, pos)
-    # 16-byte MD5 follows; optional tags after — not needed
+    # 16-byte reference MD5 follows (spec §8.5); optional tags after — not needed.
+    # A truncated header (pre-3.0 style) degrades to the all-zero "unset" value.
+    md5 = data[pos : pos + 16]
+    if len(md5) < 16:
+        md5 = _ZERO_MD5
     return SliceHeader(ref_id, start, span, n_records, record_counter,
-                       n_blocks, ids, emb)
+                       n_blocks, ids, emb, md5)
 
 
 # ---------------------------------------------------------------------------
@@ -891,9 +900,13 @@ class CramReader:
     reference."""
 
     def __init__(self, f, reference: Optional[Dict[object, str]] = None,
-                 columnar: bool = True):
+                 columnar: bool = True, check_md5: bool = True):
         self._f = f
         self.reference = reference or {}
+        # verify each reference-based slice's header MD5 against the supplied
+        # reference span (htslib validates the same field); skipped for all-zero
+        # MD5s, embedded-reference slices, and when no reference was supplied
+        self.check_md5 = check_md5
         # columnar=False forces the record loop everywhere — the differential
         # oracle for the fast path (tests/test_cram.py columnar parity suite)
         self.columnar = columnar
@@ -933,13 +946,31 @@ class CramReader:
                     self._sq_names.append(name)
                     self.references.append((name, ln))
 
-    def _ref_seq(self, ref_id: int) -> Optional[str]:
+    def _ref_seq_raw(self, ref_id: int) -> Optional[str]:
         """Resolve a reference id to its sequence by @SQ NAME first, ordinal second."""
         if 0 <= ref_id < len(self._sq_names):
             seq = self.reference.get(self._sq_names[ref_id])
             if seq is not None:
                 return seq
         return self.reference.get(ref_id)
+
+    def _ref_seq(self, ref_id: int) -> Optional[str]:
+        """Uppercase-normalized reference sequence (htslib uppercases loaded
+        references, so soft-masked FASTA decodes identically to its uppercase
+        form). Normalization is cached per ref id; GIL-atomic dict ops only,
+        same discipline as _ref_bytes (worker threads call this)."""
+        raw = self._ref_seq_raw(ref_id)
+        if raw is None:
+            return None
+        cache = self.__dict__.setdefault("_ref_norm", {})
+        hit = cache.get(ref_id)
+        if hit is not None and hit[0] == len(raw):
+            return hit[1]
+        norm = raw if raw.isupper() else raw.upper()
+        if len(cache) >= 4:
+            cache.clear()  # single GIL-atomic op (worker threads race benignly)
+        cache[ref_id] = (len(raw), norm)
+        return norm
 
     # --- container plumbing (varints parsed straight off the stream, no over-read) ---
 
@@ -1141,7 +1172,37 @@ class CramReader:
                         if b.data is None:
                             raise UnsupportedCodecError(b.error)
                         embedded_ref = b.data
+            if (self.check_md5 and sh.md5 != _ZERO_MD5 and sh.ref_id >= 0
+                    and sh.span > 0 and embedded_ref is None):
+                self._verify_slice_md5(sh)
             yield ch, plan, sh, core, externals, embedded_ref, container_ref_id
+
+    def _verify_slice_md5(self, sh: SliceHeader) -> None:
+        """Slice-header reference MD5 vs the span of the supplied reference the
+        slice covers (spec §8.5; htslib errors on mismatch). Tries the span as
+        given and uppercased — writers differ on soft-mask normalization."""
+        ref = self._ref_seq(sh.ref_id)  # uppercase-normalized, what decode uses
+        if ref is None:
+            return  # no reference supplied; decode fails later if one is needed
+        span = ref[sh.start - 1 : sh.start - 1 + sh.span]
+        raw = span.encode("ascii", "replace")
+        if hashlib.md5(raw).digest() == sh.md5:
+            return
+        # writers that hashed the soft-masked bytes as-is (htslib normalizes,
+        # but be lenient): retry on the unnormalized span
+        rawref = self._ref_seq_raw(sh.ref_id)
+        raw2 = (rawref[sh.start - 1 : sh.start - 1 + sh.span]
+                .encode("ascii", "replace"))
+        if raw2 != raw and hashlib.md5(raw2).digest() == sh.md5:
+            return
+        name = (self._sq_names[sh.ref_id]
+                if 0 <= sh.ref_id < len(self._sq_names) else str(sh.ref_id))
+        raise ValueError(
+            f"CRAM slice reference MD5 mismatch on {name}:{sh.start}-"
+            f"{sh.start + sh.span - 1}: header {sh.md5.hex()} != reference span "
+            f"{hashlib.md5(raw).hexdigest()} — wrong or modified reference FASTA "
+            f"(pass check_md5=False to override)"
+        )
 
     def _slice_columns(self, ch, sh, externals, plan, embedded_ref=None,
                        want_names=True):
@@ -1788,9 +1849,10 @@ def load_reference(fasta_path: str) -> Dict[str, str]:
 
 def read_cram_records(path: str, reference: Optional[str] = None):
     """Iterate CRAM records from a path/URL, BamRecord-compatible (seq/qual/flag)."""
+    from denovo_kmer_tpu.io.fasta import load_reference_indexed
     from denovo_kmer_tpu.io.remote import open_binary
 
-    ref = load_reference(reference) if reference else None
+    ref = load_reference_indexed(reference) if reference else None
     with open_binary(path) as f:
         yield from CramReader(f, reference=ref)
 
@@ -2025,7 +2087,8 @@ def _compression_header_blob(mapped: bool, multiref: bool = False) -> bytes:
     return bytes(out)
 
 
-def _slice_header_blob(ref_id, start, span, n_records, counter, n_blocks, ids):
+def _slice_header_blob(ref_id, start, span, n_records, counter, n_blocks, ids,
+                       md5: bytes = _ZERO_MD5):
     out = bytearray()
     out += itf8_encode(ref_id)
     out += itf8_encode(start)
@@ -2037,7 +2100,7 @@ def _slice_header_blob(ref_id, start, span, n_records, counter, n_blocks, ids):
     for i in ids:
         out += itf8_encode(i)
     out += itf8_encode(-1)  # no embedded reference
-    out += b"\x00" * 16  # md5 (unchecked)
+    out += md5  # reference-span MD5 (all-zero = unset, spec §8.5)
     return bytes(out)
 
 
@@ -2136,11 +2199,13 @@ def _sub_code(ref_base: str, alt_base: str) -> int:
 
 
 def _slice_blob(ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int, start: int,
-                span: int, counter: int, method: int, rans_order: int) -> Tuple[bytes, int]:
+                span: int, counter: int, method: int, rans_order: int,
+                md5: bytes = _ZERO_MD5) -> Tuple[bytes, int]:
     """One slice's blocks (slice header + empty core + used externals) → (bytes, n_blocks)."""
     used = [(k, b) for k, b in ext.items() if b.buf]
     ids = [_W_IDS[k] for k, _ in used]
-    sh = _slice_header_blob(ref_id, start, span, n_rec, counter, 1 + len(used), ids)
+    sh = _slice_header_blob(ref_id, start, span, n_rec, counter, 1 + len(used), ids,
+                            md5)
     bio = _io.BytesIO()
     write_block(bio, M_RAW, CT_SLICE_HEADER, 0, sh)
     write_block(bio, M_RAW, CT_CORE, 0, b"")
@@ -2190,7 +2255,7 @@ def _write_multiref_container(f, chunk, references, counter, method, rans_order)
 def _write_series_blocks(f, ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int,
                          start: int, span: int, counter: int, method: int,
                          rans_order: int, mapped: bool, extra_slices=(),
-                         multiref: bool = False):
+                         multiref: bool = False, ref_md5: bytes = _ZERO_MD5):
     """Emit one container: compression header + one slice from ``ext`` (+ any pre-built
     ``extra_slices`` sharing the same compression header — multi-slice containers).
     Landmarks: one byte offset per SLICE HEADER within the container body (spec §9;
@@ -2200,7 +2265,7 @@ def _write_series_blocks(f, ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int,
                 _compression_header_blob(mapped, multiref))
     landmarks = [bio.tell()]
     blob, n_blocks = _slice_blob(ext, n_rec, ref_id, start, span, counter, method,
-                                 rans_order)
+                                 rans_order, md5=ref_md5)
     bio.write(blob)
     total_rec, total_blocks = n_rec, 1 + n_blocks
     for s_blob, s_blocks, s_rec in extra_slices:
@@ -2283,5 +2348,7 @@ def _write_mapped_container(f, chunk, reference, counter, method, rans_order):
             ext["BS"].byte(_sub_code(rb, alt))
             last = rpos
         ext["MQ"].itf8(30)
+    span_md5 = hashlib.md5(
+        reference[start - 1 : end].encode("ascii", "replace")).digest()
     _write_series_blocks(f, ext, len(chunk), 0, start, end - start + 1, counter,
-                         method, rans_order, mapped=True)
+                         method, rans_order, mapped=True, ref_md5=span_md5)

@@ -1,9 +1,19 @@
-"""Minimal FASTA/FASTQ readers (plain or gzip), for fixtures and non-BAM input."""
+"""FASTA/FASTQ readers (plain or gzip) + faidx (.fai) indexed random access.
+
+The reference tool reads reference FASTA through HTSlib's faidx (inferred from its
+CI dependency set, /root/reference/.github/workflows/ci.yml:18-27): a 5-column
+``.fai`` sidecar (name, length, byte offset of first base, bases per line, bytes
+per line) gives O(1) access to any contig or sub-range without loading the whole
+genome. ``build_fai``/``read_fai`` implement that format; ``FaidxFasta`` is the
+lazy mapping the CRAM reader consumes in place of an eager dict."""
 
 from __future__ import annotations
 
+import dataclasses
 import gzip
-from typing import Iterator, List, Optional, Tuple
+import os
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
 
 
 def _open_text(path: str):
@@ -31,6 +41,207 @@ def read_fasta(path: str) -> Iterator[Tuple[str, str]]:
                 seq.append(line)
         if name is not None:
             yield name, "".join(seq)
+
+
+# ---------------------------------------------------------------------------
+# faidx: .fai index build/read + lazy indexed access
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FaiEntry:
+    """One .fai line: contig length in bases, byte offset of the first base,
+    bases per full sequence line, bytes per full sequence line (incl. newline)."""
+    length: int
+    offset: int
+    linebases: int
+    linewidth: int
+
+
+def build_fai(fasta_path: str, fai_path: Optional[str] = None) -> str:
+    """Scan a plain (uncompressed) FASTA once and write ``<path>.fai``.
+
+    Matches samtools faidx semantics: every sequence line of a record except the
+    last must have the same length; a longer/irregular mid-record line or a blank
+    line inside a record is an error (random access would be ill-defined). Returns
+    the index path. gzip input is rejected — a raw DEFLATE stream has no random
+    access; decompress first or use ``load_reference`` (eager)."""
+    if fasta_path.endswith(".gz"):
+        raise ValueError(
+            f"cannot faidx-index gzip-compressed FASTA {fasta_path!r}: no random "
+            f"access into a .gz stream; decompress it, or load eagerly with "
+            f"load_reference()"
+        )
+    fai_path = fai_path or fasta_path + ".fai"
+    entries: List[Tuple[str, FaiEntry]] = []
+    with open(fasta_path, "rb") as f:
+        name: Optional[str] = None
+        offset = 0          # byte offset of the current record's first base
+        length = 0          # bases seen so far in the current record
+        linebases = 0       # bases on the first (full) line
+        linewidth = 0       # bytes on the first (full) line incl. newline
+        # previous line's (bases, raw bytes); None = no line yet, -1 = blank seen
+        last_len = None
+        pos = 0
+        for raw in f:
+            line_start = pos
+            pos += len(raw)
+            stripped = raw.rstrip(b"\r\n")
+            if stripped.startswith(b">"):
+                if name is not None:
+                    entries.append((name, FaiEntry(length, offset, linebases, linewidth)))
+                fields = stripped[1:].split()
+                name = fields[0].decode() if fields else ""
+                offset = pos
+                length = 0
+                linebases = 0
+                linewidth = 0
+                last_len = None
+                continue
+            if name is None:
+                if not stripped:
+                    continue  # leading blank lines before the first header
+                raise ValueError(f"{fasta_path}: sequence data before first '>' header")
+            if not stripped:
+                # a blank line terminates the record body; any sequence after it
+                # (without a new header) would be unreachable by offset arithmetic
+                last_len = -1
+                continue
+            if last_len == -1:
+                raise ValueError(
+                    f"{fasta_path}: sequence after a blank line in record {name!r} "
+                    f"(byte {line_start}); faidx requires contiguous sequence lines"
+                )
+            if last_len is not None and last_len != (linebases, linewidth):
+                # the previous line was short or had a different terminator —
+                # allowed only as the FINAL line of the record, and another
+                # sequence line just followed it
+                raise ValueError(
+                    f"{fasta_path}: irregular sequence line length in record "
+                    f"{name!r} (byte {line_start})"
+                )
+            if linebases == 0:
+                linebases = len(stripped)
+                linewidth = len(raw)
+            elif len(stripped) > linebases:
+                raise ValueError(
+                    f"{fasta_path}: irregular sequence line length in record "
+                    f"{name!r} (byte {line_start})"
+                )
+            last_len = (len(stripped), len(raw))
+            length += len(stripped)
+        if name is not None:
+            entries.append((name, FaiEntry(length, offset, linebases, linewidth)))
+    seen = set()
+    for n, _ in entries:
+        if n in seen:
+            raise ValueError(f"{fasta_path}: duplicate sequence name {n!r}")
+        seen.add(n)
+    with open(fai_path, "w") as out:
+        for n, e in entries:
+            out.write(f"{n}\t{e.length}\t{e.offset}\t{e.linebases}\t{e.linewidth}\n")
+    return fai_path
+
+
+def read_fai(fai_path: str) -> Dict[str, FaiEntry]:
+    """Parse a .fai file → ordered {name: FaiEntry}."""
+    out: Dict[str, FaiEntry] = {}
+    with open(fai_path, "rt") as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            cols = line.split("\t")
+            if len(cols) < 5:
+                raise ValueError(f"{fai_path}:{lineno}: expected 5 tab-separated columns")
+            name = cols[0]
+            try:
+                length, offset, linebases, linewidth = (int(c) for c in cols[1:5])
+            except ValueError:
+                raise ValueError(f"{fai_path}:{lineno}: non-integer index column") from None
+            out[name] = FaiEntry(length, offset, linebases, linewidth)
+    return out
+
+
+class FaidxFasta:
+    """Lazy, .fai-indexed FASTA access with the mapping surface the CRAM reader
+    uses (``get``/``[]``/``in``): contigs are read from disk on first use and a
+    few whole contigs are kept in an LRU cache (CRAM decode touches slices of one
+    chromosome at a time). ``fetch(name, start, end)`` reads just a 0-based
+    half-open sub-range without materializing the contig."""
+
+    _CACHE_SLOTS = 4
+
+    def __init__(self, fasta_path: str, fai_path: Optional[str] = None):
+        fai_path = fai_path or fasta_path + ".fai"
+        if not os.path.exists(fai_path):
+            build_fai(fasta_path, fai_path)
+        self.path = fasta_path
+        self.index = read_fai(fai_path)
+        self._f = open(fasta_path, "rb")
+        self._cache: Dict[str, str] = {}
+        # the CRAM container pool resolves references from worker threads;
+        # seek+read on the shared handle must be atomic
+        self._lock = threading.Lock()
+
+    # -- mapping surface ----------------------------------------------------
+    def get(self, name, default=None):
+        if not isinstance(name, str) or name not in self.index:
+            return default
+        return self[name]
+
+    def __contains__(self, name) -> bool:
+        return isinstance(name, str) and name in self.index
+
+    def __getitem__(self, name: str) -> str:
+        cached = self._cache.pop(name, None)
+        if cached is None:
+            e = self.index[name]  # KeyError propagates
+            cached = self.fetch(name, 0, e.length)
+            while len(self._cache) >= self._CACHE_SLOTS:
+                self._cache.pop(next(iter(self._cache)))
+        self._cache[name] = cached  # re-insert = move to MRU position
+        return cached
+
+    def keys(self):
+        return self.index.keys()
+
+    def lengths(self) -> Dict[str, int]:
+        return {n: e.length for n, e in self.index.items()}
+
+    # -- ranged access ------------------------------------------------------
+    def fetch(self, name: str, start: int, end: Optional[int] = None) -> str:
+        """Bases ``[start, end)`` (0-based half-open; ``end=None`` → contig end).
+        Out-of-range coordinates clamp to the contig, like htslib's faidx_fetch_seq."""
+        e = self.index[name]
+        if end is None or end > e.length:
+            end = e.length
+        start = max(start, 0)
+        if start >= end:
+            return ""
+        first = e.offset + (start // e.linebases) * e.linewidth + (start % e.linebases)
+        last = e.offset + ((end - 1) // e.linebases) * e.linewidth + ((end - 1) % e.linebases)
+        with self._lock:
+            self._f.seek(first)
+            raw = self._f.read(last + 1 - first)
+        return raw.translate(None, b"\r\n").decode("ascii")
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def load_reference_indexed(fasta_path: str):
+    """Reference mapping for CramReader: faidx-lazy for plain local FASTA
+    (building the .fai on first use), eager dict for gzip input."""
+    if fasta_path.endswith(".gz"):
+        from denovo_kmer_tpu.io.cram import load_reference
+        return load_reference(fasta_path)
+    return FaidxFasta(fasta_path)
 
 
 def read_fastq(path: str) -> Iterator[Tuple[str, str, Tuple[int, ...]]]:

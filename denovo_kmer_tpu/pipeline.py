@@ -84,9 +84,10 @@ def _record_stream(path: str, cfg: EngineConfig, region: Optional[str] = None) -
         return read_bam_records(path)
     if low.endswith(".cram") and region:
         from denovo_kmer_tpu.io.crai import read_cram_records_region
-        from denovo_kmer_tpu.io.cram import load_reference
+        from denovo_kmer_tpu.io.fasta import load_reference_indexed
 
-        ref = load_reference(cfg.reference_fasta) if cfg.reference_fasta else None
+        ref = (load_reference_indexed(cfg.reference_fasta)
+               if cfg.reference_fasta else None)
         return read_cram_records_region(path, region, reference=ref)
     if low.endswith((".sam", ".sam.gz")):
         from denovo_kmer_tpu.io.sam import read_sam_records
@@ -567,11 +568,12 @@ def packed_batches(
             and "://" not in source and cfg.min_base_quality <= 255):
         # columnar CRAM feeder: slice columns → PackedReads, no CramRecord
         # objects (io/cram.py iter_seq_chunks + ops/pack.py pack_chunks)
-        from denovo_kmer_tpu.io.cram import CramReader, load_reference
+        from denovo_kmer_tpu.io.cram import CramReader
+        from denovo_kmer_tpu.io.fasta import load_reference_indexed
         from denovo_kmer_tpu.ops.pack import pack_chunks
 
         def cram_gen():
-            ref = (load_reference(cfg.reference_fasta)
+            ref = (load_reference_indexed(cfg.reference_fasta)
                    if cfg.reference_fasta else None)
             with open(source, "rb") as f:
                 reader = CramReader(f, reference=ref)

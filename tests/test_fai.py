@@ -1,0 +1,224 @@
+"""faidx (.fai) indexing + lazy reference access + CRAM slice-MD5 verification.
+
+The reference tool reads its reference FASTA through HTSlib's faidx and
+validates each CRAM slice's reference MD5 (inferred from its CI dependency set,
+/root/reference/.github/workflows/ci.yml:18-27). These tests pin the .fai format
+(5 columns, samtools-compatible offsets), the lazy fetch arithmetic against the
+eager reader, the rejection of irregular layouts, and the MD5 round-trip /
+mismatch behavior end to end through the CRAM writer+reader.
+"""
+
+import gzip
+import random
+
+import pytest
+
+from denovo_kmer_tpu.io import cram as cram_mod
+from denovo_kmer_tpu.io.cram import CramReader, load_reference, write_cram
+from denovo_kmer_tpu.io.fasta import (
+    FaidxFasta,
+    build_fai,
+    load_reference_indexed,
+    read_fai,
+    read_fasta,
+)
+
+
+def _write(tmp_path, text, name="ref.fa"):
+    p = tmp_path / name
+    p.write_bytes(text if isinstance(text, bytes) else text.encode())
+    return str(p)
+
+
+FA = ">chr1 description here\nACGTACGTAC\nGGGTTTAAAC\nCCGG\n>chr2\nTTTT\n"
+
+
+def test_fai_columns_match_samtools_format(tmp_path):
+    path = _write(tmp_path, FA)
+    fai = build_fai(path)
+    idx = read_fai(fai)
+    # chr1: 24 bases, first base at byte 23 (header line is 22 chars + \n),
+    # 10 bases per line, 11 bytes per line
+    e1 = idx["chr1"]
+    assert (e1.length, e1.offset, e1.linebases, e1.linewidth) == (24, 23, 10, 11)
+    e2 = idx["chr2"]
+    assert e2.length == 4 and e2.linebases == 4 and e2.linewidth == 5
+    # offset points at chr2's first base
+    raw = open(path, "rb").read()
+    assert raw[e2.offset : e2.offset + 4] == b"TTTT"
+
+
+def test_fetch_matches_eager_reader(tmp_path):
+    path = _write(tmp_path, FA)
+    eager = dict(read_fasta(path))
+    fx = FaidxFasta(path)
+    rng = random.Random(7)
+    for name, seq in eager.items():
+        assert fx[name] == seq
+        assert fx.get(name) == seq
+        for _ in range(50):
+            a = rng.randint(-2, len(seq) + 2)
+            b = rng.randint(-2, len(seq) + 2)
+            assert fx.fetch(name, a, b) == seq[max(a, 0) : max(b, 0)]
+        assert fx.fetch(name, 0) == seq  # end=None → contig end
+    assert fx.get("nope") is None
+    assert fx.get(0) is None  # integer keys are not names
+    assert "chr1" in fx and "nope" not in fx
+    assert fx.lengths() == {n: len(s) for n, s in eager.items()}
+
+
+def test_fetch_crlf_and_no_trailing_newline(tmp_path):
+    # \r\n terminators and a final line without a newline must both index
+    path = _write(tmp_path, b">c1\r\nACGTA\r\nCGT\r\n>c2\r\nGGGG")
+    fx = FaidxFasta(path)
+    assert fx["c1"] == "ACGTACGT"
+    assert fx["c2"] == "GGGG"
+    assert fx.fetch("c1", 3, 7) == "TACG"
+
+
+def test_irregular_layouts_rejected(tmp_path):
+    # long mid-record line
+    with pytest.raises(ValueError, match="irregular"):
+        build_fai(_write(tmp_path, ">a\nACGT\nACGTACGT\nAC\n", "bad1.fa"))
+    # short mid-record line followed by more sequence
+    with pytest.raises(ValueError, match="irregular"):
+        build_fai(_write(tmp_path, ">a\nACGT\nAC\nACGT\n", "bad2.fa"))
+    # blank line inside a record body
+    with pytest.raises(ValueError, match="blank line"):
+        build_fai(_write(tmp_path, ">a\nACGT\n\nACGT\n", "bad3.fa"))
+    # duplicate names
+    with pytest.raises(ValueError, match="duplicate"):
+        build_fai(_write(tmp_path, ">a\nAC\n>a\nGT\n", "bad4.fa"))
+    # sequence before any header
+    with pytest.raises(ValueError, match="before first"):
+        build_fai(_write(tmp_path, "ACGT\n>a\nAC\n", "bad5.fa"))
+    # gzip input cannot be random-accessed
+    gz = tmp_path / "ref.fa.gz"
+    gz.write_bytes(gzip.compress(FA.encode()))
+    with pytest.raises(ValueError, match="random"):
+        build_fai(str(gz))
+
+
+def test_short_final_line_and_empty_record(tmp_path):
+    path = _write(tmp_path, ">a\nACGTA\nCG\n>empty\n>b\nTT\n")
+    fx = FaidxFasta(path)
+    assert fx["a"] == "ACGTACG"
+    assert fx["empty"] == ""
+    assert fx["b"] == "TT"
+
+
+def test_load_reference_indexed_gz_falls_back_eager(tmp_path):
+    gz = tmp_path / "ref.fa.gz"
+    gz.write_bytes(gzip.compress(FA.encode()))
+    ref = load_reference_indexed(str(gz))
+    assert isinstance(ref, dict)
+    assert ref["chr1"].startswith("ACGTACGTAC")
+
+
+def test_existing_fai_reused_not_rebuilt(tmp_path):
+    path = _write(tmp_path, FA)
+    fai = build_fai(path)
+    before = open(fai).read()
+    fx = FaidxFasta(path)  # must read, not rebuild
+    assert fx["chr2"] == "TTTT"
+    assert open(fai).read() == before
+
+
+# ---------------------------------------------------------------------------
+# CRAM integration: FaidxFasta as the reader's reference + slice MD5
+# ---------------------------------------------------------------------------
+
+def _mapped_cram(tmp_path, ref_seq, n=40, name="t.cram"):
+    rng = random.Random(3)
+    reads = []
+    for i in range(n):
+        pos1 = rng.randint(1, len(ref_seq) - 36)
+        seq = list(ref_seq[pos1 - 1 : pos1 - 1 + 36])
+        if i % 3 == 0:  # plant a mismatch → X feature
+            j = rng.randrange(36)
+            seq[j] = {"A": "C", "C": "G", "G": "T", "T": "A"}[seq[j]]
+        reads.append(("".join(seq), pos1))
+    path = str(tmp_path / name)
+    hdr = f"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:{len(ref_seq)}\n"
+    write_cram(path, [], sam_header=hdr, reference=ref_seq, mapped=reads)
+    return path, reads
+
+
+def _ref_fasta(tmp_path, seq, name="ref.fa"):
+    p = tmp_path / name
+    lines = [seq[i : i + 60] for i in range(0, len(seq), 60)]
+    p.write_text(">chr1\n" + "\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_cram_decode_with_faidx_reference_matches_dict(tmp_path):
+    rng = random.Random(11)
+    ref_seq = "".join(rng.choice("ACGT") for _ in range(4000))
+    path, _ = _mapped_cram(tmp_path, ref_seq)
+    fa = _ref_fasta(tmp_path, ref_seq)
+
+    with open(path, "rb") as f:
+        via_dict = [(r.seq, r.flag) for r in CramReader(f, reference={"chr1": ref_seq})]
+    with open(path, "rb") as f:
+        via_fai = [(r.seq, r.flag)
+                   for r in CramReader(f, reference=load_reference_indexed(fa))]
+    assert via_dict == via_fai and len(via_dict) == 40
+
+
+def test_writer_emits_real_slice_md5_and_reader_verifies(tmp_path):
+    rng = random.Random(12)
+    ref_seq = "".join(rng.choice("ACGT") for _ in range(3000))
+    path, _ = _mapped_cram(tmp_path, ref_seq)
+    # decode with the right reference: md5 check on (default) and green
+    with open(path, "rb") as f:
+        recs = list(CramReader(f, reference={"chr1": ref_seq}))
+    assert len(recs) == 40
+
+    # mutate one reference base inside the slice span → loud MD5 mismatch
+    bad = ref_seq[:1500] + ("A" if ref_seq[1500] != "A" else "C") + ref_seq[1501:]
+    with open(path, "rb") as f:
+        with pytest.raises(ValueError, match="MD5 mismatch"):
+            list(CramReader(f, reference={"chr1": bad}))
+    # check_md5=False overrides (htslib's ref-confirmation escape hatch)
+    with open(path, "rb") as f:
+        assert len(list(CramReader(f, reference={"chr1": bad},
+                                   check_md5=False))) == 40
+
+
+def test_zero_md5_skips_verification(tmp_path, monkeypatch):
+    # pre-MD5 writers set the field to zeros; the reader must not check then
+    rng = random.Random(13)
+    ref_seq = "".join(rng.choice("ACGT") for _ in range(2000))
+    orig = cram_mod._slice_header_blob
+    monkeypatch.setattr(cram_mod, "_slice_header_blob",
+                        lambda *a, **k: orig(*a[:7]))
+    path, _ = _mapped_cram(tmp_path, ref_seq, name="z.cram")
+    monkeypatch.undo()
+    bad = "A" * len(ref_seq)
+    with open(path, "rb") as f:
+        recs = list(CramReader(f, reference={"chr1": bad}))  # no MD5 error
+    assert len(recs) == 40
+
+
+def test_soft_masked_reference_normalizes_like_htslib(tmp_path):
+    # htslib uppercases loaded references: a soft-masked FASTA must pass the
+    # MD5 check AND decode byte-identically to its uppercase form
+    rng = random.Random(14)
+    ref_seq = "".join(rng.choice("ACGT") for _ in range(2000))
+    path, _ = _mapped_cram(tmp_path, ref_seq, name="u.cram")
+    soft = ref_seq.lower()
+    with open(path, "rb") as f:
+        via_upper = [r.seq for r in CramReader(f, reference={"chr1": ref_seq})]
+    with open(path, "rb") as f:
+        via_soft = [r.seq for r in CramReader(f, reference={"chr1": soft})]
+    assert via_upper == via_soft
+
+
+def test_cli_index_writes_fai(tmp_path, capsys):
+    from denovo_kmer_tpu.cli import main
+
+    fa = _write(tmp_path, FA)
+    assert main(["index", fa]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out.endswith(".fai")
+    assert read_fai(out)["chr1"].length == 24
