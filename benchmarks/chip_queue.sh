@@ -1,0 +1,30 @@
+#!/bin/bash
+# Queued chip-session measurements (run DETACHED the moment the axon tunnel is up):
+#   nohup bash benchmarks/chip_queue.sh > /tmp/chip_queue.log 2>&1 &
+# Wedge discipline: no tool timeouts can kill these; each step logs its own tail.
+# Order matters — cheapest/most-informative first, production bench last so the
+# compile cache is warm for it.
+set -u
+cd "$(dirname "$0")/.."
+echo "=== chip_queue start $(date) ==="
+python -c "import jax; print('device:', jax.devices())" || { echo "TUNNEL DOWN"; exit 1; }
+
+run() {
+  echo "=== $* === $(date)"
+  "$@"
+  echo "=== exit $? === $(date)"
+}
+
+# 1. extraction layout A/B/C — decides whether extractor=fast_t becomes default
+run python -u benchmarks/micro_extract_layout.py
+
+# 2. dispatch-count split + scanned single-dispatch ingest + bare-sort floor
+run python -u benchmarks/micro_ingest_scan.py
+
+# 3. bench with the transposed extractor (compare against step 4)
+run env BENCH_EXTRACTOR=fast_t python -u bench.py
+
+# 4. bench with the current default extractor (authoritative comparison run)
+run python -u bench.py
+
+echo "=== chip_queue done $(date) ==="

@@ -211,3 +211,79 @@ def iter_block_offsets(f: BinaryIO) -> Iterator[Tuple[int, int]]:
             return
         data, _ = out
         yield coff, len(data)
+
+
+# ---------------------------------------------------------------------------
+# GZI: block-boundary index for uncompressed-offset random access
+# (htslib's ``bgzip -r`` sidecar; faidx over .fa.gz reads through this)
+# ---------------------------------------------------------------------------
+
+def is_bgzf(path: str) -> bool:
+    """True when the file starts with a gzip member carrying the BGZF ``BC``
+    extra subfield (plain gzip lacks it and has no random access)."""
+    with open(path, "rb") as f:
+        head = f.read(18)
+    return (len(head) >= 18 and head[:4] == b"\x1f\x8b\x08\x04"
+            and head[12:14] == b"BC")
+
+
+def build_gzi(path: str, gzi_path: Optional[str] = None) -> str:
+    """Scan a BGZF file and write ``<path>.gzi``: u64-LE entry count, then one
+    (compressed offset, uncompressed offset) u64-LE pair per block boundary
+    after the first block — byte-compatible with htslib's bgzip index."""
+    gzi_path = gzi_path or path + ".gzi"
+    entries = []
+    uoff = 0
+    with open(path, "rb") as f:
+        first = True
+        while True:
+            coff = f.tell()
+            out = _read_block(f)
+            if out is None:
+                break
+            if not first:
+                entries.append((coff, uoff))
+            first = False
+            uoff += len(out[0])
+    with open(gzi_path, "wb") as g:
+        g.write(struct.pack("<Q", len(entries)))
+        for c, u in entries:
+            g.write(struct.pack("<QQ", c, u))
+    return gzi_path
+
+
+class GziIndex:
+    """Loaded .gzi: maps an uncompressed offset to the virtual offset of its
+    block, so ``BgzfReader.seek_virtual`` can land on it directly."""
+
+    def __init__(self, coffsets, uoffsets):
+        # both include the implicit first block at (0, 0), ascending
+        self.coffsets = coffsets
+        self.uoffsets = uoffsets
+
+    @classmethod
+    def load(cls, gzi_path: str) -> "GziIndex":
+        with open(gzi_path, "rb") as f:
+            (n,) = struct.unpack("<Q", f.read(8))
+            raw = f.read(16 * n)
+        if len(raw) != 16 * n:
+            raise BgzfError(f"{gzi_path}: truncated GZI index")
+        co, uo = [0], [0]
+        for i in range(n):
+            c, u = struct.unpack_from("<QQ", raw, 16 * i)
+            co.append(c)
+            uo.append(u)
+        return cls(co, uo)
+
+    def virtual_offset(self, uoffset: int) -> int:
+        """Virtual offset addressing uncompressed byte ``uoffset``."""
+        import bisect
+
+        i = bisect.bisect_right(self.uoffsets, uoffset) - 1
+        within = uoffset - self.uoffsets[i]
+        if within > 0xFFFF:
+            raise BgzfError(
+                f"GZI index inconsistent: offset {uoffset} lands {within} bytes "
+                f"into block {i} (blocks are <64 KiB)"
+            )
+        return (self.coffsets[i] << 16) | within

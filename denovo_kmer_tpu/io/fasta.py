@@ -63,17 +63,29 @@ def build_fai(fasta_path: str, fai_path: Optional[str] = None) -> str:
     Matches samtools faidx semantics: every sequence line of a record except the
     last must have the same length; a longer/irregular mid-record line or a blank
     line inside a record is an error (random access would be ill-defined). Returns
-    the index path. gzip input is rejected — a raw DEFLATE stream has no random
-    access; decompress first or use ``load_reference`` (eager)."""
+    the index path.
+
+    ``.gz`` input must be BGZF (bgzip): offsets are into the uncompressed stream
+    and a ``.gzi`` block index is written alongside, like ``samtools faidx`` on a
+    bgzipped reference. Plain gzip is rejected — no random access exists."""
     if fasta_path.endswith(".gz"):
-        raise ValueError(
-            f"cannot faidx-index gzip-compressed FASTA {fasta_path!r}: no random "
-            f"access into a .gz stream; decompress it, or load eagerly with "
-            f"load_reference()"
-        )
+        from denovo_kmer_tpu.io.bgzf import build_gzi, is_bgzf
+
+        if not is_bgzf(fasta_path):
+            raise ValueError(
+                f"cannot faidx-index plain-gzip FASTA {fasta_path!r}: no random "
+                f"access into a raw .gz stream; recompress with bgzip, decompress, "
+                f"or load eagerly with load_reference()"
+            )
+        build_gzi(fasta_path)
+        lines = _bgzf_lines(fasta_path)
+    else:
+        lines = None  # plain file: iterate the handle directly below
     fai_path = fai_path or fasta_path + ".fai"
     entries: List[Tuple[str, FaiEntry]] = []
     with open(fasta_path, "rb") as f:
+        if lines is None:
+            lines = f
         name: Optional[str] = None
         offset = 0          # byte offset of the current record's first base
         length = 0          # bases seen so far in the current record
@@ -82,7 +94,7 @@ def build_fai(fasta_path: str, fai_path: Optional[str] = None) -> str:
         # previous line's (bases, raw bytes); None = no line yet, -1 = blank seen
         last_len = None
         pos = 0
-        for raw in f:
+        for raw in lines:
             line_start = pos
             pos += len(raw)
             stripped = raw.rstrip(b"\r\n")
@@ -142,6 +154,26 @@ def build_fai(fasta_path: str, fai_path: Optional[str] = None) -> str:
     return fai_path
 
 
+def _bgzf_lines(path: str) -> Iterator[bytes]:
+    """Lines (terminators kept) of a BGZF file's uncompressed stream."""
+    from denovo_kmer_tpu.io.bgzf import BgzfReader
+
+    with open(path, "rb") as f:
+        r = BgzfReader(f)
+        rem = b""
+        while True:
+            chunk = r.read(1 << 20)
+            if not chunk:
+                if rem:
+                    yield rem
+                return
+            rem += chunk
+            parts = rem.split(b"\n")
+            rem = parts.pop()
+            for ln in parts:
+                yield ln + b"\n"
+
+
 def read_fai(fai_path: str) -> Dict[str, FaiEntry]:
     """Parse a .fai file → ordered {name: FaiEntry}."""
     out: Dict[str, FaiEntry] = {}
@@ -178,6 +210,15 @@ class FaidxFasta:
         self.path = fasta_path
         self.index = read_fai(fai_path)
         self._f = open(fasta_path, "rb")
+        self._bgzf = None
+        self._gzi = None
+        if fasta_path.endswith(".gz"):
+            from denovo_kmer_tpu.io.bgzf import BgzfReader, GziIndex, build_gzi
+
+            if not os.path.exists(fasta_path + ".gzi"):
+                build_gzi(fasta_path)  # .fai pre-existed but .gzi didn't
+            self._gzi = GziIndex.load(fasta_path + ".gzi")
+            self._bgzf = BgzfReader(self._f)
         self._cache: Dict[str, str] = {}
         # the CRAM container pool resolves references from worker threads;
         # seek+read on the shared handle must be atomic
@@ -220,9 +261,16 @@ class FaidxFasta:
             return ""
         first = e.offset + (start // e.linebases) * e.linewidth + (start % e.linebases)
         last = e.offset + ((end - 1) // e.linebases) * e.linewidth + ((end - 1) % e.linebases)
+        n = last + 1 - first
         with self._lock:
-            self._f.seek(first)
-            raw = self._f.read(last + 1 - first)
+            if self._bgzf is not None:
+                # offsets are into the uncompressed stream; the GZI index turns
+                # them into block-addressed virtual offsets
+                self._bgzf.seek_virtual(self._gzi.virtual_offset(first))
+                raw = self._bgzf.read(n)
+            else:
+                self._f.seek(first)
+                raw = self._f.read(n)
         return raw.translate(None, b"\r\n").decode("ascii")
 
     def close(self):
@@ -236,11 +284,14 @@ class FaidxFasta:
 
 
 def load_reference_indexed(fasta_path: str):
-    """Reference mapping for CramReader: faidx-lazy for plain local FASTA
-    (building the .fai on first use), eager dict for gzip input."""
+    """Reference mapping for CramReader: faidx-lazy for plain or bgzipped local
+    FASTA (building the .fai/.gzi on first use), eager dict for plain gzip."""
     if fasta_path.endswith(".gz"):
-        from denovo_kmer_tpu.io.cram import load_reference
-        return load_reference(fasta_path)
+        from denovo_kmer_tpu.io.bgzf import is_bgzf
+
+        if not is_bgzf(fasta_path):
+            from denovo_kmer_tpu.io.cram import load_reference
+            return load_reference(fasta_path)
     return FaidxFasta(fasta_path)
 
 

@@ -124,6 +124,62 @@ def test_existing_fai_reused_not_rebuilt(tmp_path):
     assert open(fai).read() == before
 
 
+def _bgzip(tmp_path, text, name="ref.fa.gz"):
+    from denovo_kmer_tpu.io.bgzf import BgzfWriter
+
+    p = tmp_path / name
+    with open(p, "wb") as f, BgzfWriter(f) as w:
+        w.write(text.encode())
+    return str(p)
+
+
+def test_bgzf_faidx_with_gzi(tmp_path):
+    # multi-block BGZF (>64 KiB uncompressed) so fetches cross block boundaries
+    rng = random.Random(21)
+    seqs = {f"c{i}": "".join(rng.choice("ACGT") for _ in range(40_000))
+            for i in range(4)}
+    text = "".join(f">{n}\n" + "\n".join(s[j : j + 61] for j in range(0, len(s), 61))
+                   + "\n" for n, s in seqs.items())
+    gz = _bgzip(tmp_path, text)
+    fai = build_fai(gz)
+    assert fai.endswith(".fai")
+    import os
+
+    assert os.path.exists(gz + ".gzi")
+    from denovo_kmer_tpu.io.bgzf import GziIndex
+
+    gzi = GziIndex.load(gz + ".gzi")
+    assert len(gzi.coffsets) > 2  # really multi-block
+    fx = FaidxFasta(gz)
+    for n, s in seqs.items():
+        assert fx[n] == s
+    for _ in range(60):
+        n = rng.choice(list(seqs))
+        a = rng.randint(0, 40_000)
+        b = rng.randint(0, 40_000)
+        assert fx.fetch(n, a, b) == seqs[n][a:b]
+    # indexed loader picks the lazy path for bgzf
+    assert isinstance(load_reference_indexed(gz), FaidxFasta)
+
+
+def test_plain_gzip_faidx_rejected_bgzf_message(tmp_path):
+    gz = tmp_path / "plain.fa.gz"
+    gz.write_bytes(gzip.compress(FA.encode()))
+    with pytest.raises(ValueError, match="bgzip"):
+        build_fai(str(gz))
+
+
+def test_fai_gzi_reused_when_fai_missing(tmp_path):
+    # .fai exists but .gzi is missing → FaidxFasta rebuilds only the .gzi
+    gz = _bgzip(tmp_path, FA)
+    build_fai(gz)
+    import os
+
+    os.remove(gz + ".gzi")
+    fx = FaidxFasta(gz)
+    assert fx["chr1"].startswith("ACGTACGTAC")
+
+
 # ---------------------------------------------------------------------------
 # CRAM integration: FaidxFasta as the reader's reference + slice MD5
 # ---------------------------------------------------------------------------
