@@ -32,6 +32,13 @@ PER_CHIP_TARGET = 1e9 / 8  # BASELINE.json north star, v5p-16 aggregate / 8 chip
 
 def main() -> int:
     import jax
+
+    # the axon TPU plugin prepends itself to jax_platforms at import; honor an
+    # explicit JAX_PLATFORMS (cli.py/scaling.py do the same) so CPU smoke runs
+    # of the bench work with the tunnel down
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from denovo_kmer_tpu.cli import _enable_compile_cache
@@ -169,12 +176,41 @@ def main() -> int:
             acc, table = fl(acc, table)
         return table
 
+    # BENCH_SCAN_INGEST=1: ingest all staged batches in ONE dispatch (lax.scan of
+    # extract+append inside a single jit) instead of n_batches dispatches — same
+    # math in the same order, so the staged buffer is bit-identical. Requires the
+    # single-window schedule (accum == n_batches, the bench default); probe data
+    # in benchmarks/micro_ingest_scan.py decides whether this becomes the default.
+    scan_ingest_on = (os.environ.get("BENCH_SCAN_INGEST") == "1"
+                      and cfg.accum_batches >= n_batches)
+    if scan_ingest_on:
+        child_stack = (jnp.stack([w for w, _ in child_batches]),
+                       jnp.stack([v for _, v in child_batches]))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scan_ingest(acc, ws, vs, salt):
+            def step(a, wv):
+                w, v = wv
+                row = (salt % jnp.uint32(w.shape[0])).astype(jnp.int32)
+                flip = jnp.where(salt == 0, jnp.uint32(0),
+                                 jnp.uint32(1) << (2 * (salt % jnp.uint32(13))))
+                w = w.at[row, 3].set(w[row, 3] ^ flip)
+                kmers, valid = _extract(w, v)
+                return append(a, kmers, valid), None
+
+            acc, _ = jax.lax.scan(step, acc, (ws, vs))
+            return acc
+
     def build_fused(batches, salt, seed_tab):
         """Child scoring, round-2 shape: intermediate windows use the compacting flush;
         the FINAL window runs the one-sort fused flush+call (ops/fused.py) and sparse
         candidate extraction — no compaction sort, no separate call sort."""
-        acc = empty_accumulator(acc_slots, cfg.words)
         table = copy_j(seed_tab)
+        if scan_ingest_on and batches is child_batches:
+            acc = scan_ingest(empty_accumulator(acc_slots, cfg.words),
+                              child_stack[0], child_stack[1], salt)
+            return fused_flush_call(acc, table, cfg.tau_parent, cfg.min_child_count)
+        acc = empty_accumulator(acc_slots, cfg.words)
         pending = 0
         for i, (words, vwords) in enumerate(batches):
             acc = extract_append(acc, words, vwords, salt)
@@ -213,7 +249,8 @@ def main() -> int:
     def noop(words, salt):
         return jnp.sum(words ^ salt)
 
-    n_dispatch = n_batches + -(-n_batches // cfg.accum_batches) + 2
+    n_dispatch = (4 if scan_ingest_on
+                  else n_batches + -(-n_batches // cfg.accum_batches) + 2)
 
     def cal_run(seed):
         out = jnp.uint32(seed)

@@ -24,7 +24,10 @@ run python -u benchmarks/micro_ingest_scan.py
 # 3. bench with the transposed extractor (compare against step 4)
 run env BENCH_EXTRACTOR=fast_t python -u bench.py
 
-# 4. bench with the current default extractor (authoritative comparison run)
+# 4. bench with the scanned single-dispatch ingest (vs step 5's loop)
+run env BENCH_SCAN_INGEST=1 python -u bench.py
+
+# 5. bench with the current default configuration (authoritative comparison run)
 run python -u bench.py
 
 echo "=== chip_queue done $(date) ==="
