@@ -353,6 +353,11 @@ def cmd_index(args) -> int:
 
         print(build_fai(args.bam))
         return 0
+    if low.endswith((".vcf.gz", ".vcf.bgz")):
+        from denovo_kmer_tpu.io.tabix import write_tbi
+
+        print(write_tbi(args.bam))
+        return 0
     if low.endswith(".cram"):
         if args.csi:
             raise SystemExit("CSI indexes are BAM-only; CRAM files take a CRAI "
@@ -487,7 +492,8 @@ def main(argv=None) -> int:
 
     pi = sub.add_parser(
         "index", help="write a BAI/CSI index for a coordinate-sorted BAM, "
-                      "a CRAI for a CRAM, or a FAI for a FASTA"
+                      "a CRAI for a CRAM, a FAI for a FASTA, or a TBI for a "
+                      "bgzipped VCF"
     )
     pi.add_argument("bam")
     pi.add_argument("--csi", action="store_true", help="write .csi instead of .bai")

@@ -119,6 +119,25 @@ class BgzfReader:
             need -= take
         return b"".join(parts)
 
+    def readline(self) -> bytes:
+        """One line (terminator kept; b'' at EOF). With ``tell_virtual()`` taken
+        before the call this walks a text BGZF file (VCF) offset-addressably —
+        what the tabix writer needs."""
+        parts = []
+        while True:
+            if self._within >= len(self._block):
+                if self._eof or not self._advance():
+                    return b"".join(parts)
+                continue
+            i = self._block.find(b"\n", self._within)
+            if i < 0:
+                parts.append(self._block[self._within :])
+                self._within = len(self._block)
+                continue
+            parts.append(self._block[self._within : i + 1])
+            self._within = i + 1
+            return b"".join(parts)
+
     def readexactly(self, n: int) -> bytes:
         b = self.read(n)
         if len(b) != n:

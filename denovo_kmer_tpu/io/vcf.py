@@ -88,34 +88,11 @@ class VcfReader:
             raise ValueError("VCF has no #CHROM header line")
 
     def __iter__(self) -> Iterator[VcfRecord]:
-        n_fixed = 8 + (1 if self.samples else 0) + len(self.samples)
         for line in self._fh:
             line = line.rstrip("\r\n")
             if not line:
                 continue
-            cols = line.split("\t")
-            if len(cols) < 8:
-                raise ValueError(f"VCF record has {len(cols)} fields (< 8): {line[:80]}")
-            if self.samples and len(cols) != n_fixed:
-                raise ValueError(
-                    f"VCF record has {len(cols)} fields, expected {n_fixed}: {line[:80]}"
-                )
-            fmt = cols[8].split(":") if len(cols) > 8 else []
-            samples = [
-                dict(zip(fmt, c.split(":"))) for c in cols[9:]
-            ]
-            yield VcfRecord(
-                chrom=cols[0],
-                pos=int(cols[1]),
-                id=cols[2],
-                ref=cols[3],
-                alts=[] if cols[4] == "." else cols[4].split(","),
-                qual=None if cols[5] == "." else float(cols[5]),
-                filter=cols[6],
-                info=_parse_info(cols[7]),
-                format=fmt,
-                samples=samples,
-            )
+            yield parse_vcf_line(line, self.samples)
 
     def close(self) -> None:
         self._fh.close()
@@ -125,6 +102,32 @@ class VcfReader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def parse_vcf_line(line: str, samples: Sequence[str] = ()) -> VcfRecord:
+    """One VCF data line → VcfRecord (shared by VcfReader and tabix region reads)."""
+    cols = line.split("\t")
+    if len(cols) < 8:
+        raise ValueError(f"VCF record has {len(cols)} fields (< 8): {line[:80]}")
+    n_fixed = 8 + (1 if samples else 0) + len(samples)
+    if samples and len(cols) != n_fixed:
+        raise ValueError(
+            f"VCF record has {len(cols)} fields, expected {n_fixed}: {line[:80]}"
+        )
+    fmt = cols[8].split(":") if len(cols) > 8 else []
+    sample_maps = [dict(zip(fmt, c.split(":"))) for c in cols[9:]]
+    return VcfRecord(
+        chrom=cols[0],
+        pos=int(cols[1]),
+        id=cols[2],
+        ref=cols[3],
+        alts=[] if cols[4] == "." else cols[4].split(","),
+        qual=None if cols[5] == "." else float(cols[5]),
+        filter=cols[6],
+        info=_parse_info(cols[7]),
+        format=fmt,
+        samples=sample_maps,
+    )
 
 
 def read_vcf_records(path: str) -> Iterator[VcfRecord]:

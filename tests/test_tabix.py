@@ -1,0 +1,161 @@
+"""Tabix (.tbi) index over bgzipped VCF: format, region queries, rejections.
+
+Reference parity: HTSlib's tabix VCF preset (CI dependency set,
+/root/reference/.github/workflows/ci.yml:18-27). The oracle here is a brute-force
+overlap scan of the same records — every region query must match it exactly.
+"""
+
+import gzip
+import random
+
+import pytest
+
+from denovo_kmer_tpu.io.tabix import read_tbi, read_vcf_region, write_tbi
+from denovo_kmer_tpu.io.vcf import VcfRecord, read_vcf_records, write_vcf
+
+
+def _mk_records(rng, contigs, n):
+    recs = []
+    for c, clen in contigs:
+        poss = sorted(rng.randint(1, clen - 60) for _ in range(n))
+        for p in poss:
+            reflen = rng.choice([1, 1, 1, 5, 30])
+            recs.append(VcfRecord(
+                chrom=c, pos=p, id=".", ref="A" * reflen, alts=["T"],
+                qual=30.0, filter="PASS",
+                info={"DP": str(rng.randint(1, 99))}, format=[], samples=[],
+            ))
+    return recs
+
+
+CONTIGS = [("chr1", 300_000), ("chr2", 150_000)]
+
+
+@pytest.fixture(scope="module")
+def vcf_gz(tmp_path_factory):
+    rng = random.Random(5)
+    recs = _mk_records(rng, CONTIGS, 800)
+    # one structural record whose END extends far beyond POS+len(REF)
+    recs.append(VcfRecord(chrom="chr1", pos=50_001, id="sv1", ref="N",
+                          alts=["<DEL>"], qual=None, filter="PASS",
+                          info={"SVTYPE": "DEL", "END": "120000"},
+                          format=[], samples=[]))
+    order = {c: i for i, (c, _) in enumerate(CONTIGS)}
+    recs.sort(key=lambda r: (order[r.chrom], r.pos))
+    path = str(tmp_path_factory.mktemp("tbx") / "x.vcf.gz")
+    write_vcf(path, recs, contigs=CONTIGS, bgzf=True)
+    return path, recs
+
+
+def _overlaps(r, chrom, beg, end):
+    if r.chrom != chrom:
+        return False
+    rbeg = r.pos - 1
+    rend = rbeg + max(len(r.ref), 1)
+    if "END" in r.info:
+        rend = max(int(r.info["END"]), rbeg + 1)
+    return rbeg < end and rend > beg
+
+
+def test_region_queries_match_bruteforce(vcf_gz):
+    path, recs = vcf_gz
+    write_tbi(path)
+    rng = random.Random(9)
+    key = lambda r: (r.chrom, r.pos, r.ref, tuple(r.alts))
+    for _ in range(40):
+        chrom, clen = CONTIGS[rng.randrange(2)]
+        a = rng.randint(1, clen)
+        b = min(clen, a + rng.choice([50, 5_000, 80_000]))
+        region = f"{chrom}:{a}-{b}"
+        got = [key(r) for r in read_vcf_region(path, region)]
+        want = [key(r) for r in recs if _overlaps(r, chrom, a - 1, b)]
+        assert got == want, region
+    # whole-contig form
+    got = [key(r) for r in read_vcf_region(path, "chr2")]
+    want = [key(r) for r in recs if r.chrom == "chr2"]
+    assert got == want
+
+
+def test_sv_end_key_indexed(vcf_gz):
+    path, _ = vcf_gz
+    # a window inside the DEL's span but far past POS must still find it
+    hits = [r for r in read_vcf_region(path, "chr1:100000-100100") if r.id == "sv1"]
+    assert len(hits) == 1
+
+
+def test_tbi_structure(vcf_gz):
+    path, recs = vcf_gz
+    tbi = write_tbi(path)
+    index, names = read_tbi(tbi)
+    assert names == ["chr1", "chr2"]
+    assert len(index.refs) == 2
+    # linear index exists and is monotone non-decreasing
+    for ref in index.refs:
+        assert ref.linear == sorted(ref.linear)
+        assert ref.bins
+
+
+def test_plain_gzip_rejected(tmp_path):
+    p = tmp_path / "p.vcf.gz"
+    p.write_bytes(gzip.compress(b"##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT"
+                                b"\tQUAL\tFILTER\tINFO\nchr1\t5\t.\tA\tT\t.\t.\t.\n"))
+    with pytest.raises(ValueError, match="bgzip"):
+        write_tbi(str(p))
+
+
+def test_unsorted_rejected(tmp_path):
+    recs = [
+        VcfRecord("chr1", 100, ".", "A", ["T"], None, ".", {}, [], []),
+        VcfRecord("chr1", 50, ".", "A", ["T"], None, ".", {}, [], []),
+    ]
+    p = str(tmp_path / "u.vcf.gz")
+    write_vcf(p, recs, bgzf=True)
+    with pytest.raises(ValueError, match="sorted"):
+        write_tbi(p)
+    # interleaved contigs
+    recs = [
+        VcfRecord("chr1", 100, ".", "A", ["T"], None, ".", {}, [], []),
+        VcfRecord("chr2", 10, ".", "A", ["T"], None, ".", {}, [], []),
+        VcfRecord("chr1", 200, ".", "A", ["T"], None, ".", {}, [], []),
+    ]
+    p2 = str(tmp_path / "i.vcf.gz")
+    write_vcf(p2, recs, bgzf=True)
+    with pytest.raises(ValueError, match="reappears"):
+        write_tbi(p2)
+
+
+def test_sample_columns_parsed_in_region(tmp_path):
+    recs = [
+        VcfRecord("chr1", 100, ".", "A", ["T"], None, "PASS", {}, ["GT", "DP"],
+                  [{"GT": "0/1", "DP": "12"}, {"GT": "1/1", "DP": "7"}]),
+        VcfRecord("chr1", 900, ".", "C", ["G"], None, "PASS", {}, ["GT", "DP"],
+                  [{"GT": "0/0", "DP": "3"}, {"GT": "0/1", "DP": "9"}]),
+    ]
+    p = str(tmp_path / "s.vcf.gz")
+    write_vcf(p, recs, samples=["kid", "mom"], bgzf=True)
+    got = list(read_vcf_region(p, "chr1:90-110"))
+    assert len(got) == 1
+    assert got[0].samples[0]["GT"] == "0/1" and got[0].samples[1]["DP"] == "7"
+
+
+def test_region_query_builds_index_on_demand_and_cli(tmp_path, capsys):
+    from denovo_kmer_tpu.cli import main
+
+    recs = [VcfRecord("chr1", i * 1000 + 1, ".", "A", ["T"], None, ".", {}, [], [])
+            for i in range(50)]
+    p = str(tmp_path / "d.vcf.gz")
+    write_vcf(p, recs, bgzf=True)
+    # no .tbi yet: read_vcf_region builds one
+    assert len(list(read_vcf_region(p, "chr1:10001-12000"))) == 2
+    import os
+
+    os.remove(p + ".tbi")
+    assert main(["index", p]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out.endswith(".tbi") and os.path.exists(out)
+
+
+def test_roundtrip_full_reader_still_works(vcf_gz):
+    # the bgzipped VCF remains readable by the plain reader (BGZF is gzip)
+    path, recs = vcf_gz
+    assert len(list(read_vcf_records(path))) == len(recs)
