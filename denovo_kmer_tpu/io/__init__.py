@@ -26,5 +26,8 @@ __all__ = [
     #   io.remote (HttpStream, open_binary), io.prefetch, io.native, io.synth,
     #   io.sam (SamReader, read_sam_records, write_sam),
     #   io.vcf (VcfReader, read_vcf_records, write_vcf),
+    #   io.bcf (BcfReader, read_bcf_records, write_bcf),
+    #   io.tabix (write_tbi, read_vcf_region),
+    #   io.fasta faidx surface (build_fai, FaidxFasta, load_reference_indexed),
     #   io.bai (read_bai/read_csi/write_bai/write_csi, read_bam_records_region)
 ]

@@ -6,8 +6,9 @@ VCFv4.x text implementation: plain, gzip, or BGZF-compressed input (auto-detecte
 *is* gzip, so one gzip path covers both), tab-field and INFO/FORMAT parsing, and a writer
 used by ``io.synth`` to emit the planted-truth VCF for synthetic trios.
 
-Scope: VCF text (the interchange format). BCF (binary) is out of scope — the candidate
-pipeline never consumes one, and `bcftools view` converts losslessly.
+Scope: VCF text (the interchange format). BCF (binary) lives in ``io/bcf.py``
+(reader+writer, differential-tested against this module on identical records);
+tabix region queries over bgzipped VCF live in ``io/tabix.py``.
 """
 
 from __future__ import annotations

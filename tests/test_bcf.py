@@ -1,0 +1,136 @@
+"""BCF 2.2 binary VCF: roundtrip + differential parity with the text reader.
+
+Reference parity: HTSlib reads/writes BCF natively (CI dependency set,
+/root/reference/.github/workflows/ci.yml:18-27). The normative oracle is this
+repo's own VCF TEXT path: the same record stream written as .vcf and as .bcf
+must parse into identical VcfRecords.
+"""
+
+import random
+import struct
+
+import pytest
+
+from denovo_kmer_tpu.io.bcf import (
+    BcfReader,
+    read_bcf_records,
+    write_bcf,
+)
+from denovo_kmer_tpu.io.vcf import VcfRecord, read_vcf_records, write_vcf
+
+
+def _mk_records(rng, n=60):
+    recs = []
+    pos = 0
+    for i in range(n):
+        pos += rng.randint(1, 500)
+        reflen = rng.choice([1, 1, 2, 8])
+        info = {"DP": str(rng.randint(0, 200))}
+        if i % 7 == 0:
+            info["DB"] = True  # flag
+        if i % 11 == 0:
+            info["SVTYPE"] = "DEL"
+            info["END"] = str(pos + 50)
+        recs.append(VcfRecord(
+            chrom="chr1" if i < n // 2 else "chr2",
+            pos=pos if i != n // 2 else 1,
+            id="." if i % 3 else f"rs{i}",
+            ref="ACGTACGT"[:reflen],
+            alts=["T"] if i % 4 else ["T", "GA"],
+            qual=None if i % 5 == 0 else round(rng.uniform(1, 99), 0),
+            filter="PASS" if i % 3 else ("q10" if i % 2 else "."),
+            info=info,
+            format=["GT", "DP"],
+            samples=[{"GT": rng.choice(["0/1", "1|1", "./.", "0/0", "1"]),
+                      "DP": str(rng.randint(0, 80))},
+                     {"GT": "0|1", "DP": "."}],
+        ))
+    return recs
+
+
+CONTIGS = [("chr1", 100_000), ("chr2", 100_000)]
+SAMPLES = ["kid", "mom"]
+
+
+def _key(r):
+    return (r.chrom, r.pos, r.id, r.ref, tuple(r.alts), r.qual, r.filter,
+            tuple(sorted((k, v) for k, v in r.info.items())),
+            tuple(r.format), tuple(tuple(sorted(s.items())) for s in r.samples))
+
+
+def test_roundtrip_matches_text_path(tmp_path):
+    rng = random.Random(4)
+    recs = _mk_records(rng)
+    vp = str(tmp_path / "x.vcf")
+    bp = str(tmp_path / "x.bcf")
+    write_vcf(vp, recs, contigs=CONTIGS, samples=SAMPLES,
+              extra_meta=['##FILTER=<ID=q10,Description="q">'])
+    write_bcf(bp, recs, contigs=CONTIGS, samples=SAMPLES)
+    via_text = [_key(r) for r in read_vcf_records(vp)]
+    via_bcf = [_key(r) for r in read_bcf_records(bp)]
+    assert via_bcf == via_text
+
+
+def test_header_surface(tmp_path):
+    recs = _mk_records(random.Random(1), 10)
+    bp = str(tmp_path / "h.bcf")
+    write_bcf(bp, recs, contigs=CONTIGS, samples=SAMPLES)
+    with BcfReader(bp) as r:
+        assert r.samples == SAMPLES
+        assert any(m.startswith("##contig=<ID=chr1") for m in r.meta)
+        n = sum(1 for _ in r)
+    assert n == 10
+
+
+def test_no_samples_records(tmp_path):
+    recs = [VcfRecord("c", 5, ".", "A", ["T"], 12.0, "PASS",
+                      {"X": "1,2,3"}, [], [])]
+    bp = str(tmp_path / "n.bcf")
+    write_bcf(bp, recs)
+    out = list(read_bcf_records(bp))
+    assert len(out) == 1
+    r = out[0]
+    assert (r.pos, r.ref, r.alts, r.qual, r.info["X"]) == (5, "A", ["T"], 12.0,
+                                                           "1,2,3")
+    assert r.samples == [] and r.format == []
+
+
+def test_bad_magic_and_truncation(tmp_path):
+    p = tmp_path / "bad.bcf"
+    from denovo_kmer_tpu.io.bgzf import BgzfWriter
+
+    with open(p, "wb") as f, BgzfWriter(f) as w:
+        w.write(b"BCF\x01\x00junk")
+    with pytest.raises(ValueError, match="version|not a BCF"):
+        BcfReader(str(p))
+    # truncated record header
+    recs = _mk_records(random.Random(2), 4)
+    bp = str(tmp_path / "t.bcf")
+    write_bcf(bp, recs, contigs=CONTIGS, samples=SAMPLES)
+    # re-write with the last record's header split
+    from denovo_kmer_tpu.io.bgzf import BgzfReader
+
+    with open(bp, "rb") as f:
+        raw = BgzfReader(f).read(1 << 30)
+    cut = raw[: len(raw) - (len(raw) - raw.rindex(b"\x00\x00")) + 3]
+    bp2 = str(tmp_path / "t2.bcf")
+    with open(bp2, "wb") as f, BgzfWriter(f) as w:
+        w.write(raw[: len(cut) - (len(cut) % 1 + 5)])
+    with pytest.raises((ValueError, Exception)):
+        list(read_bcf_records(bp2))
+
+
+def test_gt_phasing_and_ploidy_mix(tmp_path):
+    recs = [VcfRecord("c", 1, ".", "A", ["T", "G"], None, ".", {}, ["GT"],
+                      [{"GT": "2|1"}, {"GT": "."}, {"GT": "0/2"}, {"GT": "1"}])]
+    bp = str(tmp_path / "g.bcf")
+    write_bcf(bp, recs, samples=["a", "b", "c", "d"])
+    out = list(read_bcf_records(bp))[0]
+    assert [s["GT"] for s in out.samples] == ["2|1", ".", "0/2", "1"]
+
+
+def test_float_qual_precision(tmp_path):
+    recs = [VcfRecord("c", 1, ".", "A", ["T"], 31.5, "PASS", {}, [], [])]
+    bp = str(tmp_path / "q.bcf")
+    write_bcf(bp, recs)
+    assert list(read_bcf_records(bp))[0].qual == 31.5
