@@ -348,7 +348,8 @@ def cmd_probe(args) -> int:
 
 def cmd_index(args) -> int:
     low = args.bam.lower()
-    if low.endswith((".fa", ".fasta", ".fna", ".fa.gz", ".fasta.gz")):
+    if low.endswith((".fa", ".fasta", ".fna", ".fa.gz", ".fasta.gz", ".fna.gz",
+                     ".fa.bgz", ".fasta.bgz", ".fna.bgz")):
         from denovo_kmer_tpu.io.fasta import build_fai
 
         print(build_fai(args.bam))

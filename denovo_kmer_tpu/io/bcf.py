@@ -204,6 +204,11 @@ class BcfReader:
             if ln.startswith("#CHROM"):
                 self.samples = ln.split("\t")[9:]
         self._strings, self._contigs = _build_dicts(self.meta)
+        # INFO Flag-ness resolved once (the record loop must not rescan meta)
+        self._flags = {
+            _hdr_field(ln, "ID"): _hdr_field(ln, "Type") == "Flag"
+            for ln in self.meta if ln.startswith("##INFO=")
+        }
 
     def __iter__(self) -> Iterator[VcfRecord]:
         while True:
@@ -242,7 +247,7 @@ class BcfReader:
             key = self._strings[c.typed_int()]
             kind, val = c.typed_value()
             if kind == "missing" or (kind == "int" and val == [1] and
-                                     _is_flag(self.meta, key)):
+                                     self._flags.get(key, False)):
                 info[key] = True
             else:
                 info[key] = _render(kind, val)
@@ -301,13 +306,6 @@ class BcfReader:
         self.close()
 
 
-def _is_flag(meta: List[str], key: str) -> bool:
-    for ln in meta:
-        if ln.startswith("##INFO=") and _hdr_field(ln, "ID") == key:
-            return _hdr_field(ln, "Type") == "Flag"
-    return False
-
-
 def _render(kind: str, vals) -> str:
     if kind == "char":
         return vals
@@ -337,7 +335,13 @@ def _gt_from_str(s: str) -> List[int]:
     tok = ""
     for ch in s + "/":  # sentinel separator flushes the last token
         if ch in "/|":
-            a = 0 if tok in (".", "") else int(tok) + 1
+            if tok in (".", ""):
+                a = 0
+            else:
+                try:
+                    a = int(tok) + 1
+                except ValueError:
+                    raise ValueError(f"malformed GT {s!r}") from None
             vals.append((a << 1) | (1 if phased else 0))
             phased = ch == "|"
             tok = ""
@@ -365,6 +369,7 @@ def write_bcf(
     """Write BCF 2.2 mirroring ``write_vcf``'s surface. Header dictionaries are
     derived from the records (FILTER/INFO/FORMAT keys typed as String unless
     boolean → Flag); contigs not listed are appended from record CHROMs."""
+    records = list(records)  # scanned twice (dictionaries, then rows)
     contig_names = [c for c, _ in contigs]
     lengths = dict(contigs)
     info_keys: List[str] = []
@@ -455,8 +460,9 @@ def write_bcf(
                     flat = []
                     for g in gts:
                         flat.extend(g + [-127] * (width - len(g)))  # int8 EOV pad
-                    hi = max(flat) if flat else 0
-                    assert hi <= 127, "GT allele index > 62 needs int16 GT"
+                    if flat and max(flat) > 127:
+                        raise ValueError(
+                            "GT allele index > 62 needs int16 GT encoding")
                     indiv += _enc_typed_size(_T_INT8, width)
                     indiv += struct.pack(f"<{len(flat)}b", *flat)
                 else:

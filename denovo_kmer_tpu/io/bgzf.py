@@ -264,10 +264,14 @@ def build_gzi(path: str, gzi_path: Optional[str] = None) -> str:
                 entries.append((coff, uoff))
             first = False
             uoff += len(out[0])
-    with open(gzi_path, "wb") as g:
+    import os
+
+    tmp = gzi_path + f".tmp.{os.getpid()}"  # atomic publish (concurrent builders)
+    with open(tmp, "wb") as g:
         g.write(struct.pack("<Q", len(entries)))
         for c, u in entries:
             g.write(struct.pack("<QQ", c, u))
+    os.replace(tmp, gzi_path)
     return gzi_path
 
 

@@ -1173,7 +1173,7 @@ class CramReader:
                             raise UnsupportedCodecError(b.error)
                         embedded_ref = b.data
             if (self.check_md5 and sh.md5 != _ZERO_MD5 and sh.ref_id >= 0
-                    and sh.span > 0 and embedded_ref is None):
+                    and sh.start >= 1 and sh.span > 0 and embedded_ref is None):
                 self._verify_slice_md5(sh)
             yield ch, plan, sh, core, externals, embedded_ref, container_ref_id
 

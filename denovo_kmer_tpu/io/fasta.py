@@ -57,6 +57,10 @@ class FaiEntry:
     linewidth: int
 
 
+def _is_gz(path: str) -> bool:
+    return path.endswith((".gz", ".bgz"))
+
+
 def build_fai(fasta_path: str, fai_path: Optional[str] = None) -> str:
     """Scan a plain (uncompressed) FASTA once and write ``<path>.fai``.
 
@@ -68,7 +72,7 @@ def build_fai(fasta_path: str, fai_path: Optional[str] = None) -> str:
     ``.gz`` input must be BGZF (bgzip): offsets are into the uncompressed stream
     and a ``.gzi`` block index is written alongside, like ``samtools faidx`` on a
     bgzipped reference. Plain gzip is rejected — no random access exists."""
-    if fasta_path.endswith(".gz"):
+    if _is_gz(fasta_path):
         from denovo_kmer_tpu.io.bgzf import build_gzi, is_bgzf
 
         if not is_bgzf(fasta_path):
@@ -78,14 +82,14 @@ def build_fai(fasta_path: str, fai_path: Optional[str] = None) -> str:
                 f"or load eagerly with load_reference()"
             )
         build_gzi(fasta_path)
+        lines_cm = None
         lines = _bgzf_lines(fasta_path)
     else:
-        lines = None  # plain file: iterate the handle directly below
+        lines_cm = open(fasta_path, "rb")
+        lines = lines_cm
     fai_path = fai_path or fasta_path + ".fai"
     entries: List[Tuple[str, FaiEntry]] = []
-    with open(fasta_path, "rb") as f:
-        if lines is None:
-            lines = f
+    try:
         name: Optional[str] = None
         offset = 0          # byte offset of the current record's first base
         length = 0          # bases seen so far in the current record
@@ -143,14 +147,21 @@ def build_fai(fasta_path: str, fai_path: Optional[str] = None) -> str:
             length += len(stripped)
         if name is not None:
             entries.append((name, FaiEntry(length, offset, linebases, linewidth)))
+    finally:
+        if lines_cm is not None:
+            lines_cm.close()
     seen = set()
     for n, _ in entries:
         if n in seen:
             raise ValueError(f"{fasta_path}: duplicate sequence name {n!r}")
         seen.add(n)
-    with open(fai_path, "w") as out:
+    # atomic publish: concurrent starters race benignly (last replace wins,
+    # readers never see a torn index)
+    tmp = fai_path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as out:
         for n, e in entries:
             out.write(f"{n}\t{e.length}\t{e.offset}\t{e.linebases}\t{e.linewidth}\n")
+    os.replace(tmp, fai_path)
     return fai_path
 
 
@@ -212,7 +223,7 @@ class FaidxFasta:
         self._f = open(fasta_path, "rb")
         self._bgzf = None
         self._gzi = None
-        if fasta_path.endswith(".gz"):
+        if _is_gz(fasta_path):
             from denovo_kmer_tpu.io.bgzf import BgzfReader, GziIndex, build_gzi
 
             if not os.path.exists(fasta_path + ".gzi"):
@@ -276,6 +287,12 @@ class FaidxFasta:
     def close(self):
         self._f.close()
 
+    def __del__(self):  # feeders drop instances without close(); free the fd
+        try:
+            self._f.close()
+        except Exception:
+            pass
+
     def __enter__(self):
         return self
 
@@ -285,14 +302,23 @@ class FaidxFasta:
 
 def load_reference_indexed(fasta_path: str):
     """Reference mapping for CramReader: faidx-lazy for plain or bgzipped local
-    FASTA (building the .fai/.gzi on first use), eager dict for plain gzip."""
-    if fasta_path.endswith(".gz"):
+    FASTA (building the .fai/.gzi on first use), eager dict for plain gzip.
+
+    Falls back to the eager loader whenever lazy indexing is impossible —
+    read-only reference directory (cannot write the .fai), irregular line
+    layout — so production pipelines never regress on inputs the eager path
+    accepted (pipeline.py feeders call this)."""
+    if _is_gz(fasta_path):
         from denovo_kmer_tpu.io.bgzf import is_bgzf
 
         if not is_bgzf(fasta_path):
             from denovo_kmer_tpu.io.cram import load_reference
             return load_reference(fasta_path)
-    return FaidxFasta(fasta_path)
+    try:
+        return FaidxFasta(fasta_path)
+    except (OSError, ValueError):
+        from denovo_kmer_tpu.io.cram import load_reference
+        return load_reference(fasta_path)
 
 
 def read_fastq(path: str) -> Iterator[Tuple[str, str, Tuple[int, ...]]]:

@@ -19,7 +19,7 @@ from __future__ import annotations
 import struct
 from typing import Dict, Iterator, List, Optional, Tuple
 
-from denovo_kmer_tpu.io.bai import BamIndex, RefIndex, _merge_chunks, reg2bin
+from denovo_kmer_tpu.io.bai import BamIndex, RefIndex, reg2bin
 from denovo_kmer_tpu.io.bgzf import BgzfReader, BgzfWriter, is_bgzf
 from denovo_kmer_tpu.io.vcf import VcfRecord, parse_vcf_line
 
@@ -213,7 +213,7 @@ def read_vcf_region(
         write_tbi(vcf_gz_path, tbi_path)
     index, names = read_tbi(tbi_path)
     rid, beg, end = _parse_simple_region(region, names)
-    chunks = _merge_chunks(sorted(index.region_chunks(rid, beg, end)))
+    chunks = index.region_chunks(rid, beg, end)  # already merged + sorted
     if not chunks:
         return
     target = names[rid].encode()

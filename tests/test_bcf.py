@@ -129,6 +129,20 @@ def test_gt_phasing_and_ploidy_mix(tmp_path):
     assert [s["GT"] for s in out.samples] == ["2|1", ".", "0/2", "1"]
 
 
+def test_generator_input_writes_all_records(tmp_path):
+    recs = _mk_records(random.Random(3), 8)
+    bp = str(tmp_path / "gen.bcf")
+    write_bcf(bp, (r for r in recs), contigs=CONTIGS, samples=SAMPLES)
+    assert len(list(read_bcf_records(bp))) == 8
+
+
+def test_malformed_gt_raises_with_context(tmp_path):
+    recs = [VcfRecord("c", 1, ".", "A", ["T"], None, ".", {}, ["GT"],
+                      [{"GT": "A|1"}])]
+    with pytest.raises(ValueError, match="malformed GT"):
+        write_bcf(str(tmp_path / "m.bcf"), recs, samples=["s"])
+
+
 def test_float_qual_precision(tmp_path):
     recs = [VcfRecord("c", 1, ".", "A", ["T"], 31.5, "PASS", {}, [], [])]
     bp = str(tmp_path / "q.bcf")

@@ -115,6 +115,31 @@ def test_load_reference_indexed_gz_falls_back_eager(tmp_path):
     assert ref["chr1"].startswith("ACGTACGTAC")
 
 
+def test_readonly_reference_dir_falls_back_eager(tmp_path, monkeypatch):
+    # root ignores directory modes, so simulate the read-only mount by making
+    # the index write fail the way it would for an unprivileged process
+    import denovo_kmer_tpu.io.fasta as fasta_mod
+
+    path = _write(tmp_path, FA)
+
+    def denied(*a, **k):
+        raise PermissionError(f"[Errno 13] Permission denied: {path}.fai")
+
+    monkeypatch.setattr(fasta_mod, "build_fai", denied)
+    ref = load_reference_indexed(path)
+    assert isinstance(ref, dict)  # eager fallback, not a crash
+    assert ref["chr2"] == "TTTT"
+
+
+def test_irregular_fasta_falls_back_eager(tmp_path):
+    # the eager loader accepted irregular line lengths; indexed loading must
+    # not regress that for production feeders
+    path = _write(tmp_path, ">a\nACGT\nAC\nACGT\n", "irr.fa")
+    ref = load_reference_indexed(path)
+    assert isinstance(ref, dict)
+    assert ref["a"] == "ACGTACACGT"
+
+
 def test_existing_fai_reused_not_rebuilt(tmp_path):
     path = _write(tmp_path, FA)
     fai = build_fai(path)
