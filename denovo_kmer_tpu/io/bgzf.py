@@ -294,9 +294,31 @@ class GziIndex:
         co, uo = [0], [0]
         for i in range(n):
             c, u = struct.unpack_from("<QQ", raw, 16 * i)
+            # the .gzi format carries no checksum; structural validation is the
+            # only defense against a corrupted sidecar (offsets must ascend and
+            # block payloads cannot exceed the BGZF 64 KiB bound)
+            if c <= co[-1] or u < uo[-1] or u - uo[-1] > 0x10000:
+                raise BgzfError(f"{gzi_path}: non-monotonic or oversized GZI "
+                                f"entry {i}")
             co.append(c)
             uo.append(u)
         return cls(co, uo)
+
+    def seek(self, reader: "BgzfReader", uoffset: int) -> None:
+        """Position ``reader`` at uncompressed byte ``uoffset``, cross-checking
+        the landed block's inflated length against the index's uoffset delta —
+        catches a corrupted entry before it silently returns shifted bytes."""
+        import bisect
+
+        i = bisect.bisect_right(self.uoffsets, uoffset) - 1
+        reader.seek_virtual(self.virtual_offset(uoffset))
+        if i + 1 < len(self.uoffsets):
+            expect = self.uoffsets[i + 1] - self.uoffsets[i]
+            if len(reader._block) != expect:
+                raise BgzfError(
+                    f"GZI index inconsistent with file: block {i} inflates to "
+                    f"{len(reader._block)} bytes, index says {expect}"
+                )
 
     def virtual_offset(self, uoffset: int) -> int:
         """Virtual offset addressing uncompressed byte ``uoffset``."""

@@ -231,6 +231,7 @@ class FaidxFasta:
             self._gzi = GziIndex.load(fasta_path + ".gzi")
             self._bgzf = BgzfReader(self._f)
         self._cache: Dict[str, str] = {}
+        self._validated: set = set()
         # the CRAM container pool resolves references from worker threads;
         # seek+read on the shared handle must be atomic
         self._lock = threading.Lock()
@@ -261,10 +262,48 @@ class FaidxFasta:
         return {n: e.length for n, e in self.index.items()}
 
     # -- ranged access ------------------------------------------------------
+    def _pread(self, offset: int, n: int) -> bytes:
+        """n uncompressed bytes at ``offset`` (thread-safe; GZI-routed for BGZF)."""
+        with self._lock:
+            if self._bgzf is not None:
+                # offsets are into the uncompressed stream; the GZI index turns
+                # them into block-addressed virtual offsets (with a block-length
+                # cross-check against the file)
+                self._gzi.seek(self._bgzf, offset)
+                return self._bgzf.read(n)
+            self._f.seek(offset)
+            return self._f.read(n)
+
+    def _validate_entry(self, name: str) -> None:
+        """First-use check of an entry against the file itself: the bytes
+        immediately before ``offset`` must be the record's own ``>name`` header
+        line. Neither .fai nor .gzi carries a checksum, so this is what catches
+        a corrupted/stale index before it silently returns shifted sequence."""
+        if name in self._validated:
+            return
+        e = self.index[name]
+        back = min(e.offset, 65536)
+        raw = self._pread(e.offset - back, back)
+        lines = raw.split(b"\n")
+        ok = (back > 0 and lines[-1] == b"" and len(lines) >= 2)
+        if ok:
+            hdr = lines[-2].rstrip(b"\r")
+            fields = hdr[1:].split()
+            token = fields[0].decode("ascii", "replace") if fields else ""
+            ok = hdr.startswith(b">") and token == name
+        if not ok:
+            raise ValueError(
+                f"{self.path}: .fai entry for {name!r} does not line up with the "
+                f"file (offset {e.offset} is not preceded by its header line) — "
+                f"stale or corrupt index; delete the .fai to rebuild"
+            )
+        self._validated.add(name)
+
     def fetch(self, name: str, start: int, end: Optional[int] = None) -> str:
         """Bases ``[start, end)`` (0-based half-open; ``end=None`` → contig end).
         Out-of-range coordinates clamp to the contig, like htslib's faidx_fetch_seq."""
         e = self.index[name]
+        self._validate_entry(name)
         if end is None or end > e.length:
             end = e.length
         start = max(start, 0)
@@ -272,17 +311,17 @@ class FaidxFasta:
             return ""
         first = e.offset + (start // e.linebases) * e.linewidth + (start % e.linebases)
         last = e.offset + ((end - 1) // e.linebases) * e.linewidth + ((end - 1) % e.linebases)
-        n = last + 1 - first
-        with self._lock:
-            if self._bgzf is not None:
-                # offsets are into the uncompressed stream; the GZI index turns
-                # them into block-addressed virtual offsets
-                self._bgzf.seek_virtual(self._gzi.virtual_offset(first))
-                raw = self._bgzf.read(n)
-            else:
-                self._f.seek(first)
-                raw = self._f.read(n)
-        return raw.translate(None, b"\r\n").decode("ascii")
+        raw = self._pread(first, last + 1 - first)
+        out = raw.translate(None, b"\r\n").decode("ascii")
+        if len(out) != end - start:
+            # wrong linebases/linewidth (or truncated file) shifts the newline
+            # density inside the span — never hand back silently wrong bases
+            raise ValueError(
+                f"{self.path}: faidx fetch of {name}:{start}-{end} produced "
+                f"{len(out)} bases (expected {end - start}) — stale or corrupt "
+                f".fai; delete it to rebuild"
+            )
+        return out
 
     def close(self):
         self._f.close()

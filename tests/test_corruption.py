@@ -147,3 +147,84 @@ def test_cram31_nx16_corruption_fails_loudly(fixtures, tmp_path):
         # decoded without error: the records must be UNCHANGED (flip hit padding /
         # ignored bytes) — silent corruption is the one forbidden outcome
         assert got == golden
+
+
+def test_bcf_corruption_fails_loudly(tmp_path):
+    from denovo_kmer_tpu.io.bcf import read_bcf_records, write_bcf
+    from denovo_kmer_tpu.io.vcf import VcfRecord
+
+    rng = random.Random(23)
+    recs = [VcfRecord("chr1", p, ".", "ACG"[: rng.randint(1, 3)], ["T"],
+                      float(rng.randint(1, 99)), "PASS",
+                      {"DP": str(rng.randint(1, 50))}, ["GT"],
+                      [{"GT": rng.choice(["0/1", "1|1", "./."])}])
+            for p in sorted(rng.sample(range(1, 10_000), 40))]
+    bcf = str(tmp_path / "c.bcf")
+    write_bcf(bcf, recs, contigs=[("chr1", 10_000)], samples=["s"])
+
+    def key(r):
+        return (r.chrom, r.pos, r.ref, tuple(r.alts), r.qual,
+                tuple(sorted(r.info.items())), tuple(s["GT"] for s in r.samples))
+
+    golden = [key(r) for r in read_bcf_records(bcf)]
+    data = open(bcf, "rb").read()
+    p = tmp_path / "x.bcf"
+    for mutated in _trials(data, 40, seed=7):
+        p.write_bytes(mutated)
+        try:
+            got = [key(r) for r in read_bcf_records(str(p))]
+        except _BIN_ERRORS + (AssertionError,):
+            continue
+        assert got == golden  # silent corruption is the forbidden outcome
+
+
+def test_tabix_index_corruption_fails_loudly(tmp_path):
+    from denovo_kmer_tpu.io.tabix import read_vcf_region, write_tbi
+    from denovo_kmer_tpu.io.vcf import VcfRecord, write_vcf
+
+    rng = random.Random(29)
+    recs = [VcfRecord("chr1", p, ".", "A", ["T"], None, ".", {}, [], [])
+            for p in sorted(rng.sample(range(1, 200_000), 300))]
+    vp = str(tmp_path / "v.vcf.gz")
+    write_vcf(vp, recs, contigs=[("chr1", 200_000)], bgzf=True)
+    tbi = write_tbi(vp)
+    want = {r.pos for r in recs if 50_000 <= r.pos - 1 + 1 <= 60_001}
+    data = open(tbi, "rb").read()
+    bad = tmp_path / "x.tbi"
+    for mutated in _trials(data, 40, seed=11):
+        bad.write_bytes(mutated)
+        try:
+            got = {r.pos for r in read_vcf_region(vp, "chr1:50000-60000",
+                                                  tbi_path=str(bad))}
+        except _BIN_ERRORS + (AssertionError,):
+            continue
+        # a surviving index may at worst return a superset start point; the
+        # overlap filter still applies, so results must be exactly right
+        assert got == want
+
+
+def test_gzi_fai_corruption_fails_loudly(tmp_path):
+    from denovo_kmer_tpu.io.bgzf import BgzfWriter
+    from denovo_kmer_tpu.io.fasta import FaidxFasta, build_fai
+
+    rng = random.Random(31)
+    seq = "".join(rng.choice("ACGT") for _ in range(150_000))
+    text = ">c1\n" + "\n".join(seq[i : i + 61] for i in range(0, len(seq), 61)) + "\n"
+    gz = str(tmp_path / "r.fa.gz")
+    with open(gz, "wb") as f, BgzfWriter(f) as w:
+        w.write(text.encode())
+    build_fai(gz)
+    spans = [(rng.randint(0, len(seq) - 1), rng.randint(1, 5000)) for _ in range(8)]
+    golden = [seq[a : a + n] for a, n in spans]
+
+    for sidecar in (gz + ".gzi", gz + ".fai"):
+        data = open(sidecar, "rb").read()
+        for mutated in _trials(data, 25, seed=13):
+            open(sidecar, "wb").write(mutated)
+            try:
+                fx = FaidxFasta(gz)
+                got = [fx.fetch("c1", a, a + n) for a, n in spans]
+            except _BIN_ERRORS + (AssertionError,):
+                continue
+            assert got == golden, sidecar
+        open(sidecar, "wb").write(data)  # restore for the next sidecar loop
