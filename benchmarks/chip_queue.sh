@@ -27,7 +27,10 @@ run env BENCH_EXTRACTOR=fast_t python -u bench.py
 # 4. bench with the scanned single-dispatch ingest (vs step 5's loop)
 run env BENCH_SCAN_INGEST=1 python -u bench.py
 
-# 5. bench with the current default configuration (authoritative comparison run)
+# 5. combined: transposed extractor + scanned ingest
+run env BENCH_EXTRACTOR=fast_t BENCH_SCAN_INGEST=1 python -u bench.py
+
+# 6. bench with the current default configuration (authoritative comparison run)
 run python -u bench.py
 
 echo "=== chip_queue done $(date) ==="
