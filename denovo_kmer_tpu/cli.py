@@ -374,6 +374,20 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_evidence(args) -> int:
+    """Extract the child reads supporting candidate k-mers (the reviewable
+    evidence subset: IGV, local reassembly). Device-side probe at build
+    throughput (pipeline.run_evidence)."""
+    from denovo_kmer_tpu.pipeline import run_evidence
+
+    cfg = _cfg_from_args(args)
+    res = run_evidence(args.child, args.candidates, cfg, args.output,
+                       region=args.region)
+    print(f"evidence: {res.n_reads_matched}/{res.n_reads_scanned} reads -> "
+          f"{res.out_path}", file=sys.stderr)
+    return 0
+
+
 def cmd_sort(args) -> int:
     from denovo_kmer_tpu.io.bam import sort_bam
 
@@ -490,6 +504,19 @@ def main(argv=None) -> int:
                     help="comma-separated k-mers (default: read one per line from stdin)")
     _add_engine_args(pq)
     pq.set_defaults(fn=cmd_probe)
+
+    pe = sub.add_parser(
+        "evidence",
+        help="write the child reads containing any candidate k-mer "
+             "(forward or reverse complement) to a BAM or FASTQ",
+    )
+    pe.add_argument("--child", required=True, help="child reads (BAM/CRAM/SAM/FASTQ)")
+    pe.add_argument("--candidates", required=True,
+                    help="candidate TSV from `call` (first column = k-mer)")
+    pe.add_argument("-o", "--output", required=True,
+                    help="output path (.bam, or .fastq/.fq)")
+    _add_engine_args(pe)
+    pe.set_defaults(fn=cmd_evidence)
 
     pi = sub.add_parser(
         "index", help="write a BAI/CSI index for a coordinate-sorted BAM, "

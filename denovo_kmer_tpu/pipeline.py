@@ -885,3 +885,160 @@ def run_trio(
         metrics=m,
         tables_n=tables_n,
     )
+
+
+# ---------------------------------------------------------------------------
+# evidence extraction: reads supporting candidate k-mers
+# ---------------------------------------------------------------------------
+
+def candidate_words_from_tsv(path: str, cfg: EngineConfig) -> np.ndarray:
+    """Candidate k-mer strings (first TSV column, `#`-prefixed header skipped,
+    the `call` report format) → (N, W) uint32 canonical word rows."""
+    from denovo_kmer_tpu.oracle.scalar import (
+        canonical_value, encode_kmer, kmer_value_to_words,
+    )
+
+    rows = []
+    with open(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            s = line.split("\t")[0].upper()
+            if len(s) != cfg.k:
+                raise ValueError(
+                    f"{path}: candidate {s[:40]!r} has length {len(s)}, "
+                    f"expected k={cfg.k}")
+            v = encode_kmer(s)
+            if cfg.canonical:
+                v = canonical_value(v, cfg.k)
+            rows.append(kmer_value_to_words(v, cfg.k))
+    return np.asarray(rows, np.uint32).reshape(len(rows), cfg.words)
+
+
+def candidate_table(words: np.ndarray) -> KmerTable:
+    """Small sorted membership table from (N, W) candidate rows (host-built —
+    N is the candidate count, thousands at most; probe_table binary-searches it)."""
+    from denovo_kmer_tpu.ops.table import _PAD
+
+    n, W = words.shape
+    if n:
+        order = np.lexsort(tuple(words[:, w] for w in range(W - 1, -1, -1)))
+        rows = words[order]
+        keep = np.ones(n, bool)
+        keep[1:] = (rows[1:] != rows[:-1]).any(axis=1)
+        rows = rows[keep]
+        n = len(rows)
+    else:
+        rows = words
+    cap = max(1 << max(int(n - 1).bit_length(), 1), 2)
+    keys = np.full((cap, W), _PAD, np.uint32)
+    keys[:n] = rows
+    return KmerTable(
+        keys=jnp.asarray(keys),
+        counts=jnp.asarray((np.arange(cap) < n).astype(np.uint32)),
+        n=jnp.asarray(np.int32(n)),
+    )
+
+
+@dataclasses.dataclass
+class EvidenceResult:
+    n_reads_scanned: int
+    n_reads_matched: int
+    out_path: str
+
+
+def run_evidence(
+    child_path: str,
+    candidates_tsv: str,
+    cfg: EngineConfig,
+    out_path: str,
+    region: Optional[str] = None,
+) -> EvidenceResult:
+    """Write the child reads that contain any candidate k-mer (forward or
+    reverse complement, the same canonical semantics as the call) to
+    ``out_path`` (.bam, or .fastq/.fq for sequence-only output).
+
+    This is the supporting-evidence subset every de novo candidate review needs
+    (IGV inspection, local reassembly): device-side it is extract + one
+    binary-search membership probe per window (ops/table.probe_table — the
+    counter.rs probe loop, SURVEY.md §3.3), so it runs at build throughput.
+    Records ride along on the host; row r of each packed batch is read r of the
+    batch, which keeps record↔window alignment exact (the filtered stream is
+    batched here, not in ops.pack.pack_records, whose silent flag-drop would
+    misalign rows)."""
+    import jax
+
+    from denovo_kmer_tpu.io.bam import BamRecord, BamWriter
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+    from denovo_kmer_tpu.ops.table import probe_table
+
+    cand = candidate_words_from_tsv(candidates_tsv, cfg)
+    table = candidate_table(cand)
+
+    @jax.jit
+    def step(words, vwords):
+        # always the (B, P) fast extractor here — evidence needs per-READ window
+        # alignment (fast_t's transposed planes reorder rows; irrelevant for
+        # ingest, wrong for this reduction)
+        kmers, valid = extract_canonical_kmers(
+            words, vwords, cfg.k, cfg.max_read_len, canonical=cfg.canonical,
+            barrier=False,
+        )  # (B, P, W), (B, P)
+        counts = probe_table(table, kmers)  # (B, P) uint32
+        hit = (counts > 0) & valid
+        return hit.any(axis=-1), hit.sum(axis=-1).astype(jnp.uint32)
+
+    src = _record_stream(child_path, cfg, region=region)
+    fastq = out_path.lower().endswith((".fastq", ".fq"))
+    scanned = matched = 0
+    batch: list = []
+
+    # references/header for BAM output: carry the source's when it is a BAM
+    references: list = []
+    if child_path.lower().endswith(".bam") and "://" not in child_path:
+        from denovo_kmer_tpu.io.bam import BamReader
+
+        with open(child_path, "rb") as f:
+            references = BamReader(f).references
+
+    out_f = open(out_path, "wb")
+    writer = None if fastq else BamWriter(out_f, references=references)
+
+    def flush_batch():
+        nonlocal matched
+        if not batch:
+            return
+        packed = pack_seqs([r.seq for r in batch], cfg,
+                           [r.qual for r in batch], batch_size=cfg.batch_reads)
+        any_hit, _n_hit = step(jnp.asarray(packed.words), jnp.asarray(packed.vwords))
+        mask = np.asarray(any_hit)[: len(batch)]
+        for r, m in zip(batch, mask):
+            if not m:
+                continue
+            matched += 1
+            if fastq:
+                q = r.qual if r.qual is not None else (0,) * len(r.seq)
+                qs = "".join(chr(min(x, 93) + 33) for x in q)
+                out_f.write(f"@{r.name}\n{r.seq}\n+\n{qs}\n".encode())
+            elif isinstance(r, BamRecord):
+                writer.write(r)
+            else:  # CRAM/SAM/FASTQ records: sequence-level evidence rows
+                writer.write(BamRecord(name=r.name or f"r{scanned}",
+                                       flag=getattr(r, "flag", 4) | 4,
+                                       seq=r.seq, qual=r.qual))
+        batch.clear()
+
+    for rec in src:
+        if rec.flag & cfg.filter_flag_mask:
+            continue
+        scanned += 1
+        batch.append(rec)
+        if len(batch) == cfg.batch_reads:
+            flush_batch()
+    flush_batch()
+    if writer is not None:
+        writer.close()
+    out_f.close()
+    return EvidenceResult(n_reads_scanned=scanned, n_reads_matched=matched,
+                          out_path=out_path)

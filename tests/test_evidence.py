@@ -1,0 +1,124 @@
+"""Evidence extraction: reads supporting candidate k-mers.
+
+Oracle: a brute-force host scan — a read supports a candidate iff the k-mer or
+its reverse complement occurs as a substring (the same canonical semantics the
+caller uses, SPEC_SEMANTICS §3). The device path (extract + probe_table) must
+select exactly that read set.
+"""
+
+import os
+import random
+
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.bam import read_bam_records
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+from denovo_kmer_tpu.pipeline import run_evidence, run_trio
+
+_RC = str.maketrans("ACGT", "TGCA")
+
+
+def _rc(s):
+    return s.translate(_RC)[::-1]
+
+
+@pytest.fixture(scope="module")
+def trio(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ev")
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=3000, read_len=80, coverage=6.0,
+                           n_denovo_snvs=4, seed=33)),
+        str(d),
+    )
+    cfg = EngineConfig(k=21, max_read_len=80, batch_reads=64,
+                       table_capacity=1 << 14, min_child_count=2)
+    res = run_trio(paths["mom"], paths["dad"], paths["child"], cfg)
+    tsv = str(d / "cands.tsv")
+    with open(tsv, "w") as f:
+        f.write(res.report)
+    return d, paths, cfg, tsv, res
+
+
+def _oracle_names(paths, cfg, tsv):
+    cands = [ln.split("\t")[0] for ln in open(tsv) if not ln.startswith("#")]
+    pats = set(cands) | {_rc(c) for c in cands}
+    names = set()
+    for r in read_bam_records(paths["child"]):
+        if r.flag & cfg.filter_flag_mask:
+            continue
+        if any(p in r.seq for p in pats):
+            names.add(r.name)
+    return cands, names
+
+
+def test_evidence_bam_matches_bruteforce(trio, tmp_path):
+    d, paths, cfg, tsv, res = trio
+    assert len(res.candidates) > 0, "fixture produced no candidates"
+    cands, want = _oracle_names(paths, cfg, tsv)
+    out = str(tmp_path / "ev.bam")
+    ev = run_evidence(paths["child"], tsv, cfg, out)
+    got = {r.name for r in read_bam_records(out)}
+    assert got == want
+    assert ev.n_reads_matched == len(want)
+    # every candidate passed min_child_count >= 2 supporting reads
+    per_cand_support = {
+        c: sum(1 for r in read_bam_records(out) if c in r.seq or _rc(c) in r.seq)
+        for c in cands
+    }
+    assert all(v >= cfg.min_child_count for v in per_cand_support.values())
+
+
+def test_evidence_fastq_output(trio, tmp_path):
+    d, paths, cfg, tsv, _res = trio
+    _cands, want = _oracle_names(paths, cfg, tsv)
+    out = str(tmp_path / "ev.fastq")
+    run_evidence(paths["child"], tsv, cfg, out)
+    from denovo_kmer_tpu.io.fasta import read_fastq
+
+    got = {name for name, _seq, _q in read_fastq(out)}
+    assert got == want
+
+
+def test_evidence_preserves_alignment_fields(trio, tmp_path):
+    d, paths, cfg, tsv, _res = trio
+    out = str(tmp_path / "ev2.bam")
+    run_evidence(paths["child"], tsv, cfg, out)
+    orig = {r.name: r for r in read_bam_records(paths["child"])}
+    for r in read_bam_records(out):
+        o = orig[r.name]
+        assert (r.seq, r.flag, r.pos, tuple(r.qual or ())) == (
+            o.seq, o.flag, o.pos, tuple(o.qual or ()))
+
+
+def test_evidence_empty_candidates(trio, tmp_path):
+    d, paths, cfg, _tsv, _res = trio
+    empty = str(tmp_path / "none.tsv")
+    with open(empty, "w") as f:
+        f.write("#kmer\tchild_count\tmom_count\tdad_count\n")
+    out = str(tmp_path / "ev3.bam")
+    ev = run_evidence(paths["child"], empty, cfg, out)
+    assert ev.n_reads_matched == 0
+    assert list(read_bam_records(out)) == []
+
+
+def test_evidence_cli(trio, tmp_path, capsys):
+    from denovo_kmer_tpu.cli import main
+
+    d, paths, cfg, tsv, _res = trio
+    out = str(tmp_path / "cli_ev.bam")
+    rc = main(["evidence", "--child", paths["child"], "--candidates", tsv,
+               "-o", out, "-k", "21", "--max-read-len", "80",
+               "--batch-reads", "64"])
+    assert rc == 0
+    _cands, want = _oracle_names(paths, cfg, tsv)
+    assert {r.name for r in read_bam_records(out)} == want
+
+
+def test_candidate_length_mismatch_rejected(trio, tmp_path):
+    d, paths, cfg, _tsv, _res = trio
+    bad = str(tmp_path / "bad.tsv")
+    with open(bad, "w") as f:
+        f.write("ACGT\t1\t0\t0\n")
+    with pytest.raises(ValueError, match="length"):
+        run_evidence(paths["child"], bad, cfg, str(tmp_path / "x.bam"))
