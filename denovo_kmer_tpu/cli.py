@@ -388,6 +388,43 @@ def cmd_evidence(args) -> int:
     return 0
 
 
+def cmd_bgzip(args) -> int:
+    """bgzip-compatible block compression: compress to BGZF, -d to inflate,
+    -r to (re)build the .gzi random-access index (io/bgzf.py)."""
+    from denovo_kmer_tpu.io.bgzf import BgzfReader, BgzfWriter, build_gzi, is_bgzf
+
+    path = args.file
+    if args.reindex:
+        if not is_bgzf(path):
+            raise SystemExit(f"{path} is not BGZF; cannot build a .gzi")
+        print(build_gzi(path))
+        return 0
+    if args.decompress:
+        if not path.endswith((".gz", ".bgz")):
+            raise SystemExit(f"{path}: expected a .gz/.bgz suffix to strip")
+        if not is_bgzf(path):
+            raise SystemExit(f"{path} is not BGZF (plain gzip: use gunzip)")
+        out = args.output or path.rsplit(".", 1)[0]
+        with open(path, "rb") as f, open(out, "wb") as o:
+            r = BgzfReader(f)
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                o.write(chunk)
+        print(out)
+        return 0
+    out = args.output or path + ".gz"
+    with open(path, "rb") as f, open(out, "wb") as o, BgzfWriter(o) as w:
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            w.write(chunk)
+    print(out)
+    return 0
+
+
 def cmd_sort(args) -> int:
     from denovo_kmer_tpu.io.bam import sort_bam
 
@@ -504,6 +541,17 @@ def main(argv=None) -> int:
                     help="comma-separated k-mers (default: read one per line from stdin)")
     _add_engine_args(pq)
     pq.set_defaults(fn=cmd_probe)
+
+    pb = sub.add_parser(
+        "bgzip", help="block-compress a file to BGZF (bgzip-compatible); "
+                      "-d inflates, -r builds the .gzi random-access index",
+    )
+    pb.add_argument("file")
+    pb.add_argument("-d", "--decompress", action="store_true")
+    pb.add_argument("-r", "--reindex", action="store_true",
+                    help="write <file>.gzi (block index for random access)")
+    pb.add_argument("-o", "--output", default=None)
+    pb.set_defaults(fn=cmd_bgzip)
 
     pe = sub.add_parser(
         "evidence",

@@ -159,3 +159,29 @@ def test_roundtrip_full_reader_still_works(vcf_gz):
     # the bgzipped VCF remains readable by the plain reader (BGZF is gzip)
     path, recs = vcf_gz
     assert len(list(read_vcf_records(path))) == len(recs)
+
+
+def test_cli_bgzip_roundtrip(tmp_path, capsys):
+    from denovo_kmer_tpu.cli import main
+    from denovo_kmer_tpu.io.bgzf import is_bgzf
+
+    src = tmp_path / "t.txt"
+    payload = b"line one\n" + b"x" * 200_000 + b"\nend\n"
+    src.write_bytes(payload)
+    assert main(["bgzip", str(src)]) == 0
+    gz = capsys.readouterr().out.strip()
+    assert gz.endswith(".txt.gz") and is_bgzf(gz)
+    assert main(["bgzip", "-r", gz]) == 0
+    gzi = capsys.readouterr().out.strip()
+    assert gzi.endswith(".gzi")
+    out = str(tmp_path / "back.txt")
+    assert main(["bgzip", "-d", gz, "-o", out]) == 0
+    capsys.readouterr()
+    assert open(out, "rb").read() == payload
+    # tabix can consume the engine's own bgzip output
+    import gzip as _g
+
+    plain = tmp_path / "p.vcf.gz"
+    plain.write_bytes(_g.compress(b"hi"))
+    with pytest.raises(SystemExit):
+        main(["bgzip", "-d", str(plain), "-o", str(tmp_path / "no")])
