@@ -9,6 +9,7 @@ k-mer pipeline needs (flag, seq, qual); the writer exists to build deterministic
 from __future__ import annotations
 
 import dataclasses
+import os
 import struct
 from typing import BinaryIO, Iterator, List, Optional, Sequence, Tuple
 
@@ -277,24 +278,80 @@ def read_bam_records_range(path: str, vstart: int, vstop: int) -> Iterator[BamRe
             yield rec
 
 
-def sort_bam(in_path: str, out_path: str) -> str:
-    """Coordinate-sort a BAM (in memory — fixture/subset scale): placed-unmapped
-    records (flag 0x4 with a coordinate, e.g. at their mate's position) sort AT that
-    coordinate and only truly unplaced records (refid/pos < 0) go last — matching
-    `samtools sort`. Required before `write_bai`."""
+def _sort_key(r: BamRecord):
+    """samtools coordinate order: placed-unmapped records (flag 0x4 with a
+    coordinate, e.g. at their mate's position) sort AT that coordinate; only
+    truly unplaced records (refid/pos < 0) go last."""
+    placed = r.refid >= 0 and r.pos >= 0
+    return (0, r.refid, r.pos) if placed else (1, 0, 0)
+
+
+def sort_bam(in_path: str, out_path: str, chunk_records: int = 1_000_000) -> str:
+    """Coordinate-sort a BAM with bounded memory (external merge sort, the
+    `samtools sort` spill-to-disk strategy): records stream in ``chunk_records``
+    slices, each slice sorts in memory, slices beyond the first spill to
+    temporary BAMs, and a k-way heap merge writes the output. One-chunk inputs
+    never touch disk. Equal-coordinate records keep input order (stable chunk
+    sort + (chunk, position) merge tie-break = a global stable sort). Required
+    before `write_bai`."""
+    import heapq
+    import tempfile
+
     from denovo_kmer_tpu.io.remote import open_binary
 
+    spills: List[str] = []
+    tmpdir = None
     with open_binary(in_path) as f:
         reader = BamReader(f)
         refs = list(reader.references)
-        recs = list(reader)
+        chunk: List[BamRecord] = []
+        for rec in reader:
+            chunk.append(rec)
+            if len(chunk) >= chunk_records:
+                chunk.sort(key=_sort_key)
+                if tmpdir is None:
+                    tmpdir = tempfile.mkdtemp(prefix="dk_sort_")
+                spill = os.path.join(tmpdir, f"chunk{len(spills)}.bam")
+                with open(spill, "wb") as sf, BamWriter(sf, references=refs) as w:
+                    for r in chunk:
+                        w.write(r)
+                spills.append(spill)
+                chunk = []
+    chunk.sort(key=_sort_key)
 
-    def key(r: BamRecord):
-        placed = r.refid >= 0 and r.pos >= 0
-        return (0, r.refid, r.pos) if placed else (1, 0, 0)
+    if not spills:  # single-chunk fast path: no temp files
+        with open(out_path, "wb") as f, BamWriter(f, references=refs) as w:
+            for r in chunk:
+                w.write(r)
+        return out_path
 
-    recs.sort(key=key)
-    with open(out_path, "wb") as f, BamWriter(f, references=refs) as w:
-        for r in recs:
-            w.write(r)
+    def stream(i):
+        if i < len(spills):
+            with open(spills[i], "rb") as sf:
+                yield from BamReader(sf)
+        else:
+            yield from chunk
+
+    try:
+        # heapq.merge over decorated streams: (key, chunk_idx, seq) is unique
+        # and reproduces the stable in-memory order
+        def decorated(i):
+            for seq, r in enumerate(stream(i)):
+                yield (*_sort_key(r), i, seq), r
+
+        with open(out_path, "wb") as f, BamWriter(f, references=refs) as w:
+            for _k, r in heapq.merge(*(decorated(i)
+                                       for i in range(len(spills) + 1))):
+                w.write(r)
+    finally:
+        for s in spills:
+            try:
+                os.remove(s)
+            except OSError:
+                pass
+        if tmpdir is not None:
+            try:
+                os.rmdir(tmpdir)
+            except OSError:
+                pass
     return out_path

@@ -106,3 +106,45 @@ def test_synth_trio_deterministic_and_written():
         assert len(got) == len(t1.reads["child"])
         assert got[0].seq == t1.reads["child"][0].seq
         rd._bgzf._f.close()
+
+
+def test_external_sort_matches_in_memory(tmp_path):
+    # multi-spill external sort must equal the stable in-memory order
+    import random
+
+    from denovo_kmer_tpu.io.bam import (
+        BamReader, BamRecord, BamWriter, _sort_key, read_bam_records, sort_bam,
+    )
+
+    rng = random.Random(41)
+    refs = [("chr1", 100_000), ("chr2", 100_000)]
+    recs = []
+    for i in range(700):
+        placed = rng.random() > 0.05
+        recs.append(BamRecord(
+            name=f"r{i}",
+            flag=0 if placed else 4,
+            refid=rng.randrange(2) if placed else -1,
+            pos=rng.randrange(100_000) if placed else -1,
+            seq="".join(rng.choice("ACGT") for _ in range(30)),
+            qual=tuple([30] * 30),
+        ))
+    src = str(tmp_path / "u.bam")
+    with open(src, "wb") as f, BamWriter(f, references=refs) as w:
+        for r in recs:
+            w.write(r)
+
+    small = str(tmp_path / "ext.bam")
+    sort_bam(src, small, chunk_records=64)  # ~11 spill files
+    big = str(tmp_path / "mem.bam")
+    sort_bam(src, big)  # single-chunk fast path
+
+    ext = [(r.name, r.refid, r.pos) for r in read_bam_records(small)]
+    mem = [(r.name, r.refid, r.pos) for r in read_bam_records(big)]
+    want = [(r.name, r.refid, r.pos) for r in sorted(recs, key=_sort_key)]
+    assert ext == mem == want
+    # no temp files left behind
+    import glob
+    import tempfile
+
+    assert not glob.glob(tempfile.gettempdir() + "/dk_sort_*/*.bam")
