@@ -187,7 +187,12 @@ class BcfReader:
     """Iterate VcfRecord from a BCF 2.2 path; header meta/samples retained."""
 
     def __init__(self, path: str):
-        self._fh = open(path, "rb")
+        if "://" in path:  # http(s)/s3/gs via the ranged remote stream
+            from denovo_kmer_tpu.io.remote import open_binary
+
+            self._fh = open_binary(path)
+        else:
+            self._fh = open(path, "rb")
         self._r = BgzfReader(self._fh)
         magic = self._r.read(5)
         if magic != BCF_MAGIC:

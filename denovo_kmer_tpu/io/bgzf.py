@@ -286,7 +286,13 @@ class GziIndex:
 
     @classmethod
     def load(cls, gzi_path: str) -> "GziIndex":
-        with open(gzi_path, "rb") as f:
+        if "://" in gzi_path:
+            from denovo_kmer_tpu.io.remote import open_binary
+
+            opener = open_binary(gzi_path)
+        else:
+            opener = open(gzi_path, "rb")
+        with opener as f:
             (n,) = struct.unpack("<Q", f.read(8))
             raw = f.read(16 * n)
         if len(raw) != 16 * n:

@@ -186,22 +186,28 @@ def _bgzf_lines(path: str) -> Iterator[bytes]:
 
 
 def read_fai(fai_path: str) -> Dict[str, FaiEntry]:
-    """Parse a .fai file → ordered {name: FaiEntry}."""
+    """Parse a .fai file (local path or URL) → ordered {name: FaiEntry}."""
     out: Dict[str, FaiEntry] = {}
-    with open(fai_path, "rt") as f:
-        for lineno, line in enumerate(f, 1):
-            line = line.rstrip("\n")
-            if not line:
-                continue
-            cols = line.split("\t")
-            if len(cols) < 5:
-                raise ValueError(f"{fai_path}:{lineno}: expected 5 tab-separated columns")
-            name = cols[0]
-            try:
-                length, offset, linebases, linewidth = (int(c) for c in cols[1:5])
-            except ValueError:
-                raise ValueError(f"{fai_path}:{lineno}: non-integer index column") from None
-            out[name] = FaiEntry(length, offset, linebases, linewidth)
+    if "://" in fai_path:
+        from denovo_kmer_tpu.io.remote import open_binary
+
+        with open_binary(fai_path) as f:
+            lines = f.read(1 << 30).decode().splitlines()
+    else:
+        with open(fai_path, "rt") as f:
+            lines = f.read().splitlines()
+    for lineno, line in enumerate(lines, 1):
+        if not line:
+            continue
+        cols = line.split("\t")
+        if len(cols) < 5:
+            raise ValueError(f"{fai_path}:{lineno}: expected 5 tab-separated columns")
+        name = cols[0]
+        try:
+            length, offset, linebases, linewidth = (int(c) for c in cols[1:5])
+        except ValueError:
+            raise ValueError(f"{fai_path}:{lineno}: non-integer index column") from None
+        out[name] = FaiEntry(length, offset, linebases, linewidth)
     return out
 
 
@@ -216,19 +222,29 @@ class FaidxFasta:
 
     def __init__(self, fasta_path: str, fai_path: Optional[str] = None):
         fai_path = fai_path or fasta_path + ".fai"
-        if not os.path.exists(fai_path):
+        remote = "://" in fasta_path
+        if not remote and not os.path.exists(fai_path):
             build_fai(fasta_path, fai_path)
         self.path = fasta_path
+        # hosted references (htslib's remote faidx): the .fai (and .gzi for
+        # bgzipped FASTA) must be served alongside — indexing a remote file
+        # would mean downloading all of it, which defeats the point
         self.index = read_fai(fai_path)
-        self._f = open(fasta_path, "rb")
+        if remote:
+            from denovo_kmer_tpu.io.remote import open_binary
+
+            self._f = open_binary(fasta_path)
+        else:
+            self._f = open(fasta_path, "rb")
         self._bgzf = None
         self._gzi = None
         if _is_gz(fasta_path):
             from denovo_kmer_tpu.io.bgzf import BgzfReader, GziIndex, build_gzi
 
-            if not os.path.exists(fasta_path + ".gzi"):
+            gzi_path = fasta_path + ".gzi"
+            if not remote and not os.path.exists(gzi_path):
                 build_gzi(fasta_path)  # .fai pre-existed but .gzi didn't
-            self._gzi = GziIndex.load(fasta_path + ".gzi")
+            self._gzi = GziIndex.load(gzi_path)
             self._bgzf = BgzfReader(self._f)
         self._cache: Dict[str, str] = {}
         self._validated: set = set()

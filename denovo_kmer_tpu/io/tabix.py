@@ -146,9 +146,18 @@ def write_tbi(vcf_gz_path: str, tbi_path: Optional[str] = None) -> str:
     return tbi_path
 
 
+def _open_any(path: str):
+    if "://" in path:
+        from denovo_kmer_tpu.io.remote import open_binary
+
+        return open_binary(path)
+    return open(path, "rb")
+
+
 def read_tbi(tbi_path: str) -> Tuple[BamIndex, List[str]]:
-    """Parse a .tbi → (BamIndex with the VCF preset's bins/linear, contig names)."""
-    with open(tbi_path, "rb") as f:
+    """Parse a .tbi (local or URL) → (BamIndex with the VCF preset's bins/linear,
+    contig names)."""
+    with _open_any(tbi_path) as f:
         data = BgzfReader(f).read(1 << 40)
     if data[:4] != TBI_MAGIC:
         raise ValueError(f"bad tabix magic in {tbi_path}")
@@ -209,15 +218,22 @@ def read_vcf_region(
     import os
 
     tbi_path = tbi_path or vcf_gz_path + ".tbi"
-    if not os.path.exists(tbi_path):
+    if "://" not in tbi_path and not os.path.exists(tbi_path):
         write_tbi(vcf_gz_path, tbi_path)
-    index, names = read_tbi(tbi_path)
+    try:
+        index, names = read_tbi(tbi_path)
+    except Exception as e:
+        if "://" in tbi_path:
+            raise ValueError(
+                f"remote VCF region query needs a served index: {tbi_path} "
+                f"(index the file where it is hosted) — {e}") from e
+        raise
     rid, beg, end = _parse_simple_region(region, names)
     chunks = index.region_chunks(rid, beg, end)  # already merged + sorted
     if not chunks:
         return
     target = names[rid].encode()
-    with open(vcf_gz_path, "rb") as f:
+    with _open_any(vcf_gz_path) as f:
         r = BgzfReader(f)
         # samples from the header (needed to parse FORMAT/sample columns)
         samples: List[str] = []

@@ -175,3 +175,120 @@ def test_remote_region_uses_sibling_index(tmp_path):
         assert got == want and got
     finally:
         httpd.shutdown()
+
+
+class _RangeHandler(http.server.SimpleHTTPRequestHandler):
+    """SimpleHTTPRequestHandler + RFC 7233 single-range GET (206) — the remote
+    faidx/tabix/BCF paths are Range-seek-driven, unlike the streaming BAM test."""
+
+    def send_head(self):
+        rng = self.headers.get("Range")
+        if not rng or not rng.startswith("bytes="):
+            return super().send_head()
+        import os as _os
+        import posixpath
+
+        path = self.translate_path(self.path)
+        try:
+            f = open(path, "rb")
+        except OSError:
+            self.send_error(404)
+            return None
+        size = _os.fstat(f.fileno()).st_size
+        spec = rng[len("bytes="):]
+        a, _, b = spec.partition("-")
+        start = int(a) if a else max(size - int(b), 0)
+        end = min(int(b), size - 1) if (a and b) else (size - 1)
+        if start >= size:
+            f.close()
+            self.send_error(416)
+            return None
+        self.send_response(206)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Range", f"bytes {start}-{end}/{size}")
+        self.send_header("Content-Length", str(end - start + 1))
+        self.end_headers()
+        f.seek(start)
+        data = f.read(end - start + 1)
+        f.close()
+        import io as _io
+
+        return _io.BytesIO(data)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def served_dir(tmp_path_factory):
+    import functools
+    import threading
+
+    d = tmp_path_factory.mktemp("remote2")
+    handler = functools.partial(_RangeHandler, directory=str(d))
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield str(d), f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_remote_faidx_reference(served_dir):
+    """Hosted reference FASTA: FaidxFasta over http must equal local access
+    (htslib's remote faidx), plain and bgzipped."""
+    import random
+
+    from denovo_kmer_tpu.io.bgzf import BgzfWriter
+    from denovo_kmer_tpu.io.fasta import FaidxFasta, build_fai
+
+    d, base = served_dir
+    rng = random.Random(3)
+    seq = "".join(rng.choice("ACGT") for _ in range(90_000))
+    text = ">cR\n" + "\n".join(seq[i : i + 60] for i in range(0, len(seq), 60)) + "\n"
+    plain = f"{d}/ref.fa"
+    open(plain, "w").write(text)
+    build_fai(plain)
+    gz = f"{d}/ref.fa.gz"
+    with open(gz, "wb") as f, BgzfWriter(f) as w:
+        w.write(text.encode())
+    build_fai(gz)
+
+    for name in ("ref.fa", "ref.fa.gz"):
+        fx = FaidxFasta(f"{base}/{name}")
+        assert fx.fetch("cR", 100, 160) == seq[100:160]
+        assert fx.fetch("cR", 89_000, 89_050) == seq[89_000:89_050]
+        assert fx["cR"] == seq
+
+
+def test_remote_tabix_region(served_dir):
+    from denovo_kmer_tpu.io.tabix import read_vcf_region, write_tbi
+    from denovo_kmer_tpu.io.vcf import VcfRecord, write_vcf
+
+    d, base = served_dir
+    recs = [VcfRecord("chr9", p, ".", "A", ["T"], None, ".", {}, [], [])
+            for p in range(1, 50_000, 997)]
+    local = f"{d}/v.vcf.gz"
+    write_vcf(local, recs, contigs=[("chr9", 50_000)], bgzf=True)
+    write_tbi(local)
+    url = f"{base}/v.vcf.gz"
+    got = [r.pos for r in read_vcf_region(url, "chr9:10000-20000")]
+    want = [r.pos for r in recs if 10_000 <= r.pos <= 20_000]
+    assert got == want
+    # remote with no served .tbi: actionable error, never a silent full scan
+    local2 = f"{d}/w.vcf.gz"
+    write_vcf(local2, recs, contigs=[("chr9", 50_000)], bgzf=True)
+    with pytest.raises(ValueError, match="served index"):
+        list(read_vcf_region(f"{base}/w.vcf.gz", "chr9:1-5"))
+
+
+def test_remote_bcf(served_dir):
+    from denovo_kmer_tpu.io.bcf import read_bcf_records, write_bcf
+    from denovo_kmer_tpu.io.vcf import VcfRecord
+
+    d, base = served_dir
+    recs = [VcfRecord("c", i, ".", "A", ["G"], 9.0, "PASS",
+                      {"DP": str(i)}, [], []) for i in range(1, 40)]
+    write_bcf(f"{d}/x.bcf", recs)
+    got = list(read_bcf_records(f"{base}/x.bcf"))
+    assert [(r.pos, r.info["DP"]) for r in got] == [
+        (r.pos, r.info["DP"]) for r in recs]
