@@ -2052,6 +2052,50 @@ def _enc_byte_array_stop(stop: int, cid: int) -> bytes:
     return itf8_encode(E_BYTE_ARRAY_STOP) + itf8_encode(len(params)) + params
 
 
+def _enc_huffman(alphabet, lens) -> bytes:
+    params = bytearray(itf8_encode(len(alphabet)))
+    for v in alphabet:
+        params += itf8_encode(v)
+    params += itf8_encode(len(lens))
+    for l in lens:
+        params += itf8_encode(l)
+    return itf8_encode(E_HUFFMAN) + itf8_encode(len(params)) + bytes(params)
+
+
+def _enc_beta(offset: int, nbits: int) -> bytes:
+    params = itf8_encode(offset) + itf8_encode(nbits)
+    return itf8_encode(E_BETA) + itf8_encode(len(params)) + params
+
+
+class _BitWriter:
+    """MSB-first core bit stream (the mirror of _BitReader)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.bit = 0
+
+    def write_bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            if self.bit == 0:
+                self.buf.append(0)
+            if (v >> i) & 1:
+                self.buf[-1] |= 1 << (7 - self.bit)
+            self.bit = (self.bit + 1) & 7
+
+    def getvalue(self) -> bytes:
+        return bytes(self.buf)
+
+
+def _huffman_codes(values):
+    """Equal-length canonical codes over the distinct values (a valid prefix set;
+    the reader rebuilds them by (len, symbol) order, spec §12.4)."""
+    alphabet = sorted(set(values))
+    L = max((len(alphabet) - 1).bit_length(), 1)
+    lens = [L] * len(alphabet)
+    codes = {sym: i for i, sym in enumerate(alphabet)}  # canonical: 0,1,2,… at len L
+    return alphabet, lens, codes, L
+
+
 def _compression_header_blob(mapped: bool, multiref: bool = False) -> bytes:
     # preservation map: RN=1 (names kept), AP=0 (absolute positions), RR per mode,
     # SM default matrix, TD = one empty tag line
@@ -2134,6 +2178,7 @@ def write_cram(
     reads_per_container: int = 1000,
     slices_per_container: int = 1,
     version: Tuple[int, int] = (3, 0),
+    profile: str = "external",
 ) -> None:
     """Write a CRAM 3.0 or 3.1 file. Two profiles:
 
@@ -2143,11 +2188,20 @@ def write_cram(
 
     ``version=(3, 1)`` with ``method=M_RANSNX16`` (or ``M_ARITH``) exercises the 3.1
     block codecs end to end (io/rans_nx16.py, io/arith.py).
+
+    ``profile="core"`` (unmapped only) writes BF/RL as BETA bit fields and CF as
+    canonical-Huffman codes in the CORE block instead of EXTERNAL byte streams —
+    the core-block-heavy shape htslib emits with small alphabets, exercising the
+    reader's bit-stream lane end to end.
     """
     if version not in ((3, 0), (3, 1)):
         raise ValueError(f"unsupported CRAM version {version}")
     if method in (M_RANSNX16, M_ARITH, M_FQZCOMP, M_TOK3) and version == (3, 0):
         raise ValueError("rANS Nx16 / arith / fqzcomp / tok3 blocks require CRAM 3.1")
+    if profile not in ("external", "core"):
+        raise ValueError(f"unknown CRAM writer profile {profile!r}")
+    if profile == "core" and mapped is not None:
+        raise ValueError("profile='core' is implemented for the unmapped profile")
     counter = 0
     with open(path, "wb") as f:
         f.write(CRAM_MAGIC + bytes(version) + b"\x00" * 20)
@@ -2177,10 +2231,16 @@ def write_cram(
             per_slice = max(reads_per_container // max(slices_per_container, 1), 1)
             chunks = [recs[i : i + per_slice]
                       for i in range(0, len(recs), per_slice)]
-            for g in range(0, len(chunks), slices_per_container):
-                group = chunks[g : g + slices_per_container]
-                _write_unmapped_container(f, group, counter, method, rans_order)
-                counter += sum(len(c) for c in group)
+            if profile == "core":
+                for chunk in chunks:
+                    _write_unmapped_container_core(f, chunk, counter, method,
+                                                   rans_order)
+                    counter += len(chunk)
+            else:
+                for g in range(0, len(chunks), slices_per_container):
+                    group = chunks[g : g + slices_per_container]
+                    _write_unmapped_container(f, group, counter, method, rans_order)
+                    counter += sum(len(c) for c in group)
 
         # EOF container: ref -1, no records, single empty compression-header block
         bio = _io.BytesIO()
@@ -2200,15 +2260,15 @@ def _sub_code(ref_base: str, alt_base: str) -> int:
 
 def _slice_blob(ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int, start: int,
                 span: int, counter: int, method: int, rans_order: int,
-                md5: bytes = _ZERO_MD5) -> Tuple[bytes, int]:
-    """One slice's blocks (slice header + empty core + used externals) → (bytes, n_blocks)."""
+                md5: bytes = _ZERO_MD5, core: bytes = b"") -> Tuple[bytes, int]:
+    """One slice's blocks (slice header + core + used externals) → (bytes, n_blocks)."""
     used = [(k, b) for k, b in ext.items() if b.buf]
     ids = [_W_IDS[k] for k, _ in used]
     sh = _slice_header_blob(ref_id, start, span, n_rec, counter, 1 + len(used), ids,
                             md5)
     bio = _io.BytesIO()
     write_block(bio, M_RAW, CT_SLICE_HEADER, 0, sh)
-    write_block(bio, M_RAW, CT_CORE, 0, b"")
+    write_block(bio, M_RAW, CT_CORE, 0, core)
     for k, b in used:
         write_block(bio, _METHOD_OVERRIDES.get(k, method), CT_EXTERNAL,
                     _W_IDS[k], bytes(b.buf), rans_order=rans_order,
@@ -2302,6 +2362,82 @@ def _unmapped_ext(chunk, counter) -> Dict[str, _ExtBuf]:
             if qual is not None:
                 ext["QS"].raw(bytes(qual))
     return ext
+
+
+def _core_compression_header_blob(bf_bits, cf_alpha, cf_lens, rl_bits) -> bytes:
+    """Compression header for the core-block-heavy unmapped profile: BF/RL as
+    BETA bit fields, CF as real canonical-Huffman codes in the CORE block,
+    constant series as zero-bit Huffman — exercises the reader's bit-stream
+    lane end to end (the external profile never touches it)."""
+    pres = bytearray()
+    entries = [(b"RN", bytes([1])), (b"AP", bytes([0])), (b"RR", bytes([0])),
+               (b"SM", bytes([0x1B] * 5)), (b"TD", itf8_encode(1) + b"\x00")]
+    pres += itf8_encode(len(entries))
+    for k, v in entries:
+        pres += k + v
+
+    const = {"AP": 0, "MF": 0, "NS": -1, "NP": 0, "TS": 0, "TL": 0}
+    encs: List[Tuple[bytes, bytes]] = [
+        (b"BF", _enc_beta(0, bf_bits)),
+        (b"CF", _enc_huffman(cf_alpha, cf_lens)),
+        (b"RL", _enc_beta(0, rl_bits)),
+    ]
+    for key, v in const.items():
+        encs.append((key.encode(), _enc_huffman([v], [0])))
+    encs.append((b"BA", _enc_external(_W_IDS["BA"])))
+    encs.append((b"QS", _enc_external(_W_IDS["QS"])))
+    encs.append((b"RN", _enc_byte_array_stop(0, _W_IDS["RN"])))
+    series = bytearray(itf8_encode(len(encs)))
+    for k, e in encs:
+        series += k + e
+
+    tags = itf8_encode(0)
+    out = bytearray()
+    for part in (bytes(pres), bytes(series), bytes(tags)):
+        out += itf8_encode(len(part)) + part
+    return bytes(out)
+
+
+def _write_unmapped_container_core(f, chunk, counter, method, rans_order):
+    """One unmapped container in the core profile (see
+    _core_compression_header_blob). Core bits are written in the decoder's
+    per-record consumption order: BF, CF, RL (every other core-coded series is
+    a zero-bit constant)."""
+    bfs, cfs, rls = [], [], []
+    for seq, qual, flag in chunk:
+        bfs.append(flag | BAM_FUNMAP)
+        if seq is None:
+            cfs.append(2 | 8)
+            rls.append(0)
+        else:
+            cfs.append(2 | (1 if qual is not None else 0))
+            rls.append(len(seq))
+    bf_bits = max(max(bfs).bit_length(), 1)
+    rl_bits = max(max(rls).bit_length(), 1)
+    cf_alpha, cf_lens, cf_codes, cf_len = _huffman_codes(cfs)
+
+    core = _BitWriter()
+    ext: Dict[str, _ExtBuf] = {k: _ExtBuf() for k in _W_IDS}
+    for i, (seq, qual, flag) in enumerate(chunk):
+        core.write_bits(bfs[i], bf_bits)
+        core.write_bits(cf_codes[cfs[i]], cf_len)
+        core.write_bits(rls[i], rl_bits)
+        ext["RN"].raw(f"r{counter + i}".encode() + b"\x00")
+        if seq is not None:
+            for ch_ in seq:
+                ext["BA"].byte(ord(ch_))
+            if qual is not None:
+                ext["QS"].raw(bytes(qual))
+
+    bio = _io.BytesIO()
+    write_block(bio, M_RAW, CT_COMPRESSION_HEADER, 0,
+                _core_compression_header_blob(bf_bits, cf_alpha, cf_lens, rl_bits))
+    landmarks = [bio.tell()]
+    blob, n_blocks = _slice_blob(ext, len(chunk), -1, 0, 0, counter, method,
+                                 rans_order, core=core.getvalue())
+    bio.write(blob)
+    _container(f, bio.getvalue(), -1, 0, 0, len(chunk), counter,
+               1 + n_blocks, landmarks)
 
 
 def _write_unmapped_container(f, chunks, counter, method, rans_order):

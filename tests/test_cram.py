@@ -193,3 +193,55 @@ def test_seqless_record_does_not_desync(tmp_path):
     assert got[2].seq == "" and got[2].qual is None
     for (seq, qual, _), rec in zip(reads, got[:2] + got[3:]):
         assert rec.seq == seq and rec.qual == qual
+
+
+def test_core_profile_roundtrip_and_packed_parity(tmp_path):
+    """Core-block-heavy writer profile: BF/RL as BETA bits, CF as real canonical
+    Huffman codes in the CORE block. Must decode identically to the external
+    profile on the same records, through BOTH the record loop and the packed
+    chunk feeder (which falls back to the record loop for core-coded series)."""
+    import random
+
+    from denovo_kmer_tpu.io.cram import read_cram_records, write_cram
+
+    rng = random.Random(17)
+    recs = []
+    for i in range(120):
+        L = rng.choice([36, 80, 151])
+        seq = "".join(rng.choice("ACGT") for _ in range(L))
+        qual = tuple(rng.randrange(42) for _ in range(L)) if i % 3 else None
+        flag = rng.choice([0, 0x10, 0x400])
+        recs.append((seq, qual, flag))
+    recs.append((None, None, 0))  # sequence-unknown record (CF bit 3)
+
+    ext_p = str(tmp_path / "e.cram")
+    core_p = str(tmp_path / "c.cram")
+    write_cram(ext_p, recs, reads_per_container=37)
+    write_cram(core_p, recs, reads_per_container=37, profile="core")
+
+    def surface(path):
+        return [(r.seq, tuple(r.qual or ()), r.flag)
+                for r in read_cram_records(path)]
+
+    assert surface(core_p) == surface(ext_p)
+    # the core CRAM really carries a non-empty CORE block
+    raw = open(core_p, "rb").read()
+    assert len(raw) != len(open(ext_p, "rb").read())
+
+    # packed feeder parity (core series are columnar-ineligible -> record loop)
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.io.cram import CramReader
+    from denovo_kmer_tpu.ops.pack import pack_chunks
+
+    cfg = EngineConfig(k=21, max_read_len=151, batch_reads=32,
+                       table_capacity=1 << 12)
+    outs = []
+    for path in (core_p, ext_p):
+        with open(path, "rb") as f:
+            reader = CramReader(f)
+            batches = list(pack_chunks(
+                reader.iter_seq_chunks(cfg.filter_flag_mask, cfg.max_read_len,
+                                       with_quals=True),
+                cfg))
+        outs.append([(b.words.tobytes(), b.vwords.tobytes()) for b in batches])
+    assert outs[0] == outs[1]
