@@ -249,6 +249,60 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def _trios_from_ped(ped_path: str, sample_map: str, bam_dir: str):
+    """Standard 6-column PED (fam iid father mother sex phenotype; '0' = parent
+    unknown) → TrioPaths list: one trio per individual with BOTH parents listed.
+    Reads files resolve through --sample-map (sample_id<TAB>path) or
+    --bam-dir/<iid>.bam|.cram."""
+    import os
+
+    from denovo_kmer_tpu.cohort import TrioPaths
+
+    if (sample_map is None) == (bam_dir is None):
+        raise SystemExit("--ped needs exactly one of --sample-map or --bam-dir")
+    paths = {}
+    if sample_map is not None:
+        with open(sample_map) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                sid, _, p = line.partition("\t")
+                paths[sid] = p
+
+    def resolve(sid: str) -> str:
+        if sample_map is not None:
+            try:
+                return paths[sid]
+            except KeyError:
+                raise SystemExit(f"--sample-map has no entry for {sid!r}") from None
+        for ext in (".bam", ".cram"):
+            p = os.path.join(bam_dir, sid + ext)
+            if os.path.exists(p):
+                return p
+        raise SystemExit(f"no {sid}.bam/.cram under {bam_dir!r}")
+
+    trios = []
+    with open(ped_path) as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            cols = line.split()
+            if len(cols) < 6:
+                raise SystemExit(
+                    f"{ped_path}:{lineno}: PED needs 6 whitespace-separated "
+                    f"columns (fam iid father mother sex phenotype)")
+            fam, iid, father, mother = cols[0], cols[1], cols[2], cols[3]
+            if father == "0" or mother == "0":
+                continue  # founder / single-parent rows are not trios
+            trios.append(TrioPaths(
+                name=f"{fam}_{iid}",
+                mom=resolve(mother), dad=resolve(father), child=resolve(iid),
+            ))
+    return trios
+
+
 def cmd_cohort(args) -> int:
     """Cohort mode (BASELINE.json config 5): N trios through one compiled engine.
 
@@ -259,14 +313,21 @@ def cmd_cohort(args) -> int:
     import os
 
     cfg = _cfg_from_args(args)
+    if (args.manifest is None) == (args.ped is None):
+        raise SystemExit("cohort needs exactly one of: a manifest, or --ped")
     trios = []
-    with open(args.manifest) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            name, mom, dad, child = line.split("\t")
-            trios.append(TrioPaths(name=name, mom=mom, dad=dad, child=child))
+    if args.ped is not None:
+        trios = _trios_from_ped(args.ped, args.sample_map, args.bam_dir)
+    else:
+        with open(args.manifest) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                name, mom, dad, child = line.split("\t")
+                trios.append(TrioPaths(name=name, mom=mom, dad=dad, child=child))
+    if not trios:
+        raise SystemExit("cohort: no trios found in the input")
     if getattr(args, "passes", 1) > 1:
         raise SystemExit("--passes is only supported by `call` (single-chip WGS path)")
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
@@ -528,7 +589,18 @@ def main(argv=None) -> int:
     pw.set_defaults(fn=cmd_sweep)
 
     ph = sub.add_parser("cohort", help="N trios through one compiled engine")
-    ph.add_argument("manifest", help="TSV: name<TAB>mom<TAB>dad<TAB>child per line")
+    ph.add_argument("manifest", nargs="?", default=None,
+                    help="TSV: name<TAB>mom<TAB>dad<TAB>child per line "
+                         "(or use --ped)")
+    ph.add_argument("--ped", default=None,
+                    help="6-column PED pedigree (fam iid father mother sex "
+                         "phenotype); every individual with both parents listed "
+                         "becomes a trio. Sample files resolve via --sample-map "
+                         "or --bam-dir/<iid>.bam|.cram")
+    ph.add_argument("--sample-map", default=None,
+                    help="TSV: sample_id<TAB>reads_path (with --ped)")
+    ph.add_argument("--bam-dir", default=None,
+                    help="directory holding <sample_id>.bam/.cram (with --ped)")
     ph.add_argument("-o", "--outdir", required=True)
     ph.add_argument("--no-superset", action="store_true",
                     help="skip the cohort parental superset table")

@@ -177,3 +177,54 @@ def test_extractor_fast_t_selectable(trio_dir, tmp_path):
         assert rc == 0
         outs[ex] = out.read_bytes()
     assert outs["fast"] == outs["fast_t"]
+
+
+def test_cohort_ped_input(trio_dir, tmp_path):
+    """PED pedigree input must produce the same per-trio report as the manifest."""
+    import shutil
+
+    # sample files named by individual id for --bam-dir resolution
+    d = tmp_path / "samples"
+    d.mkdir()
+    shutil.copy(trio_dir / "mom.bam", d / "M1.bam")
+    shutil.copy(trio_dir / "dad.bam", d / "F1.bam")
+    shutil.copy(trio_dir / "child.bam", d / "C1.bam")
+    ped = tmp_path / "fam.ped"
+    ped.write_text(
+        "# family pedigree\n"
+        "FAM1 F1 0 0 1 1\n"      # founders: not trios
+        "FAM1 M1 0 0 2 1\n"
+        "FAM1 C1 F1 M1 1 2\n"
+    )
+    out_ped = tmp_path / "by_ped"
+    rc = main(["cohort", "--ped", str(ped), "--bam-dir", str(d),
+               "-o", str(out_ped), "--no-superset", *ENGINE_ARGS])
+    assert rc == 0
+    ped_report = (out_ped / "FAM1_C1.candidates.tsv").read_text()
+
+    man = tmp_path / "man2.tsv"
+    man.write_text(f"FAM1_C1\t{d/'M1.bam'}\t{d/'F1.bam'}\t{d/'C1.bam'}\n")
+    out_man = tmp_path / "by_man"
+    rc = main(["cohort", str(man), "-o", str(out_man), "--no-superset",
+               *ENGINE_ARGS])
+    assert rc == 0
+    assert ped_report == (out_man / "FAM1_C1.candidates.tsv").read_text()
+
+    # sample-map resolution + error paths
+    smap = tmp_path / "map.tsv"
+    smap.write_text(f"F1\t{d/'F1.bam'}\nM1\t{d/'M1.bam'}\nC1\t{d/'C1.bam'}\n")
+    out_map = tmp_path / "by_map"
+    rc = main(["cohort", "--ped", str(ped), "--sample-map", str(smap),
+               "-o", str(out_map), "--no-superset", *ENGINE_ARGS])
+    assert rc == 0
+    assert (out_map / "FAM1_C1.candidates.tsv").read_text() == ped_report
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="exactly one"):
+        main(["cohort", "-o", str(tmp_path / "x"), *ENGINE_ARGS])
+    with _pytest.raises(SystemExit, match="no entry"):
+        bad = tmp_path / "bad.tsv"
+        bad.write_text("F1\tnope.bam\n")
+        main(["cohort", "--ped", str(ped), "--sample-map", str(bad),
+              "-o", str(tmp_path / "y"), *ENGINE_ARGS])
