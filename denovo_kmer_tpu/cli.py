@@ -449,6 +449,58 @@ def cmd_evidence(args) -> int:
     return 0
 
 
+def cmd_histo(args) -> int:
+    """k-mer multiplicity spectrum of a `count` checkpoint (`jellyfish histo`
+    analog): lines of `count<TAB>n_distinct_kmers`, counts above --high fold
+    into the last bin."""
+    import numpy as np
+
+    from denovo_kmer_tpu.utils.checkpoint import load_table
+
+    cfg = _cfg_from_args(args)
+    table = load_table(args.table, cfg)
+    n = int(table.n)
+    counts = np.asarray(table.counts)[:n].astype(np.int64)
+    if n and counts.min() < 1:
+        counts = counts[counts >= 1]  # defensive: padding never counts
+    hi = args.high
+    clipped = np.minimum(counts, hi)
+    hist = np.bincount(clipped, minlength=hi + 1)
+    for c in range(args.low, hi + 1):
+        if hist[c] or c == hi:
+            print(f"{c}\t{int(hist[c])}")
+    return 0
+
+
+def cmd_dump(args) -> int:
+    """Dump a `count` checkpoint's k-mers (`jellyfish dump` analog): TSV
+    `kmer<TAB>count` (default) or FASTA with the count as the header."""
+    import numpy as np
+
+    from denovo_kmer_tpu.pipeline import decode_kmers_np
+    from denovo_kmer_tpu.utils.checkpoint import load_table
+
+    cfg = _cfg_from_args(args)
+    table = load_table(args.table, cfg)
+    n = int(table.n)
+    keys = np.asarray(table.keys)[:n]
+    counts = np.asarray(table.counts)[:n]
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    try:
+        chunk = 65536  # bounded memory on WGS-scale tables
+        for i in range(0, n, chunk):
+            strs = decode_kmers_np(keys[i : i + chunk], cfg.k)
+            cs = counts[i : i + chunk]
+            if args.fasta:
+                out.write("".join(f">{int(c)}\n{s}\n" for s, c in zip(strs, cs)))
+            else:
+                out.write("".join(f"{s}\t{int(c)}\n" for s, c in zip(strs, cs)))
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_bgzip(args) -> int:
     """bgzip-compatible block compression: compress to BGZF, -d to inflate,
     -r to (re)build the .gzi random-access index (io/bgzf.py)."""
@@ -613,6 +665,26 @@ def main(argv=None) -> int:
                     help="comma-separated k-mers (default: read one per line from stdin)")
     _add_engine_args(pq)
     pq.set_defaults(fn=cmd_probe)
+
+    pt = sub.add_parser(
+        "histo", help="k-mer multiplicity spectrum of a `count` checkpoint "
+                      "(jellyfish histo analog)")
+    pt.add_argument("table", help="table checkpoint (.npz from `count`)")
+    pt.add_argument("--low", type=int, default=1)
+    pt.add_argument("--high", type=int, default=10_000,
+                    help="counts above this fold into the last bin")
+    _add_engine_args(pt)
+    pt.set_defaults(fn=cmd_histo)
+
+    pd = sub.add_parser(
+        "dump", help="dump a `count` checkpoint's k-mers to TSV or FASTA "
+                     "(jellyfish dump analog)")
+    pd.add_argument("table", help="table checkpoint (.npz from `count`)")
+    pd.add_argument("-o", "--output", default="-")
+    pd.add_argument("--fasta", action="store_true",
+                    help="FASTA with the count as each record's header")
+    _add_engine_args(pd)
+    pd.set_defaults(fn=cmd_dump)
 
     pb = sub.add_parser(
         "bgzip", help="block-compress a file to BGZF (bgzip-compatible); "

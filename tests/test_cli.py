@@ -228,3 +228,43 @@ def test_cohort_ped_input(trio_dir, tmp_path):
         bad.write_text("F1\tnope.bam\n")
         main(["cohort", "--ped", str(ped), "--sample-map", str(bad),
               "-o", str(tmp_path / "y"), *ENGINE_ARGS])
+
+
+def test_histo_and_dump(trio_dir, tmp_path, capsys):
+    """histo/dump over a count checkpoint: dump re-counts to the same table,
+    histo equals the bincount of dump's counts (jellyfish analogs)."""
+    npz = tmp_path / "mom.npz"
+    assert main(["count", str(trio_dir / "mom.bam"), "-o", str(npz),
+                 *ENGINE_ARGS]) == 0
+    capsys.readouterr()
+
+    dump_tsv = tmp_path / "dump.tsv"
+    assert main(["dump", str(npz), "-o", str(dump_tsv), *ENGINE_ARGS]) == 0
+    rows = [l.split("\t") for l in dump_tsv.read_text().splitlines()]
+    assert rows and all(len(r) == 2 for r in rows)
+    kmers = [r[0] for r in rows]
+    counts = [int(r[1]) for r in rows]
+    assert kmers == sorted(kmers) and len(set(kmers)) == len(kmers)
+    assert all(c >= 1 for c in counts)
+
+    assert main(["histo", str(npz), *ENGINE_ARGS]) == 0
+    out = capsys.readouterr().out
+    hist = {int(a): int(b) for a, b in
+            (l.split("\t") for l in out.strip().splitlines())}
+    from collections import Counter
+
+    want = Counter(counts)
+    assert all(hist.get(c, 0) == n for c, n in want.items())
+
+    # FASTA dump carries the same multiset
+    dump_fa = tmp_path / "dump.fa"
+    assert main(["dump", str(npz), "-o", str(dump_fa), "--fasta",
+                 *ENGINE_ARGS]) == 0
+    lines = dump_fa.read_text().splitlines()
+    assert lines[0::2] == [f">{c}" for c in counts]
+    assert lines[1::2] == kmers
+
+    # spot-check: probe agrees with dump for the first k-mer
+    assert main(["probe", str(npz), "--kmers", kmers[0], *ENGINE_ARGS]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out == f"{kmers[0]}\t{counts[0]}"
