@@ -67,6 +67,10 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="restrict BAM inputs to a genomic region (chr20 or "
                         "chr20:1,000-2,000; uses a .bai/.csi next to the file when "
                         "present, full-scan filter otherwise)")
+    e.add_argument("--regions-bed", default=None,
+                   help="restrict BAM inputs to the intervals of a BED3+ file "
+                        "(merged per contig, each overlapping read counted once "
+                        "- samtools view -M -L semantics)")
     e.add_argument("--passes", type=int, default=1,
                    help="prefix-partitioned multi-pass build: each pass holds ~1/N of "
                         "the unique k-mers in --table-capacity, re-reading the inputs N "
@@ -85,6 +89,20 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     e.add_argument("--json-metrics", action="store_true")
     e.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace here (SURVEY.md §5.1)")
+
+
+def _resolve_region(args):
+    """--region (single string) or --regions-bed (BED file -> region list);
+    mutually exclusive. The list form flows through every pipeline's
+    _record_stream (multi-region BAM iterator, samtools view -M -L)."""
+    bed = getattr(args, "regions_bed", None)
+    if bed:
+        if args.region:
+            raise SystemExit("--region and --regions-bed are mutually exclusive")
+        from denovo_kmer_tpu.io.bai import parse_bed
+
+        return parse_bed(bed)
+    return args.region
 
 
 def _cfg_from_args(args) -> EngineConfig:
@@ -137,23 +155,23 @@ def cmd_call(args) -> int:
 
                 result = run_trio_multipass_sharded(
                     args.mom, args.dad, args.child, cfg, args.passes, metrics,
-                    region=args.region,
+                    region=_resolve_region(args),
                 )
             else:
                 from denovo_kmer_tpu.pipeline import run_trio_multipass
 
                 result = run_trio_multipass(
                     args.mom, args.dad, args.child, cfg, args.passes, metrics,
-                    region=args.region,
+                    region=_resolve_region(args),
                 )
         elif cfg.mesh_shape != (1, 1):
             from denovo_kmer_tpu.parallel.pipeline import run_trio_sharded
 
             result = run_trio_sharded(args.mom, args.dad, args.child, cfg, metrics,
-                                      region=args.region)
+                                      region=_resolve_region(args))
         else:
             result = run_trio(args.mom, args.dad, args.child, cfg, metrics,
-                              region=args.region)
+                              region=_resolve_region(args))
     finally:
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
@@ -204,7 +222,7 @@ def cmd_count(args) -> int:
             )
         else:
             table = build_sample_table(
-                _record_stream(args.reads, cfg, args.region), cfg, metrics
+                _record_stream(args.reads, cfg, _resolve_region(args)), cfg, metrics
             )
     save_table(args.output, table, cfg, source=args.reads)
     print(metrics.summary(), file=sys.stderr)
@@ -235,11 +253,11 @@ def cmd_sweep(args) -> int:
         from denovo_kmer_tpu.cohort import run_trio_multi_k_sharded
 
         results = run_trio_multi_k_sharded(
-            args.mom, args.dad, args.child, cfg, ks, metrics, region=args.region
+            args.mom, args.dad, args.child, cfg, ks, metrics, region=_resolve_region(args)
         )
     else:
         results = run_trio_multi_k(args.mom, args.dad, args.child, cfg, ks, metrics,
-                                   region=args.region)
+                                   region=_resolve_region(args))
     for k, res in sorted(results.items()):
         path = args.output_pattern.format(k=k)
         with open(path, "w") as f:
@@ -343,7 +361,7 @@ def cmd_cohort(args) -> int:
                     if not args.no_superset else None)
         results_t, superset = run_cohort_sharded(
             trios, cfg, metrics, build_parental_superset=not args.no_superset,
-            region=args.region, superset_out=sup_path,
+            region=_resolve_region(args), superset_out=sup_path,
         )
         for name, cands in results_t.items():
             path = os.path.join(args.outdir, f"{name}.candidates.tsv")
@@ -359,7 +377,7 @@ def cmd_cohort(args) -> int:
         return 0
     results, superset = run_cohort(
         trios, cfg, metrics, build_parental_superset=not args.no_superset,
-        region=args.region,
+        region=_resolve_region(args),
     )
     for name, res in results.items():
         path = os.path.join(args.outdir, f"{name}.candidates.tsv")
@@ -443,7 +461,7 @@ def cmd_evidence(args) -> int:
 
     cfg = _cfg_from_args(args)
     res = run_evidence(args.child, args.candidates, cfg, args.output,
-                       region=args.region)
+                       region=_resolve_region(args))
     print(f"evidence: {res.n_reads_matched}/{res.n_reads_scanned} reads -> "
           f"{res.out_path}", file=sys.stderr)
     return 0

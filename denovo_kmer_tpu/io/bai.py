@@ -366,3 +366,61 @@ def read_bam_records_region(
                     yield rec
                 # no positional early-exit: the engine's fixtures are not necessarily
                 # coordinate-sorted, and a chunk may interleave positions
+
+
+def parse_bed(bed_path: str) -> List[str]:
+    """BED3+ → region strings (`chrom:beg1-end`). Track/browser/comment lines
+    skip; later columns ignore (BED6/12 inputs work)."""
+    regions = []
+    with open(bed_path) as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.strip()
+            if (not line or line.startswith(("#", "track", "browser"))):
+                continue
+            cols = line.split("\t") if "\t" in line else line.split()
+            if len(cols) < 3:
+                raise ValueError(f"{bed_path}:{lineno}: BED needs >= 3 columns")
+            try:
+                beg, end = int(cols[1]), int(cols[2])
+            except ValueError:
+                raise ValueError(
+                    f"{bed_path}:{lineno}: non-integer BED coordinates") from None
+            if end <= beg:
+                raise ValueError(f"{bed_path}:{lineno}: empty BED interval")
+            regions.append(f"{cols[0]}:{beg + 1}-{end}")
+    return regions
+
+
+def read_bam_records_regions(
+    bam_path: str, regions: List[str], index: Optional[BamIndex] = None
+) -> Iterator[BamRecord]:
+    """Multi-region iterator (``samtools view -M -L`` semantics): regions merge
+    per contig, fetches run in coordinate order, and each overlapping record
+    yields exactly ONCE — a record spanning two target intervals is suppressed
+    in the later fetch (disjoint sorted intervals ⇒ the already-seen overlap set
+    is always the immediately preceding interval)."""
+    from denovo_kmer_tpu.io.remote import open_binary
+
+    with open_binary(bam_path) as f:
+        refs = BamReader(f).references
+    by_ref: Dict[int, List[Tuple[int, int]]] = {}
+    for r in regions:
+        refid, beg, end = parse_region(r, refs)
+        by_ref.setdefault(refid, []).append((beg, end))
+    for refid in sorted(by_ref):
+        ivs = sorted(by_ref[refid])
+        merged = [ivs[0]]
+        for b, e in ivs[1:]:
+            if b <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((b, e))
+        prev_end = None
+        name = refs[refid][0]
+        for beg, end in merged:
+            for rec in read_bam_records_region(
+                    bam_path, f"{name}:{beg + 1}-{end}", index=index):
+                if prev_end is not None and rec.pos < prev_end:
+                    continue  # already yielded by the preceding interval
+                yield rec
+            prev_end = end

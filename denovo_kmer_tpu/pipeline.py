@@ -76,6 +76,15 @@ def _record_stream(path: str, cfg: EngineConfig, region: Optional[str] = None) -
     low = path.lower()
     if region and not low.endswith((".bam", ".cram")):
         raise ValueError(f"--region requires a BAM or CRAM input, got {path}")
+    if isinstance(region, (list, tuple)):
+        # --regions-bed: multi-region restriction (samtools view -M -L semantics)
+        if not low.endswith(".bam"):
+            raise ValueError(
+                f"--regions-bed requires BAM inputs (CRAM supports a single "
+                f"--region), got {path}")
+        from denovo_kmer_tpu.io.bai import read_bam_records_regions
+
+        return read_bam_records_regions(path, list(region))
     if low.endswith(".bam"):
         if region:
             from denovo_kmer_tpu.io.bai import read_bam_records_region

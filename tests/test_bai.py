@@ -151,3 +151,80 @@ def test_region_sharded_matches_single_chip(bam, tmp_path):
     got = run_trio_sharded(bam, bam, bam, cfg8, region=region)
     assert got.candidates == ref.candidates
     assert got.report == ref.report
+
+
+def test_multi_region_bed_iterator(tmp_path):
+    """read_bam_records_regions: merged intervals, coordinate order, each
+    overlapping read exactly once (samtools view -M -L semantics)."""
+    import random
+
+    from denovo_kmer_tpu.io.bai import (
+        parse_bed, read_bam_records_regions, record_ref_span, write_bai,
+    )
+    from denovo_kmer_tpu.io.bam import BamRecord, BamWriter, read_bam_records
+
+    rng = random.Random(77)
+    refs = [("c1", 50_000), ("c2", 50_000)]
+    recs = []
+    for i in range(600):
+        refid = rng.randrange(2)
+        pos = rng.randrange(49_000)
+        L = rng.choice([50, 400])  # long reads span interval gaps
+        recs.append(BamRecord(name=f"r{i}", flag=0, refid=refid, pos=pos,
+                              cigar=((L, 0),),
+                              seq="A" * L, qual=tuple([30] * L)))
+    recs.sort(key=lambda r: (r.refid, r.pos))
+    bam = str(tmp_path / "s.bam")
+    with open(bam, "wb") as f, BamWriter(f, references=refs) as w:
+        for r in recs:
+            w.write(r)
+    write_bai(bam)
+
+    bed = tmp_path / "t.bed"
+    bed.write_text(
+        "# targets\n"
+        "c1\t1000\t2000\tnameA\t0\t+\n"   # BED6 columns tolerated
+        "c1\t1900\t2500\n"                # overlaps previous -> merges
+        "c1\t2600\t2700\n"                # 100bp gap: a 400bp read spans both
+        "c2\t10\t20\n"
+    )
+    regions = parse_bed(str(bed))
+    got = [r.name for r in read_bam_records_regions(bam, regions)]
+
+    ivs = [(0, 1000, 2500), (0, 2600, 2700), (1, 10, 20)]
+    want = []
+    for r in recs:
+        if any(r.refid == ref and r.pos < e and
+               r.pos + record_ref_span(r) > b for ref, b, e in ivs):
+            want.append(r.name)
+    assert sorted(got) == sorted(want)
+    assert len(got) == len(set(got)), "a read was yielded twice"
+
+
+def test_cli_regions_bed_matches_region(tmp_path):
+    import sys
+
+    from denovo_kmer_tpu.cli import main
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+
+    d = tmp_path / "trio"
+    d.mkdir()
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=4000, read_len=60, coverage=6.0, seed=9)),
+        str(d))
+    for p in paths.values():
+        if p.endswith(".bam"):
+            main(["sort", p, "-o", p])  # in place; synth emits near-sorted
+            main(["index", p])
+    eng = ["-k", "21", "--table-capacity", "16384", "--batch-reads", "64",
+           "--max-read-len", "64"]
+    bed = tmp_path / "one.bed"
+    bed.write_text("chr20\t499\t2500\n")
+    a, b = str(tmp_path / "a.tsv"), str(tmp_path / "b.tsv")
+    assert main(["call", "--mom", paths["mom"], "--dad", paths["dad"],
+                 "--child", paths["child"], "-o", a,
+                 "--region", "chr20:500-2500", *eng]) == 0
+    assert main(["call", "--mom", paths["mom"], "--dad", paths["dad"],
+                 "--child", paths["child"], "-o", b,
+                 "--regions-bed", str(bed), *eng]) == 0
+    assert open(a).read() == open(b).read()
