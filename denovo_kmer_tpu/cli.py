@@ -194,6 +194,33 @@ def cmd_call(args) -> int:
         f"child={result.tables_n['child']})",
         file=sys.stderr,
     )
+    if getattr(args, "evidence_out", None):
+        # one pass over the child right after the call: the supporting-read
+        # subset for candidate review (pipeline.run_evidence)
+        import tempfile
+
+        from denovo_kmer_tpu.pipeline import run_evidence
+
+        if args.output != "-" and args.output_format == "tsv":
+            tsv = args.output
+            tmp = None
+        else:  # stdout/FASTA output: stage the TSV for the candidate parser
+            tmp = tempfile.NamedTemporaryFile("w", suffix=".tsv", delete=False)
+            from denovo_kmer_tpu.oracle.scalar import decode_kmer
+
+            tmp.write("#kmer\tchild_count\tmom_count\tdad_count\n")
+            for v, cc, mc, dc in result.candidates:
+                tmp.write(f"{decode_kmer(v, cfg.k)}\t{cc}\t{mc}\t{dc}\n")
+            tmp.close()
+            tsv = tmp.name
+        try:
+            ev = run_evidence(args.child, tsv, cfg, args.evidence_out,
+                              region=_resolve_region(args))
+        finally:
+            if tmp is not None:
+                os.unlink(tmp.name)
+        print(f"evidence: {ev.n_reads_matched}/{ev.n_reads_scanned} reads -> "
+              f"{ev.out_path}", file=sys.stderr)
     return 0
 
 
@@ -634,6 +661,9 @@ def main(argv=None) -> int:
                     help="father reads or a `count` table checkpoint (.npz)")
     pc.add_argument("--child", required=True)
     pc.add_argument("-o", "--output", default="-")
+    pc.add_argument("--evidence-out", default=None,
+                    help="also write the child reads supporting any candidate "
+                         "to this BAM/FASTQ (one extra pass; see `evidence`)")
     _add_engine_args(pc)
     pc.set_defaults(fn=cmd_call)
 

@@ -122,3 +122,27 @@ def test_candidate_length_mismatch_rejected(trio, tmp_path):
         f.write("ACGT\t1\t0\t0\n")
     with pytest.raises(ValueError, match="length"):
         run_evidence(paths["child"], bad, cfg, str(tmp_path / "x.bam"))
+
+
+def test_call_evidence_out_flag(trio, tmp_path, capsys):
+    """call --evidence-out must equal the standalone evidence run, for both
+    file-TSV and stdout report modes."""
+    from denovo_kmer_tpu.cli import main
+
+    d, paths, cfg, tsv, _res = trio
+    eng = ["-k", "21", "--table-capacity", "16384", "--batch-reads", "64",
+           "--max-read-len", "80"]
+    out_tsv = str(tmp_path / "c.tsv")
+    ev1 = str(tmp_path / "ev1.bam")
+    assert main(["call", "--mom", paths["mom"], "--dad", paths["dad"],
+                 "--child", paths["child"], "-o", out_tsv,
+                 "--evidence-out", ev1, *eng]) == 0
+    ev2 = str(tmp_path / "ev2.bam")
+    assert main(["call", "--mom", paths["mom"], "--dad", paths["dad"],
+                 "--child", paths["child"], "-o", "-",
+                 "--evidence-out", ev2, *eng]) == 0
+    capsys.readouterr()
+    names1 = {r.name for r in read_bam_records(ev1)}
+    names2 = {r.name for r in read_bam_records(ev2)}
+    _cands, want = _oracle_names(paths, cfg, tsv)
+    assert names1 == names2 == want
