@@ -235,7 +235,7 @@ def cmd_count(args) -> int:
 
     cfg = _cfg_from_args(args)
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
-    if args.region and args.resume:
+    if (args.region or getattr(args, "regions_bed", None)) and args.resume:
         raise SystemExit("--region and --resume are mutually exclusive")
     if getattr(args, "passes", 1) > 1:
         raise SystemExit("--passes is only supported by `call` (single-chip WGS path)")

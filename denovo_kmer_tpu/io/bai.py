@@ -375,7 +375,12 @@ def parse_bed(bed_path: str) -> List[str]:
     with open(bed_path) as f:
         for lineno, line in enumerate(f, 1):
             line = line.strip()
-            if (not line or line.startswith(("#", "track", "browser"))):
+            if not line or line.startswith("#"):
+                continue
+            # UCSC header LINES are 'track ...'/'browser ...' (type + whitespace);
+            # a CONTIG merely named 'track_ctg1' is data (samtools agrees)
+            first = line.split("\t")[0] if "\t" in line else line.split()[0]
+            if first in ("track", "browser"):
                 continue
             cols = line.split("\t") if "\t" in line else line.split()
             if len(cols) < 3:
@@ -407,6 +412,7 @@ def read_bam_records_regions(
     for r in regions:
         refid, beg, end = parse_region(r, refs)
         by_ref.setdefault(refid, []).append((beg, end))
+    merged_by_ref: Dict[int, List[Tuple[int, int]]] = {}
     for refid in sorted(by_ref):
         ivs = sorted(by_ref[refid])
         merged = [ivs[0]]
@@ -415,6 +421,24 @@ def read_bam_records_regions(
                 merged[-1] = (merged[-1][0], max(merged[-1][1], e))
             else:
                 merged.append((b, e))
+        merged_by_ref[refid] = merged
+
+    if index is None:
+        index = load_index_for(bam_path)
+    if index is None:
+        # unindexed: ONE full scan testing every interval (samtools -L does one
+        # pass too) — M separate region calls would scan the file M times
+        with open_binary(bam_path) as f:
+            for rec in BamReader(f):
+                if rec.pos < 0:
+                    continue
+                ivs = merged_by_ref.get(rec.refid)
+                if ivs and any(rec.pos < e and
+                               rec.pos + record_ref_span(rec) > b
+                               for b, e in ivs):
+                    yield rec
+        return
+    for refid, merged in merged_by_ref.items():
         prev_end = None
         name = refs[refid][0]
         for beg, end in merged:

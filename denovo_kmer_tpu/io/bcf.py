@@ -187,12 +187,9 @@ class BcfReader:
     """Iterate VcfRecord from a BCF 2.2 path; header meta/samples retained."""
 
     def __init__(self, path: str):
-        if "://" in path:  # http(s)/s3/gs via the ranged remote stream
-            from denovo_kmer_tpu.io.remote import open_binary
+        from denovo_kmer_tpu.io.remote import open_binary
 
-            self._fh = open_binary(path)
-        else:
-            self._fh = open(path, "rb")
+        self._fh = open_binary(path)  # local file or http(s)/s3/gs ranged stream
         self._r = BgzfReader(self._fh)
         magic = self._r.read(5)
         if magic != BCF_MAGIC:

@@ -286,13 +286,9 @@ class GziIndex:
 
     @classmethod
     def load(cls, gzi_path: str) -> "GziIndex":
-        if "://" in gzi_path:
-            from denovo_kmer_tpu.io.remote import open_binary
+        from denovo_kmer_tpu.io.remote import open_binary
 
-            opener = open_binary(gzi_path)
-        else:
-            opener = open(gzi_path, "rb")
-        with opener as f:
+        with open_binary(gzi_path) as f:
             (n,) = struct.unpack("<Q", f.read(8))
             raw = f.read(16 * n)
         if len(raw) != 16 * n:

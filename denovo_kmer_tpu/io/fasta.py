@@ -188,14 +188,10 @@ def _bgzf_lines(path: str) -> Iterator[bytes]:
 def read_fai(fai_path: str) -> Dict[str, FaiEntry]:
     """Parse a .fai file (local path or URL) → ordered {name: FaiEntry}."""
     out: Dict[str, FaiEntry] = {}
-    if "://" in fai_path:
-        from denovo_kmer_tpu.io.remote import open_binary
+    from denovo_kmer_tpu.io.remote import open_binary
 
-        with open_binary(fai_path) as f:
-            lines = f.read(1 << 30).decode().splitlines()
-    else:
-        with open(fai_path, "rt") as f:
-            lines = f.read().splitlines()
+    with open_binary(fai_path) as f:
+        lines = f.read(1 << 30).decode().splitlines()
     for lineno, line in enumerate(lines, 1):
         if not line:
             continue
@@ -230,12 +226,9 @@ class FaidxFasta:
         # bgzipped FASTA) must be served alongside — indexing a remote file
         # would mean downloading all of it, which defeats the point
         self.index = read_fai(fai_path)
-        if remote:
-            from denovo_kmer_tpu.io.remote import open_binary
+        from denovo_kmer_tpu.io.remote import open_binary
 
-            self._f = open_binary(fasta_path)
-        else:
-            self._f = open(fasta_path, "rb")
+        self._f = open_binary(fasta_path)
         self._bgzf = None
         self._gzi = None
         if _is_gz(fasta_path):
@@ -300,6 +293,12 @@ class FaidxFasta:
         e = self.index[name]
         back = min(e.offset, 65536)
         raw = self._pread(e.offset - back, back)
+        if back == 65536 and not raw.startswith(b">") and b"\n>" not in raw:
+            # the whole window is sequence/description with no header start in
+            # sight (>64 KiB header lines are legal) — cannot validate cheaply;
+            # never reject a valid file for it
+            self._validated.add(name)
+            return
         lines = raw.split(b"\n")
         ok = (back > 0 and lines[-1] == b"" and len(lines) >= 2)
         if ok:

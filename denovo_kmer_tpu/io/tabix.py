@@ -146,18 +146,12 @@ def write_tbi(vcf_gz_path: str, tbi_path: Optional[str] = None) -> str:
     return tbi_path
 
 
-def _open_any(path: str):
-    if "://" in path:
-        from denovo_kmer_tpu.io.remote import open_binary
-
-        return open_binary(path)
-    return open(path, "rb")
-
-
 def read_tbi(tbi_path: str) -> Tuple[BamIndex, List[str]]:
     """Parse a .tbi (local or URL) → (BamIndex with the VCF preset's bins/linear,
     contig names)."""
-    with _open_any(tbi_path) as f:
+    from denovo_kmer_tpu.io.remote import open_binary
+
+    with open_binary(tbi_path) as f:
         data = BgzfReader(f).read(1 << 40)
     if data[:4] != TBI_MAGIC:
         raise ValueError(f"bad tabix magic in {tbi_path}")
@@ -233,7 +227,9 @@ def read_vcf_region(
     if not chunks:
         return
     target = names[rid].encode()
-    with _open_any(vcf_gz_path) as f:
+    from denovo_kmer_tpu.io.remote import open_binary
+
+    with open_binary(vcf_gz_path) as f:
         r = BgzfReader(f)
         # samples from the header (needed to parse FORMAT/sample columns)
         samples: List[str] = []

@@ -1003,37 +1003,55 @@ def run_evidence(
     scanned = matched = 0
     batch: list = []
 
-    # references/header for BAM output: carry the source's when it is a BAM
+    # BAM output needs the source's reference dictionary: records keep their
+    # refid, and a BAM whose refid >= n_ref is structurally invalid (samtools/
+    # IGV reject it). Carry refs from any source that has them.
     references: list = []
-    if child_path.lower().endswith(".bam") and "://" not in child_path:
-        from denovo_kmer_tpu.io.bam import BamReader
+    low = child_path.lower()
+    if not fastq:
+        from denovo_kmer_tpu.io.remote import open_binary
 
-        with open(child_path, "rb") as f:
-            references = BamReader(f).references
+        if low.endswith(".bam"):
+            from denovo_kmer_tpu.io.bam import BamReader
+
+            with open_binary(child_path) as f:
+                references = BamReader(f).references
+        elif low.endswith(".cram"):
+            from denovo_kmer_tpu.io.cram import CramReader
+
+            with open_binary(child_path) as f:
+                references = CramReader(f).references  # header-only read
+        elif low.endswith((".sam", ".sam.gz")):
+            from denovo_kmer_tpu.io.sam import SamReader
+
+            with SamReader(child_path) as sr:
+                references = list(sr.references)
 
     out_f = open(out_path, "wb")
     writer = None if fastq else BamWriter(out_f, references=references)
+    n_ref = len(references)
 
     def flush_batch():
         nonlocal matched
         if not batch:
             return
-        packed = pack_seqs([r.seq for r in batch], cfg,
-                           [r.qual for r in batch], batch_size=cfg.batch_reads)
+        packed = pack_seqs([r.seq for r, _ in batch], cfg,
+                           [r.qual for r, _ in batch], batch_size=cfg.batch_reads)
         any_hit, _n_hit = step(jnp.asarray(packed.words), jnp.asarray(packed.vwords))
         mask = np.asarray(any_hit)[: len(batch)]
-        for r, m in zip(batch, mask):
+        for (r, ordinal), m in zip(batch, mask):
             if not m:
                 continue
             matched += 1
+            name = getattr(r, "name", None) or f"r{ordinal}"
             if fastq:
                 q = r.qual if r.qual is not None else (0,) * len(r.seq)
                 qs = "".join(chr(min(x, 93) + 33) for x in q)
-                out_f.write(f"@{r.name}\n{r.seq}\n+\n{qs}\n".encode())
-            elif isinstance(r, BamRecord):
+                out_f.write(f"@{name}\n{r.seq}\n+\n{qs}\n".encode())
+            elif isinstance(r, BamRecord) and r.refid < n_ref:
                 writer.write(r)
-            else:  # CRAM/SAM/FASTQ records: sequence-level evidence rows
-                writer.write(BamRecord(name=r.name or f"r{scanned}",
+            else:  # nameless/refless sources: sequence-level evidence rows
+                writer.write(BamRecord(name=name,
                                        flag=getattr(r, "flag", 4) | 4,
                                        seq=r.seq, qual=r.qual))
         batch.clear()
@@ -1041,8 +1059,8 @@ def run_evidence(
     for rec in src:
         if rec.flag & cfg.filter_flag_mask:
             continue
+        batch.append((rec, scanned))
         scanned += 1
-        batch.append(rec)
         if len(batch) == cfg.batch_reads:
             flush_batch()
     flush_batch()

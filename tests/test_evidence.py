@@ -146,3 +146,45 @@ def test_call_evidence_out_flag(trio, tmp_path, capsys):
     names2 = {r.name for r in read_bam_records(ev2)}
     _cands, want = _oracle_names(paths, cfg, tsv)
     assert names1 == names2 == want
+
+
+def test_evidence_fastq_and_sam_children(trio, tmp_path):
+    """Review findings: FASTQ children (nameless _FakeRec) must not crash, and
+    SAM children must produce a structurally valid BAM (refs carried)."""
+    from denovo_kmer_tpu.io.bam import BamReader
+    from denovo_kmer_tpu.io.sam import write_sam
+
+    d, paths, cfg, tsv, _res = trio
+    child = list(read_bam_records(paths["child"]))
+
+    # FASTQ child: sequence-level evidence, synthesized names
+    fq = str(tmp_path / "child.fastq")
+    with open(fq, "w") as f:
+        for r in child:
+            if r.flag & cfg.filter_flag_mask:
+                continue
+            q = "".join(chr((x or 0) + 33) for x in (r.qual or [0] * len(r.seq)))
+            f.write(f"@{r.name}\n{r.seq}\n+\n{q}\n")
+    out_fq = str(tmp_path / "evfq.fastq")
+    ev = run_evidence(fq, tsv, cfg, out_fq)
+    assert ev.n_reads_matched > 0
+    out_bam = str(tmp_path / "evfq.bam")
+    ev2 = run_evidence(fq, tsv, cfg, out_bam)
+    assert ev2.n_reads_matched == ev.n_reads_matched
+    got = list(read_bam_records(out_bam))
+    assert len(got) == ev.n_reads_matched
+    assert all(r.refid == -1 and (r.flag & 4) for r in got)
+
+    # SAM child: references must carry into the BAM header, refids stay valid
+    sam = str(tmp_path / "child.sam")
+    with open(paths["child"], "rb") as f:
+        refs = BamReader(f).references
+    write_sam(sam, child, references=refs)
+    out2 = str(tmp_path / "evsam.bam")
+    ev3 = run_evidence(sam, tsv, cfg, out2)
+    assert ev3.n_reads_matched > 0
+    with open(out2, "rb") as f:
+        rd = BamReader(f)
+        assert rd.references == refs
+        for r in rd:
+            assert r.refid < len(rd.references)
