@@ -546,6 +546,76 @@ def cmd_dump(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Format conversion + filtering over any reads source (`samtools view`
+    analog): BAM/SAM/CRAM in; SAM (default, stdout), BAM, FASTQ or FASTA out;
+    --region/--regions-bed restriction; -F flag exclusion; -c count-only.
+    CRAM records surface seq/qual/flag (positions are a slice property the
+    feeder-grade reader does not retain), so CRAM→BAM/SAM rows are
+    sequence-level."""
+    from denovo_kmer_tpu.io.bam import BamRecord, BamWriter
+    from denovo_kmer_tpu.io.sam import format_sam_record, sam_header_lines
+    from denovo_kmer_tpu.pipeline import _record_stream, source_references
+
+    cfg = EngineConfig(reference_fasta=args.reference)
+    region = _resolve_region(args)
+    recs = _record_stream(args.input, cfg, region=region)
+    flt = args.exclude_flags
+    stream = (r for r in recs if not (r.flag & flt))
+
+    if args.count:
+        print(sum(1 for _ in stream))
+        return 0
+
+    out = args.output
+    fmt = args.format
+    if fmt is None:
+        low = (out or "-").lower()
+        fmt = ("bam" if low.endswith(".bam") else
+               "fastq" if low.endswith((".fastq", ".fq")) else
+               "fasta" if low.endswith((".fa", ".fasta")) else "sam")
+    refs = source_references(args.input)
+    names = [n for n, _ in refs]
+
+    def as_bam_record(r, i):
+        if isinstance(r, BamRecord):
+            return r
+        return BamRecord(name=getattr(r, "name", None) or f"r{i}",
+                         flag=getattr(r, "flag", 4) | 4, seq=r.seq, qual=r.qual)
+
+    if fmt == "bam":
+        if not out or out == "-":
+            raise SystemExit("view: BAM output needs -o FILE (binary stdout)")
+        with open(out, "wb") as f, BamWriter(f, references=refs) as w:
+            for i, r in enumerate(stream):
+                w.write(as_bam_record(r, i))
+        return 0
+
+    fh = sys.stdout if not out or out == "-" else open(out, "w")
+    try:
+        if fmt == "sam":
+            if not args.no_header:
+                for ln in sam_header_lines(refs):
+                    fh.write(ln + "\n")
+            for i, r in enumerate(stream):
+                fh.write(format_sam_record(as_bam_record(r, i), names) + "\n")
+        elif fmt in ("fastq", "fasta"):
+            for i, r in enumerate(stream):
+                name = getattr(r, "name", None) or f"r{i}"
+                if fmt == "fasta":
+                    fh.write(f">{name}\n{r.seq}\n")
+                else:
+                    q = r.qual if r.qual is not None else (0,) * len(r.seq)
+                    qs = "".join(chr(min(x, 93) + 33) for x in q)
+                    fh.write(f"@{name}\n{r.seq}\n+\n{qs}\n")
+        else:
+            raise SystemExit(f"view: unknown --format {fmt!r}")
+    finally:
+        if fh is not sys.stdout:
+            fh.close()
+    return 0
+
+
 def cmd_bgzip(args) -> int:
     """bgzip-compatible block compression: compress to BGZF, -d to inflate,
     -r to (re)build the .gzi random-access index (io/bgzf.py)."""
@@ -713,6 +783,25 @@ def main(argv=None) -> int:
                     help="comma-separated k-mers (default: read one per line from stdin)")
     _add_engine_args(pq)
     pq.set_defaults(fn=cmd_probe)
+
+    pv = sub.add_parser(
+        "view", help="convert/filter reads (samtools view analog): BAM/SAM/CRAM "
+                     "in, SAM/BAM/FASTQ/FASTA out, region + flag filters")
+    pv.add_argument("input")
+    pv.add_argument("-o", "--output", default="-")
+    pv.add_argument("--format", choices=("sam", "bam", "fastq", "fasta"),
+                    default=None, help="default: by -o extension, else SAM")
+    pv.add_argument("-F", "--exclude-flags", type=_int_maybe_hex, default=0,
+                    help="drop records with any of these flag bits (hex ok)")
+    pv.add_argument("-c", "--count", action="store_true",
+                    help="print the record count only")
+    pv.add_argument("--no-header", action="store_true",
+                    help="omit the SAM header lines")
+    pv.add_argument("--region", default=None)
+    pv.add_argument("--regions-bed", default=None)
+    pv.add_argument("--reference", default=None,
+                    help="reference FASTA for reference-based CRAM input")
+    pv.set_defaults(fn=cmd_view)
 
     pt = sub.add_parser(
         "histo", help="k-mer multiplicity spectrum of a `count` checkpoint "

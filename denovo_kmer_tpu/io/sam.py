@@ -135,6 +135,26 @@ def read_sam_records(path: str) -> Iterator[BamRecord]:
         yield from r
 
 
+def format_sam_record(r: BamRecord, names: Sequence[str]) -> str:
+    """One record → one SAM line (shared by write_sam and the view streamer)."""
+    cig = "".join(f"{n}{CIGAR_OPS[op]}" for n, op in r.cigar) or "*"
+    qual = "*" if r.qual is None else "".join(chr(q + 33) for q in r.qual)
+    rname = names[r.refid] if 0 <= r.refid < len(names) else "*"
+    nrname = (
+        "=" if r.next_refid == r.refid and r.refid >= 0
+        else (names[r.next_refid] if 0 <= r.next_refid < len(names) else "*")
+    )
+    return "\t".join([
+        r.name, str(r.flag), rname, str(r.pos + 1), str(r.mapq), cig,
+        nrname, str(r.next_pos + 1), str(r.tlen), r.seq or "*", qual,
+    ])
+
+
+def sam_header_lines(references: Sequence[Tuple[str, int]],
+                     header_text: str = "@HD\tVN:1.6\tSO:unsorted") -> List[str]:
+    return [header_text] + [f"@SQ\tSN:{n}\tLN:{L}" for n, L in references]
+
+
 def write_sam(
     path: str,
     records: Sequence[BamRecord],
@@ -143,21 +163,9 @@ def write_sam(
 ) -> str:
     """Write SAM text (fixtures/interchange; inverse of SamReader)."""
     names = [n for n, _ in references]
-    lines = [header_text]
-    for n, L in references:
-        lines.append(f"@SQ\tSN:{n}\tLN:{L}")
+    lines = sam_header_lines(references, header_text)
     for r in records:
-        cig = "".join(f"{n}{CIGAR_OPS[op]}" for n, op in r.cigar) or "*"
-        qual = "*" if r.qual is None else "".join(chr(q + 33) for q in r.qual)
-        rname = names[r.refid] if 0 <= r.refid < len(names) else "*"
-        nrname = (
-            "=" if r.next_refid == r.refid and r.refid >= 0
-            else (names[r.next_refid] if 0 <= r.next_refid < len(names) else "*")
-        )
-        lines.append("\t".join([
-            r.name, str(r.flag), rname, str(r.pos + 1), str(r.mapq), cig,
-            nrname, str(r.next_pos + 1), str(r.tlen), r.seq or "*", qual,
-        ]))
+        lines.append(format_sam_record(r, names))
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return path

@@ -950,6 +950,30 @@ def candidate_table(words: np.ndarray) -> KmerTable:
     )
 
 
+def source_references(path: str) -> list:
+    """(name, length) reference dictionary of a reads source, [] when the
+    format has none (FASTQ/FASTA). Header-only reads; URLs supported."""
+    low = path.lower()
+    from denovo_kmer_tpu.io.remote import open_binary
+
+    if low.endswith(".bam"):
+        from denovo_kmer_tpu.io.bam import BamReader
+
+        with open_binary(path) as f:
+            return BamReader(f).references
+    if low.endswith(".cram"):
+        from denovo_kmer_tpu.io.cram import CramReader
+
+        with open_binary(path) as f:
+            return CramReader(f).references
+    if low.endswith((".sam", ".sam.gz")):
+        from denovo_kmer_tpu.io.sam import SamReader
+
+        with SamReader(path) as sr:
+            return list(sr.references)
+    return []
+
+
 @dataclasses.dataclass
 class EvidenceResult:
     n_reads_scanned: int
@@ -1006,26 +1030,7 @@ def run_evidence(
     # BAM output needs the source's reference dictionary: records keep their
     # refid, and a BAM whose refid >= n_ref is structurally invalid (samtools/
     # IGV reject it). Carry refs from any source that has them.
-    references: list = []
-    low = child_path.lower()
-    if not fastq:
-        from denovo_kmer_tpu.io.remote import open_binary
-
-        if low.endswith(".bam"):
-            from denovo_kmer_tpu.io.bam import BamReader
-
-            with open_binary(child_path) as f:
-                references = BamReader(f).references
-        elif low.endswith(".cram"):
-            from denovo_kmer_tpu.io.cram import CramReader
-
-            with open_binary(child_path) as f:
-                references = CramReader(f).references  # header-only read
-        elif low.endswith((".sam", ".sam.gz")):
-            from denovo_kmer_tpu.io.sam import SamReader
-
-            with SamReader(child_path) as sr:
-                references = list(sr.references)
+    references = [] if fastq else source_references(child_path)
 
     out_f = open(out_path, "wb")
     writer = None if fastq else BamWriter(out_f, references=references)

@@ -268,3 +268,46 @@ def test_histo_and_dump(trio_dir, tmp_path, capsys):
     assert main(["probe", str(npz), "--kmers", kmers[0], *ENGINE_ARGS]) == 0
     out = capsys.readouterr().out.strip()
     assert out == f"{kmers[0]}\t{counts[0]}"
+
+
+def test_view_subcommand(trio_dir, tmp_path, capsys):
+    """view: BAM->SAM->BAM field round-trip, region restriction, -F, -c, FASTQ."""
+    from denovo_kmer_tpu.io.bam import read_bam_records
+    from denovo_kmer_tpu.io.sam import read_sam_records
+
+    bam = str(trio_dir / "child.bam")
+    recs = list(read_bam_records(bam))
+
+    # count-only with flag exclusion equals the host filter
+    assert main(["view", "-c", "-F", "0x400", bam]) == 0
+    out = capsys.readouterr().out.strip()
+    assert int(out) == sum(1 for r in recs if not (r.flag & 0x400))
+
+    # BAM -> SAM -> BAM round-trips the record surface
+    sam = str(tmp_path / "v.sam")
+    assert main(["view", bam, "-o", sam]) == 0
+    back = str(tmp_path / "v.bam")
+    assert main(["view", sam, "-o", back]) == 0
+    key = lambda rs: [(r.name, r.flag, r.refid, r.pos, r.seq,
+                       tuple(r.qual or ())) for r in rs]
+    assert key(read_bam_records(back)) == key(recs)
+
+    # FASTQ export carries every sequence
+    fq = str(tmp_path / "v.fastq")
+    assert main(["view", bam, "-o", fq]) == 0
+    from denovo_kmer_tpu.io.fasta import read_fastq
+
+    assert [s for _n, s, _q in read_fastq(fq)] == [r.seq for r in recs]
+
+    # region restriction equals the indexed region reader
+    assert main(["sort", bam, "-o", str(tmp_path / "s.bam")]) == 0
+    assert main(["index", str(tmp_path / "s.bam")]) == 0
+    capsys.readouterr()
+    assert main(["view", "-c", str(tmp_path / "s.bam"),
+                 "--region", "chr20:500-1500"]) == 0
+    n_region = int(capsys.readouterr().out.strip())
+    from denovo_kmer_tpu.io.bai import read_bam_records_region
+
+    assert n_region == sum(1 for _ in read_bam_records_region(
+        str(tmp_path / "s.bam"), "chr20:500-1500"))
+    assert n_region > 0
