@@ -546,6 +546,75 @@ def cmd_dump(args) -> int:
     return 0
 
 
+def cmd_flagstat(args) -> int:
+    """Flag-category counts over any reads source (`samtools flagstat` analog)."""
+    from denovo_kmer_tpu.pipeline import _record_stream
+
+    cfg = EngineConfig(reference_fasta=args.reference)
+    cats = [
+        ("total", lambda f: True),
+        ("primary", lambda f: not (f & 0x900)),
+        ("secondary", lambda f: bool(f & 0x100)),
+        ("supplementary", lambda f: bool(f & 0x800)),
+        ("duplicates", lambda f: bool(f & 0x400)),
+        ("mapped", lambda f: not (f & 0x4)),
+        ("paired in sequencing", lambda f: bool(f & 0x1)),
+        ("read1", lambda f: (f & 0x41) == 0x41),
+        ("read2", lambda f: (f & 0x81) == 0x81),
+        ("properly paired", lambda f: (f & 0x3) == 0x3),
+        ("singletons", lambda f: (f & 0xD) == 0x9),
+        ("QC fail", lambda f: bool(f & 0x200)),
+    ]
+    counts = [0] * len(cats)
+    for rec in _record_stream(args.input, cfg, region=_resolve_region(args)):
+        f = rec.flag
+        for i, (_n, pred) in enumerate(cats):
+            if pred(f):
+                counts[i] += 1
+    for (name, _), c in zip(cats, counts):
+        print(f"{c}\t{name}")
+    return 0
+
+
+def cmd_doctor(args) -> int:
+    """Environment self-check: devices, native shim, codec availability —
+    the first thing to run on a new host/pod."""
+    import platform
+
+    print(f"python      {platform.python_version()} ({platform.machine()})")
+    try:
+        import jax
+
+        plat = os.environ.get("JAX_PLATFORMS")
+        if plat:
+            jax.config.update("jax_platforms", plat)
+        devs = jax.devices()
+        kinds = {}
+        for d in devs:
+            kinds[d.device_kind] = kinds.get(d.device_kind, 0) + 1
+        print(f"jax         {jax.__version__}; devices: "
+              + ", ".join(f"{n}x {k}" for k, n in kinds.items()))
+    except Exception as e:  # pragma: no cover - no-backend hosts
+        print(f"jax         UNAVAILABLE ({e})")
+    try:
+        from denovo_kmer_tpu.io.native import native_available
+
+        ok = native_available()
+        print(f"C++ shim    {'built (native BGZF/BAM/rANS/arith decode)' if ok else 'not built (pure-Python fallback active)'}")
+    except Exception as e:
+        print(f"C++ shim    load failed ({e})")
+    import bz2 as _b, lzma as _l  # noqa: F401  (CRAM codec deps, stdlib)
+
+    print("codecs      BGZF/gzip, bz2, lzma, rANS 4x8, rANS Nx16, arith, "
+          "fqzcomp, tok3")
+    from denovo_kmer_tpu.config import EngineConfig as _EC
+
+    cfg = _EC()
+    print(f"defaults    k={cfg.k} canonical={cfg.canonical} "
+          f"flag_mask=0x{cfg.filter_flag_mask:x} table=2^{cfg.table_capacity.bit_length()-1}")
+    return 0
+
+
 def cmd_view(args) -> int:
     """Format conversion + filtering over any reads source (`samtools view`
     analog): BAM/SAM/CRAM in; SAM (default, stdout), BAM, FASTQ or FASTA out;
@@ -784,6 +853,18 @@ def main(argv=None) -> int:
     _add_engine_args(pq)
     pq.set_defaults(fn=cmd_probe)
 
+    pf = sub.add_parser("flagstat",
+                        help="flag-category counts (samtools flagstat analog)")
+    pf.add_argument("input")
+    pf.add_argument("--region", default=None)
+    pf.add_argument("--regions-bed", default=None)
+    pf.add_argument("--reference", default=None)
+    pf.set_defaults(fn=cmd_flagstat)
+
+    pdr = sub.add_parser("doctor", help="environment self-check: devices, "
+                                        "native shim, codecs")
+    pdr.set_defaults(fn=cmd_doctor)
+
     pv = sub.add_parser(
         "view", help="convert/filter reads (samtools view analog): BAM/SAM/CRAM "
                      "in, SAM/BAM/FASTQ/FASTA out, region + flag filters")
@@ -844,6 +925,9 @@ def main(argv=None) -> int:
                     help="candidate TSV from `call` (first column = k-mer)")
     pe.add_argument("-o", "--output", required=True,
                     help="output path (.bam, or .fastq/.fq)")
+    pe.add_argument("--per-candidate", default=None,
+                    help="also write a TSV mapping each candidate k-mer to its "
+                         "supporting read names")
     _add_engine_args(pe)
     pe.set_defaults(fn=cmd_evidence)
 

@@ -987,6 +987,7 @@ def run_evidence(
     cfg: EngineConfig,
     out_path: str,
     region: Optional[str] = None,
+    per_candidate_out: Optional[str] = None,
 ) -> EvidenceResult:
     """Write the child reads that contain any candidate k-mer (forward or
     reverse complement, the same canonical semantics as the call) to
@@ -1026,6 +1027,7 @@ def run_evidence(
     fastq = out_path.lower().endswith((".fastq", ".fq"))
     scanned = matched = 0
     batch: list = []
+    matched_reads: list = []  # (name, seq), only kept for --per-candidate
 
     # BAM output needs the source's reference dictionary: records keep their
     # refid, and a BAM whose refid >= n_ref is structurally invalid (samtools/
@@ -1049,6 +1051,8 @@ def run_evidence(
                 continue
             matched += 1
             name = getattr(r, "name", None) or f"r{ordinal}"
+            if per_candidate_out is not None:
+                matched_reads.append((name, r.seq))
             if fastq:
                 q = r.qual if r.qual is not None else (0,) * len(r.seq)
                 qs = "".join(chr(min(x, 93) + 33) for x in q)
@@ -1072,5 +1076,23 @@ def run_evidence(
     if writer is not None:
         writer.close()
     out_f.close()
+    if per_candidate_out is not None:
+        # candidate -> supporting read names: the matched subset is small, so a
+        # host substring scan (forward + reverse complement, the same canonical
+        # semantics) is exact and cheap
+        rc = str.maketrans("ACGT", "TGCA")
+        cands = []
+        with open(candidates_tsv) as f:
+            for line in f:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    cands.append(line.split("\t")[0].upper())
+        with open(per_candidate_out, "w") as f:
+            f.write("#kmer\tn_reads\treads\n")
+            for c in cands:
+                pats = (c, c.translate(rc)[::-1])
+                names = [n for n, s in matched_reads
+                         if pats[0] in s or pats[1] in s]
+                f.write(f"{c}\t{len(names)}\t{','.join(names)}\n")
     return EvidenceResult(n_reads_scanned=scanned, n_reads_matched=matched,
                           out_path=out_path)

@@ -311,3 +311,20 @@ def test_view_subcommand(trio_dir, tmp_path, capsys):
     assert n_region == sum(1 for _ in read_bam_records_region(
         str(tmp_path / "s.bam"), "chr20:500-1500"))
     assert n_region > 0
+
+
+def test_flagstat_and_doctor(trio_dir, capsys):
+    from denovo_kmer_tpu.io.bam import read_bam_records
+
+    bam = str(trio_dir / "child.bam")
+    assert main(["flagstat", bam]) == 0
+    out = {l.split("\t")[1]: int(l.split("\t")[0])
+           for l in capsys.readouterr().out.strip().splitlines()}
+    recs = list(read_bam_records(bam))
+    assert out["total"] == len(recs)
+    assert out["duplicates"] == sum(1 for r in recs if r.flag & 0x400)
+    assert out["mapped"] == sum(1 for r in recs if not (r.flag & 4))
+
+    assert main(["doctor"]) == 0
+    d = capsys.readouterr().out
+    assert "jax" in d and "C++ shim" in d and "codecs" in d

@@ -188,3 +188,22 @@ def test_evidence_fastq_and_sam_children(trio, tmp_path):
         assert rd.references == refs
         for r in rd:
             assert r.refid < len(rd.references)
+
+
+def test_per_candidate_mapping(trio, tmp_path):
+    d, paths, cfg, tsv, _res = trio
+    out = str(tmp_path / "pc_ev.bam")
+    pc = str(tmp_path / "per_cand.tsv")
+    run_evidence(paths["child"], tsv, cfg, out, per_candidate_out=pc)
+    rows = [l.rstrip("\n").split("\t") for l in open(pc) if not l.startswith("#")]
+    cands, _want = _oracle_names(paths, cfg, tsv)
+    assert [r[0] for r in rows] == cands
+    evidence_names = {r.name for r in read_bam_records(out)}
+    for kmer, n, names in rows:
+        names = [x for x in names.split(",") if x]
+        assert int(n) == len(names) >= cfg.min_child_count
+        assert set(names) <= evidence_names
+        # every listed read really contains the k-mer (fwd or rc)
+        seqs = {r.name: r.seq for r in read_bam_records(paths["child"])}
+        for nm in names:
+            assert kmer in seqs[nm] or _rc(kmer) in seqs[nm]
