@@ -14,7 +14,7 @@ Layer map (TPU-native; cf. SURVEY.md §1 for the reference's):
 - ``pipeline``  end-to-end orchestration; ``cli`` the user entry point (L5)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from denovo_kmer_tpu.config import EngineConfig
 
