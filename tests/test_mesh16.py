@@ -1,0 +1,51 @@
+"""16-device (4x4) mesh parity — scale-realism beyond the suite's 8-device pool.
+
+Runs in a subprocess because the device count is fixed at backend init
+(conftest pins 8 for everything else). Asserts the sharded report over a
+4x4 reads x table mesh is byte-identical to the single-chip run.
+"""
+
+import os
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           .replace("--xla_force_host_platform_device_count=8", "")
+                           + " --xla_force_host_platform_device_count=16").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 16, jax.devices()
+
+import sys
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+from denovo_kmer_tpu.parallel.pipeline import run_trio_sharded
+from denovo_kmer_tpu.pipeline import run_trio
+
+d = sys.argv[1]
+paths = write_trio_bams(
+    make_trio(TrioSpec(genome_len=1200, read_len=50, coverage=5.0, seed=10,
+                       n_denovo_snvs=2)), d)
+cfg16 = EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                     table_capacity=1 << 12, mesh_shape=(4, 4))
+cfg1 = EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                    table_capacity=1 << 12)
+a = run_trio_sharded(paths["mom"], paths["dad"], paths["child"], cfg16)
+b = run_trio(paths["mom"], paths["dad"], paths["child"], cfg1)
+assert a.report == b.report, "4x4 mesh report != single-chip report"
+assert a.tables_n == b.tables_n
+print("MESH16 OK", len(a.candidates))
+"""
+
+
+def test_16_device_mesh_parity(tmp_path):
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, str(tmp_path)],
+        env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "MESH16 OK" in out.stdout
