@@ -148,3 +148,70 @@ def test_float_qual_precision(tmp_path):
     bp = str(tmp_path / "q.bcf")
     write_bcf(bp, recs)
     assert list(read_bcf_records(bp))[0].qual == 31.5
+
+
+def test_randomized_streams_match_text_path(tmp_path):
+    """100-seed randomized stress: arbitrary multiallelic/missing/phased record
+    streams must parse identically through the text and binary paths."""
+    import itertools
+
+    for seed in range(100):
+        rng = random.Random(1000 + seed)
+        n = rng.randint(1, 12)
+        recs = []
+        pos = 0
+        chroms = ["cA", "cB"][: rng.randint(1, 2)]
+        for chrom, _ in itertools.product(chroms, range(n)):
+            pos += rng.randint(1, 9)
+            n_alt = rng.randint(1, 3)
+            fmt = rng.choice([[], ["GT"], ["GT", "AD"], ["XX"]])
+            n_samp = rng.randint(0, 3) if fmt else 0
+            samples = []
+            for _ in range(n_samp):
+                s = {}
+                for k in fmt:
+                    if k == "GT":
+                        ploidy = rng.randint(1, 3)
+                        alleles = [rng.choice([".", *map(str, range(n_alt + 1))])
+                                   for _ in range(ploidy)]
+                        seps = [rng.choice("/|") for _ in range(ploidy - 1)]
+                        gt = alleles[0] + "".join(s + a for s, a in
+                                                  zip(seps, alleles[1:]))
+                        s[k] = gt
+                    else:
+                        s[k] = rng.choice([".", "0", "1,2,3", "zz"])
+                samples.append(s)
+            info = {}
+            if rng.random() < 0.5:
+                info["DP"] = str(rng.randint(0, 10 ** rng.randint(1, 8)))
+            if rng.random() < 0.3:
+                info["FLAGY"] = True
+            recs.append(VcfRecord(
+                chrom=chrom, pos=pos, id=rng.choice([".", f"id{pos}"]),
+                ref="".join(rng.choice("ACGTN") for _ in range(rng.randint(1, 6))),
+                alts=["".join(rng.choice("ACGT") for _ in range(rng.randint(1, 4)))
+                      for _ in range(n_alt)],
+                qual=rng.choice([None, 0.0, 7.25, 1e6]),
+                filter=rng.choice([".", "PASS", "q10", "q10;s50"]),
+                info=info, format=fmt, samples=samples,
+            ))
+        sample_names = [f"s{i}" for i in range(max(
+            (len(r.samples) for r in recs), default=0))]
+        # normalize: a sampled VCF needs FORMAT + one column per sample on
+        # EVERY line (spec), so pad missing records/columns with '.'
+        for r in recs:
+            if sample_names and not r.format:
+                r.format = ["GT"]
+                r.samples = []
+            while r.format and len(r.samples) < len(sample_names):
+                r.samples.append({k: "." for k in r.format})
+            if not sample_names:
+                r.format, r.samples = [], []
+        vp = str(tmp_path / f"r{seed}.vcf")
+        bp = str(tmp_path / f"r{seed}.bcf")
+        write_vcf(vp, recs, samples=sample_names,
+                  extra_meta=['##FILTER=<ID=q10,Description="q">',
+                              '##FILTER=<ID=s50,Description="s">'])
+        write_bcf(bp, recs, samples=sample_names)
+        assert ([_key(r) for r in read_bcf_records(bp)]
+                == [_key(r) for r in read_vcf_records(vp)]), f"seed {seed}"
