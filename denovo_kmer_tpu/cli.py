@@ -494,6 +494,30 @@ def cmd_evidence(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Merge N `count` checkpoints with count addition (`jellyfish merge`
+    analog): one device merge per input, overflow raises with the capacity to
+    use (never drops)."""
+    import numpy as np
+
+    from denovo_kmer_tpu.ops.table import merge_tables
+    from denovo_kmer_tpu.pipeline import TableOverflowError, _overflow_msg
+    from denovo_kmer_tpu.utils.checkpoint import load_table, save_table
+
+    cfg = _cfg_from_args(args)
+    cap = args.table_capacity
+    acc = load_table(args.tables[0], cfg, capacity=cap)
+    for path in args.tables[1:]:
+        t = load_table(path, cfg, capacity=cap)
+        acc = merge_tables(acc, t, cap)
+        n = int(np.asarray(acc.n))
+        if n > cap:
+            raise TableOverflowError(_overflow_msg(n, cap))
+    save_table(args.output, acc, cfg)
+    print(f"{args.output}\t{int(np.asarray(acc.n))} uniques")
+    return 0
+
+
 def cmd_histo(args) -> int:
     """k-mer multiplicity spectrum of a `count` checkpoint (`jellyfish histo`
     analog): lines of `count<TAB>n_distinct_kmers`, counts above --high fold
@@ -883,6 +907,14 @@ def main(argv=None) -> int:
     pv.add_argument("--reference", default=None,
                     help="reference FASTA for reference-based CRAM input")
     pv.set_defaults(fn=cmd_view)
+
+    pm = sub.add_parser(
+        "merge", help="merge `count` checkpoints with count addition "
+                      "(jellyfish merge analog)")
+    pm.add_argument("tables", nargs="+", help="input .npz checkpoints")
+    pm.add_argument("-o", "--output", required=True)
+    _add_engine_args(pm)
+    pm.set_defaults(fn=cmd_merge)
 
     pt = sub.add_parser(
         "histo", help="k-mer multiplicity spectrum of a `count` checkpoint "

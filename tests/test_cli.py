@@ -328,3 +328,37 @@ def test_flagstat_and_doctor(trio_dir, capsys):
     assert main(["doctor"]) == 0
     d = capsys.readouterr().out
     assert "jax" in d and "C++ shim" in d and "codecs" in d
+
+
+def test_merge_checkpoints(trio_dir, tmp_path, capsys):
+    """merge mom+dad == probing each and adding counts (jellyfish merge)."""
+    mom_npz = str(tmp_path / "mom.npz")
+    dad_npz = str(tmp_path / "dad.npz")
+    assert main(["count", str(trio_dir / "mom.bam"), "-o", mom_npz,
+                 *ENGINE_ARGS]) == 0
+    assert main(["count", str(trio_dir / "dad.bam"), "-o", dad_npz,
+                 *ENGINE_ARGS]) == 0
+    merged = str(tmp_path / "parents.npz")
+    assert main(["merge", mom_npz, dad_npz, "-o", merged, *ENGINE_ARGS]) == 0
+    capsys.readouterr()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from denovo_kmer_tpu.cli import _cfg_from_args  # noqa: F401
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.ops.table import probe_table
+    from denovo_kmer_tpu.utils.checkpoint import load_table
+
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                       table_capacity=16384)
+    m = load_table(mom_npz, cfg)
+    d = load_table(dad_npz, cfg)
+    p = load_table(merged, cfg)
+    n_p = int(np.asarray(p.n))
+    keys = np.asarray(p.keys)[:n_p]
+    got = np.asarray(p.counts)[:n_p]
+    want = (np.asarray(probe_table(m, jnp.asarray(keys)))
+            + np.asarray(probe_table(d, jnp.asarray(keys))))
+    assert np.array_equal(got, want)
+    assert n_p >= max(int(np.asarray(m.n)), int(np.asarray(d.n)))
