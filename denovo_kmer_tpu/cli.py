@@ -655,6 +655,22 @@ def cmd_view(args) -> int:
     recs = _record_stream(args.input, cfg, region=region)
     flt = args.exclude_flags
     stream = (r for r in recs if not (r.flag & flt))
+    if args.subsample is not None:
+        # samtools -s semantics: keep a deterministic name-hash fraction, so
+        # paired records (same name) are kept or dropped together
+        import zlib as _z
+
+        frac = args.subsample - int(args.subsample)
+        seed = int(args.subsample)
+        if frac <= 0:
+            raise SystemExit("view -s needs a fractional part, e.g. 42.25")
+        cut = int(frac * (1 << 32))
+
+        def _keep(r, i):
+            name = getattr(r, "name", None) or f"r{i}"
+            return (_z.crc32(f"{seed}:{name}".encode()) & 0xFFFFFFFF) < cut
+
+        stream = (r for i, r in enumerate(stream) if _keep(r, i))
 
     if args.count:
         print(sum(1 for _ in stream))
@@ -900,6 +916,9 @@ def main(argv=None) -> int:
                     help="drop records with any of these flag bits (hex ok)")
     pv.add_argument("-c", "--count", action="store_true",
                     help="print the record count only")
+    pv.add_argument("-s", "--subsample", type=float, default=None,
+                    help="SEED.FRACTION (samtools -s): keep a deterministic "
+                         "name-hash fraction of the reads, e.g. 42.25")
     pv.add_argument("--no-header", action="store_true",
                     help="omit the SAM header lines")
     pv.add_argument("--region", default=None)

@@ -362,3 +362,21 @@ def test_merge_checkpoints(trio_dir, tmp_path, capsys):
             + np.asarray(probe_table(d, jnp.asarray(keys))))
     assert np.array_equal(got, want)
     assert n_p >= max(int(np.asarray(m.n)), int(np.asarray(d.n)))
+
+
+def test_view_subsample(trio_dir, capsys):
+    bam = str(trio_dir / "child.bam")
+    assert main(["view", "-c", bam]) == 0
+    total = int(capsys.readouterr().out.strip())
+    assert main(["view", "-c", "-s", "7.25", bam]) == 0
+    kept = int(capsys.readouterr().out.strip())
+    # deterministic: same seed.fraction gives the same count
+    assert main(["view", "-c", "-s", "7.25", bam]) == 0
+    assert int(capsys.readouterr().out.strip()) == kept
+    assert 0 < kept < total
+    # loosely binomial around 25%
+    assert abs(kept / total - 0.25) < 0.15
+    # a different seed keeps a different subset size (almost surely)
+    assert main(["view", "-c", "-s", "8.25", bam]) == 0
+    kept2 = int(capsys.readouterr().out.strip())
+    assert 0 < kept2 < total
