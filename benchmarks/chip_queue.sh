@@ -33,4 +33,7 @@ run env BENCH_EXTRACTOR=fast_t BENCH_SCAN_INGEST=1 python -u bench.py
 # 6. bench with the current default configuration (authoritative comparison run)
 run python -u bench.py
 
+# 7. archive-format e2e: reads/s with the columnar CRAM feeder attached
+run env E2E_FORMAT=cram python -u benchmarks/e2e_trio.py
+
 echo "=== chip_queue done $(date) ==="

@@ -85,6 +85,32 @@ def synth_child_bam(path: str, genome: str, n_reads: int, read_len: int, seed: i
         w.close()
 
 
+def synth_child_cram(path: str, genome: str, n_reads: int, read_len: int,
+                     seed: int):
+    """Same sampled reads as synth_child_bam, written as a MAPPED
+    reference-based CRAM 3.0 with rANS order-1 blocks (flag 0 — the unmapped
+    profile's flag-4 records would be dropped by the pinned filter mask).
+    Also writes ``<path>.ref.fa`` — the feeder needs the reference. Measures
+    the columnar mapped decode lane (reference gather) end to end."""
+    from denovo_kmer_tpu.io.cram import M_RANS, write_cram
+
+    rng = np.random.default_rng(seed)
+    g = np.frombuffer(genome.encode(), dtype=np.uint8)
+    starts = rng.integers(0, len(g) - read_len + 1, size=n_reads)
+    idx = starts[:, None] + np.arange(read_len)[None, :]
+    seqs = g[idx]
+    mapped = [(bytes(row).decode(), int(s) + 1) for row, s in zip(seqs, starts)]
+    hdr = f"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:{len(genome)}\n"
+    write_cram(path, [], sam_header=hdr, reference=genome, mapped=mapped,
+               method=M_RANS, rans_order=1, reads_per_container=16384)
+    ref_fa = path + ".ref.fa"
+    with open(ref_fa, "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, len(genome), 70):
+            f.write(genome[i : i + 70] + "\n")
+    return ref_fa
+
+
 def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
@@ -118,6 +144,7 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
     max_read_len = int(os.environ.get("E2E_MAX_READ_LEN", 160))
     n_batches = -(-n_reads // batch_reads)
 
+    fmt = os.environ.get("E2E_FORMAT", "bam")  # bam | cram (archive-codec feeder)
     cfg = EngineConfig(
         k=k, max_read_len=max_read_len, batch_reads=batch_reads,
         table_capacity=1 << table_bits, accum_batches=n_batches,
@@ -131,12 +158,18 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
     import tempfile
 
     tmpdir = tempfile.mkdtemp(prefix="e2e_trio_")
-    child_bam = os.path.join(tmpdir, "child.bam")
+    child_path = os.path.join(tmpdir, f"child.{fmt}")
     t0 = time.perf_counter()
-    synth_child_bam(child_bam, genome, n_reads, read_len, seed=1)
+    if fmt == "cram":
+        import dataclasses
+
+        ref_fa = synth_child_cram(child_path, genome, n_reads, read_len, seed=1)
+        cfg = dataclasses.replace(cfg, reference_fasta=ref_fa)
+    else:
+        synth_child_bam(child_path, genome, n_reads, read_len, seed=1)
     if verbose:
-        print(f"e2e: wrote {n_reads} x {read_len}bp child BAM "
-              f"({os.path.getsize(child_bam)/1e6:.1f} MB) in "
+        print(f"e2e: wrote {n_reads} x {read_len}bp child {fmt.upper()} "
+              f"({os.path.getsize(child_path)/1e6:.1f} MB) in "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     acc_slots = n_batches * batch_reads * P
@@ -211,7 +244,13 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
         return n
 
     def feeder():
-        stream = packed_stream_with_cursor(child_bam, cfg)
+        if fmt == "cram":
+            # the columnar CRAM chunk feeder (pipeline.packed_batches dispatch):
+            # native rANS entropy decode + slab slicing, no record objects
+            from denovo_kmer_tpu.pipeline import packed_batches
+
+            return prefetch_batches(packed_batches(child_path, cfg))
+        stream = packed_stream_with_cursor(child_path, cfg)
         return prefetch_batches(p for p, _v in iter(stream))
 
     # warmup/compile (also verifies the feeder path end to end)
