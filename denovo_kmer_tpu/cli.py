@@ -488,7 +488,8 @@ def cmd_evidence(args) -> int:
 
     cfg = _cfg_from_args(args)
     res = run_evidence(args.child, args.candidates, cfg, args.output,
-                       region=_resolve_region(args))
+                       region=_resolve_region(args),
+                       per_candidate_out=args.per_candidate)
     print(f"evidence: {res.n_reads_matched}/{res.n_reads_scanned} reads -> "
           f"{res.out_path}", file=sys.stderr)
     return 0

@@ -105,12 +105,12 @@ def _record_stream(path: str, cfg: EngineConfig, region: Optional[str] = None) -
     if low.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
         def gen():
             for name, seq, qual in read_fastq(path):
-                yield _FakeRec(seq, qual, 0)
+                yield _FakeRec(seq, qual, 0, name)
         return gen()
     if low.endswith((".fasta", ".fa", ".fasta.gz", ".fa.gz")):
         def gen():
             for name, seq in read_fasta(path):
-                yield _FakeRec(seq, None, 0)
+                yield _FakeRec(seq, None, 0, name)
         return gen()
     if low.endswith(".cram"):
         from denovo_kmer_tpu.io.cram import read_cram_records
@@ -124,6 +124,7 @@ class _FakeRec:
     seq: str
     qual: Optional[Sequence[int]]
     flag: int
+    name: Optional[str] = None
 
 
 def make_ingest_step(cfg: EngineConfig, n_passes: int = 1):
@@ -950,28 +951,60 @@ def candidate_table(words: np.ndarray) -> KmerTable:
     )
 
 
-def source_references(path: str) -> list:
-    """(name, length) reference dictionary of a reads source, [] when the
-    format has none (FASTQ/FASTA). Header-only reads; URLs supported."""
+def _engine_view_of_seq(r, cfg: EngineConfig) -> str:
+    """The sequence as the DEVICE saw it: truncated to max_read_len, with
+    bases below min_base_quality masked to N (ops/pack semantics) — so host
+    attribution can never credit a k-mer the engine itself dropped."""
+    s = r.seq[: cfg.max_read_len]
+    if cfg.min_base_quality > 0 and r.qual is not None:
+        s = "".join("N" if q < cfg.min_base_quality else b
+                    for b, q in zip(s, r.qual))
+    return s
+
+
+def record_as_bam(r, ordinal: int):
+    """Sequence-level BamRecord for sources without alignment fields (the
+    shared nameless/refless fallback — evidence and `view` both use it)."""
+    from denovo_kmer_tpu.io.bam import BamRecord
+
+    if isinstance(r, BamRecord):
+        return r
+    return BamRecord(name=getattr(r, "name", None) or f"r{ordinal}",
+                     flag=getattr(r, "flag", 4) | 4, seq=r.seq, qual=r.qual)
+
+
+def source_header(path: str):
+    """(references, SAM header text) of a reads source — ([], default header)
+    when the format has none (FASTQ/FASTA). Header-only reads; URLs supported."""
     low = path.lower()
+    default = "@HD\tVN:1.6\tSO:unsorted\n"
     from denovo_kmer_tpu.io.remote import open_binary
 
     if low.endswith(".bam"):
         from denovo_kmer_tpu.io.bam import BamReader
 
         with open_binary(path) as f:
-            return BamReader(f).references
+            r = BamReader(f)
+            return r.references, (r.header_text or default)
     if low.endswith(".cram"):
         from denovo_kmer_tpu.io.cram import CramReader
 
         with open_binary(path) as f:
-            return CramReader(f).references
+            r = CramReader(f)
+            return r.references, (r.sam_header or default)
     if low.endswith((".sam", ".sam.gz")):
         from denovo_kmer_tpu.io.sam import SamReader
 
         with SamReader(path) as sr:
-            return list(sr.references)
-    return []
+            hdr = "\n".join(sr.header_lines)
+            return list(sr.references), (hdr + "\n" if hdr else default)
+    return [], default
+
+
+def source_references(path: str) -> list:
+    """(name, length) reference dictionary of a reads source, [] when the
+    format has none (FASTQ/FASTA)."""
+    return source_header(path)[0]
 
 
 @dataclasses.dataclass
@@ -1052,7 +1085,7 @@ def run_evidence(
             matched += 1
             name = getattr(r, "name", None) or f"r{ordinal}"
             if per_candidate_out is not None:
-                matched_reads.append((name, r.seq))
+                matched_reads.append((name, _engine_view_of_seq(r, cfg)))
             if fastq:
                 q = r.qual if r.qual is not None else (0,) * len(r.seq)
                 qs = "".join(chr(min(x, 93) + 33) for x in q)
@@ -1060,9 +1093,7 @@ def run_evidence(
             elif isinstance(r, BamRecord) and r.refid < n_ref:
                 writer.write(r)
             else:  # nameless/refless sources: sequence-level evidence rows
-                writer.write(BamRecord(name=name,
-                                       flag=getattr(r, "flag", 4) | 4,
-                                       seq=r.seq, qual=r.qual))
+                writer.write(record_as_bam(r, ordinal))
         batch.clear()
 
     for rec in src:
