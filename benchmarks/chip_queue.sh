@@ -15,6 +15,9 @@ run() {
   echo "=== exit $? === $(date)"
 }
 
+# 0. sort operand-count probe (decides the v5 fused-call flip; ~1 min)
+run python -u benchmarks/micro_nk.py
+
 # 1. extraction layout A/B/C — decides whether extractor=fast_t becomes default
 run python -u benchmarks/micro_extract_layout.py
 
@@ -29,6 +32,12 @@ run env BENCH_SCAN_INGEST=1 python -u bench.py
 
 # 5. combined: transposed extractor + scanned ingest
 run env BENCH_EXTRACTOR=fast_t BENCH_SCAN_INGEST=1 python -u bench.py
+
+# 5b. the v5 3-operand fused call (parent-bad bit packed in the count word)
+run env DENOVO_FUSED_VARIANT=v5 python -u bench.py
+
+# 5c. v5 + the best extractor/ingest combo (adjust after reading 3-5 results)
+run env DENOVO_FUSED_VARIANT=v5 BENCH_EXTRACTOR=fast_t python -u bench.py
 
 # 6. bench with the current default configuration (authoritative comparison run)
 run python -u bench.py

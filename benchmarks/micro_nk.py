@@ -40,10 +40,23 @@ def main():
         out = jax.lax.sort([o0 ^ salt, o1, o2, o3, o4], num_keys=2, is_stable=False)
         return out[0][:1]
 
+    def f_nk2_4ops(o0, o1, o2, o3, o4, o5, salt):
+        out = jax.lax.sort([o0 ^ salt, o1, o2, o3], num_keys=2, is_stable=False)
+        return out[0][:1]
+
+    def f_nk2_3ops(o0, o1, o2, o3, o4, o5, salt):
+        out = jax.lax.sort([o0 ^ salt, o1, o2], num_keys=2, is_stable=False)
+        return out[0][:1]
+
     dt3 = timed(f_nk3, *ops)
     print(f"nk=3 6ops: {N/dt3/1e6:.1f} Mrows/s ({dt3*1e3:.1f} ms)", flush=True)
     dt2 = timed(f_nk2, *ops)
     print(f"nk=2 5ops: {N/dt2/1e6:.1f} Mrows/s ({dt2*1e3:.1f} ms)", flush=True)
+    # the v4 (keys + cnt + pc) vs v5 (keys + packed cnt) fused-call sort shapes
+    dt4 = timed(f_nk2_4ops, *ops)
+    print(f"nk=2 4ops: {N/dt4/1e6:.1f} Mrows/s ({dt4*1e3:.1f} ms)", flush=True)
+    dt5 = timed(f_nk2_3ops, *ops)
+    print(f"nk=2 3ops: {N/dt5/1e6:.1f} Mrows/s ({dt5*1e3:.1f} ms)", flush=True)
     return 0
 
 

@@ -49,6 +49,7 @@ membership + candidate filter, SURVEY.md §3.3-3.4), shaped by the measured prim
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -57,7 +58,7 @@ import numpy as np
 
 from denovo_kmer_tpu.ops.score import ScoreTable
 from denovo_kmer_tpu.ops.stream import KmerAccumulator
-from denovo_kmer_tpu.ops.table import _PAD
+from denovo_kmer_tpu.ops.table import KmerTable, _PAD, probe_table
 from denovo_kmer_tpu.ops.trio import Candidates
 
 _SAT = np.uint32(0xFFFF)  # host scalar: no backend init at import (see ops/table._PAD)
@@ -75,6 +76,8 @@ class FusedCallOut(NamedTuple):
     child: np.ndarray  # (K,) uint32
     momc: np.ndarray  # (K,) uint32
     dadc: np.ndarray  # (K,) uint32
+    carry_risk: int = 0  # v5 only: table rows whose carried count could collide with
+    #                      the packed parent-bad bit — nonzero means "rerun via v4"
 
 
 def unpack_fused(packed) -> FusedCallOut:
@@ -94,6 +97,7 @@ def unpack_fused(packed) -> FusedCallOut:
         child=host[:K, W],
         momc=host[:K, W + 1],
         dadc=host[:K, W + 2],
+        carry_risk=int(host[K, 3]) if Wp3 >= 4 else 0,
     )
 
 
@@ -108,7 +112,7 @@ _LANES = 128  # VPU lane width: the unit of the two-level scan decompositions be
 @functools.partial(
     jax.jit, static_argnames=("tau_parent", "min_child_count", "max_candidates")
 )
-def fused_flush_call(
+def _fused_flush_call_v4(
     acc: KmerAccumulator,
     tab: ScoreTable,
     tau_parent: int,
@@ -267,6 +271,199 @@ def fused_flush_call(
     return jnp.concatenate([rows, scalars], axis=0)
 
 
+_HI = np.uint32(0x80000000)  # packed parent-bad bit (v5)
+_LO31 = np.uint32(0x7FFFFFFF)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau_parent", "min_child_count", "max_candidates")
+)
+def _fused_flush_call_v5(
+    acc: KmerAccumulator,
+    tab: ScoreTable,
+    tau_parent: int,
+    min_child_count: int,
+    max_candidates: int = DEFAULT_MAX_CANDIDATES,
+) -> FusedCallOut:
+    """v5: the 3-operand sort — the ``pc`` payload column is gone.
+
+    Sort bandwidth sets the fused call's rate (micro_nk.py: 6 ops 187 Mrows/s,
+    5 ops 251 — throughput is ~operand-count-linear), and the parental pack rides
+    the sort only to (a) gate candidacy and (b) decorate the K output rows. v5
+    moves both off the sort:
+
+    - (a) needs ONE BIT per group: ``parent_bad = momc > tau or dadc > tau``. Each
+      group has at most one table row (the score table is an aggregate), so packing
+      the bit into bit 31 of that row's count word survives the segmented sum:
+      at the head, ``total = parent_bad << 31 | child_total`` exactly, provided
+      ``carried + staged <= 2^31-1``. Staged rows per group are bounded by the
+      static S; carried counts are clamped to ``2^31-1-S`` and a nonzero clamp
+      count is reported in the scalar row (``carry_risk``) so the host wrapper
+      reruns via v4 — exactness is never silently narrowed. Groups with no table
+      row sum to ``n_staged`` with bit 31 clear: parent-absent means mom=dad=0,
+      which is parent-ok under any tau >= 0 — the same truth v4 computes.
+    - (b) is a sparse lookup: the score table is itself sorted, so the K candidate
+      rows fetch their (mom, dad) pack with one lower-bound binary search each
+      (``ops.table.probe_table`` over the pcounts column; absent -> 0 matches the
+      staged-only case). K*log2(C) latency-bound gathers — microseconds against
+      the ~10s of ms the fourth sort operand cost.
+
+    Everything else — unstable num_keys=W sort, two-level segmented suffix scan
+    (now over ONE value column), two-level sparse extraction — is v4 unchanged.
+    """
+    assert 0 <= tau_parent < 0xFFFF, "tau_parent must fit the 16-bit saturated pack"
+    assert min_child_count >= 1, "min_child_count < 1 would report parent-only seed rows"
+    C, W = tab.keys.shape
+    S = acc.kmers.shape[0]
+    N = C + S
+    K = max_candidates
+    L = _LANES
+    NB = -(-N // L)
+    NP = NB * L
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
+    acc_valid = acc.valid & (slot < acc.fill)
+    tslot = jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
+    tab_valid = tslot < tab.n
+
+    ops = []
+    for w in range(W):
+        col = jnp.concatenate([tab.keys[:, w], acc.kmers[:, w]])
+        vld = jnp.concatenate([tab_valid, acc_valid])
+        ops.append(jnp.where(vld, col, _PAD))
+
+    # count word with the parent-bad bit packed at bit 31 (table rows only; the
+    # clamp keeps a maliciously large carried count from corrupting the bit even
+    # in the discarded carry_risk run)
+    momc_t = tab.pcounts & _SAT
+    dadc_t = tab.pcounts >> 16
+    bad = (momc_t > jnp.uint32(tau_parent)) | (dadc_t > jnp.uint32(tau_parent))
+    limit = np.uint32((1 << 31) - 1 - S)
+    risk_rows = tab_valid & (tab.counts > limit)
+    n_carry = jnp.sum(risk_rows).astype(jnp.int32)
+    cw_tab = jnp.where(
+        tab_valid,
+        jnp.where(bad, _HI, jnp.uint32(0)) | jnp.minimum(tab.counts, limit),
+        jnp.uint32(0),
+    )
+    cw = jnp.concatenate([cw_tab, jnp.ones((S,), jnp.uint32)])
+
+    s = jax.lax.sort(ops + [cw], num_keys=W, is_stable=False)
+    s_words, s_cw = s[:W], s[W]
+
+    head = jnp.zeros((N,), bool)
+    for w in range(W):
+        head = head | jnp.concatenate(
+            [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
+        )
+
+    # two-level segmented suffix sum of the ONE packed count column (v4's second
+    # value column rode along for pc — gone)
+    blocked = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
+    v1, fb = s_cw, blocked
+    if NP != N:
+        v1 = jnp.concatenate([v1, jnp.zeros((NP - N,), jnp.uint32)])
+        fb = jnp.concatenate([fb, jnp.ones((NP - N,), bool)])
+    v1, fb = v1.reshape(NB, L), fb.reshape(NB, L)
+    sh = 1
+    while sh < L:
+        z = jnp.zeros((NB, sh), jnp.uint32)
+        t = jnp.zeros((NB, sh), bool)
+        b1 = jnp.concatenate([v1[:, sh:], z], axis=1)
+        bf = jnp.concatenate([fb[:, sh:], t], axis=1)
+        keep = jnp.where(fb, jnp.uint32(0), jnp.uint32(1))
+        v1 = v1 + keep * b1
+        fb = fb | bf
+        sh *= 2
+
+    def _comb(b, a):  # reverse=True passes (later, earlier) — see v4
+        av1, af = a
+        bv1, bf_ = b
+        k = jnp.where(af, jnp.uint32(0), jnp.uint32(1))
+        return (av1 + k * bv1, af | bf_)
+
+    suf = jax.lax.associative_scan(_comb, (v1[:, 0], fb[:, 0]), reverse=True)
+    c1 = jnp.concatenate([suf[0][1:], jnp.zeros((1,), jnp.uint32)])
+    keep = jnp.where(fb, jnp.uint32(0), jnp.uint32(1))
+    total = (v1 + keep * c1[:, None]).reshape(NP)[:N]
+    child = total & _LO31
+    parent_bad = total >> 31
+
+    real = s_words[0] != _PAD
+    flags = (
+        head
+        & real
+        & (child >= jnp.uint32(min_child_count))
+        & (parent_bad == 0)
+    )
+    n_cand = jnp.sum(flags).astype(jnp.int32)
+    n_unique = jnp.sum(head & real).astype(jnp.int32)
+    n_child_unique = jnp.sum(head & real & (child >= 1)).astype(jnp.int32)
+
+    # sparse extraction — identical two-level scheme to v4
+    flags_p = flags
+    if NP != N:
+        flags_p = jnp.concatenate([flags, jnp.zeros((NP - N,), bool)])
+    flags2 = flags_p.reshape(NB, L)
+    bsum = jnp.sum(flags2.astype(jnp.int32), axis=1)
+    bincl = jnp.cumsum(bsum)
+    targets = jnp.arange(1, K + 1, dtype=jnp.int32)
+    g = jnp.minimum(
+        jnp.searchsorted(bincl, targets, side="left").astype(jnp.int32), NB - 1
+    )
+    bex = jnp.take(bincl, g, indices_are_sorted=True, mode="clip") - jnp.take(
+        bsum, g, indices_are_sorted=True, mode="clip"
+    )
+    frow = jnp.take(flags2, g, axis=0, indices_are_sorted=True, mode="clip")
+    lc = jnp.cumsum(frow.astype(jnp.int32), axis=1)
+    off = (targets - bex)[:, None]
+    j = jnp.argmax(lc >= off, axis=1).astype(jnp.int32)
+    cand_idx = jnp.minimum(g * L + j, N - 1)
+    take = lambda a: jnp.take(a, cand_idx, indices_are_sorted=True, mode="clip")
+    cand_keys = jnp.stack([take(w) for w in s_words], axis=-1)  # (K, W)
+
+    # per-candidate parental pack: one binary search of the (sorted) score table;
+    # staged-only candidates are absent -> 0 -> momc = dadc = 0, the v4 truth
+    pcq = probe_table(
+        KmerTable(keys=tab.keys, counts=tab.pcounts, n=tab.n), cand_keys
+    )
+    momc_k = pcq & _SAT
+    dadc_k = pcq >> 16
+
+    rows = jnp.concatenate(
+        [cand_keys, jnp.stack([take(child), momc_k, dadc_k], axis=-1)], axis=-1
+    )  # (K, W+3)
+    scalars = jnp.zeros((1, W + 3), jnp.uint32)
+    scalars = scalars.at[0, 0].set(n_cand.astype(jnp.uint32))
+    scalars = scalars.at[0, 1].set(n_unique.astype(jnp.uint32))
+    scalars = scalars.at[0, 2].set(n_child_unique.astype(jnp.uint32))
+    scalars = scalars.at[0, 3].set(n_carry.astype(jnp.uint32))
+    return jnp.concatenate([rows, scalars], axis=0)
+
+
+_VARIANTS = {"v4": _fused_flush_call_v4, "v5": _fused_flush_call_v5}
+DEFAULT_FUSED_VARIANT = "v4"  # flip to v5 only on a measured chip win
+
+
+def fused_flush_call(
+    acc: KmerAccumulator,
+    tab: ScoreTable,
+    tau_parent: int,
+    min_child_count: int,
+    max_candidates: int = DEFAULT_MAX_CANDIDATES,
+    variant: str = None,
+):
+    """Variant dispatcher (env ``DENOVO_FUSED_VARIANT`` overrides the default).
+
+    NOTE for direct callers: v5's output is only exact when its ``carry_risk``
+    scalar is 0 — use ``fused_call_full`` (which reruns via v4 on risk) unless
+    you check it yourself. All tests and pipelines go through the wrapper."""
+    v = variant or os.environ.get("DENOVO_FUSED_VARIANT") or DEFAULT_FUSED_VARIANT
+    return _VARIANTS[v](
+        acc, tab, tau_parent, min_child_count, max_candidates=max_candidates
+    )
+
+
 def extract_candidates(
     packed,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -295,17 +492,27 @@ def fused_call_full(
     tau_parent: int,
     min_child_count: int,
     max_candidates: int = DEFAULT_MAX_CANDIDATES,
+    variant: str = None,
 ):
     """One fused call with automatic candidate-capacity retry; returns
     (keys, child, momc, dadc, n_unique, n_child_unique) — host arrays sliced to the true
     candidate count. The one entry point callers should use (runs the big sort once per
-    attempt; retries only on the rare K overflow)."""
+    attempt; retries only on the rare K overflow).
+
+    Under v5 a nonzero ``carry_risk`` (a carried child count within S of 2^31 —
+    possible only after ~2^31 staged k-mers of one key) reruns through v4, whose
+    full-u32 count column has no packed bit to protect: exactness is preserved
+    for every input either way."""
     K = max_candidates
     while True:
         packed = fused_flush_call(
-            acc, tab, tau_parent, min_child_count, max_candidates=K
+            acc, tab, tau_parent, min_child_count, max_candidates=K,
+            variant=variant,
         )
         host = unpack_fused(packed)
+        if host.carry_risk:
+            variant = "v4"
+            continue
         n = host.n_cand
         if n <= host.keys.shape[0]:
             return (host.keys[:n], host.child[:n], host.momc[:n], host.dadc[:n],

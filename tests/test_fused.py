@@ -22,6 +22,16 @@ from denovo_kmer_tpu.ops.stream import KmerAccumulator, empty_accumulator
 from denovo_kmer_tpu.ops.table import KmerTable, build_table
 
 
+@pytest.fixture(params=["v4", "v5"], autouse=True)
+def fused_variant(request, monkeypatch):
+    """Every test in this module runs under BOTH sort formulations (the dispatcher
+    reads DENOVO_FUSED_VARIANT per call): v4 = 4-operand sort with the pc payload
+    column, v5 = 3-operand sort with the packed parent-bad bit + post-hoc pcount
+    probe. Identical observable outputs are the contract."""
+    monkeypatch.setenv("DENOVO_FUSED_VARIANT", request.param)
+    return request.param
+
+
 def _rand_kmers(rng, n, W, k):
     """Random valid k-mer word vectors: top word keeps its unused high bits zero."""
     kk = rng.integers(0, 2**32, size=(n, W), dtype=np.uint32)
@@ -178,6 +188,76 @@ def test_fused_candidate_capacity_retry():
     _, t = flush_score(acc, seed, out_capacity=1024)
     ref = call_from_score(t, 0, 2)
     assert np.array_equal(np.asarray(got.keys), np.asarray(ref.keys)[:300])
+
+
+def test_v5_carry_risk_falls_back_exactly():
+    """A carried child count within S of 2^31 could collide with v5's packed
+    parent-bad bit: the executable must REPORT it (carry_risk scalar) and the
+    wrapper must rerun via v4 so results stay exact u32."""
+    from denovo_kmer_tpu.ops.fused import (
+        _fused_flush_call_v5, fused_call_full, unpack_fused,
+    )
+    from denovo_kmer_tpu.ops.score import ScoreTable
+
+    k, W = 21, 2
+    rng = np.random.default_rng(5)
+    keys = np.sort(
+        _rand_kmers(rng, 4, W, k).view([("a", np.uint32), ("b", np.uint32)]),
+        order=("a", "b"), axis=0,
+    ).view(np.uint32).reshape(4, W)
+    C, S = 8, 128
+    tk = np.full((C, W), 0xFFFFFFFF, np.uint32)
+    tk[:4] = keys
+    counts = np.array([2, (1 << 31) - 1, 3, 4, 0, 0, 0, 0], np.uint32)
+    pcounts = np.array([1, 0, 2 | (3 << 16), 0, 0, 0, 0, 0], np.uint32)
+    tab = ScoreTable(
+        keys=jnp.asarray(tk), counts=jnp.asarray(counts),
+        pcounts=jnp.asarray(pcounts), n=jnp.asarray(4, jnp.int32),
+    )
+    acc = empty_accumulator(S, W)
+
+    raw = _fused_flush_call_v5(acc, tab, 3, 1, max_candidates=16)
+    assert unpack_fused(raw).carry_risk == 1
+
+    got = fused_call_full(acc, tab, 3, 1, max_candidates=16, variant="v5")
+    ref = fused_call_full(acc, tab, 3, 1, max_candidates=16, variant="v4")
+    for a, b in zip(got, ref):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # the huge carried count itself must surface exactly (row with count 2^31-1,
+    # pcounts 0 -> parent-ok, child >= 1)
+    assert np.uint32((1 << 31) - 1) in np.asarray(got[1])
+
+
+def test_v5_saturated_parent_counts_filtered():
+    """pcounts saturate at 0xFFFF; tau < 0xFFFF means a saturated parent is always
+    'bad'. v5 folds that into ONE packed bit — verify against v4 on a table where
+    every filter combination appears."""
+    from denovo_kmer_tpu.ops.fused import fused_call_full
+    from denovo_kmer_tpu.ops.score import ScoreTable
+
+    k, W = 21, 2
+    rng = np.random.default_rng(9)
+    kk = _rand_kmers(rng, 8, W, k)
+    order = np.lexsort((kk[:, 1], kk[:, 0]))
+    kk = kk[order]
+    C = 16
+    tk = np.full((C, W), 0xFFFFFFFF, np.uint32)
+    tk[:8] = kk
+    counts = np.array([5, 5, 5, 5, 0, 5, 5, 5] + [0] * 8, np.uint32)
+    pc = np.array(
+        [0, 0xFFFF, 0xFFFF << 16, 0xFFFF | (0xFFFF << 16),
+         0, 2, 3 << 16, 2 | (2 << 16)] + [0] * 8, np.uint32,
+    )
+    tab = ScoreTable(
+        keys=jnp.asarray(tk), counts=jnp.asarray(counts),
+        pcounts=jnp.asarray(pc), n=jnp.asarray(8, jnp.int32),
+    )
+    acc = empty_accumulator(64, W)
+    for tau in (0, 2, 0xFFFE):
+        got = fused_call_full(acc, tab, tau, 1, variant="v5")
+        ref = fused_call_full(acc, tab, tau, 1, variant="v4")
+        for a, b in zip(got, ref):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_fused_supported_guard():
