@@ -1024,7 +1024,7 @@ def run_evidence(
 ) -> EvidenceResult:
     """Write the child reads that contain any candidate k-mer (forward or
     reverse complement, the same canonical semantics as the call) to
-    ``out_path`` (.bam, or .fastq/.fq for sequence-only output).
+    ``out_path`` (.bam, .sam text, or .fastq/.fq for sequence-only output).
 
     This is the supporting-evidence subset every de novo candidate review needs
     (IGV inspection, local reassembly): device-side it is extract + one
@@ -1057,19 +1057,29 @@ def run_evidence(
         return hit.any(axis=-1), hit.sum(axis=-1).astype(jnp.uint32)
 
     src = _record_stream(child_path, cfg, region=region)
-    fastq = out_path.lower().endswith((".fastq", ".fq"))
+    low_out = out_path.lower()
+    fastq = low_out.endswith((".fastq", ".fq"))
+    sam_text = low_out.endswith(".sam")
     scanned = matched = 0
     batch: list = []
     matched_reads: list = []  # (name, seq), only kept for --per-candidate
 
-    # BAM output needs the source's reference dictionary: records keep their
+    # BAM/SAM output needs the source's reference dictionary: records keep their
     # refid, and a BAM whose refid >= n_ref is structurally invalid (samtools/
     # IGV reject it). Carry refs from any source that has them.
     references = [] if fastq else source_references(child_path)
-
-    out_f = open(out_path, "wb")
-    writer = None if fastq else BamWriter(out_f, references=references)
     n_ref = len(references)
+    ref_names = [n for n, _ in references]
+
+    if sam_text:
+        from denovo_kmer_tpu.io.sam import format_sam_record, sam_header_lines
+
+        out_f = open(out_path, "w")
+        out_f.write("\n".join(sam_header_lines(references)) + "\n")
+        writer = None
+    else:
+        out_f = open(out_path, "wb")
+        writer = None if fastq else BamWriter(out_f, references=references)
 
     def flush_batch():
         nonlocal matched
@@ -1090,6 +1100,9 @@ def run_evidence(
                 q = r.qual if r.qual is not None else (0,) * len(r.seq)
                 qs = "".join(chr(min(x, 93) + 33) for x in q)
                 out_f.write(f"@{name}\n{r.seq}\n+\n{qs}\n".encode())
+            elif sam_text:
+                rec = r if isinstance(r, BamRecord) else record_as_bam(r, ordinal)
+                out_f.write(format_sam_record(rec, ref_names) + "\n")
             elif isinstance(r, BamRecord) and r.refid < n_ref:
                 writer.write(r)
             else:  # nameless/refless sources: sequence-level evidence rows

@@ -80,6 +80,29 @@ def test_evidence_fastq_output(trio, tmp_path):
     assert got == want
 
 
+def test_evidence_sam_text_output(trio, tmp_path):
+    """-o .sam writes SAM text equivalent to the BAM output (same records,
+    parseable headers with the source's @SQ dictionary)."""
+    d, paths, cfg, tsv, _res = trio
+    _cands, want = _oracle_names(paths, cfg, tsv)
+    out = str(tmp_path / "ev.sam")
+    run_evidence(paths["child"], tsv, cfg, out)
+    from denovo_kmer_tpu.io.sam import SamReader
+
+    with SamReader(out) as sr:
+        refs = list(sr.references)
+        recs = list(sr)
+    assert {r.name for r in recs} == want
+    from denovo_kmer_tpu.io.bam import BamReader
+
+    with open(paths["child"], "rb") as f:
+        assert refs == list(BamReader(f).references)
+    orig = {r.name: r for r in read_bam_records(paths["child"])}
+    for r in recs:
+        o = orig[r.name]
+        assert (r.seq, r.flag, r.pos) == (o.seq, o.flag, o.pos)
+
+
 def test_evidence_preserves_alignment_fields(trio, tmp_path):
     d, paths, cfg, tsv, _res = trio
     out = str(tmp_path / "ev2.bam")
