@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -40,6 +41,7 @@ from denovo_kmer_tpu.ops.table import (
     KmerTable,
     _aggregate,
     merge_tables,
+    probe_table,
 )
 from denovo_kmer_tpu.ops.trio import Candidates, call_candidates
 from denovo_kmer_tpu.parallel.mesh import AXIS_READS, AXIS_TABLE
@@ -382,7 +384,7 @@ class ShardedKmerEngine:
         self.fused_call_K = min(1 << 14, C)
         _PADW = jnp.uint32(0xFFFFFFFF)
 
-        def finalize_call_sc_dev(tab: ScoreTable, Kc: int):
+        def finalize_call_sc_dev(tab: ScoreTable, Kc: int, variant: str = "v4"):
             local = _local_sc(tab)
             g = jax.tree.map(lambda x: jax.lax.all_gather(x, AXIS_READS), local)
             N = R * C
@@ -390,12 +392,37 @@ class ShardedKmerEngine:
             valid = (slot < g.n[:, None]).reshape(N)
             kf = g.keys.reshape(N, W)
             ops = [jnp.where(valid, kf[:, w], _PADW) for w in range(W)]
-            cnt = jnp.where(valid, g.counts.reshape(N), 0)
-            pc = jnp.where(valid, g.pcounts.reshape(N), 0)
-            # unstable: the bounded-R shifted-add group sums below are
-            # order-independent (micro_nk.py: stability/tiebreaks cost ~25-40%)
-            s = jax.lax.sort(ops + [cnt, pc], num_keys=W, is_stable=False)
-            s_words, s_cnt, s_pc = s[:W], s[W], s[W + 1]
+            n_carry = jnp.zeros((), jnp.int32)
+            if variant == "v5":
+                # 3-operand sort (ops/fused.py v5 lifted to the mesh): the parental
+                # pack leaves the sort — candidacy gate rides ONE bit (bit 31 of the
+                # count word; <= 1 nonzero-pc row per group, the r=0 chain), and the
+                # K output rows fetch their pack post-hoc by binary search of the
+                # r=0 chain's (sorted) shard table. Groups sum <= R clamped rows,
+                # so the per-row clamp (2^31-1)//R keeps the bit carry-free; any
+                # clamped row is counted in n_carry and the wrapper reruns via v4.
+                momc_t = (g.pcounts & jnp.uint32(0xFFFF)).reshape(N)
+                dadc_t = (g.pcounts >> 16).reshape(N)
+                bad = (momc_t > jnp.uint32(tau)) | (dadc_t > jnp.uint32(tau))
+                limit = jnp.uint32(((1 << 31) - 1) // R)
+                cnt_raw = g.counts.reshape(N)
+                n_carry = jnp.sum(valid & (cnt_raw > limit)).astype(jnp.int32)
+                cw = jnp.where(
+                    valid,
+                    jnp.where(bad, jnp.uint32(0x80000000), jnp.uint32(0))
+                    | jnp.minimum(cnt_raw, limit),
+                    jnp.uint32(0),
+                )
+                s = jax.lax.sort(ops + [cw], num_keys=W, is_stable=False)
+                s_words, s_cnt = s[:W], s[W]
+                s_pc = None
+            else:
+                cnt = jnp.where(valid, g.counts.reshape(N), 0)
+                pc = jnp.where(valid, g.pcounts.reshape(N), 0)
+                # unstable: the bounded-R shifted-add group sums below are
+                # order-independent (micro_nk.py: stability/tiebreaks cost ~25-40%)
+                s = jax.lax.sort(ops + [cnt, pc], num_keys=W, is_stable=False)
+                s_words, s_cnt, s_pc = s[:W], s[W], s[W + 1]
 
             head = jnp.zeros((N,), bool)
             for w in range(W):
@@ -409,23 +436,25 @@ class ShardedKmerEngine:
             def shifted(x, d):
                 return jnp.concatenate([x[d:], jnp.zeros((d,), x.dtype)]) if d else x
 
-            child = jnp.zeros((N,), jnp.uint32)
+            total = jnp.zeros((N,), jnp.uint32)
             pcsum = jnp.zeros((N,), jnp.uint32)
             for d in range(R):
                 in_grp = (iota + d) < nh
-                child = child + jnp.where(in_grp, shifted(s_cnt, d), 0)
-                # <= 1 nonzero pc per group (seeded on the r=0 chain) -> sum is exact
-                pcsum = pcsum + jnp.where(in_grp, shifted(s_pc, d), 0)
-            momc = pcsum & jnp.uint32(0xFFFF)
-            dadc = pcsum >> 16
+                total = total + jnp.where(in_grp, shifted(s_cnt, d), 0)
+                if s_pc is not None:
+                    # <= 1 nonzero pc per group (seeded on the r=0 chain) -> exact
+                    pcsum = pcsum + jnp.where(in_grp, shifted(s_pc, d), 0)
 
             real = s_words[0] != _PADW  # guarded by fused_supported(k) at call time
-            flags = (
-                head & real
-                & (child >= jnp.uint32(minc))
-                & (momc <= jnp.uint32(tau))
-                & (dadc <= jnp.uint32(tau))
-            )
+            if variant == "v5":
+                child = total & jnp.uint32(0x7FFFFFFF)
+                parent_ok = (total >> 31) == 0
+            else:
+                child = total
+                momc = pcsum & jnp.uint32(0xFFFF)
+                dadc = pcsum >> 16
+                parent_ok = (momc <= jnp.uint32(tau)) & (dadc <= jnp.uint32(tau))
+            flags = head & real & (child >= jnp.uint32(minc)) & parent_ok
             n_cand = jnp.sum(flags).astype(jnp.int32)
             n_child_unique = jnp.sum(head & real & (child >= 1)).astype(jnp.int32)
             rank = jnp.cumsum(flags.astype(jnp.int32))
@@ -435,13 +464,25 @@ class ShardedKmerEngine:
             )
             take = lambda a: jnp.take(a, idx, indices_are_sorted=True, mode="clip")
             out_keys = jnp.stack([take(w_) for w_ in s_words], axis=-1)
+            if variant == "v5":
+                # the r=0 chain's shard table is sorted padding-last (flush_score
+                # invariant) and is the only holder of parental packs
+                pcq = probe_table(
+                    KmerTable(keys=g.keys[0], counts=g.pcounts[0], n=g.n[0]),
+                    out_keys,
+                )
+                out_momc = pcq & jnp.uint32(0xFFFF)
+                out_dadc = pcq >> 16
+            else:
+                out_momc, out_dadc = take(momc), take(dadc)
             res = Candidates(
                 keys=out_keys, child_counts=take(child),
-                mom_counts=take(momc), dad_counts=take(dadc), n=n_cand,
+                mom_counts=out_momc, dad_counts=out_dadc, n=n_cand,
             )
             return (
                 jax.tree.map(lambda x: x[None, None], res),
                 n_child_unique[None, None],
+                n_carry[None, None],
             )
 
         fused_cand_specs = Candidates(
@@ -456,18 +497,22 @@ class ShardedKmerEngine:
         # the compacting finalize+call (a full re-sort + recompile anyway)
         self._fused_call_cache = {}
 
-        def _finalize_call_score_k(tab, Kc: int):
-            fn = self._fused_call_cache.get(Kc)
+        def _finalize_call_score_k(tab, Kc: int, variant: str = None):
+            from denovo_kmer_tpu.ops.fused import DEFAULT_FUSED_VARIANT
+
+            v = (variant or os.environ.get("DENOVO_FUSED_VARIANT")
+                 or DEFAULT_FUSED_VARIANT)
+            fn = self._fused_call_cache.get((Kc, v))
             if fn is None:
                 fn = jax.jit(
                     shard_map(
-                        functools.partial(finalize_call_sc_dev, Kc=Kc),
+                        functools.partial(finalize_call_sc_dev, Kc=Kc, variant=v),
                         mesh=mesh,
                         in_specs=(score_specs,),
-                        out_specs=(fused_cand_specs, spec_table),
+                        out_specs=(fused_cand_specs, spec_table, spec_table),
                     )
                 )
-                self._fused_call_cache[Kc] = fn
+                self._fused_call_cache[(Kc, v)] = fn
             return fn(tab)
 
         self._finalize_call_score = functools.partial(
@@ -840,12 +885,20 @@ class ShardedKmerEngine:
         if not fused_supported(self.cfg.k) or self.R > 16:
             return _fallback()
         Kc = self.fused_call_K
+        variant = None
         while True:
-            cands, nchild = self._finalize_call_score_k(state.table, Kc)
+            cands, nchild, ncarry = self._finalize_call_score_k(
+                state.table, Kc, variant=variant
+            )
             if replicated_fetch:
                 # multi-process: shard (0,0) may be non-addressable — fold the
                 # replica-rows output to fully-replicated before host fetches
-                cands, nchild = self._replicated((cands, nchild))
+                cands, nchild, ncarry = self._replicated((cands, nchild, ncarry))
+            if int(np.asarray(jnp.max(ncarry))):
+                # v5 carry risk (a carried count near 2^31/R): rerun via the
+                # 4-operand v4 kernel, whose counts ride a full u32 column
+                variant = "v4"
+                continue
             ns = np.asarray(cands.n)[0]  # (T,) — rows are replicas
             n_over = int(ns.max(initial=0))
             if n_over <= Kc:

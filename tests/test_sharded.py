@@ -95,6 +95,72 @@ def test_sharded_trio_matches_single_device(trio_paths, mesh_shape):
     assert res_sharded.report == res_single.report
 
 
+def test_sharded_v5_fused_matches_v4(trio_paths, monkeypatch):
+    """The 3-operand v5 fused kernel (parent-bad bit + post-hoc pcount probe,
+    ops/fused.py) lifted to the mesh must produce byte-identical results to the
+    4-operand v4 kernel on a real trio (parents present: varied pcounts exercise
+    the packed gate and the r=0-chain probe)."""
+    cfg = EngineConfig(
+        k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13,
+        mesh_shape=(2, 4),
+    )
+    monkeypatch.setenv("DENOVO_FUSED_VARIANT", "v5")
+    res_v5 = run_trio_sharded(
+        trio_paths["mom"], trio_paths["dad"], trio_paths["child"], cfg
+    )
+    monkeypatch.setenv("DENOVO_FUSED_VARIANT", "v4")
+    res_v4 = run_trio_sharded(
+        trio_paths["mom"], trio_paths["dad"], trio_paths["child"], cfg
+    )
+    assert res_v5.candidates == res_v4.candidates
+    assert res_v5.report == res_v4.report
+    assert res_v5.tables_n == res_v4.tables_n
+
+
+def test_sharded_v5_carry_risk_falls_back(monkeypatch):
+    """A per-row carried count above (2^31-1)//R must be detected by the v5
+    kernel (n_carry scalar) and rerun via v4 — results stay exact u32."""
+    cfg = EngineConfig(
+        k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13,
+        mesh_shape=(2, 4),
+    )
+    mesh = make_mesh((2, 4), jax.devices()[:8])
+    engine = ShardedKmerEngine(cfg, mesh)
+    empty_mom = engine.finalize(engine.new_build())
+    empty_dad = engine.finalize(engine.new_build())
+    st = engine.new_score_build(empty_mom, empty_dad)
+    st = engine.ingest_score(st, _packed_batch(cfg, cfg.batch_reads, seed=7))
+    st = engine.ingest_score(st, _packed_batch(cfg, cfg.batch_reads, seed=7))
+    # flush pending staged rows into the score table, then bump one carried count
+    # over the v5 per-row clamp (2^31-1)//R with R=2 -> 2^30 triggers it
+    if st.pending:
+        acc, table, ovf = engine._flush_score(st.acc, st.table, st.ovf)
+        st = type(st)(acc=acc, ovf=ovf, table=table, pending=0)
+    counts = np.array(st.table.counts)  # writable copy
+    ns = np.asarray(st.table.n)
+    r, t = 0, int(np.argmax(ns[0] > 0))
+    assert ns[r, t] > 0
+    big = np.uint32(1 << 30)
+    counts[r, t, 0] = big
+    new_counts = jax.device_put(counts, st.table.counts.sharding)
+    st = type(st)(
+        acc=st.acc, ovf=st.ovf, pending=0,
+        table=type(st.table)(
+            keys=st.table.keys, counts=new_counts,
+            pcounts=st.table.pcounts, n=st.table.n,
+        ),
+    )
+    monkeypatch.setenv("DENOVO_FUSED_VARIANT", "v5")
+    got, nchild_v5 = engine.finalize_call_score(st)
+    assert any(kc_v[1] == "v4" for kc_v in engine._fused_call_cache), \
+        "carry risk should have compiled the v4 fallback kernel"
+    monkeypatch.setenv("DENOVO_FUSED_VARIANT", "v4")
+    ref, nchild_v4 = engine.finalize_call_score(st)
+    assert got == ref and nchild_v5 == nchild_v4
+    # the huge carried count itself must surface exactly in some candidate
+    assert any(c[1] >= int(big) for c in got)
+
+
 def test_sharded_trio_matches_oracle(trio_paths):
     cfg = EngineConfig(
         k=31, max_read_len=64, batch_reads=64, table_capacity=1 << 13,
@@ -145,8 +211,8 @@ def test_fused_call_K_retry_stays_on_fused_path():
 
     engine.fused_call_K = 16  # force per-shard overflow -> retry with doubled K
     cands_fused, nchild_fused = engine.finalize_call_score(scored_state())
-    assert 2 in engine._fused_call_cache or any(
-        k > 16 for k in engine._fused_call_cache
+    assert any(
+        kc > 16 for kc, _v in engine._fused_call_cache
     ), "retry should have compiled a larger-K fused call"
     assert len(cands_fused) > 8 * 16, "test needs enough candidates to overflow K"
 
