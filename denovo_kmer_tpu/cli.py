@@ -601,6 +601,101 @@ def cmd_flagstat(args) -> int:
     return 0
 
 
+def cmd_idxstats(args) -> int:
+    """Per-reference mapped/unmapped read counts (`samtools idxstats` analog):
+    `name<TAB>length<TAB>#mapped<TAB>#unmapped` per contig plus a trailing
+    `*` line with the no-coordinate count. A local BAM with a sibling .bai/.csi
+    carrying pseudo-bin metadata answers from the index alone; everything else
+    (SAM/CRAM/FASTQ, remote, meta-less index) streams the records."""
+    import os
+
+    from denovo_kmer_tpu.pipeline import _record_stream, source_references
+
+    refs = source_references(args.input)
+    low = args.input.lower()
+    if low.endswith(".bam") and "://" not in args.input:
+        from denovo_kmer_tpu.io.bai import index_stats
+
+        for suffix in (".bai", ".csi"):
+            p = args.input + suffix
+            if os.path.exists(p):
+                got = index_stats(p)
+                if got is not None:
+                    per_ref, n_no_coor = got
+                    for (name, length), (m, u) in zip(refs, per_ref):
+                        print(f"{name}\t{length}\t{m}\t{u}")
+                    print(f"*\t0\t0\t{n_no_coor}")
+                    return 0
+    cfg = EngineConfig(reference_fasta=args.reference)
+    mapped = [0] * len(refs)
+    unmapped = [0] * len(refs)
+    n_no_coor = 0
+    for rec in _record_stream(args.input, cfg):
+        refid = getattr(rec, "refid", -1)
+        if 0 <= refid < len(refs) and getattr(rec, "pos", -1) >= 0:
+            if rec.flag & 0x4:
+                unmapped[refid] += 1
+            else:
+                mapped[refid] += 1
+        else:
+            n_no_coor += 1
+    for (name, length), m, u in zip(refs, mapped, unmapped):
+        print(f"{name}\t{length}\t{m}\t{u}")
+    print(f"*\t0\t0\t{n_no_coor}")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    """Summary stats of a `count` checkpoint (`jellyfish stats` analog):
+    Unique (count==1), Distinct, Total, Max_count."""
+    import numpy as np
+
+    from denovo_kmer_tpu.utils.checkpoint import load_table
+
+    cfg = _cfg_from_args(args)
+    table = load_table(args.table, cfg)
+    n = int(table.n)
+    counts = np.asarray(table.counts)[:n].astype(np.uint64)
+    print(f"Unique:    {int((counts == 1).sum())}")
+    print(f"Distinct:  {n}")
+    print(f"Total:     {int(counts.sum())}")
+    print(f"Max_count: {int(counts.max()) if n else 0}")
+    return 0
+
+
+def cmd_faidx(args) -> int:
+    """Fetch FASTA subsequences by region (`samtools faidx` analog): builds the
+    .fai on first use, prints each region as a 60-column-wrapped FASTA record.
+    Regions are 1-based inclusive `name` or `name:start-end`."""
+    from denovo_kmer_tpu.io.fasta import FaidxFasta
+
+    fa = FaidxFasta(args.fasta)
+    lengths = fa.lengths()
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    try:
+        for region in args.regions:
+            name, _, rng = region.partition(":")
+            if name not in fa:
+                raise SystemExit(f"faidx: contig {name!r} not in {args.fasta}")
+            length = lengths[name]
+            if rng:
+                b, _, e = rng.replace(",", "").partition("-")
+                beg0 = max(int(b) - 1, 0) if b else 0
+                end0 = min(int(e), length) if e else length
+                if end0 <= beg0:
+                    raise SystemExit(f"faidx: empty region {region!r}")
+            else:
+                beg0, end0 = 0, length
+            seq = fa.fetch(name, beg0, end0)
+            out.write(f">{region}\n")
+            for i in range(0, len(seq), 60):
+                out.write(seq[i : i + 60] + "\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_doctor(args) -> int:
     """Environment self-check: devices, native shim, codec availability —
     the first thing to run on a new host/pod."""
@@ -905,6 +1000,30 @@ def main(argv=None) -> int:
     pdr = sub.add_parser("doctor", help="environment self-check: devices, "
                                         "native shim, codecs")
     pdr.set_defaults(fn=cmd_doctor)
+
+    px = sub.add_parser(
+        "idxstats", help="per-reference mapped/unmapped counts "
+                         "(samtools idxstats analog; index fast path)")
+    px.add_argument("input")
+    px.add_argument("--reference", default=None,
+                    help="reference FASTA for reference-based CRAM input")
+    px.set_defaults(fn=cmd_idxstats)
+
+    pst = sub.add_parser(
+        "stats", help="summary stats of a `count` checkpoint "
+                      "(jellyfish stats analog)")
+    pst.add_argument("table", help="table checkpoint (.npz from `count`)")
+    _add_engine_args(pst)
+    pst.set_defaults(fn=cmd_stats)
+
+    pfa = sub.add_parser(
+        "faidx", help="fetch FASTA subsequences by region "
+                      "(samtools faidx analog; builds .fai on first use)")
+    pfa.add_argument("fasta")
+    pfa.add_argument("regions", nargs="+",
+                     help="1-based inclusive `name` or `name:start-end`")
+    pfa.add_argument("-o", "--output", default="-")
+    pfa.set_defaults(fn=cmd_faidx)
 
     pv = sub.add_parser(
         "view", help="convert/filter reads (samtools view analog): BAM/SAM/CRAM "

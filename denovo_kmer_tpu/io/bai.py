@@ -190,6 +190,100 @@ def read_csi(path: str) -> BamIndex:
     return BamIndex(refs=refs, min_shift=min_shift, depth=depth)
 
 
+class _IndexStatsAccum:
+    """Per-reference mapped/unmapped tallies + file-span voffsets for the SAMv1 §5.2
+    pseudo-bin metadata samtools emits (`samtools idxstats` reads it back without
+    touching the BAM). Shared by the BAI and CSI writers."""
+
+    def __init__(self, n_ref: int):
+        self.mapped = [0] * n_ref
+        self.unmapped = [0] * n_ref
+        self.span: List[Optional[Tuple[int, int]]] = [None] * n_ref
+        self.n_no_coor = 0
+
+    def add(self, rec: BamRecord, v_before: int, v_after: int) -> None:
+        if 0 <= rec.refid < len(self.mapped) and rec.pos >= 0:
+            r = rec.refid
+            if rec.flag & 0x4:
+                self.unmapped[r] += 1
+            else:
+                self.mapped[r] += 1
+            s = self.span[r]
+            self.span[r] = (
+                (v_before, v_after) if s is None else (s[0], v_after)
+            )
+        else:
+            self.n_no_coor += 1
+
+    def has(self, r: int) -> bool:
+        return self.span[r] is not None
+
+    def pseudo_bin_bytes(self, r: int, pseudo_id: int, csi: bool = False) -> bytes:
+        beg, end = self.span[r]
+        if csi:
+            head = struct.pack("<IQi", pseudo_id, beg, 2)
+        else:
+            head = struct.pack("<Ii", pseudo_id, 2)
+        return head + struct.pack(
+            "<QQQQ", beg, end, self.mapped[r], self.unmapped[r]
+        )
+
+
+def index_stats(path: str):
+    """Read per-reference (n_mapped, n_unmapped) + n_no_coor back out of a .bai/.csi
+    pseudo-bin (`samtools idxstats` fast path). Returns ``(per_ref, n_no_coor)`` or
+    ``None`` when the index carries no metadata bins (e.g. written by a tool that
+    skips them — callers fall back to streaming the BAM)."""
+    if path.endswith(".csi"):
+        from denovo_kmer_tpu.io.bgzf import BgzfReader
+
+        with open(path, "rb") as f:
+            data = BgzfReader(f).read(1 << 40)
+        if data[:4] != CSI_MAGIC:
+            raise ValueError(f"bad CSI magic in {path}")
+        pos = 4
+        min_shift, depth, l_aux = struct.unpack_from("<iii", data, pos)
+        pos += 12 + l_aux
+        pseudo = ((1 << 3 * (depth + 1)) - 1) // 7 + 1
+        bin_head = "<IQi"  # CSI bins carry an loffset
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] != BAI_MAGIC:
+            raise ValueError(f"bad BAI magic in {path}")
+        pos = 4
+        pseudo = _PSEUDO_BIN
+        bin_head = "<Ii"
+    head_sz = struct.calcsize(bin_head)
+    (n_ref,) = struct.unpack_from("<i", data, pos)
+    pos += 4
+    per_ref: List[Optional[Tuple[int, int]]] = []
+    any_meta = False
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        meta = None
+        for _ in range(n_bin):
+            parts = struct.unpack_from(bin_head, data, pos)
+            b, n_chunk = parts[0], parts[-1]
+            pos += head_sz
+            if b == pseudo and n_chunk == 2:
+                _beg, _end, n_map, n_unmap = struct.unpack_from("<QQQQ", data, pos)
+                meta = (int(n_map), int(n_unmap))
+                any_meta = True
+            pos += 16 * n_chunk
+        if not path.endswith(".csi"):
+            (n_intv,) = struct.unpack_from("<i", data, pos)
+            pos += 4 + 8 * n_intv
+        per_ref.append(meta)
+    n_no_coor = 0
+    if pos + 8 <= len(data):
+        (n_no_coor,) = struct.unpack_from("<Q", data, pos)
+    if not any_meta:
+        return None
+    return [m or (0, 0) for m in per_ref], int(n_no_coor)
+
+
 def write_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
     """Index a coordinate-sorted BAM: one sequential pass collecting per-record
     (bin, voffset span) + the 16 kb linear index. Refuses unsorted input like
@@ -209,6 +303,7 @@ def write_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
         n_ref = len(reader.references)
         bins: List[Dict[int, List[Tuple[int, int]]]] = [dict() for _ in range(n_ref)]
         linear: List[Dict[int, int]] = [dict() for _ in range(n_ref)]
+        stats = _IndexStatsAccum(n_ref)
         v_before = reader.tell_virtual()
         last = (-1, -1)
         for rec in reader:
@@ -229,18 +324,22 @@ def write_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
                     lin = linear[rec.refid]
                     if w not in lin or v_before < lin[w]:
                         lin[w] = v_before
+            stats.add(rec, v_before, v_after)
             v_before = v_after
     out = bytearray(BAI_MAGIC)
     out += struct.pack("<i", n_ref)
     for r in range(n_ref):
         # merge adjacent chunks within each bin (records are visited in file order)
         packed_bins = {b: _merge_chunks(chunks) for b, chunks in bins[r].items()}
-        out += struct.pack("<i", len(packed_bins))
+        n_bin = len(packed_bins) + (1 if stats.has(r) else 0)
+        out += struct.pack("<i", n_bin)
         for b in sorted(packed_bins):
             chunks = packed_bins[b]
             out += struct.pack("<Ii", b, len(chunks))
             for cb, ce in chunks:
                 out += struct.pack("<QQ", cb, ce)
+        if stats.has(r):
+            out += stats.pseudo_bin_bytes(r, _PSEUDO_BIN)
         n_intv = max(linear[r]) + 1 if linear[r] else 0
         out += struct.pack("<i", n_intv)
         prev = 0
@@ -249,6 +348,7 @@ def write_bai(bam_path: str, bai_path: Optional[str] = None) -> str:
             if w in linear[r]:
                 prev = linear[r][w]
             out += struct.pack("<Q", prev)
+    out += struct.pack("<Q", stats.n_no_coor)
     with open(bai_path, "wb") as f:
         f.write(bytes(out))
     return bai_path
@@ -265,6 +365,7 @@ def write_csi(
         reader = BamReader(f)
         n_ref = len(reader.references)
         bins: List[Dict[int, List[Tuple[int, int]]]] = [dict() for _ in range(n_ref)]
+        stats = _IndexStatsAccum(n_ref)
         v_before = reader.tell_virtual()
         last = (-1, -1)
         for rec in reader:
@@ -278,18 +379,23 @@ def write_csi(
                 end = rec.pos + record_ref_span(rec)
                 b = reg2bin(rec.pos, end, min_shift, depth)
                 bins[rec.refid].setdefault(b, []).append((v_before, v_after))
+            stats.add(rec, v_before, v_after)
             v_before = v_after
+    pseudo = ((1 << 3 * (depth + 1)) - 1) // 7 + 1
     out = bytearray(CSI_MAGIC)
     out += struct.pack("<iii", min_shift, depth, 0)
     out += struct.pack("<i", n_ref)
     for r in range(n_ref):
-        out += struct.pack("<i", len(bins[r]))
+        out += struct.pack("<i", len(bins[r]) + (1 if stats.has(r) else 0))
         for b in sorted(bins[r]):
             chunks = _merge_chunks(bins[r][b])
             loffset = min(cb for cb, _ in chunks)
             out += struct.pack("<IQi", b, loffset, len(chunks))
             for cb, ce in chunks:
                 out += struct.pack("<QQ", cb, ce)
+        if stats.has(r):
+            out += stats.pseudo_bin_bytes(r, pseudo, csi=True)
+    out += struct.pack("<Q", stats.n_no_coor)
     with open(csi_path, "wb") as f:
         w = BgzfWriter(f)
         w.write(bytes(out))

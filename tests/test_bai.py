@@ -228,3 +228,37 @@ def test_cli_regions_bed_matches_region(tmp_path):
                  "--child", paths["child"], "-o", b,
                  "--regions-bed", str(bed), *eng]) == 0
     assert open(a).read() == open(b).read()
+
+
+@pytest.mark.parametrize("writer,suffix", [(write_bai, ".bai"), (write_csi, ".csi")])
+def test_index_stats_roundtrip(bam, tmp_path, writer, suffix):
+    """Pseudo-bin metadata (SAMv1 §5.2, `samtools idxstats` fast path) written by
+    both index writers must read back equal to a direct stream count."""
+    from denovo_kmer_tpu.io.bai import index_stats
+
+    idx = str(tmp_path / ("s" + suffix))
+    writer(bam, idx)
+    per_ref, n_no_coor = index_stats(idx)
+    recs = list(read_bam_records(bam))
+    n_ref = len(per_ref)
+    want_map = [0] * n_ref
+    want_unmap = [0] * n_ref
+    want_no_coor = 0
+    for r in recs:
+        if 0 <= r.refid < n_ref and r.pos >= 0:
+            if r.flag & 0x4:
+                want_unmap[r.refid] += 1
+            else:
+                want_map[r.refid] += 1
+        else:
+            want_no_coor += 1
+    assert per_ref == list(zip(want_map, want_unmap))
+    assert n_no_coor == want_no_coor
+    # the region reader must still ignore the metadata bin (the existing
+    # index-vs-scan parity suite runs on meta-less fixtures)
+    loader = read_bai if suffix == ".bai" else read_csi
+    parsed = loader(idx)
+    from denovo_kmer_tpu.io.bai import _PSEUDO_BIN
+
+    for ref in parsed.refs:
+        assert _PSEUDO_BIN not in ref.bins

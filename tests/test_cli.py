@@ -380,3 +380,77 @@ def test_view_subsample(trio_dir, capsys):
     assert main(["view", "-c", "-s", "8.25", bam]) == 0
     kept2 = int(capsys.readouterr().out.strip())
     assert 0 < kept2 < total
+
+
+def test_idxstats_index_vs_stream(trio_dir, tmp_path, capsys):
+    """idxstats: index fast path (pseudo-bin metadata) == streaming the records;
+    SAM input (no index possible) streams and matches too."""
+    from denovo_kmer_tpu.io.bam import sort_bam
+
+    bam = sort_bam(str(trio_dir / "child.bam"), str(tmp_path / "c.sorted.bam"))
+    assert main(["view", str(trio_dir / "child.bam"), "-o",
+                 str(tmp_path / "c.sam")]) == 0
+    capsys.readouterr()
+
+    assert main(["idxstats", bam]) == 0  # no index yet -> streaming path
+    streamed = capsys.readouterr().out
+    assert main(["index", bam]) == 0
+    capsys.readouterr()
+    assert main(["idxstats", bam]) == 0  # sibling .bai -> index fast path
+    indexed = capsys.readouterr().out
+    assert indexed == streamed
+    assert main(["idxstats", str(tmp_path / "c.sam")]) == 0
+    assert capsys.readouterr().out == streamed
+
+    lines = [l.split("\t") for l in streamed.strip().splitlines()]
+    assert lines[-1][0] == "*"
+    from denovo_kmer_tpu.io.bam import read_bam_records
+
+    recs = list(read_bam_records(bam))
+    total = sum(int(l[2]) + int(l[3]) for l in lines[:-1]) + int(lines[-1][3])
+    assert total == len(recs)
+
+
+def test_stats_checkpoint(trio_dir, tmp_path, capsys):
+    """stats == jellyfish-stats derived from the dumped counts."""
+    import numpy as np
+
+    npz = str(tmp_path / "child.npz")
+    assert main(["count", str(trio_dir / "child.bam"), "-o", npz,
+                 *ENGINE_ARGS]) == 0
+    capsys.readouterr()
+    assert main(["stats", npz, *ENGINE_ARGS]) == 0
+    got = {l.split(":")[0]: int(l.split(":")[1])
+           for l in capsys.readouterr().out.strip().splitlines()}
+
+    data = np.load(npz)
+    counts = data["counts"]  # checkpoints store only the live rows
+    assert got["Distinct"] == len(counts)
+    assert got["Unique"] == int((counts == 1).sum())
+    assert got["Total"] == int(counts.astype(np.int64).sum())
+    assert got["Max_count"] == int(counts.max())
+
+
+def test_faidx_subcommand(tmp_path, capsys):
+    """faidx region fetch == python slicing of the same reference."""
+    import random
+
+    rng = random.Random(5)
+    name = "chrT"
+    seq = "".join(rng.choice("ACGT") for _ in range(437))
+    ref = str(tmp_path / "ref.fa")
+    with open(ref, "w") as f:
+        f.write(f">{name} desc\n")
+        for i in range(0, len(seq), 70):
+            f.write(seq[i : i + 70] + "\n")
+
+    assert main(["faidx", ref, f"{name}:11-70", name]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == f">{name}:11-70"
+    assert out[1] == seq[10:70]
+    assert out[2] == f">{name}"
+    assert "".join(out[3:]) == seq
+    assert all(len(l) <= 60 for l in out[3:])
+
+    with pytest.raises(SystemExit):
+        main(["faidx", ref, "nope:1-10"])
