@@ -271,3 +271,38 @@ int main(int argc, char** argv) {
     assert "arith fuzz ok" in run.stdout
     assert "AddressSanitizer" not in run.stderr
     assert "runtime error" not in run.stderr
+
+
+@pytest.mark.slow
+def test_ingest_shim_clean_under_tsan(tmp_path):
+    """Race detection (SURVEY.md §5.2): the shim's decode-ahead pool (workers
+    inflate ring slots, caller thread reads the file and drains READY slots —
+    bam_ingest.cpp Reader) under ThreadSanitizer, with a forced 4-worker pool
+    and the drain/refill seek-replay path exercised by the same selftest."""
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+
+    paths = write_trio_bams(
+        make_trio(TrioSpec(genome_len=3000, read_len=90, coverage=6.0, seed=17,
+                           n_rate=0.01)),
+        str(tmp_path),
+    )
+    exe = str(tmp_path / "selftest_tsan")
+    build = subprocess.run(
+        ["g++", "-O1", "-g", "-std=c++17", "-fsanitize=thread",
+         "-fno-omit-frame-pointer", os.path.join(_NATIVE, "selftest.cpp"),
+         "-o", exe, "-lz"],
+        capture_output=True, text=True, timeout=300,
+    )
+    if build.returncode != 0 and "tsan" in (build.stderr or "").lower():
+        pytest.skip(f"no TSan runtime on this toolchain: {build.stderr[:200]}")
+    assert build.returncode == 0, build.stderr
+
+    env = dict(os.environ, DENOVO_KMER_INGEST_THREADS="4",
+               TSAN_OPTIONS="halt_on_error=1:exitcode=66")
+    run = subprocess.run([exe, paths["child"], "96"], capture_output=True,
+                         text=True, timeout=300, env=env)
+    assert run.returncode == 0, f"stdout:{run.stdout}\nstderr:{run.stderr[-3000:]}"
+    assert "selftest ok" in run.stdout
+    assert "WARNING: ThreadSanitizer" not in run.stderr
