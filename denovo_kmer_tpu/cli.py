@@ -645,6 +645,81 @@ def cmd_idxstats(args) -> int:
     return 0
 
 
+def cmd_depth(args) -> int:
+    """Per-position aligned-base coverage (`samtools depth` analog): lines of
+    `ref<TAB>pos1<TAB>depth` for covered positions (all positions with ``-a``).
+    Counts cigar M/=/X bases like samtools — deletions/splices (D/N) span the
+    reference but do not deposit coverage. Diff-array accumulation: one +1/-1
+    pair per aligned interval, a single cumsum per contig."""
+    import numpy as np
+
+    from denovo_kmer_tpu.pipeline import _record_stream, source_references
+
+    refs = source_references(args.input)
+    if not refs:
+        raise SystemExit("depth: input has no reference dictionary (FASTQ/FASTA?)")
+    cfg = EngineConfig(reference_fasta=args.reference)
+    region = _resolve_region(args)
+    diffs = {}
+    for rec in _record_stream(args.input, cfg, region=region):
+        refid = getattr(rec, "refid", -1)
+        if not (0 <= refid < len(refs)) or getattr(rec, "pos", -1) < 0:
+            continue
+        if rec.flag & 0x4 or rec.flag & args.exclude_flags:
+            continue
+        d = diffs.get(refid)
+        if d is None:
+            d = diffs[refid] = np.zeros(refs[refid][1] + 1, np.int32)
+        p = rec.pos
+        for n, op in rec.cigar:
+            if op in (0, 7, 8):  # M/=/X: aligned bases deposit coverage
+                lo, hi = max(p, 0), min(p + n, len(d) - 1)
+                if hi > lo:
+                    d[lo] += 1
+                    d[hi] -= 1
+                p += n
+            elif op in (2, 3):  # D/N: span the reference, no coverage
+                p += n
+    intervals = {}  # refid -> [(beg0, end0)]: output clips to the restriction
+    if region is not None:
+        from denovo_kmer_tpu.io.bai import parse_region
+
+        regs = region if isinstance(region, (list, tuple)) else [region]
+        for rs in regs:
+            rid, b0, e0 = parse_region(rs, refs)
+            intervals.setdefault(rid, []).append((b0, e0))
+    rids = (
+        sorted(intervals) if intervals
+        else (range(len(refs)) if args.all else sorted(diffs))
+    )
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    try:
+        for refid in rids:
+            name, length = refs[refid]
+            d = diffs.get(refid)
+            cov = (
+                np.cumsum(d[:-1]) if d is not None
+                else np.zeros(length, np.int32)
+            )
+            if refid in intervals:
+                keep = np.zeros(length, bool)
+                for b0, e0 in intervals[refid]:
+                    keep[b0:e0] = True
+            else:
+                keep = np.ones(length, bool)
+            if not args.all:
+                keep &= cov > 0
+            pos0 = np.flatnonzero(keep)
+            out.write(
+                "".join(f"{name}\t{p + 1}\t{c}\n"
+                        for p, c in zip(pos0, cov[pos0]))
+            )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Summary stats of a `count` checkpoint (`jellyfish stats` analog):
     Unique (count==1), Distinct, Total, Max_count."""
@@ -1008,6 +1083,22 @@ def main(argv=None) -> int:
     px.add_argument("--reference", default=None,
                     help="reference FASTA for reference-based CRAM input")
     px.set_defaults(fn=cmd_idxstats)
+
+    pdp = sub.add_parser(
+        "depth", help="per-position aligned-base coverage "
+                      "(samtools depth analog)")
+    pdp.add_argument("input")
+    pdp.add_argument("-o", "--output", default="-")
+    pdp.add_argument("-a", "--all", action="store_true",
+                     help="print zero-coverage positions too")
+    pdp.add_argument("-F", "--exclude-flags", type=_int_maybe_hex,
+                     default=0x700,  # samtools default: unmap/secondary/qcfail/dup
+                     help="drop records with any of these flag bits (hex ok)")
+    pdp.add_argument("--region", default=None)
+    pdp.add_argument("--regions-bed", default=None)
+    pdp.add_argument("--reference", default=None,
+                     help="reference FASTA for reference-based CRAM input")
+    pdp.set_defaults(fn=cmd_depth)
 
     pst = sub.add_parser(
         "stats", help="summary stats of a `count` checkpoint "

@@ -454,3 +454,61 @@ def test_faidx_subcommand(tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["faidx", ref, "nope:1-10"])
+
+
+def test_depth_subcommand(tmp_path, capsys):
+    """depth == brute-force per-base oracle over mixed cigars (M/D/N/S/I),
+    honoring the samtools default flag excludes; --region clips the output."""
+    import numpy as np
+
+    from denovo_kmer_tpu.io.bam import BamRecord, BamWriter
+
+    L = 400
+    refs = [("c1", L), ("c2", L)]
+    # (refid, pos, cigar, flag): soft-clip + insertion consume no reference;
+    # D/N span it without depositing coverage; dup/secondary must be excluded
+    mk = lambda i, refid, pos, cigar, flag=0: BamRecord(
+        name=f"r{i}", flag=flag, refid=refid, pos=pos, mapq=60, cigar=cigar,
+        seq="A" * sum(n for n, op in cigar if op in (0, 1, 4, 7, 8)),
+        qual=(30,) * sum(n for n, op in cigar if op in (0, 1, 4, 7, 8)))
+    recs = [
+        mk(0, 0, 10, ((20, 0),)),
+        mk(1, 0, 15, ((5, 4), (10, 0), (6, 2), (10, 0))),   # S M D M
+        mk(2, 0, 25, ((8, 0), (4, 1), (8, 7), (100, 3), (8, 8))),  # M I = N X
+        mk(3, 1, 0, ((30, 0),)),
+        mk(4, 0, 50, ((20, 0),), flag=0x400),               # duplicate: excluded
+        mk(5, 0, 60, ((20, 0),), flag=0x100),               # secondary: excluded
+        mk(6, 0, 70, ((20, 0),), flag=0x4),                 # unmapped: excluded
+    ]
+    bam = str(tmp_path / "d.bam")
+    with open(bam, "wb") as f, BamWriter(f, references=refs) as w:
+        for r in sorted(recs, key=lambda r: (r.refid, r.pos)):
+            w.write(r)
+
+    want = {0: np.zeros(L, int), 1: np.zeros(L, int)}
+    for r in recs:
+        if r.flag & 0x704:
+            continue
+        p = r.pos
+        for n, op in r.cigar:
+            if op in (0, 7, 8):
+                want[r.refid][p : p + n] += 1
+                p += n
+            elif op in (2, 3):
+                p += n
+
+    assert main(["depth", bam]) == 0
+    got = {0: np.zeros(L, int), 1: np.zeros(L, int)}
+    names = {"c1": 0, "c2": 1}
+    for line in capsys.readouterr().out.strip().splitlines():
+        nm, pos1, dep = line.split("\t")
+        assert int(dep) > 0  # default prints covered positions only
+        got[names[nm]][int(pos1) - 1] = int(dep)
+    for rid in (0, 1):
+        assert np.array_equal(got[rid], want[rid])
+
+    assert main(["depth", bam, "--region", "c1:20-40", "-a"]) == 0
+    lines = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    assert [int(l[1]) for l in lines] == list(range(20, 41))  # clipped, dense
+    assert all(l[0] == "c1" for l in lines)
+    assert [int(l[2]) for l in lines] == list(want[0][19:40])
