@@ -852,6 +852,7 @@ def cmd_view(args) -> int:
     if fmt is None:
         low = (out or "-").lower()
         fmt = ("bam" if low.endswith(".bam") else
+               "cram" if low.endswith(".cram") else
                "fastq" if low.endswith((".fastq", ".fq")) else
                "fasta" if low.endswith((".fa", ".fasta")) else "sam")
     refs = source_references(args.input)
@@ -869,6 +870,59 @@ def cmd_view(args) -> int:
         with open(out, "wb") as f, BamWriter(f, references=refs) as w:
             for i, r in enumerate(stream):
                 w.write(as_bam_record(r, i))
+        return 0
+
+    if fmt == "cram":
+        # samtools view -C analog. With --reference: reference-based multiref
+        # containers with per-record flags+quals preserved (byte-exact engine
+        # view — `call` on the converted file matches the BAM). Without a
+        # reference: sequence-archive profile via the BA series, where every
+        # record gains the unmapped flag (CRAM unmapped-slice semantics) — the
+        # default call filter (SPEC_SEMANTICS §4) skips unmapped reads, so the
+        # reference-based form is what conversion pipelines should use.
+        if not out or out == "-":
+            raise SystemExit("view: CRAM output needs -o FILE (binary stdout)")
+        from denovo_kmer_tpu.io.cram import M_GZIP, M_RANSNX16, write_cram
+        from denovo_kmer_tpu.pipeline import source_header
+
+        version = (3, 1) if args.cram_version == "3.1" else (3, 0)
+        method = M_RANSNX16 if version == (3, 1) else M_GZIP
+        hdr = source_header(args.input)[1]
+        if refs and "@SQ" not in hdr:
+            # the reader maps slice ref ids to FASTA contigs via @SQ names
+            hdr = hdr.rstrip("\n") + "\n" + "\n".join(
+                sam_header_lines(refs)[1:]) + "\n"
+        if args.reference:
+            from denovo_kmer_tpu.io.fasta import FaidxFasta
+
+            fa = FaidxFasta(args.reference)
+            contigs: dict = {}
+            tuples = []
+            for i, r in enumerate(stream):
+                rec = as_bam_record(r, i)
+                placed = 0 <= rec.refid < len(refs) and rec.pos >= 0
+                if placed and not (rec.flag & 0x4):
+                    rid = rec.refid
+                    if rid not in contigs:
+                        name = refs[rid][0]
+                        if name not in fa:
+                            raise SystemExit(
+                                f"view: contig {name!r} not in {args.reference}")
+                        contigs[rid] = fa[name].upper()
+                    tuples.append((rec.seq, rec.pos + 1, rid, rec.flag, rec.qual))
+                else:
+                    # unmapped (or unplaced) records ride the BA series; BAM
+                    # semantics require the flag bit they already carry
+                    tuples.append((rec.seq, 0, -1, rec.flag | 0x4, rec.qual))
+            write_cram(out, [], sam_header=hdr, mapped=tuples,
+                       reference=contigs, version=version, method=method,
+                       rans_order=1)
+        else:
+            print("view: no --reference — writing a sequence-archive CRAM "
+                  "(records become flag-unmapped)", file=sys.stderr)
+            write_cram(out, ((r.seq, r.qual, r.flag) for r in stream),
+                       sam_header=hdr, version=version, method=method,
+                       rans_order=1)
         return 0
 
     fh = sys.stdout if not out or out == "-" else open(out, "w")
@@ -955,6 +1009,12 @@ def cmd_synth_trio(args) -> int:
     from denovo_kmer_tpu.io.synth import write_truth_vcf
 
     paths["truth_vcf"] = write_truth_vcf(trio, f"{args.outdir}/truth.vcf")
+    ref_fa = f"{args.outdir}/ref.fa"
+    with open(ref_fa, "w") as f:  # reference-based CRAM workflows need it
+        f.write(f">{spec.ref_name}\n")
+        for i in range(0, len(trio.reference), 70):
+            f.write(trio.reference[i : i + 70] + "\n")
+    paths["reference"] = ref_fa
     meta = {
         "paths": paths,
         "denovo_positions": trio.denovo_positions,
@@ -1121,8 +1181,10 @@ def main(argv=None) -> int:
                      "in, SAM/BAM/FASTQ/FASTA out, region + flag filters")
     pv.add_argument("input")
     pv.add_argument("-o", "--output", default="-")
-    pv.add_argument("--format", choices=("sam", "bam", "fastq", "fasta"),
+    pv.add_argument("--format", choices=("sam", "bam", "cram", "fastq", "fasta"),
                     default=None, help="default: by -o extension, else SAM")
+    pv.add_argument("--cram-version", choices=("3.0", "3.1"), default="3.0",
+                    help="CRAM output version (3.1 uses rANS Nx16 blocks)")
     pv.add_argument("-F", "--exclude-flags", type=_int_maybe_hex, default=0,
                     help="drop records with any of these flag bits (hex ok)")
     pv.add_argument("-c", "--count", action="store_true",
@@ -1217,7 +1279,14 @@ def main(argv=None) -> int:
     ps.set_defaults(fn=cmd_synth_trio)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:
+        # `... | head` closes stdout mid-stream; exit quietly like samtools.
+        # Redirect stdout to devnull so the interpreter's shutdown flush of the
+        # already-broken pipe can't raise a second time.
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 0
 
 
 if __name__ == "__main__":

@@ -2184,7 +2184,11 @@ def write_cram(
 
     - unmapped (``records``): sequences via the BA series — no reference needed.
     - mapped (``mapped`` + ``reference``): X-substitution features computed against the
-      reference; exercises the reader's reconstruction path.
+      reference; exercises the reader's reconstruction path. Tuples are
+      ``(seq, pos1)`` / ``(seq, pos1, ref_id)`` or, with per-record flags and
+      qualities preserved (``view --format cram``), ``(seq, pos1, flag, qual)`` /
+      ``(seq, pos1, ref_id, flag, qual)``; records carrying BAM_FUNMAP ride the
+      BA byte series inside the positional slice (ref_id -1 allowed for them).
 
     ``version=(3, 1)`` with ``method=M_RANSNX16`` (or ``M_ARITH``) exercises the 3.1
     block codecs end to end (io/rans_nx16.py, io/arith.py).
@@ -2213,7 +2217,7 @@ def write_cram(
 
         if mapped is not None:
             assert reference is not None, "mapped profile needs the reference"
-            multiref = bool(mapped) and len(mapped[0]) == 3
+            multiref = bool(mapped) and len(mapped[0]) in (3, 5)
             chunks = [mapped[i : i + reads_per_container]
                       for i in range(0, len(mapped), reads_per_container)]
             for chunk in chunks:
@@ -2276,24 +2280,46 @@ def _slice_blob(ext: Dict[str, _ExtBuf], n_rec: int, ref_id: int, start: int,
     return bio.getvalue(), 2 + len(used)
 
 
-def _write_multiref_container(f, chunk, references, counter, method, rans_order):
-    """One multi-reference container (slice ref_id -2, per-record RI series):
-    ``chunk`` = [(seq, pos1, ref_id)], ``references`` = {ref_id: sequence}.
-    Mirrors _write_mapped_container otherwise (X features vs the per-record ref)."""
-    ext: Dict[str, _ExtBuf] = {k: _ExtBuf() for k in _W_IDS}
-    for i, (seq, pos1, rid) in enumerate(chunk):
-        reference = references[rid]
-        ext["BF"].itf8(0)
-        ext["CF"].itf8(2)  # detached, no stored quals
-        ext["RI"].itf8(rid)
-        ext["RL"].itf8(len(seq))
-        ext["AP"].itf8(pos1)
-        ext["RN"].raw(f"m{counter + i}".encode() + b"\x00")
-        ext["MF"].itf8(0)
-        ext["NS"].itf8(-1)
-        ext["NP"].itf8(0)
-        ext["TS"].itf8(0)
-        ext["TL"].itf8(0)
+def _norm_mapped_rec(rec, base_len):
+    """Normalize a mapped-profile record tuple to (seq, pos1, [rid,] flag, qual):
+    the short historical forms carry flag=0 / qual=None (flags/quals were added
+    for `view --format cram`, which must round-trip the engine view exactly)."""
+    if len(rec) == base_len:
+        return (*rec, 0, None)
+    if len(rec) == base_len + 2:
+        return rec
+    raise ValueError(
+        f"mapped record tuple of length {len(rec)}; expected {base_len} "
+        f"(seq, pos1{', ref_id' if base_len == 3 else ''}) or {base_len + 2} "
+        f"(+ flag, qual)"
+    )
+
+
+def _mapped_record_series(ext, seq, pos1, flag, qual, reference, name):
+    """Per-record series shared by the mapped and multi-ref container writers:
+    BF carries the true flag; mapped records encode X-substitution features vs
+    the reference, unmapped (BAM_FUNMAP) records ride the BA byte series
+    (the reader dispatches on BF per record — _decode_slice / _mapped_columns)."""
+    unmapped = bool(flag & BAM_FUNMAP)
+    ext["BF"].itf8(flag)
+    ext["CF"].itf8(2 | (1 if qual is not None else 0))  # detached (+ quals)
+    ext["RL"].itf8(len(seq))
+    ext["AP"].itf8(pos1)
+    ext["RN"].raw(name + b"\x00")
+    ext["MF"].itf8(0)
+    ext["NS"].itf8(-1)
+    ext["NP"].itf8(0)
+    ext["TS"].itf8(0)
+    ext["TL"].itf8(0)
+    if unmapped:
+        for ch_ in seq:
+            ext["BA"].byte(ord(ch_))
+    else:
+        if pos1 < 1 or pos1 - 1 + len(seq) > len(reference):
+            raise ValueError(
+                f"mapped record at pos {pos1} (len {len(seq)}) exceeds the "
+                f"reference ({len(reference)} bp)"
+            )
         feats = []
         for j, b in enumerate(seq):
             rb = reference[pos1 - 1 + j]
@@ -2307,6 +2333,22 @@ def _write_multiref_container(f, chunk, references, counter, method, rans_order)
             ext["BS"].byte(_sub_code(rb, alt))
             last = rpos
         ext["MQ"].itf8(30)
+    if qual is not None:
+        ext["QS"].raw(bytes(qual))
+
+
+def _write_multiref_container(f, chunk, references, counter, method, rans_order):
+    """One multi-reference container (slice ref_id -2, per-record RI series):
+    ``chunk`` = [(seq, pos1, ref_id)] or [(seq, pos1, ref_id, flag, qual)],
+    ``references`` = {ref_id: sequence}. Unplaced records (ref_id -1, which must
+    carry BAM_FUNMAP) never touch the references dict."""
+    ext: Dict[str, _ExtBuf] = {k: _ExtBuf() for k in _W_IDS}
+    for i, rec in enumerate(chunk):
+        seq, pos1, rid, flag, qual = _norm_mapped_rec(rec, 3)
+        reference = references[rid] if not (flag & BAM_FUNMAP) else None
+        ext["RI"].itf8(rid)
+        _mapped_record_series(ext, seq, pos1, flag, qual, reference,
+                              f"m{counter + i}".encode())
     # spec: multi-ref slices/containers carry ref -2 with start/span 0
     _write_series_blocks(f, ext, len(chunk), -2, 0, 0, counter, method,
                          rans_order, mapped=True, multiref=True)
@@ -2457,33 +2499,12 @@ def _write_unmapped_container(f, chunks, counter, method, rans_order):
 
 def _write_mapped_container(f, chunk, reference, counter, method, rans_order):
     ext: Dict[str, _ExtBuf] = {k: _ExtBuf() for k in _W_IDS}
-    start = min(p for _, p in chunk)
-    end = max(p + len(s) - 1 for s, p in chunk)
-    for i, (seq, pos1) in enumerate(chunk):
-        ext["BF"].itf8(0)
-        ext["CF"].itf8(2)  # detached, no stored quals
-        ext["RL"].itf8(len(seq))
-        ext["AP"].itf8(pos1)
-        ext["RN"].raw(f"m{counter + i}".encode() + b"\x00")
-        ext["MF"].itf8(0)
-        ext["NS"].itf8(-1)
-        ext["NP"].itf8(0)
-        ext["TS"].itf8(0)
-        ext["TL"].itf8(0)
-        # X features for every mismatch vs the reference
-        feats = []
-        for j, b in enumerate(seq):
-            rb = reference[pos1 - 1 + j]
-            if b != rb:
-                feats.append((j + 1, rb, b))
-        ext["FN"].itf8(len(feats))
-        last = 0
-        for rpos, rb, alt in feats:
-            ext["FP"].itf8(rpos - last)
-            ext["FC"].byte(ord("X"))
-            ext["BS"].byte(_sub_code(rb, alt))
-            last = rpos
-        ext["MQ"].itf8(30)
+    recs = [_norm_mapped_rec(r, 2) for r in chunk]
+    start = min(p for _, p, _f, _q in recs)
+    end = max(p + len(s) - 1 for s, p, _f, _q in recs)
+    for i, (seq, pos1, flag, qual) in enumerate(recs):
+        _mapped_record_series(ext, seq, pos1, flag, qual, reference,
+                              f"m{counter + i}".encode())
     span_md5 = hashlib.md5(
         reference[start - 1 : end].encode("ascii", "replace")).digest()
     _write_series_blocks(f, ext, len(chunk), 0, start, end - start + 1, counter,

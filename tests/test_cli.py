@@ -512,3 +512,43 @@ def test_depth_subcommand(tmp_path, capsys):
     assert [int(l[1]) for l in lines] == list(range(20, 41))  # clipped, dense
     assert all(l[0] == "c1" for l in lines)
     assert [int(l[2]) for l in lines] == list(want[0][19:40])
+
+
+@pytest.mark.parametrize("ver", ["3.0", "3.1"])
+def test_view_cram_output_roundtrip(trio_dir, tmp_path, ver):
+    """view --format cram --reference (samtools view -C analog): reference-based
+    multiref containers preserve seq/qual/flag per record exactly, so `call` on
+    the converted child is byte-identical to `call` on the BAM."""
+    from collections import Counter
+
+    from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.io.bam import read_bam_records
+    from denovo_kmer_tpu.pipeline import _record_stream
+
+    ref_fa = str(trio_dir / "ref.fa")
+    cram = tmp_path / f"child_{ver}.cram"
+    assert main(["view", str(trio_dir / "child.bam"), "-o", str(cram),
+                 "--reference", ref_fa, "--cram-version", ver]) == 0
+
+    # exact engine-view multiset: (seq, qual, flag) round-trips bit-for-bit
+    want = Counter((r.seq, tuple(r.qual), r.flag)
+                   for r in read_bam_records(str(trio_dir / "child.bam")))
+    cfg = EngineConfig(reference_fasta=ref_fa)
+    got = Counter((r.seq, tuple(r.qual), r.flag)
+                  for r in _record_stream(str(cram), cfg))
+    assert got == want
+
+    ref_out = tmp_path / "from_bam.tsv"
+    cram_out = tmp_path / "from_cram.tsv"
+    base = ["call", "--mom", str(trio_dir / "mom.bam"),
+            "--dad", str(trio_dir / "dad.bam"), *ENGINE_ARGS,
+            "--reference", ref_fa]
+    assert main([*base, "--child", str(trio_dir / "child.bam"),
+                 "-o", str(ref_out)]) == 0
+    assert main([*base, "--child", str(cram), "-o", str(cram_out)]) == 0
+    assert cram_out.read_text() == ref_out.read_text()
+
+    # the written container really is the requested version
+    magic = cram.read_bytes()[:6]
+    assert magic[:4] == b"CRAM"
+    assert (magic[4], magic[5]) == tuple(int(x) for x in ver.split("."))
