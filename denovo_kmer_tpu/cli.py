@@ -645,27 +645,21 @@ def cmd_idxstats(args) -> int:
     return 0
 
 
-def cmd_depth(args) -> int:
-    """Per-position aligned-base coverage (`samtools depth` analog): lines of
-    `ref<TAB>pos1<TAB>depth` for covered positions (all positions with ``-a``).
-    Counts cigar M/=/X bases like samtools — deletions/splices (D/N) span the
-    reference but do not deposit coverage. Diff-array accumulation: one +1/-1
-    pair per aligned interval, a single cumsum per contig."""
+def _coverage_diffs(input_path, refs, cfg, region, exclude_flags):
+    """Per-contig coverage diff arrays (+1/-1 per aligned M/=/X interval; one
+    cumsum yields per-base depth). Shared by `depth` and `bedcov`. Deletions/
+    splices (D/N) span the reference without depositing coverage — samtools
+    semantics."""
     import numpy as np
 
-    from denovo_kmer_tpu.pipeline import _record_stream, source_references
+    from denovo_kmer_tpu.pipeline import _record_stream
 
-    refs = source_references(args.input)
-    if not refs:
-        raise SystemExit("depth: input has no reference dictionary (FASTQ/FASTA?)")
-    cfg = EngineConfig(reference_fasta=args.reference)
-    region = _resolve_region(args)
     diffs = {}
-    for rec in _record_stream(args.input, cfg, region=region):
+    for rec in _record_stream(input_path, cfg, region=region):
         refid = getattr(rec, "refid", -1)
         if not (0 <= refid < len(refs)) or getattr(rec, "pos", -1) < 0:
             continue
-        if rec.flag & 0x4 or rec.flag & args.exclude_flags:
+        if rec.flag & 0x4 or rec.flag & exclude_flags:
             continue
         d = diffs.get(refid)
         if d is None:
@@ -680,6 +674,22 @@ def cmd_depth(args) -> int:
                 p += n
             elif op in (2, 3):  # D/N: span the reference, no coverage
                 p += n
+    return diffs
+
+
+def cmd_depth(args) -> int:
+    """Per-position aligned-base coverage (`samtools depth` analog): lines of
+    `ref<TAB>pos1<TAB>depth` for covered positions (all positions with ``-a``)."""
+    import numpy as np
+
+    from denovo_kmer_tpu.pipeline import source_references
+
+    refs = source_references(args.input)
+    if not refs:
+        raise SystemExit("depth: input has no reference dictionary (FASTQ/FASTA?)")
+    cfg = EngineConfig(reference_fasta=args.reference)
+    region = _resolve_region(args)
+    diffs = _coverage_diffs(args.input, refs, cfg, region, args.exclude_flags)
     intervals = {}  # refid -> [(beg0, end0)]: output clips to the restriction
     if region is not None:
         from denovo_kmer_tpu.io.bai import parse_region
@@ -717,6 +727,38 @@ def cmd_depth(args) -> int:
     finally:
         if out is not sys.stdout:
             out.close()
+    return 0
+
+
+def cmd_bedcov(args) -> int:
+    """Per-BED-region total aligned-base coverage (`samtools bedcov` analog):
+    each BED line echoed with the sum of per-base depth over the interval
+    appended. One cumsum per touched contig, interval sums via prefix
+    differences."""
+    import numpy as np
+
+    from denovo_kmer_tpu.io.bai import parse_bed
+    from denovo_kmer_tpu.pipeline import source_references
+
+    refs = source_references(args.input)
+    if not refs:
+        raise SystemExit("bedcov: input has no reference dictionary")
+    names = {n: i for i, (n, _) in enumerate(refs)}
+    cfg = EngineConfig(reference_fasta=args.reference)
+    diffs = _coverage_diffs(args.input, refs, cfg, None, args.exclude_flags)
+    prefix = {}  # refid -> cumsum of per-base depth (prefix[i] = sum below i)
+    for rid, d in diffs.items():
+        prefix[rid] = np.concatenate([[0], np.cumsum(np.cumsum(d[:-1]))])
+    for region in parse_bed(args.bed):
+        name, _, rng = region.partition(":")
+        if name not in names:
+            raise SystemExit(f"bedcov: contig {name!r} not in {args.input}")
+        rid = names[name]
+        b, _, e = rng.replace(",", "").partition("-")
+        b0, e0 = int(b) - 1, min(int(e), refs[rid][1])
+        pre = prefix.get(rid)
+        total = int(pre[e0] - pre[b0]) if pre is not None else 0
+        print(f"{name}\t{b0}\t{e0}\t{total}")
     return 0
 
 
@@ -1159,6 +1201,18 @@ def main(argv=None) -> int:
     pdp.add_argument("--reference", default=None,
                      help="reference FASTA for reference-based CRAM input")
     pdp.set_defaults(fn=cmd_depth)
+
+    pbc = sub.add_parser(
+        "bedcov", help="per-BED-region total aligned-base coverage "
+                       "(samtools bedcov analog)")
+    pbc.add_argument("bed", help="BED3+ file of regions")
+    pbc.add_argument("input")
+    pbc.add_argument("-F", "--exclude-flags", type=_int_maybe_hex,
+                     default=0x700,
+                     help="drop records with any of these flag bits (hex ok)")
+    pbc.add_argument("--reference", default=None,
+                     help="reference FASTA for reference-based CRAM input")
+    pbc.set_defaults(fn=cmd_bedcov)
 
     pst = sub.add_parser(
         "stats", help="summary stats of a `count` checkpoint "

@@ -552,3 +552,35 @@ def test_view_cram_output_roundtrip(trio_dir, tmp_path, ver):
     magic = cram.read_bytes()[:6]
     assert magic[:4] == b"CRAM"
     assert (magic[4], magic[5]) == tuple(int(x) for x in ver.split("."))
+
+
+def test_bedcov_subcommand(tmp_path, capsys):
+    """bedcov == sum of the depth oracle over each BED interval."""
+    import numpy as np
+
+    from denovo_kmer_tpu.io.bam import BamRecord, BamWriter
+
+    L = 300
+    refs = [("c1", L)]
+    recs = [
+        BamRecord(name=f"r{i}", flag=0, refid=0, pos=10 * i, mapq=60,
+                  cigar=((40, 0),), seq="A" * 40, qual=(30,) * 40)
+        for i in range(10)
+    ]
+    bam = str(tmp_path / "b.bam")
+    with open(bam, "wb") as f, BamWriter(f, references=refs) as w:
+        for r in recs:
+            w.write(r)
+    cov = np.zeros(L, int)
+    for r in recs:
+        cov[r.pos : r.pos + 40] += 1
+    bed = tmp_path / "r.bed"
+    bed.write_text("c1\t0\t50\nc1\t50\t300\nc1\t250\t300\n")
+
+    assert main(["bedcov", str(bed), bam]) == 0
+    lines = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    want = [int(cov[int(b):int(e)].sum()) for _, b, e in
+            [("c1", 0, 50), ("c1", 50, 300), ("c1", 250, 300)]]
+    assert [(l[0], int(l[1]), int(l[2]), int(l[3])) for l in lines] == [
+        ("c1", 0, 50, want[0]), ("c1", 50, 300, want[1]),
+        ("c1", 250, 300, want[2])]
