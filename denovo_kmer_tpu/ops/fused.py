@@ -442,7 +442,12 @@ def _fused_flush_call_v5(
 
 
 _VARIANTS = {"v4": _fused_flush_call_v4, "v5": _fused_flush_call_v5}
-DEFAULT_FUSED_VARIANT = "v4"  # flip to v5 only on a measured chip win
+# Measured on v5e (chip_queue 2026-08-18): v5 bench 179.3 Mk/s vs v4 138.7 —
+# dropping the pc payload column from the sort (parent-bad bit packed in the
+# count word + post-hoc probe) beats v4's 4-operand segmented-sum formulation
+# by ~29%. v5 reruns via v4 on nonzero carry_risk (fused_call_full), so
+# exactness is unconditional.
+DEFAULT_FUSED_VARIANT = "v5"
 
 
 def fused_flush_call(
