@@ -12,9 +12,10 @@ Exceptions raised by the producer are re-raised in the consumer at the point of 
 
 from __future__ import annotations
 
+import dataclasses
 import queue
 import threading
-from typing import Iterable, Iterator, TypeVar
+from typing import Callable, Iterable, Iterator, TypeVar
 
 T = TypeVar("T")
 
@@ -68,3 +69,38 @@ def prefetch_batches(batches: Iterable[T], depth: int = 2) -> Iterator[T]:
             q.get_nowait()
         except queue.Empty:
             pass
+
+
+def _place_item(item, put: Callable):
+    """Replace every PackedReads found in ``item`` (bare, or inside a tuple such as
+    ``(bucket_width, packed)`` / ``(packed, cursor)``) with a copy whose ``words`` and
+    ``vwords`` live on device. Downstream ``jnp.asarray`` on an already-placed array is
+    a no-op, so consumers are unchanged."""
+    from denovo_kmer_tpu.ops.pack import PackedReads
+
+    if isinstance(item, PackedReads):
+        return dataclasses.replace(item, words=put(item.words), vwords=put(item.vwords))
+    if isinstance(item, tuple):
+        return tuple(_place_item(x, put) for x in item)
+    return item
+
+
+def prefetch_placed(batches: Iterable[T], depth: int = 2,
+                    decode_depth: int = 2) -> Iterator[T]:
+    """Three-thread host→device pipeline: decode/pack on one daemon thread, host→device
+    transfer (``jax.device_put``) on a second, compute dispatch on the caller's thread.
+
+    This is the production feed path (SURVEY.md §2.2 PP row): the decode stage is
+    CPU-bound, the transfer stage is interconnect-bound (device_put releases the GIL
+    during the copy), and the dispatch stage blocks on the device — the three overlap
+    even on a single host core. Without this, per-batch ``device_put`` rides the
+    consumer's critical path and serializes transfer between feed and compute
+    (measured: 0.16 s of a 0.573 s e2e wall at bench shape, BENCH_r03 e2e_overlap=0.0).
+
+    Works on any item stream where the device-bound payload is a ``PackedReads``
+    (bare or inside tuples); other items pass through untouched."""
+    import jax
+
+    put = jax.device_put
+    placed = (_place_item(b, put) for b in prefetch_batches(batches, depth=decode_depth))
+    return prefetch_batches(placed, depth=depth)

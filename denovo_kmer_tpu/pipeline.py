@@ -227,7 +227,7 @@ class SampleTableBuilder:
         """Like ``build`` over (bucket_width, PackedReads) pairs (pack_records_bucketed):
         flushes are driven by STAGED WINDOW COUNT, not batch count, since batches now
         contribute width-proportional rows. Bit-identical to the unbucketed build."""
-        from denovo_kmer_tpu.io.prefetch import prefetch_batches
+        from denovo_kmer_tpu.io.prefetch import prefetch_placed
 
         cfg = self.cfg
         m = metrics or Metrics()
@@ -236,7 +236,7 @@ class SampleTableBuilder:
         acc = self._empty_acc()
         table = empty_table(cfg.table_capacity, cfg.words)
         fill = 0
-        for w, packed in prefetch_batches(bucketed_batches):
+        for w, packed in prefetch_placed(bucketed_batches):
             win = cfg.batch_reads * (w - cfg.k + 1)
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
@@ -260,13 +260,13 @@ class SampleTableBuilder:
         return table
 
     def build(self, packed_batches: Iterable, metrics: Optional[Metrics] = None) -> KmerTable:
-        from denovo_kmer_tpu.io.prefetch import prefetch_batches
+        from denovo_kmer_tpu.io.prefetch import prefetch_placed
 
         m = metrics or Metrics()
         acc = self._empty_acc()
         table = empty_table(self.cfg.table_capacity, self.cfg.words)
         pending = 0
-        for packed in prefetch_batches(packed_batches):
+        for packed in prefetch_placed(packed_batches):
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
                 acc = self.extract_append(
@@ -387,11 +387,14 @@ def build_sample_table_resumable(
     if table is None:
         table = empty_table(cfg.table_capacity, cfg.words)
 
+    from denovo_kmer_tpu.io.prefetch import prefetch_placed
+
     pending = 0
     flushes_since_save = 0
     last_cursor = None
+    feed = prefetch_placed(iter(stream))
     try:
-        for packed, cursor in stream:
+        for packed, cursor in feed:
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
                 acc = extract_append(
@@ -410,6 +413,7 @@ def build_sample_table_resumable(
         if pending:
             acc, table = flush_fn(acc, table)
     finally:
+        feed.close()  # stop the prefetch threads before closing their input
         stream.close()
     n = int(table.n)
     if n > cfg.table_capacity:
@@ -447,7 +451,7 @@ class ScoringTableBuilder:
         pure sort tax. Intermediate windows use the compacting flush (bounded staging);
         only the final window skips compaction, so arbitrarily long streams still work.
         """
-        from denovo_kmer_tpu.io.prefetch import prefetch_batches
+        from denovo_kmer_tpu.io.prefetch import prefetch_placed
         from denovo_kmer_tpu.ops.fused import fused_call_full
         from denovo_kmer_tpu.ops.score import ScoreTable, flush_score, seed_score_table
         from denovo_kmer_tpu.ops.trio import Candidates
@@ -474,7 +478,7 @@ class ScoringTableBuilder:
         bucketed = bucket_steps is not None
         fill = 0
         flushed = False
-        for item in prefetch_batches(packed_batches):
+        for item in prefetch_placed(packed_batches):
             if bucketed:
                 w, packed = item
                 step = bucket_steps[w]
@@ -515,14 +519,14 @@ class ScoringTableBuilder:
 
     def build(self, mom: KmerTable, dad: KmerTable, packed_batches: Iterable,
               metrics: Optional[Metrics] = None):
-        from denovo_kmer_tpu.io.prefetch import prefetch_batches
+        from denovo_kmer_tpu.io.prefetch import prefetch_placed
         from denovo_kmer_tpu.ops.score import seed_score_table
 
         m = metrics or Metrics()
         acc = self._empty_acc()
         table = seed_score_table(mom, dad, self.cfg.table_capacity)
         pending = 0
-        for packed in prefetch_batches(packed_batches):
+        for packed in prefetch_placed(packed_batches):
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
                 acc = self.extract_append(

@@ -25,6 +25,61 @@ def test_producer_exception_reraised_in_consumer():
         next(it)
 
 
+def _mk_packed(i, n=4):
+    import numpy as np
+
+    from denovo_kmer_tpu.ops.pack import PackedReads
+
+    return PackedReads(
+        words=np.full((n, 2), i, np.uint32), vwords=np.full((n, 1), i, np.uint32),
+        length=np.full(n, 32, np.int32), n_reads=n,
+    )
+
+
+def test_prefetch_placed_places_and_preserves():
+    """prefetch_placed moves words/vwords to device in the transfer thread; order,
+    values, and non-array fields survive; tuple wrappers pass through."""
+    import jax
+
+    from denovo_kmer_tpu.io.prefetch import prefetch_placed
+
+    out = list(prefetch_placed((_mk_packed(i) for i in range(6)), depth=2))
+    assert len(out) == 6
+    for i, p in enumerate(out):
+        assert isinstance(p.words, jax.Array) and isinstance(p.vwords, jax.Array)
+        assert int(p.words[0, 0]) == i and int(p.vwords[0, 0]) == i
+        assert p.n_reads == 4 and p.length[0] == 32  # untouched host fields
+
+    # (bucket_width, packed) and (packed, cursor) tuple shapes both place the payload
+    b = list(prefetch_placed(((w, _mk_packed(w)) for w in (10, 20))))
+    assert b[0][0] == 10 and isinstance(b[0][1].words, jax.Array)
+    c = list(prefetch_placed(((_mk_packed(i), 100 + i) for i in range(3))))
+    assert c[2][1] == 102 and isinstance(c[2][0].words, jax.Array)
+
+
+def test_prefetch_placed_early_close_no_hang():
+    from denovo_kmer_tpu.io.prefetch import prefetch_placed
+
+    g = prefetch_placed((_mk_packed(i) for i in range(1000)), depth=2)
+    assert int(next(g).words[0, 0]) == 0
+    g.close()  # must not deadlock the two producer threads
+
+
+def test_prefetch_placed_producer_exception():
+    import pytest as _pytest
+
+    from denovo_kmer_tpu.io.prefetch import prefetch_placed
+
+    def gen():
+        yield _mk_packed(0)
+        raise ValueError("decode failed")
+
+    it = prefetch_placed(gen())
+    next(it)
+    with _pytest.raises(ValueError, match="decode failed"):
+        next(it)
+
+
 def test_producer_runs_ahead_bounded():
     produced = []
 
