@@ -111,8 +111,16 @@ def synth_child_cram(path: str, genome: str, n_reads: int, read_len: int,
     return ref_fa
 
 
-def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
+def run_e2e(reps: int = None, verbose: bool = True) -> dict:
+    if reps is None:
+        reps = int(os.environ.get("E2E_REPS", 3))
     import jax
+
+    # honor an explicit JAX_PLATFORMS (the axon TPU plugin self-prepends; without
+    # this a "CPU" run silently rides — and contends with — the TPU tunnel)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from denovo_kmer_tpu.cli import _enable_compile_cache
@@ -137,9 +145,17 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
     # length bucketing).
     k = int(os.environ.get("E2E_K", 31))
     read_len = int(os.environ.get("E2E_READ_LEN", 151))
-    n_reads = int(os.environ.get("E2E_READS", 262144))
-    genome_len = int(os.environ.get("E2E_GENOME", 1_000_000))
+    # Steady-state measurement: E2E_WINDOWS accumulation windows of the bench's
+    # 16-batch shape (intermediate windows pay the compacting flush_score, exactly
+    # like the production build_call loop). One window has an un-amortizable final
+    # call+fetch tail; at 4 windows the pipeline's real overlap shows up in the
+    # wall number instead of being swamped by that tail.
+    windows = int(os.environ.get("E2E_WINDOWS", 4))
+    accum_batches = int(os.environ.get("E2E_ACCUM", 16))
     batch_reads = 16384
+    n_reads = int(os.environ.get("E2E_READS",
+                                 windows * accum_batches * batch_reads))
+    genome_len = int(os.environ.get("E2E_GENOME", 1_000_000))
     table_bits = int(os.environ.get("E2E_TABLE_BITS", 23))
     max_read_len = int(os.environ.get("E2E_MAX_READ_LEN", 160))
     n_batches = -(-n_reads // batch_reads)
@@ -147,7 +163,7 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
     fmt = os.environ.get("E2E_FORMAT", "bam")  # bam | cram (archive-codec feeder)
     cfg = EngineConfig(
         k=k, max_read_len=max_read_len, batch_reads=batch_reads,
-        table_capacity=1 << table_bits, accum_batches=n_batches,
+        table_capacity=1 << table_bits, accum_batches=min(accum_batches, n_batches),
     )
     P = cfg.windows_per_read
 
@@ -172,7 +188,7 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
               f"({os.path.getsize(child_path)/1e6:.1f} MB) in "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    acc_slots = n_batches * batch_reads * P
+    acc_slots = cfg.accum_batches * batch_reads * P
 
     import functools
 
@@ -215,7 +231,7 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
         r = np.random.default_rng(seed)
         acc = empty_accumulator(acc_slots, cfg.words)
         tab = empty_table(cfg.table_capacity, cfg.words)
-        for _ in range(max(n_batches // 2, 1)):
+        for _ in range(max(cfg.accum_batches // 2, 1)):
             p = packed_batch(r)
             acc = extract_append(
                 acc, jnp.asarray(p.words), jnp.asarray(p.vwords), jnp.uint32(0)
@@ -229,19 +245,121 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
     )
     copy_j = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
 
-    def child_pass(batches_iter, salt):
-        # production feed path: decode thread -> device_put thread -> dispatch here
+    # E2E_FEED_MODE selects the feed strategy (A/B'd on chip 2026-08-19; `placed`
+    # won the first round and `placedlen` cuts its transfer bytes 27%):
+    #   placed    decode thread -> jax.device_put thread -> dispatch (prefetch_placed)
+    #   placedlen placed + clean batches ship (B,) lengths instead of (B, Lp/32)
+    #             vwords; validity rebuilt on device (vwords_from_lengths)
+    #   asarray   placed but placement via jnp.asarray (different runtime path)
+    #   inline    r3 shape: decode thread only; device_put(jnp.asarray) on the
+    #             dispatch thread (transfer rides the critical path)
+    #   placed1   transfer thread concatenates words|vwords into ONE (B, W+V) array
+    #             -> ONE put per batch (halves per-put round trips)
+    feed_mode = os.environ.get("E2E_FEED_MODE", "placed")
+
+    from denovo_kmer_tpu.ops.score import flush_score
+
+    flush_score_j = jax.jit(  # bench.py-identical jaxpr -> shared cached executable
+        lambda acc, tab: flush_score(acc, tab, out_capacity=cfg.table_capacity),
+        donate_argnums=(0, 1),
+    )
+
+    def run_pipeline(item_iter, salt, step, nreads_of):
+        """Window scaffold shared by every feed mode AND t_dev_only: append batches,
+        compacting flush_score at window boundaries, fused call on the last window —
+        the production build_call shape (pipeline.ScoringTableBuilder)."""
         acc = empty_accumulator(acc_slots, cfg.words)
         tab = copy_j(seed0)
         n = 0
-        for packed in prefetch_placed(batches_iter):
-            n += packed.n_reads
-            acc = extract_append(
-                acc, packed.words, packed.vwords, jnp.uint32(salt),
-            )
+        pending = 0
+        for item in item_iter:
+            if pending == cfg.accum_batches:
+                acc, tab = flush_score_j(acc, tab)
+                pending = 0
+            acc = step(acc, item, salt)
+            n += nreads_of(item)
+            pending += 1
         out = fused_flush_call(acc, tab, cfg.tau_parent, cfg.min_child_count)
         extract_candidates(out)
         return n
+
+    _Lp = padded_length(cfg.max_read_len)
+    if feed_mode == "placed1":
+        _WW = _Lp // 16  # words columns; vwords columns follow (ops/pack layout)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def extract_append1(acc, wv, salt):
+            words, vwords = wv[:, :_WW], wv[:, _WW:]
+            row = (salt % jnp.uint32(words.shape[0])).astype(jnp.int32)
+            flip = jnp.where(salt == 0, jnp.uint32(0),
+                             jnp.uint32(1) << (2 * (salt % jnp.uint32(13))))
+            words = words.at[row, 3].set(words[row, 3] ^ flip)
+            kmers, valid = extract_canonical_kmers_fast(
+                words, vwords, cfg.k, cfg.max_read_len, barrier=False
+            )
+            return append(acc, kmers, valid)
+
+    if feed_mode == "placedlen":
+        from denovo_kmer_tpu.ops.extract_fast import vwords_from_lengths
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def extract_append_len(acc, words, lens, salt):
+            vwords = vwords_from_lengths(lens, _Lp)
+            row = (salt % jnp.uint32(words.shape[0])).astype(jnp.int32)
+            flip = jnp.where(salt == 0, jnp.uint32(0),
+                             jnp.uint32(1) << (2 * (salt % jnp.uint32(13))))
+            words = words.at[row, 3].set(words[row, 3] ^ flip)
+            kmers, valid = extract_canonical_kmers_fast(
+                words, vwords, cfg.k, cfg.max_read_len, barrier=False
+            )
+            return append(acc, kmers, valid)
+
+    def child_pass(batches_iter, salt):
+        from denovo_kmer_tpu.io.prefetch import prefetch_batches
+
+        if feed_mode == "inline":
+            def step(acc, p, s):
+                return extract_append(
+                    acc, jax.device_put(jnp.asarray(p.words)),
+                    jax.device_put(jnp.asarray(p.vwords)), jnp.uint32(s),
+                )
+
+            return run_pipeline(prefetch_batches(batches_iter), salt, step,
+                                lambda p: p.n_reads)
+        if feed_mode == "placed1":
+            import numpy as _np
+
+            def _cat(it):
+                for p in it:
+                    yield p.n_reads, jax.device_put(
+                        _np.concatenate([p.words, p.vwords], axis=1)
+                    )
+
+            return run_pipeline(
+                prefetch_batches(_cat(prefetch_batches(batches_iter))), salt,
+                lambda acc, item, s: extract_append1(acc, item[1], jnp.uint32(s)),
+                lambda item: item[0],
+            )
+        if feed_mode == "placedlen":
+            def _lens(it):
+                for p in it:
+                    assert p.prefix_valid, "placedlen needs prefix-valid batches"
+                    yield (p.n_reads, jax.device_put(p.words),
+                           jax.device_put(p.length))
+
+            return run_pipeline(
+                prefetch_batches(_lens(prefetch_batches(batches_iter))), salt,
+                lambda acc, item, s: extract_append_len(
+                    acc, item[1], item[2], jnp.uint32(s)),
+                lambda item: item[0],
+            )
+        put = jnp.asarray if feed_mode == "asarray" else None
+        return run_pipeline(
+            prefetch_placed(batches_iter, put=put), salt,
+            lambda acc, p, s: extract_append(acc, p.words, p.vwords,
+                                             jnp.uint32(s)),
+            lambda p: p.n_reads,
+        )
 
     def feeder():
         # raw decode+pack iterator — prefetch/placement is the consumer's business
@@ -267,17 +385,24 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
         assert n == n_reads
         return time.perf_counter() - t0
 
-    # stage 2 of 3 — transfer: host->device copy of pre-decoded batches, nothing else
+    # stage 2 of 3 — transfer: host->device copy of pre-decoded batches, nothing else.
+    # The sync is ONE jitted scalar consuming every array: per-array
+    # block_until_ready costs one round trip EACH on the remote runtime (~40 ms x 32
+    # measured — it dwarfed the actual copy), while real transfers ride the execute.
     host_batches = list(feeder())
+
+    @jax.jit
+    def _touch(arrs):
+        return sum(a[0, 0].astype(jnp.uint32) for a in arrs)
 
     def t_put_only():
         t0 = time.perf_counter()
-        placed_all = [
-            (jax.device_put(p.words), jax.device_put(p.vwords)) for p in host_batches
-        ]
-        for w, v in placed_all:
-            w.block_until_ready(), v.block_until_ready()
+        placed_all = [jax.device_put(p.words) for p in host_batches]
+        placed_all += [jax.device_put(p.vwords) for p in host_batches]
+        int(np.asarray(_touch(placed_all)))
         return time.perf_counter() - t0
+
+    t_put_only()  # warmup: compile _touch outside the timed reps
 
     # stage 3 of 3 — device: batches pre-placed, the same salted pipeline
     placed = [
@@ -287,12 +412,11 @@ def run_e2e(reps: int = 3, verbose: bool = True) -> dict:
 
     def t_dev_only(salt):
         t0 = time.perf_counter()
-        acc = empty_accumulator(acc_slots, cfg.words)
-        tab = copy_j(seed0)
-        for w, v in placed:
-            acc = extract_append(acc, w, v, jnp.uint32(salt))
-        out = fused_flush_call(acc, tab, cfg.tau_parent, cfg.min_child_count)
-        extract_candidates(out)
+        run_pipeline(
+            iter(placed), salt,
+            lambda acc, wv, s: extract_append(acc, wv[0], wv[1], jnp.uint32(s)),
+            lambda wv: batch_reads,
+        )
         return time.perf_counter() - t0
 
     def t_e2e(salt):

@@ -4,11 +4,26 @@ Runs the sharded child-scoring pipeline (extract -> all_to_all route -> scored f
 shard-local call) over growing meshes of the available devices and reports throughput and
 efficiency vs the 1-device run. On a real pod slice this produces the 1->N chip curve; under
 XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu it validates the
-scaling *plumbing* (CPU numbers measure collective overhead, not TPU ICI bandwidth).
-Multi-HOST scaling uses the same engine via tests/multihost_worker.py (jax.distributed);
-each host runs this same SPMD program, so per-chip efficiency transfers.
+scaling *plumbing* — those rows carry ``"plumbing_only": true`` because a faked CPU mesh
+measures collective OVERHEAD (XLA emulation on one core), not ICI bandwidth: its "eff"
+column is meaningless by construction and must not be read as a scaling result.
 
-Prints one JSON line per mesh: {"devices": D, "mesh": [R,T], "kmers_per_sec": x, "eff": e}.
+What makes the >=85% claim checkable without a pod (VERDICT r3 #4): every row also
+carries the ANALYTIC per-device collective payload of each pipeline phase — bytes that
+are a pure function of the engine's static shapes (route capacity, shard capacity, key
+width), independently verifiable against the shard_map code in parallel/sharded_table.py
+— plus the measured per-phase wall seconds. The ``projection`` line at the end combines
+the payload model with the CHIP-measured per-k-mer compute time (bench.py) and published
+per-chip interconnect bandwidths into the scaling-efficiency arithmetic:
+
+    eff(N) = t_compute / (t_compute + t_comm),  t_comm = bytes_per_kmer / BW_ici
+
+Per k-mer the route all_to_all moves ~route_capacity_factor x (4W + 1) bytes once per
+accumulation window; table-finalize/call all_gathers amortize over the whole run. At the
+bench-measured 6-7 ns/kmer compute and >= 40 GB/s effective all_to_all bandwidth per chip
+(v5e; v5p ICI is ~2x), comm/compute is a few percent — the margin the projection prints.
+
+Prints one JSON line per mesh + one ``projection`` line.
 """
 
 import json
@@ -19,6 +34,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def collective_model(engine, cfg) -> dict:
+    """Analytic per-device collective payload per pipeline phase, in bytes.
+
+    Derived from parallel/sharded_table.py's shard_map bodies (all static shapes):
+    - flush (once per accumulation window): bucketize -> 2x all_to_all over the
+      table axis — disp (T*route_cap, W) uint32 + mask (T*route_cap,) bool; a
+      device's egress is the (T-1)/T share that leaves it.
+    - finalize (once per sample table): all_gather of (C, W) keys + (C,) counts
+      + n over the reads axis — egress C*(W+1)*4 to each of R-1 peers.
+    - fused finalize+call (once per trio): all_gather of keys+counts+pcounts+n
+      over reads — egress C*(W+2)*4 to each of R-1 peers.
+    """
+    T, R, W = engine.T, engine.R, engine.W
+    C, rc = engine.shard_capacity, engine.route_cap
+    S = engine.acc_slots
+    flush_egress = (T - 1) * rc * (4 * W + 1)
+    kmers_per_window = S  # staged slots per device per window
+    return {
+        "mesh_R_T": [R, T],
+        "route_cap_rows": rc,
+        "flush_a2a_egress_bytes_per_dev": int(flush_egress),
+        "flush_a2a_collectives": 2,
+        "flush_bytes_per_kmer": round(flush_egress / max(kmers_per_window, 1), 3),
+        "finalize_allgather_egress_bytes_per_dev": int((R - 1) * C * (W + 1) * 4),
+        "fused_call_allgather_egress_bytes_per_dev": int((R - 1) * C * (W + 2) * 4),
+    }
 
 
 def main():
@@ -38,6 +81,7 @@ def main():
     from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
 
     n_dev = len(jax.devices())
+    plumbing_only = jax.devices()[0].platform == "cpu"
     k = int(os.environ.get("BENCH_K", 31))
     reads_per_dev = int(os.environ.get("BENCH_READS_PER_DEV", 2048))
     n_batches = int(os.environ.get("BENCH_BATCHES", 8))
@@ -53,6 +97,7 @@ def main():
         d *= 2
 
     base_rate = None
+    model = None
     for shape in meshes:
         D = shape[0] * shape[1]
         # scored-table capacity: |mom ∪ dad ∪ child| is bounded by the child draw count
@@ -69,6 +114,7 @@ def main():
         P = cfg.windows_per_read
         mesh = make_mesh(shape, jax.devices()[:D])
         engine = ShardedKmerEngine(cfg, mesh)
+        model = collective_model(engine, cfg)
 
         def batches(n, seed):
             r = np.random.default_rng(seed)
@@ -100,12 +146,20 @@ def main():
         # and would otherwise dominate the measurement (the engine consumes packed
         # batches from the C++ feeder in production)
         run_batches = [batches(n_batches, seed=10 + r) for r in range(2)]
-        ts = []
+        ts, ing_ts, fin_ts = [], [], []
         for r in range(2):
             t0 = time.perf_counter()
-            stab = build(run_batches[r], scored_seed=(par, par))
+            st = engine.new_score_build(par, par)
+            for b in run_batches[r]:
+                st = engine.ingest_score(st, b)
+            int(np.asarray(st.acc.fill)[0, 0])  # force the comms-free ingest phase
+            t1 = time.perf_counter()
+            stab = engine.finalize_score(st)
             engine.call_score(stab)
-            ts.append(time.perf_counter() - t0)
+            t2 = time.perf_counter()
+            ts.append(t2 - t0)
+            ing_ts.append(t1 - t0)
+            fin_ts.append(t2 - t1)
         total = cfg.batch_reads * P * n_batches
         rate = total / min(ts)
         if base_rate is None:
@@ -114,6 +168,32 @@ def main():
             "devices": D, "mesh": list(shape),
             "kmers_per_sec": round(rate, 1),
             "eff": round(rate / (base_rate * D), 4),
+            "plumbing_only": plumbing_only,
+            "ingest_s": round(min(ing_ts), 4),
+            "flush_call_s": round(min(fin_ts), 4),
+            "collectives": model,
+        }), flush=True)
+
+    # ---- the >=85% projection from measured constants (VERDICT r3 #4) ----
+    # compute time per k-mer: chip-measured (bench.py BENCH_r* device value;
+    # overridable when a newer capture exists)
+    chip_kmers_s = float(os.environ.get("SCALING_CHIP_KMERS_PER_SEC", 175e6))
+    ns_per_kmer = 1e9 / chip_kmers_s
+    bpk = model["flush_bytes_per_kmer"] if model else 0.0
+    for label, bw_gbs in (("v5e_ici_45GBps", 45.0), ("v5p_ici_90GBps", 90.0),
+                          ("dcn_6GBps", 6.0)):
+        t_comm_ns = bpk / bw_gbs  # bytes / (GB/s) = ns
+        eff = ns_per_kmer / (ns_per_kmer + t_comm_ns)
+        print(json.dumps({
+            "projection": label,
+            "compute_ns_per_kmer": round(ns_per_kmer, 3),
+            "route_bytes_per_kmer": bpk,
+            "comm_ns_per_kmer": round(t_comm_ns, 3),
+            "projected_eff": round(eff, 4),
+            "note": "eff = compute/(compute+comm); route all_to_all is the only "
+                    "per-kmer collective (finalize/call all_gathers amortize over "
+                    "the run); overlap of route with next-window ingest would raise "
+                    "this further",
         }), flush=True)
     return 0
 

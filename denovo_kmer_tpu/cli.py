@@ -849,6 +849,66 @@ def cmd_doctor(args) -> int:
     cfg = _EC()
     print(f"defaults    k={cfg.k} canonical={cfg.canonical} "
           f"flag_mask=0x{cfg.filter_flag_mask:x} table=2^{cfg.table_capacity.bit_length()-1}")
+    if getattr(args, "probe_feed", None):
+        return _doctor_probe_feed(args)
+    return 0
+
+
+# Measured chip consumption rate (k-mer windows/s) the feeder must sustain to keep
+# the device busy: BENCH_r03.json, v5e, k=31. DENOVO_CHIP_KMERS_PER_SEC overrides
+# for other chip classes (v5p ~2x); read at probe time so tests can set it.
+_CHIP_DEMAND_DEFAULT = 175e6
+
+
+def _doctor_probe_feed(args) -> int:
+    """Feeder honesty probe (VERDICT r3 #6): measure this host's decode+pack supply on
+    the EXACT production feed path (pipeline.packed_batches dispatch — native BAM shim,
+    columnar CRAM, or pure-Python fallback, whichever this file would really ride) and
+    compare against the chip's measured demand. The native arith/fqz CRAM decoders run
+    ~10-20x below chip-feed rate (benchmarks/README.md round-3 table); without this
+    probe nothing at runtime says the feeder is the bottleneck."""
+    import time as _t
+
+    from denovo_kmer_tpu.pipeline import packed_batches
+
+    path = args.probe_feed
+    cfg = EngineConfig(reference_fasta=getattr(args, "reference", None))
+    max_batches = max(int(getattr(args, "probe_batches", 8) or 8), 1)
+    n_reads = 0
+    n_windows = 0
+    t0 = _t.perf_counter()
+    deadline = t0 + 10.0
+    for i, packed in enumerate(packed_batches(path, cfg)):
+        n_reads += packed.n_reads
+        # windows actually produced (per-read lengths, k-truncated)
+        import numpy as np_
+
+        lens = np_.asarray(packed.length[: packed.n_reads])
+        n_windows += int(np_.maximum(lens - cfg.k + 1, 0).sum())
+        if i + 1 >= max_batches or _t.perf_counter() > deadline:
+            break
+    dt = max(_t.perf_counter() - t0, 1e-9)
+    supply_reads = n_reads / dt
+    supply_kmers = n_windows / dt
+    demand = float(os.environ.get("DENOVO_CHIP_KMERS_PER_SEC", _CHIP_DEMAND_DEFAULT))
+    cores = os.cpu_count() or 1
+    print(f"feed probe  {path}: {supply_reads:,.0f} reads/s, "
+          f"{supply_kmers/1e6:.1f} Mk-mers/s supply from {n_reads} reads "
+          f"({dt:.2f}s, {cores} core{'s' if cores != 1 else ''})")
+    print(f"chip demand ~{demand/1e6:.0f} Mk-mers/s/chip "
+          f"(measured v5e; DENOVO_CHIP_KMERS_PER_SEC to override)")
+    if supply_kmers < demand:
+        ratio = demand / max(supply_kmers, 1e-9)
+        hint = ""
+        if cores == 1:
+            hint = " (single-core host: the decode pool needs more cores)"
+        elif path.endswith(".cram"):
+            hint = (" (CRAM entropy codec may be the cost — arith/fqzcomp decode "
+                    "10-20x slower than rANS; consider recoding to rANS or BAM)")
+        print(f"WARNING: feeder supplies {1/ratio:.0%} of one chip's demand — "
+              f"the chip will idle {1 - 1/ratio:.0%} of the time{hint}")
+        return 1
+    print("feeder OK: supply >= one chip's demand")
     return 0
 
 
@@ -1175,7 +1235,16 @@ def main(argv=None) -> int:
     pf.set_defaults(fn=cmd_flagstat)
 
     pdr = sub.add_parser("doctor", help="environment self-check: devices, "
-                                        "native shim, codecs")
+                                        "native shim, codecs; --probe-feed "
+                                        "measures feeder supply vs chip demand")
+    pdr.add_argument("--probe-feed", default=None, metavar="READS",
+                     help="BAM/CRAM file: measure this host's decode+pack rate on "
+                          "the production feed path and warn if it cannot keep one "
+                          "chip busy (exit 1 on warning)")
+    pdr.add_argument("--probe-batches", type=int, default=8,
+                     help="batches to time in the feed probe (default 8)")
+    pdr.add_argument("--reference", default=None,
+                     help="reference FASTA for reference-based CRAM probe input")
     pdr.set_defaults(fn=cmd_doctor)
 
     px = sub.add_parser(

@@ -18,6 +18,14 @@ import numpy as np
 
 from denovo_kmer_tpu.config import EngineConfig
 
+
+def _popcount(a: np.ndarray) -> int:
+    """Total set bits (numpy>=2 bitwise_count, with a LUT fallback)."""
+    if hasattr(np, "bitwise_count"):
+        return int(np.bitwise_count(a).sum())
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+    return int(lut[a.view(np.uint8)].sum())
+
 # NOTE: denovo_kmer_tpu.ops.pack is imported lazily inside NativeBamFeeder —
 # importing it executes the ops package __init__, which pulls in JAX and
 # initializes the device backend. This module is also used by host-only paths
@@ -345,8 +353,13 @@ class NativeBamFeeder:
             )
         if n == 0:
             return None
+        # prefix_valid: validity never extends past the length prefix, so equal
+        # population counts mean validity == prefix exactly (ops/pack._pack_codes
+        # does the same on its bool array); lets the feed ship lengths, not vwords
+        pv = bool(int(_popcount(vwords)) == int(lengths.sum()))
         return self._packed_cls(
-            words=words, vwords=vwords, length=lengths, n_reads=int(n))
+            words=words, vwords=vwords, length=lengths, n_reads=int(n),
+            prefix_valid=pv)
 
     def __iter__(self) -> Iterator[PackedReads]:
         while True:

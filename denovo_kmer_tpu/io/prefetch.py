@@ -86,7 +86,7 @@ def _place_item(item, put: Callable):
 
 
 def prefetch_placed(batches: Iterable[T], depth: int = 2,
-                    decode_depth: int = 2) -> Iterator[T]:
+                    decode_depth: int = 2, put: Callable = None) -> Iterator[T]:
     """Three-thread host→device pipeline: decode/pack on one daemon thread, host→device
     transfer (``jax.device_put``) on a second, compute dispatch on the caller's thread.
 
@@ -98,9 +98,13 @@ def prefetch_placed(batches: Iterable[T], depth: int = 2,
     (measured: 0.16 s of a 0.573 s e2e wall at bench shape, BENCH_r03 e2e_overlap=0.0).
 
     Works on any item stream where the device-bound payload is a ``PackedReads``
-    (bare or inside tuples); other items pass through untouched."""
+    (bare or inside tuples); other items pass through untouched.
+
+    ``put`` overrides the placement call (default ``jax.device_put``) — on remote-TPU
+    runtimes ``jnp.asarray`` and ``jax.device_put`` can take different transfer paths
+    (benchmarks/e2e_trio.py E2E_FEED_MODE A/Bs them)."""
     import jax
 
-    put = jax.device_put
+    put = put or jax.device_put
     placed = (_place_item(b, put) for b in prefetch_batches(batches, depth=decode_depth))
     return prefetch_batches(placed, depth=depth)

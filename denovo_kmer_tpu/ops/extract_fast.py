@@ -44,6 +44,24 @@ def _reverse_2bit_fields(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def vwords_from_lengths(lengths: jnp.ndarray, padded_len: int) -> jnp.ndarray:
+    """Rebuild the validity-word tensor from per-read lengths, ON DEVICE.
+
+    Exactly ``ops.pack._pack_codes``'s vwords when the batch is prefix-valid
+    (``PackedReads.prefix_valid``): bit j of word w is 1 iff 32*w + j < length.
+    Lets transfer-bound feeds ship (B,) int32 lengths instead of (B, Lp//32)
+    uint32 vwords — the mask is elementwise VPU work, effectively free next to
+    the extraction shifts."""
+    V = padded_len // 32
+    base = jnp.arange(V, dtype=jnp.int32)[None, :] * 32  # (1, V)
+    rem = jnp.clip(lengths[:, None] - base, 0, 32)  # valid bits in this word
+    full = jnp.uint32(0xFFFFFFFF)
+    return jnp.where(
+        rem >= 32, full,
+        (jnp.uint32(1) << rem.astype(jnp.uint32)) - jnp.uint32(1),
+    )
+
+
 def extract_canonical_kmers_fast(
     words: jnp.ndarray,
     vwords: jnp.ndarray,

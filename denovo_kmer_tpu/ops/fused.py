@@ -109,6 +109,58 @@ def fused_supported(k: int) -> bool:
 _LANES = 128  # VPU lane width: the unit of the two-level scan decompositions below
 
 
+def segmented_suffix_sums(head, *values):
+    """Two-level segmented suffix sums of uint32 columns, segments delimited by head
+    flags (head[i] = row i starts a group in the sorted stream). At a head row the
+    result spans exactly its group — the per-group total. Cost: 7 lane-doubling
+    passes over (N/128, 128) rows + one 128x-shorter block-carry
+    ``associative_scan``; independent of group size (unlike the bounded-R
+    shifted-add in parallel/sharded_table.py, whose cost is linear in the group
+    bound). Shared by the single-chip fused kernels (v4/v5) and the mesh fused
+    call's large-R path."""
+    N = head.shape[0]
+    L = _LANES
+    NB = -(-N // L)
+    NP = NB * L
+    blocked = jnp.concatenate([head[1:], jnp.ones((1,), bool)])  # j ends its segment
+    vs = list(values)
+    fb = blocked
+    if NP != N:
+        pad = jnp.zeros((NP - N,), jnp.uint32)
+        vs = [jnp.concatenate([v, pad]) for v in vs]
+        fb = jnp.concatenate([fb, jnp.ones((NP - N,), bool)])
+    vs = [v.reshape(NB, L) for v in vs]
+    fb = fb.reshape(NB, L)
+    sh = 1
+    while sh < L:
+        # row-boundary pad is the NEUTRAL element (V=0, F=False): V gains nothing
+        # and F stays the honest "any segment end within this row" — the cross-row
+        # continuation is applied by the block carry below
+        z = jnp.zeros((NB, sh), jnp.uint32)
+        t = jnp.zeros((NB, sh), bool)
+        keep = jnp.where(fb, jnp.uint32(0), jnp.uint32(1))
+        vs = [v + keep * jnp.concatenate([v[:, sh:], z], axis=1) for v in vs]
+        fb = fb | jnp.concatenate([fb[:, sh:], t], axis=1)
+        sh *= 2
+
+    # row summaries combine over rows below via one short segmented suffix scan.
+    # NB: under reverse=True, associative_scan passes (later, earlier) — the UPPER
+    # span (whose F gates propagation) arrives as the SECOND argument
+    def _comb(b, a):
+        k = jnp.where(a[-1], jnp.uint32(0), jnp.uint32(1))
+        return tuple(av + k * bv for av, bv in zip(a[:-1], b[:-1])) + (a[-1] | b[-1],)
+
+    suf = jax.lax.associative_scan(
+        _comb, tuple(v[:, 0] for v in vs) + (fb[:, 0],), reverse=True
+    )
+    keep = jnp.where(fb, jnp.uint32(0), jnp.uint32(1))
+    outs = []
+    for v, s in zip(vs, suf[:-1]):
+        c = jnp.concatenate([s[1:], jnp.zeros((1,), jnp.uint32)])
+        outs.append((v + keep * c[:, None]).reshape(NP)[:N])
+    return outs
+
+
 @functools.partial(
     jax.jit, static_argnames=("tau_parent", "min_child_count", "max_candidates")
 )
@@ -178,52 +230,12 @@ def _fused_flush_call_v4(
             [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
         )
 
-    # segmented suffix sums of (cnt, pc) with segments delimited by head flags:
-    # two-level — 7 lane-doubling passes over (NB, 128) rows, then one short
-    # block-carry segmented scan over NB row summaries. At a head row the suffix sum
-    # spans exactly its group: child total and the group's unique parental pack
-    # (at most one nonzero pc per group; invalid table slots carry pc garbage but
-    # only into the PAD group, which `real` masks).
-    blocked = jnp.concatenate([head[1:], jnp.ones((1,), bool)])  # j ends its segment
-    v1, v2, fb = s_cnt, s_pc, blocked
-    if NP != N:
-        padv = jnp.zeros((NP - N,), jnp.uint32)
-        v1 = jnp.concatenate([v1, padv])
-        v2 = jnp.concatenate([v2, padv])
-        fb = jnp.concatenate([fb, jnp.ones((NP - N,), bool)])
-    v1, v2, fb = v1.reshape(NB, L), v2.reshape(NB, L), fb.reshape(NB, L)
-    sh = 1
-    while sh < L:
-        # row-boundary pad is the NEUTRAL element (V=0, F=False): V gains nothing
-        # and F stays the honest "any segment end within this row" — the cross-row
-        # continuation is applied by the block carry below
-        z = jnp.zeros((NB, sh), jnp.uint32)
-        t = jnp.zeros((NB, sh), bool)
-        b1 = jnp.concatenate([v1[:, sh:], z], axis=1)
-        b2 = jnp.concatenate([v2[:, sh:], z], axis=1)
-        bf = jnp.concatenate([fb[:, sh:], t], axis=1)
-        keep = jnp.where(fb, jnp.uint32(0), jnp.uint32(1))
-        v1 = v1 + keep * b1
-        v2 = v2 + keep * b2
-        fb = fb | bf
-        sh *= 2
-    # row summaries combine over rows below via one short segmented suffix scan.
-    # NB: under reverse=True, associative_scan passes (later, earlier) — the UPPER
-    # span (whose F gates propagation) arrives as the SECOND argument
-    def _comb(b, a):
-        av1, av2, af = a
-        bv1, bv2, bf_ = b
-        k = jnp.where(af, jnp.uint32(0), jnp.uint32(1))
-        return (av1 + k * bv1, av2 + k * bv2, af | bf_)
-
-    suf = jax.lax.associative_scan(
-        _comb, (v1[:, 0], v2[:, 0], fb[:, 0]), reverse=True
-    )
-    c1 = jnp.concatenate([suf[0][1:], jnp.zeros((1,), jnp.uint32)])
-    c2 = jnp.concatenate([suf[1][1:], jnp.zeros((1,), jnp.uint32)])
-    keep = jnp.where(fb, jnp.uint32(0), jnp.uint32(1))
-    child = (v1 + keep * c1[:, None]).reshape(NP)[:N]
-    pcsum = (v2 + keep * c2[:, None]).reshape(NP)[:N]
+    # segmented suffix sums of (cnt, pc) with segments delimited by head flags
+    # (segmented_suffix_sums): at a head row the suffix sum spans exactly its group —
+    # child total and the group's unique parental pack (at most one nonzero pc per
+    # group; invalid table slots carry pc garbage but only into the PAD group, which
+    # `real` masks).
+    child, pcsum = segmented_suffix_sums(head, s_cnt, s_pc)
     momc = pcsum & _SAT
     dadc = pcsum >> 16
 
@@ -359,33 +371,7 @@ def _fused_flush_call_v5(
 
     # two-level segmented suffix sum of the ONE packed count column (v4's second
     # value column rode along for pc — gone)
-    blocked = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
-    v1, fb = s_cw, blocked
-    if NP != N:
-        v1 = jnp.concatenate([v1, jnp.zeros((NP - N,), jnp.uint32)])
-        fb = jnp.concatenate([fb, jnp.ones((NP - N,), bool)])
-    v1, fb = v1.reshape(NB, L), fb.reshape(NB, L)
-    sh = 1
-    while sh < L:
-        z = jnp.zeros((NB, sh), jnp.uint32)
-        t = jnp.zeros((NB, sh), bool)
-        b1 = jnp.concatenate([v1[:, sh:], z], axis=1)
-        bf = jnp.concatenate([fb[:, sh:], t], axis=1)
-        keep = jnp.where(fb, jnp.uint32(0), jnp.uint32(1))
-        v1 = v1 + keep * b1
-        fb = fb | bf
-        sh *= 2
-
-    def _comb(b, a):  # reverse=True passes (later, earlier) — see v4
-        av1, af = a
-        bv1, bf_ = b
-        k = jnp.where(af, jnp.uint32(0), jnp.uint32(1))
-        return (av1 + k * bv1, af | bf_)
-
-    suf = jax.lax.associative_scan(_comb, (v1[:, 0], fb[:, 0]), reverse=True)
-    c1 = jnp.concatenate([suf[0][1:], jnp.zeros((1,), jnp.uint32)])
-    keep = jnp.where(fb, jnp.uint32(0), jnp.uint32(1))
-    total = (v1 + keep * c1[:, None]).reshape(NP)[:N]
+    (total,) = segmented_suffix_sums(head, s_cw)
     child = total & _LO31
     parent_bad = total >> 31
 

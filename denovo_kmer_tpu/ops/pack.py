@@ -34,6 +34,12 @@ class PackedReads:
     vwords: np.ndarray  # (B, Lp//32) uint32
     length: np.ndarray  # (B,) int32
     n_reads: int  # actual reads in the batch (rest is padding)
+    # True when every read's validity is exactly its length prefix (no Ns, no
+    # quality-masked bases): then ``vwords`` is pure function of ``length`` and the
+    # host->device feed can ship lengths (B*4 bytes) instead of vwords (B*Lp/8) and
+    # rebuild the mask on device (ops/extract_fast.vwords_from_lengths) — a ~27%
+    # transfer cut at 151 bp that matters on transfer-bound links.
+    prefix_valid: bool = False
 
     @property
     def padded_len(self) -> int:
@@ -108,7 +114,11 @@ def _pack_codes(
     v = valid.astype(np.uint32).reshape(B, Lp // 32, 32)
     vshifts = np.arange(32, dtype=np.uint32)[None, None, :]
     vwords = np.bitwise_or.reduce(v << vshifts, axis=2).astype(np.uint32)
-    return PackedReads(words=words, vwords=vwords, length=length, n_reads=n_reads)
+    # valid never extends past the length prefix, so equal POPULATION counts mean
+    # validity == prefix exactly (one cheap reduce, no per-position compare)
+    pv = bool(int(valid.sum()) == int(length.sum()))
+    return PackedReads(words=words, vwords=vwords, length=length, n_reads=n_reads,
+                       prefix_valid=pv)
 
 
 @dataclasses.dataclass

@@ -429,21 +429,37 @@ class ShardedKmerEngine:
                 head = head | jnp.concatenate(
                     [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
                 )
-            iota = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
-            rcm = jax.lax.cummin(jnp.where(head, iota, N), reverse=True)
-            nh = jnp.concatenate([rcm[1:], jnp.full((1,), N, jnp.int32)])
+            if R <= 16:
+                # bounded-R shifted-add: groups hold <= R rows (one per replica-row
+                # partial), so R vector shift+adds compute every group total
+                iota = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+                rcm = jax.lax.cummin(jnp.where(head, iota, N), reverse=True)
+                nh = jnp.concatenate([rcm[1:], jnp.full((1,), N, jnp.int32)])
 
-            def shifted(x, d):
-                return jnp.concatenate([x[d:], jnp.zeros((d,), x.dtype)]) if d else x
+                def shifted(x, d):
+                    return (jnp.concatenate([x[d:], jnp.zeros((d,), x.dtype)])
+                            if d else x)
 
-            total = jnp.zeros((N,), jnp.uint32)
-            pcsum = jnp.zeros((N,), jnp.uint32)
-            for d in range(R):
-                in_grp = (iota + d) < nh
-                total = total + jnp.where(in_grp, shifted(s_cnt, d), 0)
+                total = jnp.zeros((N,), jnp.uint32)
+                pcsum = jnp.zeros((N,), jnp.uint32)
+                for d in range(R):
+                    in_grp = (iota + d) < nh
+                    total = total + jnp.where(in_grp, shifted(s_cnt, d), 0)
+                    if s_pc is not None:
+                        # <= 1 nonzero pc per group (seeded on r=0 chain) -> exact
+                        pcsum = pcsum + jnp.where(in_grp, shifted(s_pc, d), 0)
+            else:
+                # tall reads-axis (R > 16): the shifted-add's O(R) passes lose to the
+                # R-independent two-level segmented suffix scan (ops/fused.py). This
+                # lifts the old silent fallback-to-compacting-path at R > 16 — a
+                # (32,1) v5p-32 cohort mesh now stays on the fused call.
+                from denovo_kmer_tpu.ops.fused import segmented_suffix_sums
+
                 if s_pc is not None:
-                    # <= 1 nonzero pc per group (seeded on the r=0 chain) -> exact
-                    pcsum = pcsum + jnp.where(in_grp, shifted(s_pc, d), 0)
+                    total, pcsum = segmented_suffix_sums(head, s_cnt, s_pc)
+                else:
+                    (total,) = segmented_suffix_sums(head, s_cnt)
+                    pcsum = None
 
             real = s_words[0] != _PADW  # guarded by fused_supported(k) at call time
             if variant == "v5":
@@ -853,9 +869,10 @@ class ShardedKmerEngine:
         of the gathered row-partials per shard, bounded-R shifted-add group sums, and
         on-device K-padded candidate extraction (the ops/fused.py design lifted to the
         mesh — no compaction sort, no separate call sort). Returns (candidate tuples,
-        n_child_unique total). Falls back to finalize_score + call_score for even k
-        (padding-key collision), large R, or per-shard candidate counts above the static
-        K — never silently wrong."""
+        n_child_unique total). Group sums use the bounded-R shifted-add for R <= 16
+        and the R-independent segmented suffix scan above that (no fallback at tall
+        reads-axes). Falls back to finalize_score + call_score only for even k
+        (padding-key collision) — never silently wrong."""
         from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
         from denovo_kmer_tpu.ops.fused import fused_supported
 
@@ -882,8 +899,8 @@ class ShardedKmerEngine:
             nchild = int(np.asarray(jnp.sum(jnp.where(stab.counts >= 1, 1, 0)))) // self.R
             return res, nchild
 
-        if not fused_supported(self.cfg.k) or self.R > 16:
-            return _fallback()
+        if not fused_supported(self.cfg.k):  # even-k padding-key collision only;
+            return _fallback()  # any R is fused now (scan path for R > 16)
         Kc = self.fused_call_K
         variant = None
         while True:

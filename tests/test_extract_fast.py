@@ -43,3 +43,34 @@ def test_fast_extract_bit_identical(k, canonical):
     kt, vt = extract_canonical_kmers_fast_t(w, v, k, max_len, canonical=canonical)
     assert np.array_equal(np.asarray(vt).T, v2n)
     assert np.array_equal(np.asarray(kt).transpose(1, 0, 2)[v2n], k2n[v2n])
+
+
+def test_vwords_from_lengths_matches_pack():
+    """Device-rebuilt validity words == host _pack_codes vwords for prefix-valid
+    batches (the placedlen transfer cut must be bit-exact)."""
+    import numpy as np
+
+    from denovo_kmer_tpu.ops.extract_fast import vwords_from_lengths
+    from denovo_kmer_tpu.ops.pack import _pack_codes, padded_length
+
+    rng = np.random.default_rng(5)
+    for max_len in (32, 64, 160):
+        Lp = padded_length(max_len)
+        B = 37
+        lens = rng.integers(0, max_len + 1, B).astype(np.int32)
+        codes = np.zeros((B, Lp), np.uint8)
+        valid = np.zeros((B, Lp), bool)
+        for i, L in enumerate(lens):
+            codes[i, :L] = rng.integers(0, 4, L)
+            valid[i, :L] = True
+        p = _pack_codes(codes, valid, lens, B)
+        assert p.prefix_valid
+        got = np.asarray(vwords_from_lengths(jnp.asarray(lens), Lp))
+        np.testing.assert_array_equal(got, p.vwords)
+
+    # a non-prefix batch (interior masked base, e.g. an N) must NOT claim prefix_valid
+    i = int(np.argmax(lens))  # longest read; certainly has an interior base
+    assert lens[i] >= 4
+    valid[i, 1] = False
+    p2 = _pack_codes(codes, valid, lens, B)
+    assert not p2.prefix_valid

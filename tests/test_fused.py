@@ -289,3 +289,36 @@ def test_even_k16_falls_back_to_compacting_path():
             for s, p in paths.items()}
     want = trio_candidates(tabs["mom"], tabs["dad"], tabs["child"], cfg)
     assert res.candidates == want
+
+
+def test_segmented_suffix_sums_matches_numpy_oracle():
+    """segmented_suffix_sums (shared by v4/v5 and the tall-mesh path) vs a scalar
+    oracle: random segment structures, 1 and 2 value columns, ragged tails around
+    the 128-lane block size."""
+    import numpy as np
+
+    from denovo_kmer_tpu.ops.fused import segmented_suffix_sums
+
+    rng = np.random.default_rng(42)
+    for N in (1, 5, 127, 128, 129, 300, 1024, 4097):
+        head = rng.random(N) < 0.3
+        head[0] = True
+        v1 = rng.integers(0, 1 << 20, N).astype(np.uint32)
+        v2 = rng.integers(0, 1 << 20, N).astype(np.uint32)
+
+        # oracle: suffix sum within each segment
+        def oracle(v):
+            out = np.zeros(N, np.uint64)
+            seg_end = N
+            for i in range(N - 1, -1, -1):
+                out[i] = v[i] + (out[i + 1] if i + 1 < seg_end else 0)
+                if head[i]:
+                    seg_end = i
+            return out.astype(np.uint32)
+
+        got1, got2 = segmented_suffix_sums(jnp.asarray(head), jnp.asarray(v1),
+                                           jnp.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(got1), oracle(v1), err_msg=f"N={N}")
+        np.testing.assert_array_equal(np.asarray(got2), oracle(v2), err_msg=f"N={N}")
+        (solo,) = segmented_suffix_sums(jnp.asarray(head), jnp.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(solo), oracle(v1))
