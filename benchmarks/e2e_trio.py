@@ -393,12 +393,16 @@ def run_e2e(reps: int = None, verbose: bool = True) -> dict:
 
     @jax.jit
     def _touch(arrs):
-        return sum(a[0, 0].astype(jnp.uint32) for a in arrs)
+        return sum(a.reshape(-1)[0].astype(jnp.uint32) for a in arrs)
 
     def t_put_only():
+        # transfer exactly what the selected feed mode ships per batch
         t0 = time.perf_counter()
         placed_all = [jax.device_put(p.words) for p in host_batches]
-        placed_all += [jax.device_put(p.vwords) for p in host_batches]
+        if feed_mode == "placedlen":
+            placed_all += [jax.device_put(p.length) for p in host_batches]
+        else:
+            placed_all += [jax.device_put(p.vwords) for p in host_batches]
         int(np.asarray(_touch(placed_all)))
         return time.perf_counter() - t0
 

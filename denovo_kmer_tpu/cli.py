@@ -194,12 +194,13 @@ def cmd_call(args) -> int:
         f"child={result.tables_n['child']})",
         file=sys.stderr,
     )
-    if getattr(args, "evidence_out", None):
+    need_tsv = (getattr(args, "evidence_out", None)
+                or getattr(args, "sites_out", None))
+    if need_tsv:
         # one pass over the child right after the call: the supporting-read
-        # subset for candidate review (pipeline.run_evidence)
+        # subset (pipeline.run_evidence) and/or the per-locus site grouping
+        # (sites.group_sites) both consume the candidate TSV
         import tempfile
-
-        from denovo_kmer_tpu.pipeline import run_evidence
 
         if args.output != "-" and args.output_format == "tsv":
             tsv = args.output
@@ -214,13 +215,24 @@ def cmd_call(args) -> int:
             tmp.close()
             tsv = tmp.name
         try:
-            ev = run_evidence(args.child, tsv, cfg, args.evidence_out,
-                              region=_resolve_region(args))
+            if getattr(args, "evidence_out", None):
+                from denovo_kmer_tpu.pipeline import run_evidence
+
+                ev = run_evidence(args.child, tsv, cfg, args.evidence_out,
+                                  region=_resolve_region(args))
+                print(f"evidence: {ev.n_reads_matched}/{ev.n_reads_scanned} "
+                      f"reads -> {ev.out_path}", file=sys.stderr)
+            if getattr(args, "sites_out", None):
+                from denovo_kmer_tpu.sites import group_sites, write_sites_tsv
+
+                sites = group_sites(args.child, tsv, cfg,
+                                    region=_resolve_region(args))
+                write_sites_tsv(sites, args.sites_out)
+                print(f"sites: {len(result.candidates)} candidate k-mers -> "
+                      f"{len(sites)} loci -> {args.sites_out}", file=sys.stderr)
         finally:
             if tmp is not None:
                 os.unlink(tmp.name)
-        print(f"evidence: {ev.n_reads_matched}/{ev.n_reads_scanned} reads -> "
-              f"{ev.out_path}", file=sys.stderr)
     return 0
 
 
@@ -912,6 +924,18 @@ def _doctor_probe_feed(args) -> int:
     return 0
 
 
+def cmd_sites(args) -> int:
+    """Candidate-site reporter over an existing candidate TSV (sites.group_sites)."""
+    from denovo_kmer_tpu.sites import group_sites, write_sites_tsv
+
+    cfg = _cfg_from_args(args)
+    sites = group_sites(args.child, args.candidates, cfg,
+                        region=_resolve_region(args))
+    write_sites_tsv(sites, args.output)
+    print(f"sites: {len(sites)} loci -> {args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_view(args) -> int:
     """Format conversion + filtering over any reads source (`samtools view`
     analog): BAM/SAM/CRAM in; SAM (default, stdout), BAM, FASTQ or FASTA out;
@@ -1176,8 +1200,21 @@ def main(argv=None) -> int:
     pc.add_argument("--evidence-out", default=None,
                     help="also write the child reads supporting any candidate "
                          "to this BAM/FASTQ (one extra pass; see `evidence`)")
+    pc.add_argument("--sites-out", default=None,
+                    help="also group overlapping candidate k-mers into loci via "
+                         "the evidence reads' positions and write a per-site TSV "
+                         "(ref, span, member k-mers, read support)")
     _add_engine_args(pc)
     pc.set_defaults(fn=cmd_call)
+
+    psite = sub.add_parser(
+        "sites", help="group an existing candidate TSV into loci using the "
+                      "child reads' evidence (candidate-site reporter)")
+    psite.add_argument("child", help="child reads (BAM/CRAM/SAM/FASTQ)")
+    psite.add_argument("candidates", help="candidate TSV from `call`")
+    psite.add_argument("-o", "--output", required=True)
+    _add_engine_args(psite)
+    psite.set_defaults(fn=cmd_sites)
 
     pk = sub.add_parser("count", help="build and persist one sample's k-mer table")
     pk.add_argument("reads")

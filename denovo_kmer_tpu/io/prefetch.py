@@ -71,22 +71,32 @@ def prefetch_batches(batches: Iterable[T], depth: int = 2) -> Iterator[T]:
             pass
 
 
-def _place_item(item, put: Callable):
+def _place_item(item, put: Callable, ship_lengths: bool = False):
     """Replace every PackedReads found in ``item`` (bare, or inside a tuple such as
     ``(bucket_width, packed)`` / ``(packed, cursor)``) with a copy whose ``words`` and
     ``vwords`` live on device. Downstream ``jnp.asarray`` on an already-placed array is
-    a no-op, so consumers are unchanged."""
+    a no-op, so consumers are unchanged.
+
+    ``ship_lengths``: prefix-valid batches (no Ns, no quality masking — the common
+    case) transfer (B,) lengths instead of (B, Lp/32) vwords and arrive with
+    ``vwords=None``; the consumer's step rebuilds the mask on device
+    (pipeline.make_ingest_step append_packed). ~27% fewer feed bytes at 151 bp."""
     from denovo_kmer_tpu.ops.pack import PackedReads
 
     if isinstance(item, PackedReads):
+        if ship_lengths and item.prefix_valid:
+            return dataclasses.replace(
+                item, words=put(item.words), vwords=None, length=put(item.length)
+            )
         return dataclasses.replace(item, words=put(item.words), vwords=put(item.vwords))
     if isinstance(item, tuple):
-        return tuple(_place_item(x, put) for x in item)
+        return tuple(_place_item(x, put, ship_lengths) for x in item)
     return item
 
 
 def prefetch_placed(batches: Iterable[T], depth: int = 2,
-                    decode_depth: int = 2, put: Callable = None) -> Iterator[T]:
+                    decode_depth: int = 2, put: Callable = None,
+                    ship_lengths: bool = False) -> Iterator[T]:
     """Three-thread host→device pipeline: decode/pack on one daemon thread, host→device
     transfer (``jax.device_put``) on a second, compute dispatch on the caller's thread.
 
@@ -106,5 +116,6 @@ def prefetch_placed(batches: Iterable[T], depth: int = 2,
     import jax
 
     put = put or jax.device_put
-    placed = (_place_item(b, put) for b in prefetch_batches(batches, depth=decode_depth))
+    placed = (_place_item(b, put, ship_lengths)
+              for b in prefetch_batches(batches, depth=decode_depth))
     return prefetch_batches(placed, depth=depth)

@@ -182,11 +182,46 @@ def make_ingest_step(cfg: EngineConfig, n_passes: int = 1):
         with jax.named_scope("staging_append"):
             return append(acc, kmers, valid)
 
+    # length-shipped twin: clean batches (PackedReads.prefix_valid) arrive with
+    # vwords=None and (B,) lengths instead of the (B, Lp/32) validity words — a
+    # ~27% host->device transfer cut; the mask is rebuilt on device (bit-exact,
+    # tests/test_extract_fast.py::test_vwords_from_lengths_matches_pack)
+    from denovo_kmer_tpu.ops.extract_fast import vwords_from_lengths
+
+    _Lp = -(-cfg.max_read_len // 32) * 32
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _extract_append_len(acc, words, lens, pass_id):
+        with jax.named_scope("vwords_rebuild"):
+            vwords = vwords_from_lengths(lens, _Lp)
+        with jax.named_scope("kmer_extract"):
+            kmers, valid = _extract(words, vwords)
+        if n_passes > 1:
+            from denovo_kmer_tpu.parallel.router import pass_of
+
+            with jax.named_scope("pass_filter"):
+                valid = valid & (pass_of(kmers, n_passes) == pass_id)
+        with jax.named_scope("staging_append"):
+            return append(acc, kmers, valid)
+
     if n_passes > 1:
         extract_append = _extract_append
     else:
         def extract_append(acc, words, vwords):
             return _extract_append(acc, words, vwords, jnp.uint32(0))
+
+    def append_packed(acc, packed, pass_id=None):
+        """Per-batch dispatch: length-shipped (vwords is None) vs full-vwords."""
+        pid = jnp.uint32(0) if pass_id is None else pass_id
+        if getattr(packed, "vwords", None) is None:
+            return _extract_append_len(
+                acc, jnp.asarray(packed.words), jnp.asarray(packed.length), pid
+            )
+        return _extract_append(
+            acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords), pid
+        )
+
+    extract_append.append_packed = append_packed
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def flush_fn(acc, table):
@@ -236,16 +271,14 @@ class SampleTableBuilder:
         acc = self._empty_acc()
         table = empty_table(cfg.table_capacity, cfg.words)
         fill = 0
-        for w, packed in prefetch_placed(bucketed_batches):
+        for w, packed in prefetch_placed(bucketed_batches, ship_lengths=True):
             win = cfg.batch_reads * (w - cfg.k + 1)
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
                 if fill + win > slots:
                     acc, table = self.flush_fn(acc, table)
                     fill = 0
-                acc = steps[w](
-                    acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
-                )
+                acc = steps[w].append_packed(acc, packed)
                 fill += win
             m.count("kmers_extracted", packed.n_reads * (w - cfg.k + 1))
             m.count("windows_staged", win)
@@ -266,12 +299,10 @@ class SampleTableBuilder:
         acc = self._empty_acc()
         table = empty_table(self.cfg.table_capacity, self.cfg.words)
         pending = 0
-        for packed in prefetch_placed(packed_batches):
+        for packed in prefetch_placed(packed_batches, ship_lengths=True):
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
-                acc = self.extract_append(
-                    acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
-                )
+                acc = self.extract_append.append_packed(acc, packed)
                 pending += 1
                 if pending == self.cfg.accum_batches:
                     acc, table = self.flush_fn(acc, table)
@@ -392,14 +423,12 @@ def build_sample_table_resumable(
     pending = 0
     flushes_since_save = 0
     last_cursor = None
-    feed = prefetch_placed(iter(stream))
+    feed = prefetch_placed(iter(stream), ship_lengths=True)
     try:
         for packed, cursor in feed:
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
-                acc = extract_append(
-                    acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
-                )
+                acc = extract_append.append_packed(acc, packed)
                 pending += 1
                 if pending == cfg.accum_batches:
                     acc, table = flush_fn(acc, table)
@@ -478,7 +507,7 @@ class ScoringTableBuilder:
         bucketed = bucket_steps is not None
         fill = 0
         flushed = False
-        for item in prefetch_placed(packed_batches):
+        for item in prefetch_placed(packed_batches, ship_lengths=True):
             if bucketed:
                 w, packed = item
                 step = bucket_steps[w]
@@ -495,9 +524,7 @@ class ScoringTableBuilder:
                     )
                     fill = 0
                     flushed = True
-                acc = step(
-                    acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
-                )
+                acc = step.append_packed(acc, packed)
                 fill += win
             m.count("kmers_extracted", packed.n_reads * (win // cfg.batch_reads))
             m.count("batches", 1)
@@ -526,12 +553,10 @@ class ScoringTableBuilder:
         acc = self._empty_acc()
         table = seed_score_table(mom, dad, self.cfg.table_capacity)
         pending = 0
-        for packed in prefetch_placed(packed_batches):
+        for packed in prefetch_placed(packed_batches, ship_lengths=True):
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
-                acc = self.extract_append(
-                    acc, jnp.asarray(packed.words), jnp.asarray(packed.vwords)
-                )
+                acc = self.extract_append.append_packed(acc, packed)
                 pending += 1
                 if pending == self.cfg.accum_batches:
                     acc, table = self.flush_fn(acc, table)

@@ -1,0 +1,248 @@
+"""Candidate-SITE grouping: overlapping candidate k-mers -> per-locus summary rows.
+
+BASELINE.json's north star calls the reporter a "candidate-site reporter": a single de
+novo SNV produces up to k overlapping candidate k-mers (they tile the mutated base), so
+the k-mer-level report over-counts events. This module groups the candidate k-mers into
+loci using the evidence reads' alignment positions (host-side — candidates are
+dozens-to-thousands, reads supporting them a tiny subset of the run; the heavy
+read-subset step reuses the device probe, pipeline.run_evidence's machinery):
+
+1. device pass over the child reads: extract + probe against the candidate table ->
+   matched-read subset (build-throughput, one binary-search probe per window);
+2. host pass over the matched subset only: exact substring search (forward + revcomp,
+   the call's canonical semantics) finds each candidate's offset in each supporting
+   read; a mapped read votes genome position = read.pos + offset (CIGAR-naive: good to
+   a few bases around indels, which is all a locus summary needs);
+3. candidates take their median voted position; candidates whose [pos, pos+k) intervals
+   overlap on the same reference are one locus.
+
+Reads with no usable position (unmapped, sequence-only sources) fall back to read-graph
+clustering: candidates co-occurring in one read with a CONSISTENT offset delta are the
+same locus (ref "*", positions read-relative). Both paths emit the same TSV:
+
+    #ref  start  end  n_kmers  n_reads  max_child_count  kmers
+
+Sorted by (ref, start). Coordinates are 0-based half-open.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from denovo_kmer_tpu.config import EngineConfig
+
+_RC = str.maketrans("ACGT", "TGCA")
+
+
+@dataclasses.dataclass
+class Site:
+    ref: str  # reference name, or "*" for read-relative loci
+    start: int  # 0-based inclusive
+    end: int  # exclusive
+    kmers: List[str]
+    n_reads: int
+    max_child_count: int
+
+
+def _occurrences(seq: str, kmer: str) -> List[int]:
+    """All offsets of kmer OR its revcomp in seq (canonical semantics)."""
+    out = []
+    for pat in (kmer, kmer.translate(_RC)[::-1]):
+        i = seq.find(pat)
+        while i >= 0:
+            out.append(i)
+            i = seq.find(pat, i + 1)
+        if pat == kmer.translate(_RC)[::-1] and pat == kmer:
+            break  # palindromic k-mer: don't double-count
+    return out
+
+
+def _cluster_positions(
+    votes: Dict[str, List[Tuple[str, int]]], k: int,
+    counts: Dict[str, int], support: Dict[str, int],
+) -> List[Site]:
+    """Candidates -> loci by overlapping [pos, pos+k) on the same ref."""
+    placed = []
+    for kmer, vs in votes.items():
+        if not vs:
+            continue
+        by_ref: Dict[str, List[int]] = {}
+        for ref, p in vs:
+            by_ref.setdefault(ref, []).append(p)
+        # a candidate can legitimately vote on several refs (repeats); place it
+        # on its majority ref at the median position there
+        ref = max(by_ref, key=lambda r: len(by_ref[r]))
+        pos = int(np.median(by_ref[ref]))
+        placed.append((ref, pos, kmer))
+    placed.sort()
+    sites: List[Site] = []
+    for ref, pos, kmer in placed:
+        if (sites and sites[-1].ref == ref and pos < sites[-1].end):
+            s = sites[-1]
+            s.end = max(s.end, pos + k)
+            s.kmers.append(kmer)
+            s.n_reads = max(s.n_reads, support.get(kmer, 0))
+            s.max_child_count = max(s.max_child_count, counts.get(kmer, 0))
+        else:
+            sites.append(Site(ref=ref, start=pos, end=pos + k, kmers=[kmer],
+                              n_reads=support.get(kmer, 0),
+                              max_child_count=counts.get(kmer, 0)))
+    return sites
+
+
+def _cluster_readgraph(
+    co: Dict[str, List[Tuple[str, int]]], k: int,
+    counts: Dict[str, int], support: Dict[str, int],
+) -> List[Site]:
+    """Positionless fallback: union-find over candidates that co-occur in one
+    read with a consistent offset delta < k (overlapping windows of one event)."""
+    parent: Dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    # co: read name -> [(kmer, offset)]; sort by offset, link neighbors within k
+    for occ in co.values():
+        occ = sorted(occ, key=lambda t: t[1])
+        for (ka, oa), (kb, ob) in zip(occ, occ[1:]):
+            if ob - oa < k:
+                union(ka, kb)
+    groups: Dict[str, List[str]] = {}
+    for kmer in co_keys(co):
+        groups.setdefault(find(kmer), []).append(kmer)
+    sites = []
+    for i, (root, kmers) in enumerate(sorted(groups.items())):
+        kmers.sort()
+        sites.append(Site(
+            ref="*", start=i, end=i + k, kmers=kmers,
+            n_reads=max((support.get(km, 0) for km in kmers), default=0),
+            max_child_count=max((counts.get(km, 0) for km in kmers), default=0),
+        ))
+    return sites
+
+
+def co_keys(co: Dict[str, List[Tuple[str, int]]]):
+    seen = set()
+    for occ in co.values():
+        for kmer, _ in occ:
+            seen.add(kmer)
+    return sorted(seen)
+
+
+def group_sites(
+    child_path: str,
+    candidates_tsv: str,
+    cfg: EngineConfig,
+    region: Optional[str] = None,
+) -> List[Site]:
+    """Group the TSV's candidate k-mers into loci using child-read evidence."""
+    import jax
+    import jax.numpy as jnp
+
+    from denovo_kmer_tpu.io.bam import BamRecord
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+    from denovo_kmer_tpu.ops.table import probe_table
+    from denovo_kmer_tpu.pipeline import (
+        _record_stream,
+        candidate_table,
+        candidate_words_from_tsv,
+        extract_canonical_kmers,
+        source_references,
+    )
+
+    cands: List[str] = []
+    counts: Dict[str, int] = {}
+    with open(candidates_tsv) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            km = parts[0].upper()
+            cands.append(km)
+            counts[km] = int(parts[1]) if len(parts) > 1 else 0
+    if not cands:
+        return []
+    k = len(cands[0])
+
+    table = candidate_table(candidate_words_from_tsv(candidates_tsv, cfg))
+
+    @jax.jit
+    def step(words, vwords):
+        kmers, valid = extract_canonical_kmers(
+            words, vwords, cfg.k, cfg.max_read_len, canonical=cfg.canonical,
+            barrier=False,
+        )
+        hit = (probe_table(table, kmers) > 0) & valid
+        return hit.any(axis=-1)
+
+    refs = source_references(child_path)
+    ref_names = [n for n, _ in refs]
+
+    votes: Dict[str, List[Tuple[str, int]]] = {km: [] for km in cands}
+    support: Dict[str, int] = {km: 0 for km in cands}
+    co: Dict[str, List[Tuple[str, int]]] = {}
+    any_mapped = False
+
+    batch: List = []
+
+    def flush():
+        nonlocal any_mapped
+        if not batch:
+            return
+        packed = pack_seqs([r.seq for r in batch], cfg,
+                           [r.qual for r in batch], batch_size=cfg.batch_reads)
+        mask = np.asarray(step(jnp.asarray(packed.words),
+                               jnp.asarray(packed.vwords)))[: len(batch)]
+        for r, m in zip(batch, mask):
+            if not m:
+                continue
+            seq = r.seq.upper()
+            rname = getattr(r, "name", None) or f"r{id(r)}"
+            occs = []
+            for km in cands:
+                for off in _occurrences(seq, km):
+                    occs.append((km, off))
+            if not occs:
+                continue  # probe hit but engine-view mismatch (quality-masked)
+            mapped = (isinstance(r, BamRecord) and not (r.flag & 4)
+                      and 0 <= r.refid < len(ref_names) and r.pos >= 0)
+            for km, off in occs:
+                support[km] += 1
+                if mapped:
+                    any_mapped = True
+                    votes[km].append((ref_names[r.refid], r.pos + off))
+            co[rname] = occs
+        batch.clear()
+
+    for rec in _record_stream(child_path, cfg, region=region):
+        if rec.flag & cfg.filter_flag_mask:
+            continue
+        batch.append(rec)
+        if len(batch) == cfg.batch_reads:
+            flush()
+    flush()
+
+    if any_mapped:
+        return _cluster_positions(votes, k, counts, support)
+    return _cluster_readgraph(co, k, counts, support)
+
+
+def write_sites_tsv(sites: List[Site], out_path: str) -> None:
+    with open(out_path, "w") as f:
+        f.write("#ref\tstart\tend\tn_kmers\tn_reads\tmax_child_count\tkmers\n")
+        for s in sites:
+            f.write(f"{s.ref}\t{s.start}\t{s.end}\t{len(s.kmers)}\t{s.n_reads}"
+                    f"\t{s.max_child_count}\t{','.join(s.kmers)}\n")

@@ -604,3 +604,45 @@ def test_doctor_probe_feed_warns_when_feeder_starves(trio_dir, capsys, monkeypat
     out = capsys.readouterr().out
     assert rc == 0
     assert "feeder OK" in out
+
+
+def test_call_sites_out_covers_planted_positions(tmp_path):
+    """--sites-out groups candidate k-mers into loci; every planted de novo SNV
+    position must be covered by a reported locus span (the candidate k-mers of
+    one SNV tile it, so they must collapse to one site). Needs deep coverage:
+    at low coverage parental-table sampling gaps create extra true candidates
+    and child sampling gaps can drop planted ones."""
+    d = tmp_path / "deep"
+    rc = main(["synth-trio", str(d), "--genome-len", "1500", "--coverage", "30",
+               "--read-len", "50", "--denovo", "3"])
+    assert rc == 0
+    trio_dir = d
+    out = tmp_path / "c.tsv"
+    sites_out = tmp_path / "sites.tsv"
+    rc = main(["call", "--mom", str(trio_dir / "mom.bam"),
+               "--dad", str(trio_dir / "dad.bam"),
+               "--child", str(trio_dir / "child.bam"),
+               "-o", str(out), "--sites-out", str(sites_out), *ENGINE_ARGS])
+    assert rc == 0
+    truth = json.loads((trio_dir / "trio.json").read_text())
+    planted = truth["denovo_positions"]
+    rows = [ln.split("\t") for ln in sites_out.read_text().splitlines()[1:]]
+    assert rows, "no sites reported"
+    n_kmers_total = sum(int(r[3]) for r in rows)
+    assert n_kmers_total == len(out.read_text().splitlines()) - 1  # every cand placed
+    spans = [(r[0], int(r[1]), int(r[2])) for r in rows]
+    planted_rows = []
+    for p in planted:
+        hits = [r for r, s in zip(rows, spans)
+                if s[0] == "chr20" and s[1] <= p < s[2]]
+        assert hits, f"planted de novo at {p} not covered by any site: {spans}"
+        planted_rows.append(hits[0])
+    # a deeply-covered SNV's tiling k-mers must COLLAPSE into its site: many
+    # member k-mers per planted locus (k=21 -> up to 21), not one site per k-mer
+    assert all(int(r[3]) >= 10 for r in planted_rows), planted_rows
+    # standalone subcommand agrees byte-for-byte
+    sites2 = tmp_path / "sites2.tsv"
+    rc = main(["sites", str(trio_dir / "child.bam"), str(out),
+               "-o", str(sites2), *ENGINE_ARGS])
+    assert rc == 0
+    assert sites2.read_text() == sites_out.read_text()
