@@ -354,7 +354,21 @@ def main() -> int:
                 os.path.abspath(__file__)), "benchmarks"))
             from e2e_trio import run_e2e
 
+            # headline: one production-sized accumulation window (e2e_trio
+            # defaults: 64 batches, placedlen feed — chip A/B 2026-08-19)
             result.update(run_e2e())
+            # steady-state streaming datapoint: 4 windows of 16 batches, every
+            # intermediate window paying the compacting flush (the honest
+            # many-windows regime) — merged under e2e_stream_*
+            if os.environ.get("BENCH_E2E_STREAM", "1") != "0":
+                os.environ["E2E_ACCUM"], os.environ["E2E_WINDOWS"] = "16", "4"
+                try:
+                    stream = run_e2e()
+                    result.update(
+                        {"e2e_stream" + k[3:]: v for k, v in stream.items()
+                         if k.startswith("e2e_")})
+                finally:
+                    del os.environ["E2E_ACCUM"], os.environ["E2E_WINDOWS"]
         except Exception as e:  # pragma: no cover - diagnostic path
             print(f"e2e measurement failed (device-only line): {e}", file=sys.stderr)
 

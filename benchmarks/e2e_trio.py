@@ -145,13 +145,14 @@ def run_e2e(reps: int = None, verbose: bool = True) -> dict:
     # length bucketing).
     k = int(os.environ.get("E2E_K", 31))
     read_len = int(os.environ.get("E2E_READ_LEN", 151))
-    # Steady-state measurement: E2E_WINDOWS accumulation windows of the bench's
-    # 16-batch shape (intermediate windows pay the compacting flush_score, exactly
-    # like the production build_call loop). One window has an un-amortizable final
-    # call+fetch tail; at 4 windows the pipeline's real overlap shows up in the
-    # wall number instead of being swamped by that tail.
-    windows = int(os.environ.get("E2E_WINDOWS", 4))
-    accum_batches = int(os.environ.get("E2E_ACCUM", 16))
+    # Default shape (chip A/B 2026-08-19): ONE production-sized accumulation
+    # window of 64 batches — per-window flushes measured 66-95 Mk/s device vs
+    # 133-147 for the giant window (every intermediate flush pays ~2 sorts of
+    # C+S rows; staging memory at ~9 B/k-mer is the cheaper currency, the LSM
+    # flush exists for streams beyond HBM). bench.py ALSO merges an
+    # e2e_stream_* measurement at 4x16 windows for the steady-state story.
+    windows = int(os.environ.get("E2E_WINDOWS", 1))
+    accum_batches = int(os.environ.get("E2E_ACCUM", 64))
     batch_reads = 16384
     n_reads = int(os.environ.get("E2E_READS",
                                  windows * accum_batches * batch_reads))
@@ -255,7 +256,7 @@ def run_e2e(reps: int = None, verbose: bool = True) -> dict:
     #             dispatch thread (transfer rides the critical path)
     #   placed1   transfer thread concatenates words|vwords into ONE (B, W+V) array
     #             -> ONE put per batch (halves per-put round trips)
-    feed_mode = os.environ.get("E2E_FEED_MODE", "placed")
+    feed_mode = os.environ.get("E2E_FEED_MODE", "placedlen")
 
     from denovo_kmer_tpu.ops.score import flush_score
 
@@ -341,17 +342,18 @@ def run_e2e(reps: int = None, verbose: bool = True) -> dict:
                 lambda item: item[0],
             )
         if feed_mode == "placedlen":
-            def _lens(it):
-                for p in it:
-                    assert p.prefix_valid, "placedlen needs prefix-valid batches"
-                    yield (p.n_reads, jax.device_put(p.words),
-                           jax.device_put(p.length))
+            # the PRODUCTION feed path (pipeline builders use exactly this):
+            # ship_lengths places lengths for prefix-valid batches and falls
+            # back to vwords otherwise; the step dispatches per batch
+            def step(acc, p, s):
+                if p.vwords is None:
+                    return extract_append_len(acc, p.words, p.length,
+                                              jnp.uint32(s))
+                return extract_append(acc, p.words, p.vwords, jnp.uint32(s))
 
             return run_pipeline(
-                prefetch_batches(_lens(prefetch_batches(batches_iter))), salt,
-                lambda acc, item, s: extract_append_len(
-                    acc, item[1], item[2], jnp.uint32(s)),
-                lambda item: item[0],
+                prefetch_placed(batches_iter, ship_lengths=True), salt, step,
+                lambda p: p.n_reads,
             )
         put = jnp.asarray if feed_mode == "asarray" else None
         return run_pipeline(
@@ -441,6 +443,14 @@ def run_e2e(reps: int = None, verbose: bool = True) -> dict:
     # transfer stage, which is how 0.16 s of device_put hid outside both sub-times.
     serial, ideal = tf + tx + td, max(tf, tx, td)
     overlap = max(0.0, min(1.0, (serial - te) / max(serial - ideal, 1e-9)))
+    # measured transfer bandwidth + the byte-arithmetic wall ceiling it implies:
+    # over the axon tunnel (~40 MB/s, granularity-independent — probe table in
+    # benchmarks/README.md round 4) the ceiling self-documents why wall < device
+    if feed_mode == "placedlen":
+        put_bytes = sum(p.words.nbytes + p.length.nbytes for p in host_batches)
+    else:
+        put_bytes = sum(p.words.nbytes + p.vwords.nbytes for p in host_batches)
+    put_bw = put_bytes / max(tx, 1e-9)
     res = {
         "e2e_reads_per_sec": round(n_reads / te, 1),
         "e2e_overlap": round(overlap, 3),
@@ -451,6 +461,12 @@ def run_e2e(reps: int = None, verbose: bool = True) -> dict:
         "e2e_wall_s": round(te, 3),
         "e2e_reads": n_reads,
         "e2e_kmers_per_sec_wall": round(n_reads * P / te, 1),
+        "e2e_kmers_per_sec_dev": round(n_reads * P / td, 1),
+        "e2e_put_MBps": round(put_bw / 1e6, 1),
+        "e2e_feed_mode": feed_mode,
+        "e2e_windows": n_batches // cfg.accum_batches,
+        # what the measured link bandwidth alone permits at perfect overlap
+        "e2e_wall_ceiling_kmers_per_sec": round(n_reads * P * put_bw / put_bytes, 1),
     }
     if verbose:
         print(f"e2e: feed={tf:.3f}s put={tx:.3f}s dev={td:.3f}s e2e={te:.3f}s "

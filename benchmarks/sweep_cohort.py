@@ -40,7 +40,8 @@ def main():
 
     _enable_compile_cache()
 
-    from benchmarks.e2e_trio import synth_child_bam
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from e2e_trio import synth_child_bam
     from denovo_kmer_tpu.cohort import TrioPaths, run_cohort, run_trio_multi_k
     from denovo_kmer_tpu.config import EngineConfig
     from denovo_kmer_tpu.pipeline import run_trio
