@@ -205,7 +205,10 @@ def make_ingest_step(cfg: EngineConfig, n_passes: int = 1):
             return append(acc, kmers, valid)
 
     if n_passes > 1:
-        extract_append = _extract_append
+        def extract_append(acc, words, vwords, pass_id):
+            # plain wrapper: attributes (append_packed) attach reliably, unlike
+            # on the jit object itself
+            return _extract_append(acc, words, vwords, pass_id)
     else:
         def extract_append(acc, words, vwords):
             return _extract_append(acc, words, vwords, jnp.uint32(0))
@@ -757,13 +760,21 @@ def run_trio_multipass(
         def ea(acc, w, v, _pid=pid):
             return step[0](acc, w, v, _pid)
 
+        # the builders feed through append_packed (length-shipped or vwords
+        # dispatch); the per-pass wrapper must thread pass_id into it
+        ea.append_packed = (
+            lambda acc, packed, _pid=pid: step[0].append_packed(acc, packed, _pid)
+        )
         pstep = (ea, step[1])
         pass_bucket_steps = None
         if bucket_steps_pp is not None:
-            pass_bucket_steps = {
-                w: (lambda a, x, v, _s=s, _pid=pid: _s(a, x, v, _pid))
-                for w, s in bucket_steps_pp.items()
-            }
+            pass_bucket_steps = {}
+            for w, s in bucket_steps_pp.items():
+                f = (lambda a, x, v, _s=s, _pid=pid: _s(a, x, v, _pid))
+                f.append_packed = (
+                    lambda a, p_, _s=s, _pid=pid: _s.append_packed(a, p_, _pid)
+                )
+                pass_bucket_steps[w] = f
         ptables = {}
         for name, path in (("mom", mom_path), ("dad", dad_path)):
             if loaded_parents[name] is not None:
