@@ -361,6 +361,7 @@ def main() -> int:
             # intermediate window paying the compacting flush (the honest
             # many-windows regime) — merged under e2e_stream_*
             if os.environ.get("BENCH_E2E_STREAM", "1") != "0":
+                saved = {k: os.environ.get(k) for k in ("E2E_ACCUM", "E2E_WINDOWS")}
                 os.environ["E2E_ACCUM"], os.environ["E2E_WINDOWS"] = "16", "4"
                 try:
                     stream = run_e2e()
@@ -368,7 +369,11 @@ def main() -> int:
                         {"e2e_stream" + k[3:]: v for k, v in stream.items()
                          if k.startswith("e2e_")})
                 finally:
-                    del os.environ["E2E_ACCUM"], os.environ["E2E_WINDOWS"]
+                    for k, v in saved.items():  # restore caller-set values
+                        if v is None:
+                            os.environ.pop(k, None)
+                        else:
+                            os.environ[k] = v
         except Exception as e:  # pragma: no cover - diagnostic path
             print(f"e2e measurement failed (device-only line): {e}", file=sys.stderr)
 

@@ -49,9 +49,19 @@ def prefetch_batches(batches: Iterable[T], depth: int = 2) -> Iterator[T]:
                 if stop.is_set():
                     return
         except BaseException as e:  # re-raised consumer-side
-            q.put(_Failure(e))
+            while not stop.is_set():  # never block forever on a gone consumer
+                try:
+                    q.put(_Failure(e), timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
             return
-        q.put(_DONE)
+        while not stop.is_set():
+            try:
+                q.put(_DONE, timeout=0.1)
+                break
+            except queue.Full:
+                continue
 
     t = threading.Thread(target=produce, daemon=True, name="denovo-kmer-prefetch")
     t.start()
@@ -69,6 +79,12 @@ def prefetch_batches(batches: Iterable[T], depth: int = 2) -> Iterator[T]:
             q.get_nowait()
         except queue.Empty:
             pass
+        # join before returning: callers close their input stream right after
+        # closing this generator, and the producer thread must not still be
+        # inside that stream (e.g. a native BAM feeder whose handle is about to
+        # be freed — a use-after-free otherwise). The producer polls ``stop``
+        # every 0.1 s around puts, so this converges promptly.
+        t.join(timeout=10.0)
 
 
 def _place_item(item, put: Callable, ship_lengths: bool = False):
@@ -116,6 +132,19 @@ def prefetch_placed(batches: Iterable[T], depth: int = 2,
     import jax
 
     put = put or jax.device_put
-    placed = (_place_item(b, put, ship_lengths)
-              for b in prefetch_batches(batches, depth=decode_depth))
-    return prefetch_batches(placed, depth=depth)
+    inner = prefetch_batches(batches, depth=decode_depth)
+    placed = (_place_item(b, put, ship_lengths) for b in inner)
+    outer = prefetch_batches(placed, depth=depth)
+    try:
+        yield from outer
+    finally:
+        # cascade shutdown deterministically: close the transfer stage first
+        # (its finally JOINS the transfer thread, so nothing is mid-iteration
+        # of ``placed`` afterwards), then the decode stage (joins the decode
+        # thread) — only then is it safe for the caller to close the input
+        # stream underneath.
+        outer.close()
+        try:
+            inner.close()
+        except ValueError:  # transfer-thread join timed out mid-iteration
+            pass

@@ -941,28 +941,39 @@ def run_trio(
 # evidence extraction: reads supporting candidate k-mers
 # ---------------------------------------------------------------------------
 
-def candidate_words_from_tsv(path: str, cfg: EngineConfig) -> np.ndarray:
-    """Candidate k-mer strings (first TSV column, `#`-prefixed header skipped,
-    the `call` report format) → (N, W) uint32 canonical word rows."""
-    from denovo_kmer_tpu.oracle.scalar import (
-        canonical_value, encode_kmer, kmer_value_to_words,
-    )
-
-    rows = []
+def parse_candidates_tsv(path: str) -> List[Tuple[str, int]]:
+    """(kmer, child_count) rows of a `call` report TSV (`#`-prefixed header
+    skipped; count 0 when the column is absent). THE one parser of the
+    candidate-TSV text format — evidence and sites both build on it."""
+    out: List[Tuple[str, int]] = []
     with open(path, "rt") as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
-            s = line.split("\t")[0].upper()
-            if len(s) != cfg.k:
-                raise ValueError(
-                    f"{path}: candidate {s[:40]!r} has length {len(s)}, "
-                    f"expected k={cfg.k}")
-            v = encode_kmer(s)
-            if cfg.canonical:
-                v = canonical_value(v, cfg.k)
-            rows.append(kmer_value_to_words(v, cfg.k))
+            parts = line.split("\t")
+            out.append((parts[0].upper(),
+                        int(parts[1]) if len(parts) > 1 else 0))
+    return out
+
+
+def candidate_words_from_tsv(path: str, cfg: EngineConfig) -> np.ndarray:
+    """Candidate k-mer strings (parse_candidates_tsv) → (N, W) uint32 canonical
+    word rows."""
+    from denovo_kmer_tpu.oracle.scalar import (
+        canonical_value, encode_kmer, kmer_value_to_words,
+    )
+
+    rows = []
+    for s, _count in parse_candidates_tsv(path):
+        if len(s) != cfg.k:
+            raise ValueError(
+                f"{path}: candidate {s[:40]!r} has length {len(s)}, "
+                f"expected k={cfg.k}")
+        v = encode_kmer(s)
+        if cfg.canonical:
+            v = canonical_value(v, cfg.k)
+        rows.append(kmer_value_to_words(v, cfg.k))
     return np.asarray(rows, np.uint32).reshape(len(rows), cfg.words)
 
 

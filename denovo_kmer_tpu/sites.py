@@ -47,16 +47,22 @@ class Site:
     max_child_count: int
 
 
-def _occurrences(seq: str, kmer: str) -> List[int]:
-    """All offsets of kmer OR its revcomp in seq (canonical semantics)."""
+def _read_occurrences(seq: str, cand_set, k: int) -> List[Tuple[str, int]]:
+    """(candidate, offset) for every window of ``seq`` whose canonical form is a
+    candidate. One pass over the read's windows with set lookups — O(len(seq)·k)
+    per read, independent of candidate count (the per-candidate ``str.find``
+    formulation was O(reads × candidates) and measured minutes at scale)."""
+    L = len(seq)
+    if L < k:
+        return []
+    rc = seq.translate(_RC)[::-1]
     out = []
-    for pat in (kmer, kmer.translate(_RC)[::-1]):
-        i = seq.find(pat)
-        while i >= 0:
-            out.append(i)
-            i = seq.find(pat, i + 1)
-        if pat == kmer.translate(_RC)[::-1] and pat == kmer:
-            break  # palindromic k-mer: don't double-count
+    for o in range(L - k + 1):
+        fwd = seq[o : o + k]
+        rev = rc[L - k - o : L - o]
+        canon = fwd if fwd <= rev else rev
+        if canon in cand_set:
+            out.append((canon, o))
     return out
 
 
@@ -94,11 +100,17 @@ def _cluster_positions(
 
 
 def _cluster_readgraph(
-    co: Dict[str, List[Tuple[str, int]]], k: int,
+    co: Dict[int, List[Tuple[str, int]]], k: int,
     counts: Dict[str, int], support: Dict[str, int],
+    only: Optional[set] = None,
 ) -> List[Site]:
     """Positionless fallback: union-find over candidates that co-occur in one
-    read with a consistent offset delta < k (overlapping windows of one event)."""
+    read with a consistent offset delta < k (overlapping windows of one event).
+    ``co`` is keyed by a per-read ORDINAL (read names are not unique: paired
+    mates share one name). ``only`` restricts to a candidate subset (used for
+    candidates left unplaced by the position pass). Spans are synthetic
+    non-overlapping ordinals on ref "*" (i·k .. i·k+k) — read-relative offsets
+    carry no shared coordinate system."""
     parent: Dict[str, str] = {}
 
     def find(x):
@@ -113,32 +125,28 @@ def _cluster_readgraph(
         if ra != rb:
             parent[ra] = rb
 
-    # co: read name -> [(kmer, offset)]; sort by offset, link neighbors within k
+    seen = set()
     for occ in co.values():
-        occ = sorted(occ, key=lambda t: t[1])
+        occ = sorted(
+            (t for t in occ if only is None or t[0] in only), key=lambda t: t[1]
+        )
+        for kmer, _ in occ:
+            seen.add(kmer)
         for (ka, oa), (kb, ob) in zip(occ, occ[1:]):
             if ob - oa < k:
                 union(ka, kb)
     groups: Dict[str, List[str]] = {}
-    for kmer in co_keys(co):
+    for kmer in sorted(seen):
         groups.setdefault(find(kmer), []).append(kmer)
     sites = []
     for i, (root, kmers) in enumerate(sorted(groups.items())):
         kmers.sort()
         sites.append(Site(
-            ref="*", start=i, end=i + k, kmers=kmers,
+            ref="*", start=i * k, end=i * k + k, kmers=kmers,
             n_reads=max((support.get(km, 0) for km in kmers), default=0),
             max_child_count=max((counts.get(km, 0) for km in kmers), default=0),
         ))
     return sites
-
-
-def co_keys(co: Dict[str, List[Tuple[str, int]]]):
-    seen = set()
-    for occ in co.values():
-        for kmer, _ in occ:
-            seen.add(kmer)
-    return sorted(seen)
 
 
 def group_sites(
@@ -159,20 +167,13 @@ def group_sites(
         candidate_table,
         candidate_words_from_tsv,
         extract_canonical_kmers,
+        parse_candidates_tsv,
         source_references,
     )
 
-    cands: List[str] = []
-    counts: Dict[str, int] = {}
-    with open(candidates_tsv) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            parts = line.split("\t")
-            km = parts[0].upper()
-            cands.append(km)
-            counts[km] = int(parts[1]) if len(parts) > 1 else 0
+    parsed = parse_candidates_tsv(candidates_tsv)
+    cands: List[str] = [km for km, _c in parsed]
+    counts: Dict[str, int] = dict(parsed)
     if not cands:
         return []
     k = len(cands[0])
@@ -191,15 +192,17 @@ def group_sites(
     refs = source_references(child_path)
     ref_names = [n for n, _ in refs]
 
+    cand_set = set(cands)
     votes: Dict[str, List[Tuple[str, int]]] = {km: [] for km in cands}
     support: Dict[str, int] = {km: 0 for km in cands}
-    co: Dict[str, List[Tuple[str, int]]] = {}
+    co: Dict[int, List[Tuple[str, int]]] = {}  # read ORDINAL -> occurrences
     any_mapped = False
+    ordinal = 0
 
     batch: List = []
 
     def flush():
-        nonlocal any_mapped
+        nonlocal any_mapped, ordinal
         if not batch:
             return
         packed = pack_seqs([r.seq for r in batch], cfg,
@@ -207,24 +210,21 @@ def group_sites(
         mask = np.asarray(step(jnp.asarray(packed.words),
                                jnp.asarray(packed.vwords)))[: len(batch)]
         for r, m in zip(batch, mask):
+            ordinal += 1
             if not m:
                 continue
-            seq = r.seq.upper()
-            rname = getattr(r, "name", None) or f"r{id(r)}"
-            occs = []
-            for km in cands:
-                for off in _occurrences(seq, km):
-                    occs.append((km, off))
+            occs = _read_occurrences(r.seq.upper(), cand_set, k)
             if not occs:
                 continue  # probe hit but engine-view mismatch (quality-masked)
             mapped = (isinstance(r, BamRecord) and not (r.flag & 4)
                       and 0 <= r.refid < len(ref_names) and r.pos >= 0)
-            for km, off in occs:
-                support[km] += 1
-                if mapped:
-                    any_mapped = True
+            for km in {km for km, _ in occs}:
+                support[km] += 1  # per READ, not per occurrence (tandem repeats)
+            if mapped:
+                any_mapped = True
+                for km, off in occs:
                     votes[km].append((ref_names[r.refid], r.pos + off))
-            co[rname] = occs
+            co[ordinal] = occs
         batch.clear()
 
     for rec in _record_stream(child_path, cfg, region=region):
@@ -235,9 +235,26 @@ def group_sites(
             flush()
     flush()
 
-    if any_mapped:
-        return _cluster_positions(votes, k, counts, support)
-    return _cluster_readgraph(co, k, counts, support)
+    if not any_mapped:
+        return _cluster_readgraph(co, k, counts, support)
+    sites = _cluster_positions(votes, k, counts, support)
+    # candidates whose only supporting reads were unmapped get no position vote
+    # — place them via the read graph (ref "*") instead of silently dropping
+    # them from the report; candidates with no occurrences at all become
+    # zero-support singletons (the caller reported them, so the site report
+    # must account for every one)
+    placed = {km for s in sites for km in s.kmers}
+    leftover = {km for km in cands if km not in placed}
+    if leftover:
+        extra = _cluster_readgraph(co, k, counts, support, only=leftover)
+        base = (max((s.start for s in extra), default=0) // k) + 1
+        still = leftover - {km for s in extra for km in s.kmers}
+        for j, km in enumerate(sorted(still)):
+            extra.append(Site(ref="*", start=(base + j) * k,
+                              end=(base + j) * k + k, kmers=[km],
+                              n_reads=0, max_child_count=counts.get(km, 0)))
+        sites.extend(extra)
+    return sites
 
 
 def write_sites_tsv(sites: List[Site], out_path: str) -> None:

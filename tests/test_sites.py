@@ -1,0 +1,84 @@
+"""Candidate-site grouping (sites.py): read-graph fallback for positionless
+sources, duplicate read names (paired mates), per-read support counting, and the
+every-candidate-accounted invariant."""
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.sites import group_sites, write_sites_tsv
+
+
+def _cfg():
+    return EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                        table_capacity=1 << 13)
+
+
+def _rc(s):
+    return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
+def _canon(s):
+    r = _rc(s)
+    return s if s <= r else r
+
+
+@pytest.fixture
+def region():
+    rng = np.random.default_rng(7)
+    base = np.frombuffer(b"ACGT", dtype=np.uint8)
+    return bytes(base[rng.integers(0, 4, 120)]).decode()
+
+
+def test_readgraph_fallback_duplicate_names_and_spans(tmp_path, region):
+    """FASTQ (positionless) input with paired-end mates sharing ONE name: the
+    read-graph fallback must keep BOTH mates' candidates (an earlier version
+    keyed co-occurrence by read name and silently dropped the first mate's),
+    cluster overlapping k-mers, and emit non-overlapping '*' spans."""
+    k = 21
+    # candidates: two overlapping k-mers from one locus + one distant k-mer
+    a, b = _canon(region[10:10 + k]), _canon(region[13:13 + k])
+    d = _canon(region[80:80 + k])
+    tsv = tmp_path / "cands.tsv"
+    tsv.write_text("#kmer\tchild_count\tmom_count\tdad_count\n"
+                   + f"{a}\t5\t0\t0\n{b}\t4\t0\t0\n{d}\t3\t0\t0\n")
+
+    fq = tmp_path / "child.fastq"
+    r1 = region[5:5 + 40]       # contains a and b at overlapping offsets
+    r2 = region[75:75 + 40]     # contains d
+    fq.write_text(f"@pair1\n{r1}\n+\n{'I' * len(r1)}\n"
+                  f"@pair1\n{r2}\n+\n{'I' * len(r2)}\n")
+
+    sites = group_sites(str(fq), str(tsv), _cfg())
+    all_kmers = sorted(km for s in sites for km in s.kmers)
+    assert all_kmers == sorted([a, b, d]), "every candidate must be accounted"
+    assert all(s.ref == "*" for s in sites)
+    # a+b cluster together; d alone
+    groups = [sorted(s.kmers) for s in sites]
+    assert sorted([a, b]) in groups and [d] in groups
+    # synthetic spans must not overlap each other
+    spans = sorted((s.start, s.end) for s in sites)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 <= s2, f"overlapping fallback spans {spans}"
+
+    out = tmp_path / "sites.tsv"
+    write_sites_tsv(sites, str(out))
+    assert len(out.read_text().splitlines()) == 1 + len(sites)
+
+
+def test_support_counts_reads_not_occurrences(tmp_path):
+    """A k-mer occurring at two offsets in ONE read (tandem repeat) counts as
+    one supporting read."""
+    k = 21
+    unit = "ACGTTGCAACGGATCCATAGG"  # 21 bp, non-palindromic
+    assert len(unit) == k
+    km = _canon(unit)
+    read = unit + unit + "ACGT"  # two occurrences in one read
+    tsv = tmp_path / "c.tsv"
+    tsv.write_text(f"#kmer\tchild_count\tmom_count\tdad_count\n{km}\t2\t0\t0\n")
+    fq = tmp_path / "r.fastq"
+    fq.write_text(f"@r1\n{read}\n+\n{'I' * len(read)}\n")
+    sites = group_sites(str(fq), str(tsv), _cfg())
+    assert len(sites) == 1
+    assert sites[0].n_reads == 1, "per-read support, not per-occurrence"
+    assert sites[0].max_child_count == 2
