@@ -7,8 +7,10 @@ call. Output is bit-identical to the single-chip path (sharding partitions, neve
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,11 +48,15 @@ def build_sample_table_sharded(
     metrics: Optional[Metrics] = None,
     pass_id: int = 0,
 ):
-    from denovo_kmer_tpu.io.prefetch import prefetch_batches
+    from denovo_kmer_tpu.io.prefetch import prefetch_placed
 
     m = metrics or Metrics()
     state = engine.new_build()
-    for packed in prefetch_batches(_packed_batches(records, cfg)):
+    # decode thread -> sharded-placement thread -> dispatch (transfer rides the
+    # engine's reads sharding; prefix-valid batches ship lengths, not vwords)
+    put = functools.partial(jax.device_put, device=engine._sharding_reads)
+    for packed in prefetch_placed(_packed_batches(records, cfg), put=put,
+                                  ship_lengths=True):
         m.count("reads_ingested", packed.n_reads)
         with m.timer("extract_probe"):
             state = engine.ingest(state, packed, pass_id)
@@ -99,11 +105,13 @@ def ingest_score_state(
     """Stream the child through the parent-seeded scored ingest; returns the build state
     (callers pick the finalize flavor: compacting finalize_score, or the fused
     finalize_call_score that skips compaction entirely)."""
-    from denovo_kmer_tpu.io.prefetch import prefetch_batches
+    from denovo_kmer_tpu.io.prefetch import prefetch_placed
 
     m = metrics or Metrics()
     state = engine.new_score_build(mom, dad)
-    for packed in prefetch_batches(_packed_batches(child_records, cfg)):
+    put = functools.partial(jax.device_put, device=engine._sharding_reads)
+    for packed in prefetch_placed(_packed_batches(child_records, cfg), put=put,
+                                  ship_lengths=True):
         m.count("reads_ingested", packed.n_reads)
         with m.timer("extract_probe"):
             state = engine.ingest_score(state, packed, pass_id)

@@ -177,6 +177,26 @@ class ShardedKmerEngine:
             donate_argnums=(0, 1),
         )
 
+        # length-shipped twin (PackedReads.prefix_valid): ships (B,) lengths
+        # instead of (B, Lp/32) vwords over the host->device link (-27% feed
+        # bytes at 151 bp) and rebuilds the validity mask per device — the
+        # sharded counterpart of pipeline.make_ingest_step's append_packed
+        def ingest_len_dev(acc, ovf_acc, words, lens, pass_id):
+            from denovo_kmer_tpu.ops.extract_fast import vwords_from_lengths
+
+            vwords = vwords_from_lengths(lens, words.shape[1] * 16)
+            return ingest_dev(acc, ovf_acc, words, vwords, pass_id)
+
+        self._ingest_len = jax.jit(
+            shard_map(
+                ingest_len_dev,
+                mesh=mesh,
+                in_specs=(acc_specs, spec_table, reads_spec, reads_spec, P()),
+                out_specs=(acc_specs, spec_table),
+            ),
+            donate_argnums=(0, 1),
+        )
+
         # ---- flush: route the whole staging window (one dispatch sort +
         # all_to_all over the table axis), aggregate into the row-partial shard ----
         def _route_window(local_acc: KmerAccumulator):
@@ -618,6 +638,32 @@ class ShardedKmerEngine:
         vwords = jax.device_put(packed.vwords, self._sharding_reads)
         return words, vwords
 
+    def _ingest_packed(self, state, packed, pass_id, flush_fn):
+        """Shared ingest body: length-shipped feed for prefix-valid batches
+        (vwords rebuilt on device), full vwords otherwise; window-full flush.
+        Arrays already placed with the right sharding (a prefetch_placed
+        transfer thread with put=sharded device_put) pass through as no-ops."""
+        words = jax.device_put(packed.words, self._sharding_reads)
+        if getattr(packed, "prefix_valid", False) or packed.vwords is None:
+            lens = packed.length
+            if not isinstance(lens, jax.Array):
+                lens = np.ascontiguousarray(lens, dtype=np.int32)
+            lens = jax.device_put(lens, self._sharding_reads)
+            acc, ovf = self._ingest_len(
+                state.acc, state.ovf, words, lens, jnp.uint32(pass_id)
+            )
+        else:
+            vwords = jax.device_put(packed.vwords, self._sharding_reads)
+            acc, ovf = self._ingest(
+                state.acc, state.ovf, words, vwords, jnp.uint32(pass_id)
+            )
+        state = ShardedBuildState(acc=acc, ovf=ovf, table=state.table,
+                                  pending=state.pending + 1)
+        if state.pending >= self.cfg.accum_batches:
+            acc, table, ovf = flush_fn(state.acc, state.table, state.ovf)
+            state = ShardedBuildState(acc=acc, ovf=ovf, table=table, pending=0)
+        return state
+
     def ingest(
         self, state: "ShardedBuildState", packed, pass_id: int = 0
     ) -> "ShardedBuildState":
@@ -625,8 +671,7 @@ class ShardedKmerEngine:
         No host↔device sync — overflow counters are checked once at finalize.
         ``pass_id`` selects the hash-pass bucket when the engine was built with
         n_passes > 1 (traced — all passes share one executable)."""
-        words, vwords = self.put_batch(packed)
-        return self.ingest_global(state, words, vwords, pass_id)
+        return self._ingest_packed(state, packed, pass_id, self._flush)
 
     def ingest_global(
         self, state: "ShardedBuildState", words, vwords, pass_id: int = 0
@@ -823,8 +868,7 @@ class ShardedKmerEngine:
     def ingest_score(
         self, state: "ShardedBuildState", packed, pass_id: int = 0
     ) -> "ShardedBuildState":
-        words, vwords = self.put_batch(packed)
-        return self.ingest_score_global(state, words, vwords, pass_id)
+        return self._ingest_packed(state, packed, pass_id, self._flush_score)
 
     def ingest_score_global(
         self, state: "ShardedBuildState", words, vwords, pass_id: int = 0

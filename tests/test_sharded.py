@@ -223,3 +223,62 @@ def test_fused_call_K_retry_stays_on_fused_path():
         type(stab)(keys=stab.keys, counts=stab.counts, pcounts=stab.pcounts, n=stab.n)
     )  # all child-unique here: parents empty, every unique key has child count >= 1
     assert nchild_fused == nchild_ref
+
+
+def test_sharded_mixed_prefix_and_n_batches_match_single_chip():
+    """The sharded feed ships lengths for prefix-valid batches and full vwords
+    for N-containing ones (ingest dispatch); a mixed stream must equal the
+    single-chip build bit-for-bit."""
+    from denovo_kmer_tpu.ops.pack import pack_seqs
+    from denovo_kmer_tpu.ops.table import build_table
+    from denovo_kmer_tpu.ops.extract_fast import extract_canonical_kmers_fast
+
+    cfg = EngineConfig(
+        k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13,
+        mesh_shape=(2, 4),
+    )
+    rng = np.random.default_rng(3)
+    base = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+    def mk(seed, n_rate):
+        r = np.random.default_rng(seed)
+        seqs = []
+        for _ in range(cfg.batch_reads):
+            probs = [(1 - n_rate) / 4] * 4 + [n_rate]
+            seqs.append(bytes(base[r.choice(5, cfg.max_read_len, p=probs)]).decode())
+        return pack_seqs(seqs, cfg, batch_size=cfg.batch_reads)
+
+    clean, dirty = mk(1, 0.0), mk(2, 0.05)
+    assert clean.prefix_valid and not dirty.prefix_valid
+
+    # single-chip reference: extract both batches with full vwords
+    import jax.numpy as jnp
+
+    ref_rows = []
+    for p in (clean, dirty):
+        km, vd = extract_canonical_kmers_fast(
+            jnp.asarray(p.words), jnp.asarray(p.vwords), cfg.k, cfg.max_read_len
+        )
+        ref_rows.append((km.reshape(-1, cfg.words), vd.reshape(-1)))
+    kmers = jnp.concatenate([k for k, _ in ref_rows])
+    valid = jnp.concatenate([v for _, v in ref_rows])
+    ref = build_table(kmers, valid, cfg.table_capacity)
+    nref = int(ref.n)
+    from denovo_kmer_tpu.oracle.scalar import words_to_kmer_value
+
+    rk = np.asarray(ref.keys)[:nref]
+    rc_ = np.asarray(ref.counts)[:nref]
+    want = sorted(
+        (words_to_kmer_value(rk[i]), int(rc_[i]) * 2, 0, 0)
+        for i in range(nref) if rc_[i] * 2 >= 2
+    )
+
+    mesh = make_mesh((2, 4), jax.devices()[:8])
+    engine = ShardedKmerEngine(cfg, mesh)
+    empty = engine.finalize(engine.new_build())
+    st = engine.new_score_build(empty, empty)
+    for _ in range(2):  # twice: counts reach min_child_count=2
+        st = engine.ingest_score(st, clean)   # length-shipped path
+        st = engine.ingest_score(st, dirty)   # full-vwords path
+    got, _nchild = engine.finalize_call_score(st)
+    assert got == want, "mixed len/vwords sharded stream != single-chip truth"
