@@ -1,0 +1,64 @@
+"""Route-sort formulation A/B (parallel/router.bucketize's one sort).
+
+bucketize sorts [owner | key words | iota] with num_keys=1 STABLE — stability
+preserves within-bucket order (the docstring contract) but measured 25-40% of
+sort cost elsewhere (micro_nk). The iota payload is already unique, so an
+UNSTABLE num_keys=2 sort over (owner, iota) yields the identical permutation.
+Which is faster at route shape (S staged rows, W+1 payloads) decides the flip.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    S = int(os.environ.get("MICRO_S", 1 << 25))  # staged rows (34M default)
+    W = 2
+    T = int(os.environ.get("MICRO_T", 8))
+    rng = np.random.default_rng(0)
+    owner = jnp.asarray(rng.integers(0, T + 1, S).astype(np.uint32))
+    words = [jnp.asarray(rng.integers(0, 2**32, S, dtype=np.uint32))
+             for _ in range(W)]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
+
+    @jax.jit
+    def stable1(owner, w0, w1, salt):
+        o = owner ^ (salt & jnp.uint32(0))
+        s = jax.lax.sort([o ^ salt, w0, w1, iota], num_keys=1, is_stable=True)
+        return s[0][0] + s[3][-1].astype(jnp.uint32)
+
+    @jax.jit
+    def unstable2(owner, w0, w1, salt):
+        s = jax.lax.sort([owner ^ salt, iota, w0, w1], num_keys=2,
+                         is_stable=False)
+        return s[0][0] + s[1][-1].astype(jnp.uint32)
+
+    def timed(fn, reps=3):
+        int(np.asarray(fn(owner, words[0], words[1], jnp.uint32(0))))
+        ts = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            int(np.asarray(fn(owner, words[0], words[1], jnp.uint32(r + 1))))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    a = timed(stable1)
+    b = timed(unstable2)
+    print(f"route sort S={S} T={T}: stable 1-key {S/a/1e6:.1f} Mrows/s "
+          f"({a*1e3:.1f} ms) vs unstable 2-key {S/b/1e6:.1f} Mrows/s "
+          f"({b*1e3:.1f} ms) -> {'UNSTABLE2 wins' if b < a else 'stable1 wins'}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -63,6 +63,12 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="comma list of ascending padded read widths (last = "
                         "--max-read-len), e.g. 64,112,160: mixed-length inputs skip "
                         "padding waste (bit-identical results)")
+    e.add_argument("--accum-batches", default=None,
+                   help="batches staged per accumulation window before a flush "
+                        "(bigger windows amortize the flush sort: 16->64 "
+                        "measured 66->147 Mk-mers/s device on v5e). Integer, or "
+                        "'auto' to size from the device's memory (default: "
+                        "config default 8)")
     e.add_argument("--region", default=None,
                    help="restrict BAM inputs to a genomic region (chr20 or "
                         "chr20:1,000-2,000; uses a .bai/.csi next to the file when "
@@ -127,7 +133,42 @@ def _cfg_from_args(args) -> EngineConfig:
         reference_fasta=args.reference,
         extractor=args.extractor,
         json_metrics=args.json_metrics,
+        **_accum_kwargs(args),
     )
+
+
+def _accum_kwargs(args) -> dict:
+    """--accum-batches: integer, or 'auto' = size the accumulation window from
+    the device's memory. Bigger windows amortize the per-window flush sort
+    (measured v5e: 4x16-batch windows 66 Mk-mers/s device vs one 64-batch
+    window 147 — benchmarks/README.md round 4); staging costs
+    batch_reads * windows_per_read * (words+1) * 4 B per batch and the flush
+    sort needs ~3x that transiently, so auto budgets ~15% of device memory."""
+    raw = getattr(args, "accum_batches", None)
+    if raw is None:
+        return {}
+    if str(raw) != "auto":
+        return {"accum_batches": int(raw)}
+    import jax
+
+    dev = jax.devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+        hbm = int(stats.get("bytes_limit", 0))
+    except Exception:
+        hbm = 0
+    if hbm <= 0:
+        # chip-class fallback: 16 GB for TPU kinds, conservative 4 GB otherwise
+        hbm = 16 << 30 if "tpu" in dev.device_kind.lower() else 4 << 30
+    P = args.max_read_len - args.kmer_size + 1
+    words = -(-2 * args.kmer_size // 32)
+    per_batch = args.batch_reads * P * (words + 1) * 4
+    n = max(int(hbm * 0.15 / max(per_batch, 1)), 1)
+    n = min(max(n, 8), 128)
+    print(f"accum auto: {n} batches/window "
+          f"({n * per_batch / 1e9:.2f} GB staging of {hbm / 1e9:.0f} GB)",
+          file=sys.stderr)
+    return {"accum_batches": n}
 
 
 def cmd_call(args) -> int:

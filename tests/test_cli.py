@@ -646,3 +646,19 @@ def test_call_sites_out_covers_planted_positions(tmp_path):
                "-o", str(sites2), *ENGINE_ARGS])
     assert rc == 0
     assert sites2.read_text() == sites_out.read_text()
+
+
+def test_accum_batches_flag_and_auto(trio_dir, tmp_path, capsys):
+    """--accum-batches takes an integer or 'auto' (device-memory-sized window);
+    results are bit-identical either way (window size only changes flush
+    cadence, never counts)."""
+    common = ["call", "--mom", str(trio_dir / "mom.bam"),
+              "--dad", str(trio_dir / "dad.bam"),
+              "--child", str(trio_dir / "child.bam"), *ENGINE_ARGS]
+    a, b, c = tmp_path / "a.tsv", tmp_path / "b.tsv", tmp_path / "c.tsv"
+    assert main([*common, "-o", str(a), "--accum-batches", "2"]) == 0
+    assert main([*common, "-o", str(b), "--accum-batches", "auto"]) == 0
+    err = capsys.readouterr().err
+    assert "accum auto:" in err
+    assert main([*common, "-o", str(c)]) == 0
+    assert a.read_text() == b.read_text() == c.read_text()
