@@ -354,6 +354,12 @@ def main() -> int:
                 os.path.abspath(__file__)), "benchmarks"))
             from e2e_trio import run_e2e
 
+            # share one synthetic child between the two e2e measurements (both
+            # use 1M reads; the synth costs 60-90 s each otherwise)
+            import tempfile
+
+            cache = tempfile.mkdtemp(prefix="bench_e2e_cache_")
+            os.environ.setdefault("E2E_CACHE_DIR", cache)
             # headline: one production-sized accumulation window (e2e_trio
             # defaults: 64 batches, placedlen feed — chip A/B 2026-08-19)
             result.update(run_e2e())
@@ -374,6 +380,11 @@ def main() -> int:
                             os.environ.pop(k, None)
                         else:
                             os.environ[k] = v
+            import shutil
+
+            if os.environ.get("E2E_CACHE_DIR") == cache:
+                del os.environ["E2E_CACHE_DIR"]
+            shutil.rmtree(cache, ignore_errors=True)
         except Exception as e:  # pragma: no cover - diagnostic path
             print(f"e2e measurement failed (device-only line): {e}", file=sys.stderr)
 

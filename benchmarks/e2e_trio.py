@@ -174,20 +174,32 @@ def run_e2e(reps: int = None, verbose: bool = True) -> dict:
 
     import tempfile
 
-    tmpdir = tempfile.mkdtemp(prefix="e2e_trio_")
-    child_path = os.path.join(tmpdir, f"child.{fmt}")
+    # E2E_CACHE_DIR: reuse one synthetic child across same-shape runs in one
+    # session (bench.py's headline + stream measurements differ only in window
+    # schedule — the ~60-90 s 1M-read synth should not be paid twice)
+    cache_dir = os.environ.get("E2E_CACHE_DIR")
+    tmpdir = cache_dir or tempfile.mkdtemp(prefix="e2e_trio_")
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+    child_path = os.path.join(
+        tmpdir, f"child_{genome_len}_{n_reads}_{read_len}.{fmt}")
     t0 = time.perf_counter()
+    cached = bool(cache_dir) and os.path.exists(child_path)
+    if not cached:
+        if fmt == "cram":
+            synth_child_cram(child_path, genome, n_reads, read_len, seed=1)
+        else:
+            synth_child_bam(child_path, genome, n_reads, read_len, seed=1)
     if fmt == "cram":
         import dataclasses
 
-        ref_fa = synth_child_cram(child_path, genome, n_reads, read_len, seed=1)
-        cfg = dataclasses.replace(cfg, reference_fasta=ref_fa)
-    else:
-        synth_child_bam(child_path, genome, n_reads, read_len, seed=1)
+        cfg = dataclasses.replace(cfg, reference_fasta=child_path + ".ref.fa")
     if verbose:
-        print(f"e2e: wrote {n_reads} x {read_len}bp child {fmt.upper()} "
-              f"({os.path.getsize(child_path)/1e6:.1f} MB) in "
-              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        verb = "reusing cached" if cached else "wrote"
+        print(f"e2e: {verb} {n_reads} x {read_len}bp child {fmt.upper()} "
+              f"({os.path.getsize(child_path)/1e6:.1f} MB)"
+              + ("" if cached else f" in {time.perf_counter()-t0:.1f}s"),
+              file=sys.stderr)
 
     acc_slots = cfg.accum_batches * batch_reads * P
 
@@ -472,9 +484,10 @@ def run_e2e(reps: int = None, verbose: bool = True) -> dict:
         print(f"e2e: feed={tf:.3f}s put={tx:.3f}s dev={td:.3f}s e2e={te:.3f}s "
               f"-> {res['e2e_reads_per_sec']:.0f} reads/s, overlap={overlap:.2f}",
               file=sys.stderr)
-    for f in os.listdir(tmpdir):
-        os.unlink(os.path.join(tmpdir, f))
-    os.rmdir(tmpdir)
+    if not cache_dir:  # cached children persist for same-session reuse
+        for f in os.listdir(tmpdir):
+            os.unlink(os.path.join(tmpdir, f))
+        os.rmdir(tmpdir)
     return res
 
 
