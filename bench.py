@@ -356,35 +356,37 @@ def main() -> int:
 
             # share one synthetic child between the two e2e measurements (both
             # use 1M reads; the synth costs 60-90 s each otherwise)
+            import shutil
             import tempfile
 
             cache = tempfile.mkdtemp(prefix="bench_e2e_cache_")
             os.environ.setdefault("E2E_CACHE_DIR", cache)
-            # headline: one production-sized accumulation window (e2e_trio
-            # defaults: 64 batches, placedlen feed — chip A/B 2026-08-19)
-            result.update(run_e2e())
-            # steady-state streaming datapoint: 4 windows of 16 batches, every
-            # intermediate window paying the compacting flush (the honest
-            # many-windows regime) — merged under e2e_stream_*
-            if os.environ.get("BENCH_E2E_STREAM", "1") != "0":
-                saved = {k: os.environ.get(k) for k in ("E2E_ACCUM", "E2E_WINDOWS")}
-                os.environ["E2E_ACCUM"], os.environ["E2E_WINDOWS"] = "16", "4"
-                try:
-                    stream = run_e2e()
-                    result.update(
-                        {"e2e_stream" + k[3:]: v for k, v in stream.items()
-                         if k.startswith("e2e_")})
-                finally:
-                    for k, v in saved.items():  # restore caller-set values
-                        if v is None:
-                            os.environ.pop(k, None)
-                        else:
-                            os.environ[k] = v
-            import shutil
-
-            if os.environ.get("E2E_CACHE_DIR") == cache:
-                del os.environ["E2E_CACHE_DIR"]
-            shutil.rmtree(cache, ignore_errors=True)
+            try:
+                # headline: one production-sized accumulation window (e2e_trio
+                # defaults: 64 batches, placedlen feed — chip A/B 2026-08-19)
+                result.update(run_e2e())
+                # steady-state streaming datapoint: 4 windows of 16 batches,
+                # every intermediate window paying the compacting flush (the
+                # honest many-windows regime) — merged under e2e_stream_*
+                if os.environ.get("BENCH_E2E_STREAM", "1") != "0":
+                    saved = {k: os.environ.get(k)
+                             for k in ("E2E_ACCUM", "E2E_WINDOWS")}
+                    os.environ["E2E_ACCUM"], os.environ["E2E_WINDOWS"] = "16", "4"
+                    try:
+                        stream = run_e2e()
+                        result.update(
+                            {"e2e_stream" + k[3:]: v for k, v in stream.items()
+                             if k.startswith("e2e_")})
+                    finally:
+                        for k, v in saved.items():  # restore caller-set values
+                            if v is None:
+                                os.environ.pop(k, None)
+                            else:
+                                os.environ[k] = v
+            finally:  # env + the ~50 MB cached child must not leak on failure
+                if os.environ.get("E2E_CACHE_DIR") == cache:
+                    del os.environ["E2E_CACHE_DIR"]
+                shutil.rmtree(cache, ignore_errors=True)
         except Exception as e:  # pragma: no cover - diagnostic path
             print(f"e2e measurement failed (device-only line): {e}", file=sys.stderr)
 

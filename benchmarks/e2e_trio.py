@@ -186,10 +186,15 @@ def run_e2e(reps: int = None, verbose: bool = True) -> dict:
     t0 = time.perf_counter()
     cached = bool(cache_dir) and os.path.exists(child_path)
     if not cached:
+        # write-then-rename: an interrupted synth must never be mistaken for a
+        # complete cached child on the next run
+        tmp = child_path + ".partial"
         if fmt == "cram":
-            synth_child_cram(child_path, genome, n_reads, read_len, seed=1)
+            synth_child_cram(tmp, genome, n_reads, read_len, seed=1)
+            os.replace(tmp + ".ref.fa", child_path + ".ref.fa")
         else:
-            synth_child_bam(child_path, genome, n_reads, read_len, seed=1)
+            synth_child_bam(tmp, genome, n_reads, read_len, seed=1)
+        os.replace(tmp, child_path)
     if fmt == "cram":
         import dataclasses
 

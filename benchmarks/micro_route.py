@@ -33,8 +33,7 @@ def main():
 
     @jax.jit
     def stable1(owner, w0, w1, salt):
-        o = owner ^ (salt & jnp.uint32(0))
-        s = jax.lax.sort([o ^ salt, w0, w1, iota], num_keys=1, is_stable=True)
+        s = jax.lax.sort([owner ^ salt, w0, w1, iota], num_keys=1, is_stable=True)
         return s[0][0] + s[3][-1].astype(jnp.uint32)
 
     @jax.jit

@@ -163,6 +163,9 @@ def _accum_kwargs(args) -> dict:
     P = args.max_read_len - args.kmer_size + 1
     words = -(-2 * args.kmer_size // 32)
     per_batch = args.batch_reads * P * (words + 1) * 4
+    # staging shards over the mesh: each device holds 1/n_devices of a batch
+    reads_ax, table_ax = args.mesh
+    per_batch = -(-per_batch // max(reads_ax * table_ax, 1))
     n = max(int(hbm * 0.15 / max(per_batch, 1)), 1)
     n = min(max(n, 8), 128)
     print(f"accum auto: {n} batches/window "

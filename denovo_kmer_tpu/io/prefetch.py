@@ -85,6 +85,13 @@ def prefetch_batches(batches: Iterable[T], depth: int = 2) -> Iterator[T]:
         # be freed — a use-after-free otherwise). The producer polls ``stop``
         # every 0.1 s around puts, so this converges promptly.
         t.join(timeout=10.0)
+        if t.is_alive():  # pragma: no cover - pathological stall
+            import sys
+
+            print("denovo-kmer-prefetch: producer thread did not stop within "
+                  "10 s — do NOT close its input stream (possible stalled "
+                  "decode); leaking the thread instead of racing it",
+                  file=sys.stderr)
 
 
 def _place_item(item, put: Callable, ship_lengths: bool = False):

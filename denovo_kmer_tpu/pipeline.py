@@ -952,8 +952,11 @@ def parse_candidates_tsv(path: str) -> List[Tuple[str, int]]:
             if not line or line.startswith("#"):
                 continue
             parts = line.split("\t")
-            out.append((parts[0].upper(),
-                        int(parts[1]) if len(parts) > 1 else 0))
+            try:  # tolerate non-numeric second columns (hand-made TSVs)
+                count = int(parts[1]) if len(parts) > 1 else 0
+            except ValueError:
+                count = 0
+            out.append((parts[0].upper(), count))
     return out
 
 

@@ -47,22 +47,33 @@ class Site:
     max_child_count: int
 
 
-def _read_occurrences(seq: str, cand_set, k: int) -> List[Tuple[str, int]]:
-    """(candidate, offset) for every window of ``seq`` whose canonical form is a
-    candidate. One pass over the read's windows with set lookups — O(len(seq)·k)
-    per read, independent of candidate count (the per-candidate ``str.find``
-    formulation was O(reads × candidates) and measured minutes at scale)."""
+def _read_occurrences(seq: str, lookup: Dict[str, str], k: int,
+                      canonical: bool) -> List[Tuple[str, int]]:
+    """(candidate, offset) for every window of ``seq`` that matches a candidate
+    under the engine's semantics. ``lookup`` maps the MATCH key (the window's
+    canonical form under cfg.canonical, else the forward window) to the
+    candidate's ORIGINAL TSV string — candidates given in non-canonical
+    orientation still match and are reported under their own label. One pass
+    over the read's windows with dict lookups — O(len(seq)·k) per read,
+    independent of candidate count (the per-candidate ``str.find`` formulation
+    was O(reads × candidates) and measured minutes at scale)."""
     L = len(seq)
     if L < k:
         return []
-    rc = seq.translate(_RC)[::-1]
     out = []
+    if not canonical:
+        for o in range(L - k + 1):
+            km = lookup.get(seq[o : o + k])
+            if km is not None:
+                out.append((km, o))
+        return out
+    rc = seq.translate(_RC)[::-1]
     for o in range(L - k + 1):
         fwd = seq[o : o + k]
         rev = rc[L - k - o : L - o]
-        canon = fwd if fwd <= rev else rev
-        if canon in cand_set:
-            out.append((canon, o))
+        km = lookup.get(fwd if fwd <= rev else rev)
+        if km is not None:
+            out.append((km, o))
     return out
 
 
@@ -192,7 +203,15 @@ def group_sites(
     refs = source_references(child_path)
     ref_names = [n for n, _ in refs]
 
-    cand_set = set(cands)
+    # match key (canonical form under cfg.canonical; forward string otherwise)
+    # -> the candidate's ORIGINAL TSV label (non-canonical TSVs must still match)
+    if cfg.canonical:
+        lookup = {}
+        for km in cands:
+            r = km.translate(_RC)[::-1]
+            lookup[km if km <= r else r] = km
+    else:
+        lookup = {km: km for km in cands}
     votes: Dict[str, List[Tuple[str, int]]] = {km: [] for km in cands}
     support: Dict[str, int] = {km: 0 for km in cands}
     co: Dict[int, List[Tuple[str, int]]] = {}  # read ORDINAL -> occurrences
@@ -213,7 +232,7 @@ def group_sites(
             ordinal += 1
             if not m:
                 continue
-            occs = _read_occurrences(r.seq.upper(), cand_set, k)
+            occs = _read_occurrences(r.seq.upper(), lookup, k, cfg.canonical)
             if not occs:
                 continue  # probe hit but engine-view mismatch (quality-masked)
             mapped = (isinstance(r, BamRecord) and not (r.flag & 4)
@@ -235,25 +254,28 @@ def group_sites(
             flush()
     flush()
 
-    if not any_mapped:
-        return _cluster_readgraph(co, k, counts, support)
-    sites = _cluster_positions(votes, k, counts, support)
-    # candidates whose only supporting reads were unmapped get no position vote
-    # — place them via the read graph (ref "*") instead of silently dropping
-    # them from the report; candidates with no occurrences at all become
-    # zero-support singletons (the caller reported them, so the site report
-    # must account for every one)
+    if any_mapped:
+        sites = _cluster_positions(votes, k, counts, support)
+    else:
+        sites = _cluster_readgraph(co, k, counts, support)
+    # candidates not placed yet — no position vote (only unmapped support) on
+    # the mapped branch, or no occurrence at all on either branch — land on
+    # ref "*" via the read graph, then as zero-support singletons: the caller
+    # reported every candidate, so the site report accounts for every one
     placed = {km for s in sites for km in s.kmers}
     leftover = {km for km in cands if km not in placed}
     if leftover:
         extra = _cluster_readgraph(co, k, counts, support, only=leftover)
-        base = (max((s.start for s in extra), default=0) // k) + 1
+        # zero-support singleton spans continue past EVERY existing '*' span
+        base = (max((s.start for s in sites + extra if s.ref == "*"),
+                    default=-k) // k) + 1
         still = leftover - {km for s in extra for km in s.kmers}
         for j, km in enumerate(sorted(still)):
             extra.append(Site(ref="*", start=(base + j) * k,
                               end=(base + j) * k + k, kmers=[km],
                               n_reads=0, max_child_count=counts.get(km, 0)))
         sites.extend(extra)
+    sites.sort(key=lambda s: (s.ref, s.start))  # the documented output order
     return sites
 
 

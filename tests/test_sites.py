@@ -82,3 +82,45 @@ def test_support_counts_reads_not_occurrences(tmp_path):
     assert len(sites) == 1
     assert sites[0].n_reads == 1, "per-read support, not per-occurrence"
     assert sites[0].max_child_count == 2
+
+
+def test_non_canonical_candidate_strings_still_match(tmp_path, region):
+    """A TSV candidate written in NON-canonical orientation (e.g. hand-made, or
+    revcomp of the report row) must still match reads — matching is by the
+    window's canonical form, reporting by the TSV's own label."""
+    k = 21
+    km = region[30:30 + k]
+    noncanon = km if _canon(km) != km else _rc(km)  # force the non-canonical form
+    assert _canon(noncanon) != noncanon
+    tsv = tmp_path / "c.tsv"
+    tsv.write_text(f"#kmer\tchild_count\n{noncanon}\t7\n")
+    fq = tmp_path / "r.fastq"
+    read = region[25:25 + 40]
+    fq.write_text(f"@r\n{read}\n+\n{'I' * len(read)}\n")
+    sites = group_sites(str(fq), str(tsv), _cfg())
+    assert len(sites) == 1 and sites[0].kmers == [noncanon]
+    assert sites[0].n_reads == 1 and sites[0].max_child_count == 7
+
+
+def test_positionless_zero_occurrence_candidate_not_dropped(tmp_path, region):
+    """A candidate with NO occurrence in any read (masked everywhere) must still
+    appear as a zero-support singleton — on the positionless branch too."""
+    k = 21
+    present = _canon(region[10:10 + k])
+    absent = _canon("A" * 10 + "CGTGACGTGAC")  # 21bp, not in the region
+    assert absent not in region and _rc(absent) not in region
+    tsv = tmp_path / "c.tsv"
+    tsv.write_text(f"#kmer\tc\n{present}\t3\n{absent}\t2\n")
+    fq = tmp_path / "r.fastq"
+    read = region[5:5 + 40]
+    fq.write_text(f"@r\n{read}\n+\n{'I' * len(read)}\n")
+    sites = group_sites(str(fq), str(tsv), _cfg())
+    got = {km: s for s in sites for km in s.kmers}
+    assert set(got) == {present, absent}
+    assert got[absent].n_reads == 0 and got[absent].max_child_count == 2
+    # spans stay disjoint and output sorted by (ref, start)
+    order = [(s.ref, s.start) for s in sites]
+    assert order == sorted(order)
+    spans = sorted((s.start, s.end) for s in sites if s.ref == "*")
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 <= s2
