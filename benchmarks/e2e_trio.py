@@ -113,7 +113,9 @@ def synth_child_cram(path: str, genome: str, n_reads: int, read_len: int,
 
 def run_e2e(reps: int = None, verbose: bool = True) -> dict:
     if reps is None:
-        reps = int(os.environ.get("E2E_REPS", 3))
+        # min-of-4: single e2e reps swing 2x with tunnel weather (observed
+        # stream wall 2.48 vs 4.15 s across sessions on identical code)
+        reps = int(os.environ.get("E2E_REPS", 4))
     import jax
 
     # honor an explicit JAX_PLATFORMS (the axon TPU plugin self-prepends; without
