@@ -27,25 +27,40 @@ class _Failure:
         self.exc = exc
 
 
-def prefetch_batches(batches: Iterable[T], depth: int = 2) -> Iterator[T]:
+def prefetch_batches(batches: Iterable[T], depth: int = 2,
+                     stats: dict = None) -> Iterator[T]:
     """Iterate ``batches`` with a background producer thread and a bounded queue.
 
     ``depth`` bounds host memory: at most ``depth`` packed batches are in flight beyond the
     one being consumed. Order is preserved. If the consumer exits early (exception in the
     processing loop, ``break``, generator close), the producer is signalled to stop — it
-    never stays blocked on a full queue holding the input stream open."""
+    never stays blocked on a full queue holding the input stream open.
+
+    ``stats``: optional dict accumulating ``consumer_wait_s`` (time the consumer
+    sat starved on an empty queue — high means the FEEDER is the bottleneck) and
+    ``producer_wait_s`` (producer blocked on a full queue — the device is) plus
+    ``items``. Each key is written by exactly one thread."""
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     stop = threading.Event()
+    if stats is not None:
+        stats.setdefault("consumer_wait_s", 0.0)
+        stats.setdefault("producer_wait_s", 0.0)
+        stats.setdefault("items", 0)
 
     def produce():
+        import time as _t
+
         try:
             for b in batches:
+                t_put0 = _t.perf_counter()
                 while not stop.is_set():
                     try:
                         q.put(b, timeout=0.1)
                         break
                     except queue.Full:
                         continue
+                if stats is not None:
+                    stats["producer_wait_s"] += _t.perf_counter() - t_put0
                 if stop.is_set():
                     return
         except BaseException as e:  # re-raised consumer-side
@@ -66,13 +81,29 @@ def prefetch_batches(batches: Iterable[T], depth: int = 2) -> Iterator[T]:
     t = threading.Thread(target=produce, daemon=True, name="denovo-kmer-prefetch")
     t.start()
     try:
-        while True:
-            item = q.get()
-            if item is _DONE:
-                return
-            if isinstance(item, _Failure):
-                raise item.exc
-            yield item
+        if stats is None:
+            while True:
+                item = q.get()
+                if item is _DONE:
+                    return
+                if isinstance(item, _Failure):
+                    raise item.exc
+                yield item
+        else:
+            import time as _t
+
+            t_start = _t.perf_counter()
+            while True:
+                t_get0 = _t.perf_counter()
+                item = q.get()
+                stats["consumer_wait_s"] += _t.perf_counter() - t_get0
+                stats["wall_s"] = _t.perf_counter() - t_start
+                if item is _DONE:
+                    return
+                if isinstance(item, _Failure):
+                    raise item.exc
+                stats["items"] += 1
+                yield item
     finally:
         stop.set()
         try:  # unblock a producer waiting on a full queue
@@ -119,7 +150,7 @@ def _place_item(item, put: Callable, ship_lengths: bool = False):
 
 def prefetch_placed(batches: Iterable[T], depth: int = 2,
                     decode_depth: int = 2, put: Callable = None,
-                    ship_lengths: bool = False) -> Iterator[T]:
+                    ship_lengths: bool = False, stats: dict = None) -> Iterator[T]:
     """Three-thread host→device pipeline: decode/pack on one daemon thread, host→device
     transfer (``jax.device_put``) on a second, compute dispatch on the caller's thread.
 
@@ -141,7 +172,10 @@ def prefetch_placed(batches: Iterable[T], depth: int = 2,
     put = put or jax.device_put
     inner = prefetch_batches(batches, depth=decode_depth)
     placed = (_place_item(b, put, ship_lengths) for b in inner)
-    outer = prefetch_batches(placed, depth=depth)
+    # stats track the CONSUMER-facing stage: consumer_wait_s = dispatch thread
+    # starved by feed+transfer (feeder-bound); producer_wait_s = transfer
+    # thread blocked on a full queue (device-bound)
+    outer = prefetch_batches(placed, depth=depth, stats=stats)
     try:
         yield from outer
     finally:

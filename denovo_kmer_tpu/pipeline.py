@@ -58,6 +58,36 @@ def _overflow_msg(n: int, capacity: int, what: str = "unique k-mers") -> str:
     )
 
 
+def _report_feed_stats(m: Metrics, stats: dict) -> None:
+    """Feeder-honesty telemetry (VERDICT r3 #6, runtime half): consumer starvation
+    = the dispatch thread waited on the feed/transfer pipeline (feeder-bound);
+    producer wait = the transfer thread waited on a full queue (device-bound).
+    Emitted as a metrics event; `call --json-metrics` surfaces it, and a
+    starved-consumer run warns on stderr."""
+    if not stats or not stats.get("items"):
+        return
+    wall = stats.get("wall_s", 0.0)
+    cw = stats.get("consumer_wait_s", 0.0)
+    starved = wall > 0.5 and cw > 0.6 * wall
+    m.event(
+        "feed_pipeline",
+        batches=stats["items"],
+        wall_s=round(wall, 3),
+        consumer_wait_s=round(cw, 3),
+        producer_wait_s=round(stats.get("producer_wait_s", 0.0), 3),
+        feeder_bound=bool(starved),
+    )
+    if starved:
+        import sys
+
+        print(
+            f"WARNING: the feed pipeline starved the device {cw:.1f}s of "
+            f"{wall:.1f}s ({cw/wall:.0%}) — the host feeder (decode codec or "
+            f"core count) is the bottleneck; see `doctor --probe-feed`",
+            file=sys.stderr,
+        )
+
+
 @dataclasses.dataclass
 class TrioResult:
     candidates: List[Tuple[int, int, int, int]]  # (kmer_value, child, mom, dad)
@@ -302,7 +332,9 @@ class SampleTableBuilder:
         acc = self._empty_acc()
         table = empty_table(self.cfg.table_capacity, self.cfg.words)
         pending = 0
-        for packed in prefetch_placed(packed_batches, ship_lengths=True):
+        feed_stats: dict = {}
+        for packed in prefetch_placed(packed_batches, ship_lengths=True,
+                                      stats=feed_stats):
             m.count("reads_ingested", packed.n_reads)
             with m.timer("extract_probe"):
                 acc = self.extract_append.append_packed(acc, packed)
@@ -315,6 +347,7 @@ class SampleTableBuilder:
         if pending:
             with m.timer("extract_probe"):
                 acc, table = self.flush_fn(acc, table)
+        _report_feed_stats(m, feed_stats)
         n = int(table.n)
         if n > self.cfg.table_capacity:
             raise TableOverflowError(_overflow_msg(n, self.cfg.table_capacity))
@@ -510,7 +543,9 @@ class ScoringTableBuilder:
         bucketed = bucket_steps is not None
         fill = 0
         flushed = False
-        for item in prefetch_placed(packed_batches, ship_lengths=True):
+        feed_stats: dict = {}
+        for item in prefetch_placed(packed_batches, ship_lengths=True,
+                                    stats=feed_stats):
             if bucketed:
                 w, packed = item
                 step = bucket_steps[w]
@@ -531,6 +566,7 @@ class ScoringTableBuilder:
                 fill += win
             m.count("kmers_extracted", packed.n_reads * (win // cfg.batch_reads))
             m.count("batches", 1)
+        _report_feed_stats(m, feed_stats)
         if flushed and int(table.n) > cfg.table_capacity:
             raise TableOverflowError(
                 _overflow_msg(int(table.n), cfg.table_capacity,

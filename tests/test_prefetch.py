@@ -96,3 +96,21 @@ def test_producer_runs_ahead_bounded():
     assert len(produced) <= 5
     assert list(it) == list(range(1, 10))
     assert produced == list(range(10))
+
+
+def test_prefetch_stats_track_waits_and_items():
+    import time as _time
+
+    from denovo_kmer_tpu.io.prefetch import prefetch_batches
+
+    stats = {}
+
+    def slow_gen():
+        for i in range(5):
+            _time.sleep(0.02)  # slow producer -> consumer starves
+            yield i
+
+    assert list(prefetch_batches(slow_gen(), depth=2, stats=stats)) == list(range(5))
+    assert stats["items"] == 5
+    assert stats["consumer_wait_s"] > 0.05  # starved by the slow producer
+    assert stats["wall_s"] >= stats["consumer_wait_s"]
