@@ -390,6 +390,28 @@ def main() -> int:
         except Exception as e:  # pragma: no cover - diagnostic path
             print(f"e2e measurement failed (device-only line): {e}", file=sys.stderr)
 
+    # BENCH_SWEEP_COHORT=1: also measure BASELINE configs 4-5 (multi-k sweep
+    # amortization + cohort marginal-trio cost) and merge the keys — ~5 extra
+    # minutes warm, so opt-in; the standing chip numbers live in
+    # benchmarks/README.md (v5e 2026-08-19: amortization 0.467, marginal 0.898)
+    if os.environ.get("BENCH_SWEEP_COHORT") == "1":
+        try:
+            import io as _io
+            from contextlib import redirect_stdout
+
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "benchmarks"))
+            from sweep_cohort import main as _sc_main
+
+            buf = _io.StringIO()
+            with redirect_stdout(buf):
+                _sc_main()
+            sc = json.loads(buf.getvalue().strip().splitlines()[-1])
+            result["sweep"] = sc["sweep"]
+            result["cohort"] = sc["cohort"]
+        except Exception as e:  # pragma: no cover
+            print(f"sweep/cohort measurement failed: {e}", file=sys.stderr)
+
     print(json.dumps(result))
     return 0
 
