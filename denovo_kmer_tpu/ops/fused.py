@@ -106,6 +106,57 @@ def fused_supported(k: int) -> bool:
     return (2 * k) % 32 != 0
 
 
+def group_heads(s_words) -> jnp.ndarray:
+    """Head flags over a key-sorted multi-word stream: row i starts a group iff any
+    key word differs from row i-1 (row 0 always does). Shared by the v4/v5 fused
+    kernels and the mesh kernel (parallel/sharded_table.py)."""
+    N = s_words[0].shape[0]
+    head = jnp.zeros((N,), bool)
+    for w in s_words:
+        head = head | jnp.concatenate([jnp.ones((1,), bool), w[1:] != w[:-1]])
+    return head
+
+
+def extract_rows_2level(flags, n_cand, columns, K: int):
+    """Sparse row extraction: gather the rows where ``flags`` is set (there are
+    ``n_cand`` of them, assumed <= K by the caller's retry protocol) into K-padded
+    outputs, in order. Two-level: per-128-block flag sums + a 128x-shorter cumsum;
+    each target finds its block by binary search and its lane with a (K, 128)
+    local cumsum — no full-length rank scan. Padding targets (t > n_cand) index
+    row N-1 so the gather indices stay MONOTONE — ``indices_are_sorted=True`` is a
+    real precondition (a wrong hint is implementation-defined in XLA), and the
+    clamped two-level fallback indices could otherwise decrease into the tail.
+
+    Returns (cols_out, cand_idx): each column gathered to (K,), plus the indices.
+    """
+    N = flags.shape[0]
+    L = _LANES
+    NB = -(-N // L)
+    NP = NB * L
+    flags_p = flags
+    if NP != N:
+        flags_p = jnp.concatenate([flags, jnp.zeros((NP - N,), bool)])
+    flags2 = flags_p.reshape(NB, L)
+    bsum = jnp.sum(flags2.astype(jnp.int32), axis=1)
+    bincl = jnp.cumsum(bsum)
+    targets = jnp.arange(1, K + 1, dtype=jnp.int32)
+    g = jnp.minimum(
+        jnp.searchsorted(bincl, targets, side="left").astype(jnp.int32), NB - 1
+    )
+    bex = jnp.take(bincl, g, indices_are_sorted=True, mode="clip") - jnp.take(
+        bsum, g, indices_are_sorted=True, mode="clip"
+    )
+    frow = jnp.take(flags2, g, axis=0, indices_are_sorted=True, mode="clip")
+    lc = jnp.cumsum(frow.astype(jnp.int32), axis=1)
+    off = (targets - bex)[:, None]
+    j = jnp.argmax(lc >= off, axis=1).astype(jnp.int32)
+    cand_idx = jnp.minimum(g * L + j, N - 1)
+    # monotone tail: real targets produce ascending indices; padding pins to N-1
+    cand_idx = jnp.where(targets <= n_cand, cand_idx, N - 1)
+    take = lambda a: jnp.take(a, cand_idx, indices_are_sorted=True, mode="clip")
+    return [take(c) for c in columns], cand_idx
+
+
 _LANES = 128  # VPU lane width: the unit of the two-level scan decompositions below
 
 
@@ -198,9 +249,6 @@ def _fused_flush_call_v4(
     S = acc.kmers.shape[0]
     N = C + S
     K = max_candidates
-    L = _LANES
-    NB = -(-N // L)
-    NP = NB * L  # ragged tail padded below (sentinels don't alter mins/sums)
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
     acc_valid = acc.valid & (slot < acc.fill)
@@ -224,11 +272,7 @@ def _fused_flush_call_v4(
     s = jax.lax.sort(ops + [cnt, pc], num_keys=W, is_stable=False)
     s_words, s_cnt, s_pc = s[:W], s[W], s[W + 1]
 
-    head = jnp.zeros((N,), bool)
-    for w in range(W):
-        head = head | jnp.concatenate(
-            [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
-        )
+    head = group_heads(s_words)
 
     # segmented suffix sums of (cnt, pc) with segments delimited by head flags
     # (segmented_suffix_sums): at a head row the suffix sum spans exactly its group —
@@ -251,29 +295,11 @@ def _fused_flush_call_v4(
     n_unique = jnp.sum(head & real).astype(jnp.int32)
     n_child_unique = jnp.sum(head & real & (child >= 1)).astype(jnp.int32)
 
-    # on-device sparse extraction, two-level: per-128-block flag sums + short cumsum;
-    # the i-th candidate finds its block by binary search of the block prefix, then its
-    # lane with a (K, 128) local cumsum — no full-length rank scan
-    flags_p = flags
-    if NP != N:
-        flags_p = jnp.concatenate([flags, jnp.zeros((NP - N,), bool)])
-    flags2 = flags_p.reshape(NB, L)
-    bsum = jnp.sum(flags2.astype(jnp.int32), axis=1)
-    bincl = jnp.cumsum(bsum)
-    targets = jnp.arange(1, K + 1, dtype=jnp.int32)
-    g = jnp.minimum(
-        jnp.searchsorted(bincl, targets, side="left").astype(jnp.int32), NB - 1
+    # on-device sparse extraction (extract_rows_2level: two-level block scheme
+    # with a monotone-index guarantee for the gather hint)
+    cols, _ = extract_rows_2level(
+        flags, n_cand, list(s_words) + [child, momc, dadc], K
     )
-    bex = jnp.take(bincl, g, indices_are_sorted=True, mode="clip") - jnp.take(
-        bsum, g, indices_are_sorted=True, mode="clip"
-    )
-    frow = jnp.take(flags2, g, axis=0, indices_are_sorted=True, mode="clip")
-    lc = jnp.cumsum(frow.astype(jnp.int32), axis=1)
-    off = (targets - bex)[:, None]
-    j = jnp.argmax(lc >= off, axis=1).astype(jnp.int32)
-    cand_idx = jnp.minimum(g * L + j, N - 1)
-    take = lambda a: jnp.take(a, cand_idx, indices_are_sorted=True, mode="clip")
-    cols = [take(w) for w in s_words] + [take(child), take(momc), take(dadc)]
     rows = jnp.stack(cols, axis=-1)  # (K, W+3)
     scalars = jnp.zeros((1, W + 3), jnp.uint32)
     scalars = scalars.at[0, 0].set(n_cand.astype(jnp.uint32))
@@ -329,9 +355,6 @@ def _fused_flush_call_v5(
     S = acc.kmers.shape[0]
     N = C + S
     K = max_candidates
-    L = _LANES
-    NB = -(-N // L)
-    NP = NB * L
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
     acc_valid = acc.valid & (slot < acc.fill)
@@ -363,11 +386,7 @@ def _fused_flush_call_v5(
     s = jax.lax.sort(ops + [cw], num_keys=W, is_stable=False)
     s_words, s_cw = s[:W], s[W]
 
-    head = jnp.zeros((N,), bool)
-    for w in range(W):
-        head = head | jnp.concatenate(
-            [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
-        )
+    head = group_heads(s_words)
 
     # two-level segmented suffix sum of the ONE packed count column (v4's second
     # value column rode along for pc — gone)
@@ -386,27 +405,10 @@ def _fused_flush_call_v5(
     n_unique = jnp.sum(head & real).astype(jnp.int32)
     n_child_unique = jnp.sum(head & real & (child >= 1)).astype(jnp.int32)
 
-    # sparse extraction — identical two-level scheme to v4
-    flags_p = flags
-    if NP != N:
-        flags_p = jnp.concatenate([flags, jnp.zeros((NP - N,), bool)])
-    flags2 = flags_p.reshape(NB, L)
-    bsum = jnp.sum(flags2.astype(jnp.int32), axis=1)
-    bincl = jnp.cumsum(bsum)
-    targets = jnp.arange(1, K + 1, dtype=jnp.int32)
-    g = jnp.minimum(
-        jnp.searchsorted(bincl, targets, side="left").astype(jnp.int32), NB - 1
-    )
-    bex = jnp.take(bincl, g, indices_are_sorted=True, mode="clip") - jnp.take(
-        bsum, g, indices_are_sorted=True, mode="clip"
-    )
-    frow = jnp.take(flags2, g, axis=0, indices_are_sorted=True, mode="clip")
-    lc = jnp.cumsum(frow.astype(jnp.int32), axis=1)
-    off = (targets - bex)[:, None]
-    j = jnp.argmax(lc >= off, axis=1).astype(jnp.int32)
-    cand_idx = jnp.minimum(g * L + j, N - 1)
-    take = lambda a: jnp.take(a, cand_idx, indices_are_sorted=True, mode="clip")
-    cand_keys = jnp.stack([take(w) for w in s_words], axis=-1)  # (K, W)
+    # sparse extraction — the shared two-level scheme (extract_rows_2level)
+    cols, _ = extract_rows_2level(flags, n_cand, list(s_words) + [child], K)
+    cand_keys = jnp.stack(cols[:W], axis=-1)  # (K, W)
+    child_k = cols[W]
 
     # per-candidate parental pack: one binary search of the (sorted) score table;
     # staged-only candidates are absent -> 0 -> momc = dadc = 0, the v4 truth
@@ -417,7 +419,7 @@ def _fused_flush_call_v5(
     dadc_k = pcq >> 16
 
     rows = jnp.concatenate(
-        [cand_keys, jnp.stack([take(child), momc_k, dadc_k], axis=-1)], axis=-1
+        [cand_keys, jnp.stack([child_k, momc_k, dadc_k], axis=-1)], axis=-1
     )  # (K, W+3)
     scalars = jnp.zeros((1, W + 3), jnp.uint32)
     scalars = scalars.at[0, 0].set(n_cand.astype(jnp.uint32))

@@ -26,7 +26,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -116,6 +116,7 @@ class ShardedKmerEngine:
         reads_spec = P((AXIS_READS, AXIS_TABLE))
 
         C, W, T, R = self.shard_capacity, self.W, self.T, self.R
+        tau, minc = cfg.tau_parent, cfg.min_child_count
         route_cap = self.route_cap
         k, max_len, canonical = cfg.k, cfg.max_read_len, cfg.canonical
 
@@ -247,7 +248,6 @@ class ShardedKmerEngine:
         # ---- finalize: fold row-partials so every row holds the full shard ----
         # ONE concat-aggregate over all R partials (sort of R·C rows) instead of round 1's
         # R-1 sequential merge_tables (R-1 sorts of 2C rows each, O(R) critical path)
-        from denovo_kmer_tpu.ops.table import _aggregate_multi, _sticky_overflow_n
 
         def finalize_dev(tab: KmerTable):
             local = _local(tab)
@@ -444,11 +444,9 @@ class ShardedKmerEngine:
                 s = jax.lax.sort(ops + [cnt, pc], num_keys=W, is_stable=False)
                 s_words, s_cnt, s_pc = s[:W], s[W], s[W + 1]
 
-            head = jnp.zeros((N,), bool)
-            for w in range(W):
-                head = head | jnp.concatenate(
-                    [jnp.ones((1,), bool), s_words[w][1:] != s_words[w][:-1]]
-                )
+            from denovo_kmer_tpu.ops.fused import group_heads
+
+            head = group_heads(s_words)
             if R <= 16:
                 # bounded-R shifted-add: groups hold <= R rows (one per replica-row
                 # partial), so R vector shift+adds compute every group total
@@ -559,7 +557,6 @@ class ShardedKmerEngine:
         self._score_specs = score_specs
 
         # ---- trio candidate call: shard-local, zero comms ----
-        tau, minc = cfg.tau_parent, cfg.min_child_count
 
         def call_dev(child: KmerTable, mom: KmerTable, dad: KmerTable):
             cands = call_candidates(
@@ -605,14 +602,17 @@ class ShardedKmerEngine:
         """Global (R,T,·) empty table, placed with the table sharding."""
         R, T, C, W = self.R, self.T, self.shard_capacity, self.W
         return KmerTable(
+            # numpy (not jnp) buffers: _put shards from HOST memory, so the full
+            # global array is never transiently materialized on one device (a pod-
+            # scale (R,T,C,W) table would not fit a single chip's HBM)
             keys=self._put(
-                jnp.full((R, T, C, W), 0xFFFFFFFF, jnp.uint32),
+                np.full((R, T, C, W), 0xFFFFFFFF, np.uint32),
                 P(AXIS_READS, AXIS_TABLE, None, None),
             ),
             counts=self._put(
-                jnp.zeros((R, T, C), jnp.uint32), P(AXIS_READS, AXIS_TABLE, None)
+                np.zeros((R, T, C), np.uint32), P(AXIS_READS, AXIS_TABLE, None)
             ),
-            n=self._put(jnp.zeros((R, T), jnp.int32), P(AXIS_READS, AXIS_TABLE)),
+            n=self._put(np.zeros((R, T), np.int32), P(AXIS_READS, AXIS_TABLE)),
         )
 
     def _new_acc_state(self):
@@ -621,12 +621,12 @@ class ShardedKmerEngine:
         R, T, S, W = self.R, self.T, self.acc_slots, self.W
         acc = KmerAccumulator(
             kmers=self._put(
-                jnp.zeros((R, T, S, W), jnp.uint32), P(AXIS_READS, AXIS_TABLE, None, None)
+                np.zeros((R, T, S, W), np.uint32), P(AXIS_READS, AXIS_TABLE, None, None)
             ),
-            valid=self._put(jnp.zeros((R, T, S), bool), P(AXIS_READS, AXIS_TABLE, None)),
-            fill=self._put(jnp.zeros((R, T), jnp.int32), P(AXIS_READS, AXIS_TABLE)),
+            valid=self._put(np.zeros((R, T, S), bool), P(AXIS_READS, AXIS_TABLE, None)),
+            fill=self._put(np.zeros((R, T), np.int32), P(AXIS_READS, AXIS_TABLE)),
         )
-        ovf = self._put(jnp.zeros((R, T), jnp.int32), P(AXIS_READS, AXIS_TABLE))
+        ovf = self._put(np.zeros((R, T), np.int32), P(AXIS_READS, AXIS_TABLE))
         return acc, ovf
 
     def new_build(self) -> "ShardedBuildState":
@@ -939,6 +939,14 @@ class ShardedKmerEngine:
 
         def _fallback():
             stab = self._finalize_score(state.table)
+            # the folded union per shard can exceed C even when every row-partial
+            # fit (pre-check above covers partials only) — the compacting table
+            # would silently truncate, so check the FOLDED n like finalize_score
+            n_fold = int(np.asarray(jnp.max(stab.n)))
+            if n_fold > self.shard_capacity:
+                raise RuntimeError(
+                    _sharded_overflow_msg(n_fold, self.shard_capacity)
+                )
             res = self.call_score(stab, replicated_fetch=replicated_fetch)
             nchild = int(np.asarray(jnp.sum(jnp.where(stab.counts >= 1, 1, 0)))) // self.R
             return res, nchild

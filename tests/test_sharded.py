@@ -282,3 +282,25 @@ def test_sharded_mixed_prefix_and_n_batches_match_single_chip():
         st = engine.ingest_score(st, dirty)   # full-vwords path
     got, _nchild = engine.finalize_call_score(st)
     assert got == want, "mixed len/vwords sharded stream != single-chip truth"
+
+
+def test_even_k_fallback_raises_on_folded_union_overflow():
+    """finalize_call_score's even-k compacting fallback must RAISE when the folded
+    per-shard union exceeds shard capacity (review finding: it used to silently
+    truncate — each row-partial fit C, their union did not)."""
+    cfg = EngineConfig(
+        k=16, max_read_len=64, batch_reads=64, table_capacity=64,  # tiny: 8/shard
+        mesh_shape=(2, 4),
+    )
+    mesh = make_mesh((2, 4), jax.devices()[:8])
+    engine = ShardedKmerEngine(cfg, mesh)
+    empty = engine.finalize(engine.new_build())
+    st = engine.new_score_build(empty, empty)
+    # two different random batches -> far more uniques than 8 per shard; each
+    # row-partial may fit, the folded union cannot
+    st = engine.ingest_score(st, _packed_batch(cfg, cfg.batch_reads, seed=1))
+    st = engine.ingest_score(st, _packed_batch(cfg, cfg.batch_reads, seed=2))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="overflow"):
+        engine.finalize_call_score(st)
