@@ -63,12 +63,13 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="comma list of ascending padded read widths (last = "
                         "--max-read-len), e.g. 64,112,160: mixed-length inputs skip "
                         "padding waste (bit-identical results)")
-    e.add_argument("--accum-batches", default=None,
+    e.add_argument("--accum-batches", default="32",
                    help="batches staged per accumulation window before a flush "
                         "(bigger windows amortize the flush sort: 16->64 "
                         "measured 66->147 Mk-mers/s device on v5e). Integer, or "
-                        "'auto' to size from the device's memory (default: "
-                        "config default 8)")
+                        "'auto' to size from the device's memory (CLI default "
+                        "32, ~200 MB staging at defaults; the library "
+                        "EngineConfig default is a conservative 8)")
     e.add_argument("--region", default=None,
                    help="restrict BAM inputs to a genomic region (chr20 or "
                         "chr20:1,000-2,000; uses a .bai/.csi next to the file when "

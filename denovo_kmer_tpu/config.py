@@ -72,11 +72,14 @@ class EngineConfig:
     #: capacity (slots) of a parental/child k-mer table per shard
     table_capacity: int = 1 << 20
     #: batches appended to the raw staging buffer between LSM flushes (ops/stream.py);
-    #: staging memory = accum_batches * batch_reads * windows_per_read * (words+1) * 4 B.
-    #: Bigger windows amortize the flush sort — chip-measured 1.5-2.2x on streaming
-    #: workloads (benchmarks/README.md round 4); CLI `--accum-batches auto` sizes from
-    #: device memory. 32 at the CLI default batch_reads=4096 stages ~200 MB.
-    accum_batches: int = 32
+    #: staging memory = accum_batches * batch_reads * windows_per_read * (words+1) * 4 B
+    #: (and the flush sort needs ~3x that transiently). Bigger windows amortize the
+    #: flush sort — chip-measured 1.5-2.2x on streaming workloads
+    #: (benchmarks/README.md round 4). The LIBRARY default stays a conservative 8
+    #: (~50 MB staging at batch_reads=4096, k=31) so configs tuned near memory limits
+    #: keep working; the CLI defaults to 32 and `--accum-batches auto` sizes the
+    #: window from device memory — opt into the throughput there.
+    accum_batches: int = 8
 
     # --- mesh / sharding ---
     #: mesh axis sizes: (data-parallel 'reads' axis, table-shard 'table' axis)

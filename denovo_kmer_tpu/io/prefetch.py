@@ -119,10 +119,35 @@ def prefetch_batches(batches: Iterable[T], depth: int = 2,
         if t.is_alive():  # pragma: no cover - pathological stall
             import sys
 
+            if stats is not None:
+                stats["producer_leaked"] = True
+            # keep the input iterable reachable for the leaked thread's
+            # lifetime so GC can't finalize it out from under the decode
+            _LEAKED_PRODUCERS.append((t, batches))
             print("denovo-kmer-prefetch: producer thread did not stop within "
                   "10 s — do NOT close its input stream (possible stalled "
-                  "decode); leaking the thread instead of racing it",
-                  file=sys.stderr)
+                  "decode); leaking the thread instead of racing it "
+                  "(stats['producer_leaked']=True; close_unless_leaked "
+                  "honors it)", file=sys.stderr)
+
+
+#: (thread, input-iterable) pairs whose producer outlived the join timeout —
+#: strong refs so a stalled native decode's buffers stay alive (ADVICE r4 #5)
+_LEAKED_PRODUCERS: list = []
+
+
+def close_unless_leaked(stream, stats: dict) -> None:
+    """Close ``stream`` unless ``stats`` (the dict passed to the prefetch over
+    it) recorded a leaked producer thread — in that pathological case the
+    thread may still be INSIDE the stream's decode path and closing it would
+    be the use-after-free the leak warning describes; leak the handle too."""
+    if stats and stats.get("producer_leaked"):
+        import sys
+
+        print("denovo-kmer-prefetch: leaving stream open (leaked producer "
+              "thread may still hold it)", file=sys.stderr)
+        return
+    stream.close()
 
 
 def _place_item(item, put: Callable, ship_lengths: bool = False):
@@ -170,7 +195,8 @@ def prefetch_placed(batches: Iterable[T], depth: int = 2,
     import jax
 
     put = put or jax.device_put
-    inner = prefetch_batches(batches, depth=decode_depth)
+    inner_stats: dict = {}  # decode stage owns the input stream; its leak matters
+    inner = prefetch_batches(batches, depth=decode_depth, stats=inner_stats)
     placed = (_place_item(b, put, ship_lengths) for b in inner)
     # stats track the CONSUMER-facing stage: consumer_wait_s = dispatch thread
     # starved by feed+transfer (feeder-bound); producer_wait_s = transfer
@@ -189,3 +215,7 @@ def prefetch_placed(batches: Iterable[T], depth: int = 2,
             inner.close()
         except ValueError:  # transfer-thread join timed out mid-iteration
             pass
+        # surface the DECODE thread's leak (it is the one inside the caller's
+        # stream) so close_unless_leaked on the caller's stats sees it
+        if stats is not None and inner_stats.get("producer_leaked"):
+            stats["producer_leaked"] = True

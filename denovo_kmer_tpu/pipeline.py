@@ -459,7 +459,8 @@ def build_sample_table_resumable(
     pending = 0
     flushes_since_save = 0
     last_cursor = None
-    feed = prefetch_placed(iter(stream), ship_lengths=True)
+    feed_stats: dict = {}
+    feed = prefetch_placed(iter(stream), ship_lengths=True, stats=feed_stats)
     try:
         for packed, cursor in feed:
             m.count("reads_ingested", packed.n_reads)
@@ -478,8 +479,12 @@ def build_sample_table_resumable(
         if pending:
             acc, table = flush_fn(acc, table)
     finally:
+        from denovo_kmer_tpu.io.prefetch import close_unless_leaked
+
         feed.close()  # stop the prefetch threads before closing their input
-        stream.close()
+        # skip the close if a producer thread leaked (may still be inside the
+        # stream's decode — closing would be a use-after-free, ADVICE r4 #5)
+        close_unless_leaked(stream, feed_stats)
     n = int(table.n)
     if n > cfg.table_capacity:
         raise TableOverflowError(_overflow_msg(n, cfg.table_capacity))
@@ -980,10 +985,14 @@ def run_trio(
 def parse_candidates_tsv(path: str) -> List[Tuple[str, int]]:
     """(kmer, child_count) rows of a `call` report TSV (`#`-prefixed header
     skipped; count 0 when the column is absent). THE one parser of the
-    candidate-TSV text format — evidence and sites both build on it."""
+    candidate-TSV text format — evidence and sites both build on it.
+    Non-numeric count columns (hand-made/mis-delimited TSVs) parse as 0 with
+    ONE stderr warning, so all-zero child counts downstream are never silent."""
     out: List[Tuple[str, int]] = []
+    bad_counts = 0
+    first_bad = None
     with open(path, "rt") as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
@@ -992,7 +1001,17 @@ def parse_candidates_tsv(path: str) -> List[Tuple[str, int]]:
                 count = int(parts[1]) if len(parts) > 1 else 0
             except ValueError:
                 count = 0
+                bad_counts += 1
+                if first_bad is None:
+                    first_bad = (lineno, parts[1][:40])
             out.append((parts[0].upper(), count))
+    if bad_counts:
+        import sys
+
+        print(f"denovo-kmer: {path}: {bad_counts} row(s) with a non-numeric "
+              f"count column (first: line {first_bad[0]}, {first_bad[1]!r}) "
+              f"— treated as count 0; check the file's delimiter/columns",
+              file=sys.stderr)
     return out
 
 

@@ -17,8 +17,10 @@ read-subset step reuses the device probe, pipeline.run_evidence's machinery):
    overlap on the same reference are one locus.
 
 Reads with no usable position (unmapped, sequence-only sources) fall back to read-graph
-clustering: candidates co-occurring in one read with a CONSISTENT offset delta are the
-same locus (ref "*", positions read-relative). Both paths emit the same TSV:
+clustering: candidates whose occurrences OVERLAP (offset delta < k) in at least one read
+are the same locus (ref "*", positions read-relative); tandem repeats can over-merge
+distinct loci here — the mapped-position pass does not share that limit. Both paths emit
+the same TSV:
 
     #ref  start  end  n_kmers  n_reads  max_child_count  kmers
 
@@ -115,8 +117,11 @@ def _cluster_readgraph(
     counts: Dict[str, int], support: Dict[str, int],
     only: Optional[set] = None,
 ) -> List[Site]:
-    """Positionless fallback: union-find over candidates that co-occur in one
-    read with a consistent offset delta < k (overlapping windows of one event).
+    """Positionless fallback: union-find over candidates whose occurrences
+    overlap (adjacent offsets with delta < k) in at least one read — usually
+    the tiling windows of one event, though repeats whose occurrences happen
+    to overlap in a single read can over-merge (deltas are NOT checked for
+    consistency across reads; the mapped-position pass is the precise one).
     ``co`` is keyed by a per-read ORDINAL (read names are not unique: paired
     mates share one name). ``only`` restricts to a candidate subset (used for
     candidates left unplaced by the position pass). Spans are synthetic
@@ -174,6 +179,7 @@ def group_sites(
     from denovo_kmer_tpu.ops.pack import pack_seqs
     from denovo_kmer_tpu.ops.table import probe_table
     from denovo_kmer_tpu.pipeline import (
+        _engine_view_of_seq,
         _record_stream,
         candidate_table,
         candidate_words_from_tsv,
@@ -232,7 +238,12 @@ def group_sites(
             ordinal += 1
             if not m:
                 continue
-            occs = _read_occurrences(r.seq.upper(), lookup, k, cfg.canonical)
+            # scan the sequence AS THE DEVICE SAW IT (max_read_len truncation +
+            # min_base_quality masking) so a position vote can never come from a
+            # window the calling engine's semantics excluded
+            occs = _read_occurrences(
+                _engine_view_of_seq(r, cfg).upper(), lookup, k, cfg.canonical
+            )
             if not occs:
                 continue  # probe hit but engine-view mismatch (quality-masked)
             mapped = (isinstance(r, BamRecord) and not (r.flag & 4)
