@@ -1,7 +1,30 @@
-"""Device mesh construction (reads × table axes)."""
+"""Device mesh construction (reads × table axes) with ICI-local table placement.
+
+The probe/route ``all_to_all`` runs over the TABLE axis once per accumulation window
+(parallel/sharded_table.py flush) — it is the only per-k-mer collective, so the table
+axis must live on the fastest interconnect available. The READS axis carries only
+amortized per-sample collectives (finalize/fused-call all_gathers), so it is the axis
+that may span hosts/slices (SURVEY.md §2.2 multi-host row; BASELINE.json north star
+>=85% scaling efficiency — benchmarks/scaling.py projects eff 0.83 for a DCN-crossing
+route vs >=0.97 for an ICI-local one at the same shapes).
+
+``make_mesh`` therefore groups devices by LOCALITY DOMAIN — the TPU slice when the
+runtime exposes ``slice_index`` (DCN only exists between slices), else the owning
+process (the conservative proxy: on CPU-faked multi-process meshes and most real
+deployments, cross-process = the slower link) — and fills each table-axis row from a
+single domain whenever the requested shape allows it. Within one domain jax's default
+device order already maps the minor axis to nearest ICI neighbors.
+
+When the shape makes locality impossible (T larger than any domain's device count,
+e.g. a 2-host table shard spanning both hosts because one host's HBM cannot hold the
+table), construction falls back to flat order and warns once: correct, but the route
+all_to_all then rides the slow link — prefer growing R instead of T across hosts.
+"""
 
 from __future__ import annotations
 
+import warnings
+from collections import OrderedDict
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -12,18 +35,86 @@ AXIS_READS = "reads"
 AXIS_TABLE = "table"
 
 
+def _locality_domain(dev) -> tuple:
+    """The interconnect domain of a device: devices in one domain talk over the fast
+    link (ICI / shared memory); crossing domains means DCN (or sockets on the faked
+    CPU mesh). Slice index when the platform exposes it, else owning process."""
+    s = getattr(dev, "slice_index", None)
+    if s is not None:
+        return ("slice", int(s))
+    return ("process", int(dev.process_index))
+
+
 def make_mesh(
     shape: Tuple[int, int], devices: Optional[Sequence] = None
 ) -> Mesh:
-    """Mesh over (reads=R, table=T). R*T must equal the device count used.
+    """Mesh over (reads=R, table=T) with the table axis pinned inside one locality
+    domain per row whenever the shape allows (see module docstring). R*T must not
+    exceed the device count used.
 
-    On a pod slice the table axis should map to the innermost (fastest ICI) dimension so the
-    probe all-to-all rides ICI neighbors (SURVEY.md §2.3); jax's default device order already
-    gives that for the minor axis.
+    Single-domain inputs (one process, or one TPU slice) reduce to the flat
+    ``jax.devices()`` order — identical to the naive reshape, where jax's default
+    order already maps the minor axis to nearest ICI neighbors.
     """
     r, t = shape
     devs = list(devices) if devices is not None else jax.devices()
     if r * t > len(devs):
         raise ValueError(f"mesh {shape} needs {r*t} devices, have {len(devs)}")
+
+    groups: "OrderedDict[tuple, list]" = OrderedDict()
+    for d in devs:
+        groups.setdefault(_locality_domain(d), []).append(d)
+
+    # fill table-axis rows domain by domain: each row's T devices share a domain
+    rows = []
+    for g in groups.values():
+        for i in range(0, len(g) - t + 1, t):
+            rows.append(g[i : i + t])
+            if len(rows) == r:
+                break
+        if len(rows) == r:
+            break
+    if len(rows) == r:
+        return Mesh(np.array(rows), (AXIS_READS, AXIS_TABLE))
+
+    # locality-impossible shape: flat order (the pre-round-5 behavior)
+    if len(groups) > 1:
+        warnings.warn(
+            f"mesh {shape}: table axis (T={t}) cannot fit inside one locality "
+            f"domain (domain sizes: {[len(g) for g in groups.values()]}); the "
+            "route all_to_all will cross the slow inter-host link — prefer a "
+            "taller reads axis (e.g. "
+            f"{(r * t) // min(t, max(len(g) for g in groups.values()))}x"
+            f"{min(t, max(len(g) for g in groups.values()))}) "
+            "or per-host table shards",
+            stacklevel=2,
+        )
     arr = np.array(devs[: r * t]).reshape(r, t)
     return Mesh(arr, (AXIS_READS, AXIS_TABLE))
+
+
+def table_axis_ici_local(mesh: Mesh) -> bool:
+    """True iff every table-axis group (one mesh row) lives inside a single locality
+    domain — i.e. the per-window route all_to_all never crosses the slow link."""
+    arr = np.asarray(mesh.devices)
+    if arr.ndim != 2:
+        raise ValueError(f"expected a (reads, table) mesh, got shape {arr.shape}")
+    for row in arr:
+        if len({_locality_domain(d) for d in row}) > 1:
+            return False
+    return True
+
+
+def assert_table_axis_ici_local(mesh: Mesh) -> None:
+    """Raise when a table-axis group spans locality domains. Production multi-host
+    entry points call this when the caller demands the ICI-local guarantee."""
+    if not table_axis_ici_local(mesh):
+        arr = np.asarray(mesh.devices)
+        detail = [
+            sorted({str(_locality_domain(d)) for d in row}) for row in arr
+        ]
+        raise RuntimeError(
+            "table axis spans locality domains (route all_to_all would cross "
+            f"the inter-host link); per-row domains: {detail}. Reshape the mesh "
+            "so T fits inside one host/slice's devices."
+        )

@@ -28,7 +28,11 @@ from denovo_kmer_tpu.parallel.distributed import (
     make_global_batch,
     steps_aligned,
 )
-from denovo_kmer_tpu.parallel.mesh import make_mesh
+from denovo_kmer_tpu.parallel.mesh import (
+    assert_table_axis_ici_local,
+    make_mesh,
+    table_axis_ici_local,
+)
 from denovo_kmer_tpu.parallel.sharded_table import ShardedBuildState, ShardedKmerEngine
 
 
@@ -99,6 +103,7 @@ def run_trio_multihost(
     fault: Optional[Tuple[str, int, int]] = None,
     feed: str = "stripe",
     n_passes: int = 1,
+    require_ici_local: bool = False,
 ) -> List[Tuple[int, int, int, int]]:
     """Full trio on an already-initialized multi-process JAX runtime.
 
@@ -110,12 +115,24 @@ def run_trio_multihost(
     the streams and the candidate union is exactly the single-pass result. Per-sample
     checkpoints are single-pass only (a pass-sliced sharded checkpoint is not
     representable in the engine-layout format).
+    ``require_ici_local``: fail fast unless every table-axis group sits inside one
+    locality domain (make_mesh pins it whenever the shape allows; this makes the
+    scaling-critical placement a hard contract instead of a best effort).
     Returns candidate tuples (kmer_value, child, mom, dad) ascending; identical on all
     processes.
     """
     if n_passes > 1 and checkpoint_dir:
         raise ValueError("checkpoint_dir does not compose with n_passes > 1")
     mesh = make_mesh(cfg.mesh_shape)
+    if require_ici_local:
+        assert_table_axis_ici_local(mesh)
+    elif not table_axis_ici_local(mesh) and jax.process_index() == 0:
+        print(
+            "denovo-kmer: table axis spans hosts — the per-window route "
+            "all_to_all rides the inter-host link (projected eff ~0.83 vs "
+            ">=0.97 ICI-local, benchmarks/scaling.py); prefer a taller reads "
+            "axis", file=__import__("sys").stderr,
+        )
     engine = ShardedKmerEngine(cfg, mesh, n_passes=n_passes)
     host_id = jax.process_index()
 

@@ -25,6 +25,9 @@ def main() -> int:
     ap.add_argument("--fault", default=None, help="sample:proc_id:after_batches")
     ap.add_argument("--feed", default="stripe", choices=("stripe", "range"))
     ap.add_argument("--passes", type=int, default=1)
+    ap.add_argument("--require-ici-local", action="store_true",
+                    help="fail unless every table-axis group stays within one "
+                         "process (the scaling-critical placement)")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -70,6 +73,7 @@ def main() -> int:
         fault=fault,
         feed=args.feed,
         n_passes=args.passes,
+        require_ici_local=args.require_ici_local,
     )
     if args.proc_id == 0:
         with open(args.out_tsv, "w") as f:

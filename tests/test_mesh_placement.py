@@ -1,0 +1,108 @@
+"""ICI-local table placement (VERDICT r4 missing #1): the route all_to_all is the only
+per-k-mer collective, so make_mesh must pin each table-axis group inside one locality
+domain (slice/process) whenever the shape allows — and say so loudly when it can't."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.parallel.mesh import (
+    AXIS_READS,
+    AXIS_TABLE,
+    assert_table_axis_ici_local,
+    make_mesh,
+    table_axis_ici_local,
+)
+
+
+class FakeDev:
+    """Duck-typed device: only process_index (and optional slice_index) matter to the
+    placement logic; Mesh itself accepts any hashable objects in tests? It does not —
+    so these tests drive the row-construction helper path via monkeypatched Mesh."""
+
+    def __init__(self, i, process_index, slice_index=None):
+        self.id = i
+        self.process_index = process_index
+        if slice_index is not None:
+            self.slice_index = slice_index
+
+    def __repr__(self):
+        return f"d{self.id}p{self.process_index}"
+
+
+class FakeMesh:
+    def __init__(self, arr, axes):
+        self.devices = np.array(arr)
+        self.axis_names = axes
+
+
+@pytest.fixture
+def fake_mesh(monkeypatch):
+    import denovo_kmer_tpu.parallel.mesh as M
+
+    monkeypatch.setattr(M, "Mesh", FakeMesh)
+    return M
+
+
+def _devs(n_procs, per_proc):
+    return [
+        FakeDev(p * per_proc + i, p) for p in range(n_procs) for i in range(per_proc)
+    ]
+
+
+def test_table_axis_stays_in_process(fake_mesh):
+    """4 procs x 2 devices, mesh (4,2): every row must be one process's pair."""
+    devs = _devs(4, 2)
+    mesh = fake_mesh.make_mesh((4, 2), devs)
+    assert table_axis_ici_local(mesh)
+    for row in mesh.devices:
+        assert row[0].process_index == row[1].process_index
+
+
+def test_two_hosts_tall_reads(fake_mesh):
+    """2 procs x 4 devices, mesh (4,2): two rows per process, process-major."""
+    devs = _devs(2, 4)
+    mesh = fake_mesh.make_mesh((4, 2), devs)
+    assert table_axis_ici_local(mesh)
+    procs = [row[0].process_index for row in mesh.devices]
+    assert procs == [0, 0, 1, 1]
+
+
+def test_single_domain_matches_flat_order(fake_mesh):
+    """One process: placement must reduce to the naive reshape (device order kept)."""
+    devs = _devs(1, 8)
+    mesh = fake_mesh.make_mesh((2, 4), devs)
+    flat = [d.id for row in mesh.devices for d in row]
+    assert flat == list(range(8))
+
+
+def test_impossible_shape_warns_and_spans(fake_mesh):
+    """4 procs x 2 devices, mesh (2,4): T=4 > 2 devices/process — falls back to flat
+    order with a warning, and the locality predicate reports the span."""
+    devs = _devs(4, 2)
+    with pytest.warns(UserWarning, match="cannot fit inside one locality domain"):
+        mesh = fake_mesh.make_mesh((2, 4), devs)
+    assert not table_axis_ici_local(mesh)
+    with pytest.raises(RuntimeError, match="spans locality domains"):
+        assert_table_axis_ici_local(mesh)
+
+
+def test_slice_index_preferred_over_process(fake_mesh):
+    """Two processes in ONE slice (multi-host v5p slice: all-ICI): slice_index says
+    there is no slow link, so any shape is 'local' and no warning fires."""
+    devs = [FakeDev(i, process_index=i // 4, slice_index=0) for i in range(8)]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        mesh = fake_mesh.make_mesh((2, 4), devs)
+    assert table_axis_ici_local(mesh)
+
+
+def test_real_cpu_mesh_single_process():
+    """On the test suite's faked 8-device single-process mesh every shape is local."""
+    import jax
+
+    mesh = make_mesh((2, 4), jax.devices())
+    assert mesh.axis_names == (AXIS_READS, AXIS_TABLE)
+    assert table_axis_ici_local(mesh)
+    assert_table_axis_ici_local(mesh)
