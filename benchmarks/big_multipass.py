@@ -1,29 +1,26 @@
-"""WGS-scale MULTIPASS table build on one chip (VERDICT r02 "scale realism" axis).
+"""WGS-scale MULTIPASS table build on one chip — re-extract vs single-decode spill A/B.
 
 BASELINE config 3 (30x WGS trio) implies ~2.5G distinct k-mers — far beyond one
-chip's table+sort HBM budget. The engine's answer is `--passes N`: a hash-pass
-partition (parallel/router.pass_of, decorrelated from the mesh owner hash) where
-each pass re-extracts the read stream and keeps only its bucket, so P passes of
-capacity C cover P*C uniques with the same peak HBM as one pass. This benchmark
-runs that production path (make_ingest_step(n_passes=P), the same jitted
-extract->filter->append->flush the CLI uses) at a deliberately large total:
+chip's table+sort HBM budget. Round <=4's answer was `--passes N` re-extraction: every
+pass re-extracts the full stream and keeps ~1/N (measured round 4: ~5.8G window
+extractions for ~970M useful windows in 261 s — ~47x below the single-window
+headline). Round 5 adds the KMC2-style single-decode path (ops/spill.py): ONE extract
+pass, ONE partition sort per staging window into per-pass HBM blocks, then each pass
+folds only its own rows — total device work ~independent of N.
 
-    default: 480 Mbp random genome x 2.0 coverage, P=6 passes, capacity 2^27
-    -> ~480M total uniques (7.2 x 2^26), ~5.8G raw k-mer extractions,
-       peak HBM per pass unchanged from the single-pass 2^27 datapoint.
+Modes (BIG_MODE): "reextract" (the round-4 loop), "spill" (PassStore single-decode),
+"ab" (both; asserts bit-identical per-pass uniques and prints the wall ratio — the
+VERDICT r4 #2 'done' gate is ratio >= 2x at 6 passes).
 
 Reads are word-aligned slices of a packed random genome generated in the packed
 device layout (same rationale as big_table.py). Guards: no pass may overflow,
-the pass partition must be balanced to <5% spread (pass_of is a mixed hash, so
-imbalance means the partition is wrong), and the total must reach a floor
-derived from the aligned-start coverage model: a k-mer start is covered by a
-read starting at any of the ~(L-k+1)/16 preceding word slots, each slot drawn
-~coverage*16/L times, so the uncovered fraction is e^-(coverage*(L-k+1)/L)
-(~e^-1.625 at the defaults, i.e. ~80% of genome length — NOT the unaligned
-e^-coverage). The floor is 92% of that expectation.
+the pass partition must be balanced to <5% spread, and the total must reach the
+aligned-start coverage floor (uncovered fraction e^-(coverage*(L-k+1)/L); see git
+history for the derivation).
 
 Env: BIG_GENOME_MB (480), BIG_COVERAGE (2.0), BIG_PASSES (6), BIG_TABLE_BITS (27),
-BIG_BATCH (16384), BIG_ACCUM (16), BIG_FLOOR_FRAC (0.92 of model expectation).
+BIG_BATCH (16384), BIG_ACCUM (16), BIG_FLOOR_FRAC (0.92), BIG_MODE (ab),
+BIG_SPILL_SLACK (1.10 — per-pass store rows over the even split).
 """
 
 import os
@@ -46,6 +43,13 @@ def main() -> int:
     import jax.numpy as jnp
 
     from denovo_kmer_tpu.config import EngineConfig
+    from denovo_kmer_tpu.ops.spill import (
+        count_pass_from_store,
+        empty_pass_store,
+        partition_window,
+        spill_capacity,
+        store_append,
+    )
     from denovo_kmer_tpu.ops.stream import empty_accumulator
     from denovo_kmer_tpu.ops.table import empty_table
     from denovo_kmer_tpu.pipeline import make_ingest_step
@@ -55,6 +59,7 @@ def main() -> int:
     n_passes = int(os.environ.get("BIG_PASSES", 6))
     table_bits = int(os.environ.get("BIG_TABLE_BITS", 27))
     batch_reads = int(os.environ.get("BIG_BATCH", 16384))
+    mode = os.environ.get("BIG_MODE", "ab")
     max_read_len = 160
     k = 31
 
@@ -69,10 +74,11 @@ def main() -> int:
     n_reads = int(genome_words_n * 16 * coverage) // max_read_len
     n_batches = n_reads // batch_reads
     raw_per_pass = n_batches * batch_reads * P
+    S = cfg.accum_batches * batch_reads * P
     print(
         f"device={jax.devices()[0].device_kind} genome={genome_words_n*16/1e6:.0f}Mbp "
-        f"coverage={coverage} passes={n_passes} reads/pass={n_batches*batch_reads} "
-        f"raw_kmer_extractions={n_passes*raw_per_pass/1e9:.2f}G capacity=2^{table_bits}/pass",
+        f"coverage={coverage} passes={n_passes} reads={n_batches*batch_reads} "
+        f"useful_windows={raw_per_pass/1e9:.2f}G capacity=2^{table_bits}/pass mode={mode}",
         file=sys.stderr, flush=True,
     )
 
@@ -86,49 +92,106 @@ def main() -> int:
         offs = r.integers(0, genome_words_n - Lw, size=batch_reads)
         return jnp.asarray(genome_words[np.add.outer(offs, np.arange(Lw))])
 
-    extract_append, flush_fn = make_ingest_step(cfg, n_passes=n_passes)
+    def run_reextract():
+        """Round-4 path: every pass re-extracts everything, keeps 1/N."""
+        extract_append, flush_fn = make_ingest_step(cfg, n_passes=n_passes)
+        per_pass = []
+        t0 = time.perf_counter()
+        for p in range(n_passes):
+            acc = empty_accumulator(S, cfg.words)
+            table = empty_table(cfg.table_capacity, cfg.words)
+            pid = jnp.uint32(p)
+            pending = 0
+            tp = time.perf_counter()
+            for bi in range(n_batches):
+                acc = extract_append(acc, batch_words(bi), vwords, pid)
+                pending += 1
+                if pending == cfg.accum_batches:
+                    acc, table = flush_fn(acc, table)
+                    pending = 0
+            if pending:
+                acc, table = flush_fn(acc, table)
+            n = int(np.asarray(table.n))
+            per_pass.append(n)
+            del acc, table
+            print(f"  [reextract] pass {p}: uniques={n} "
+                  f"{time.perf_counter()-tp:.1f}s", file=sys.stderr, flush=True)
+        return per_pass, time.perf_counter() - t0
 
-    per_pass = []
-    t0 = time.perf_counter()
-    for p in range(n_passes):
-        acc = empty_accumulator(cfg.accum_batches * batch_reads * P, cfg.words)
-        table = empty_table(cfg.table_capacity, cfg.words)
-        pid = jnp.uint32(p)
+    def run_spill():
+        """Round-5 path: ONE extract+partition pass into a device PassStore,
+        then each pass folds only its own rows (ops/spill.py)."""
+        extract_append, _ = make_ingest_step(cfg)  # no pass filter
+        slack = float(os.environ.get("BIG_SPILL_SLACK", 1.10))
+        total_rows = n_batches * batch_reads * P
+        rows_pp = int(total_rows / n_passes * slack)
+        rows_pp = -(-rows_pp // S) * S  # count chunks must divide the store
+        cap = spill_capacity(S, n_passes, 1.25)
+        hbm_gb = n_passes * rows_pp * cfg.words * 4 / 1e9
+        print(f"  [spill] store {n_passes}x{rows_pp} rows = {hbm_gb:.1f} GB HBM, "
+              f"window cap {cap}", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        acc = empty_accumulator(S, cfg.words)
+        store = empty_pass_store(n_passes, rows_pp, cfg.words)
+        ovf_total = jnp.zeros((), jnp.int32)
         pending = 0
-        tp = time.perf_counter()
         for bi in range(n_batches):
-            acc = extract_append(acc, batch_words(bi), vwords, pid)
+            acc = extract_append(acc, batch_words(bi), vwords)
             pending += 1
             if pending == cfg.accum_batches:
-                acc, table = flush_fn(acc, table)
+                disp, counts, ovf, acc = partition_window(acc, n_passes, cap)
+                store = store_append(store, disp, counts)
+                ovf_total = ovf_total + ovf
                 pending = 0
         if pending:
-            acc, table = flush_fn(acc, table)
-        n = int(np.asarray(table.n))
-        per_pass.append(n)
-        del acc, table
-        print(f"  pass {p}: uniques={n} ({n/2**26:.2f} x 2^26) "
-              f"{time.perf_counter()-tp:.1f}s", file=sys.stderr, flush=True)
+            disp, counts, ovf, acc = partition_window(acc, n_passes, cap)
+            store = store_append(store, disp, counts)
+            ovf_total = ovf_total + ovf
+        assert int(np.asarray(ovf_total)) == 0, "window partition overflowed"
+        fills = np.asarray(store.fill)
+        assert fills.max() <= rows_pp, f"store overflow {fills.max()} > {rows_pp}"
+        t_spill = time.perf_counter() - t0
+        print(f"  [spill] extract+partition: {t_spill:.1f}s "
+              f"({fills.sum()/1e6:.0f}M rows stored)", file=sys.stderr, flush=True)
+        per_pass = []
+        for p in range(n_passes):
+            tp = time.perf_counter()
+            table = count_pass_from_store(
+                store, p, empty_table(cfg.table_capacity, cfg.words), S)
+            n = int(np.asarray(table.n))
+            per_pass.append(n)
+            del table
+            print(f"  [spill] pass {p}: uniques={n} "
+                  f"{time.perf_counter()-tp:.1f}s", file=sys.stderr, flush=True)
+        return per_pass, time.perf_counter() - t0
 
-    dt = time.perf_counter() - t0
+    results = {}
+    if mode in ("reextract", "ab"):
+        results["reextract"] = run_reextract()
+    if mode in ("spill", "ab"):
+        results["spill"] = run_spill()
+
+    per_pass, dt = results.get("spill") or results["reextract"]
     total = sum(per_pass)
-    # distinct k-mers in a random genome ~= genome length (collisions negligible
-    # at 4^31); word-aligned read starts cover every position once coverage
-    # saturates, minus the unsampled tail windows
     spread = (max(per_pass) - min(per_pass)) / (total / n_passes)
-    hbm_gb = cfg.table_capacity * (cfg.words + 1) * 4 / 1e9
-    print(
-        f"total_uniques={total} ({total/2**26:.2f} x 2^26) passes={n_passes} "
-        f"pass_spread={spread*100:.1f}% wall={dt:.1f}s "
-        f"extract_rate={n_passes*raw_per_pass/dt/1e6:.0f} Mk-mers/s "
-        f"table_hbm_per_pass={hbm_gb:.2f} GB",
-        flush=True,
-    )
+    out = {
+        "total_uniques": total, "passes": n_passes,
+        "pass_spread_pct": round(spread * 100, 1),
+        "useful_windows": raw_per_pass,
+    }
+    for name, (pp, wall) in results.items():
+        out[f"{name}_wall_s"] = round(wall, 1)
+        out[f"{name}_useful_Mkmers_per_s"] = round(raw_per_pass / wall / 1e6, 1)
+    if mode == "ab":
+        assert results["reextract"][0] == results["spill"][0], (
+            "per-pass uniques differ between paths")
+        out["wall_ratio_reextract_over_spill"] = round(
+            results["reextract"][1] / results["spill"][1], 2)
+        out["bit_identical"] = True
+    print(__import__("json").dumps(out), flush=True)
+
     assert all(n < cfg.table_capacity for n in per_pass), "a pass overflowed"
-    # the hash partition must be balanced (pass_of is a mixed hash)
     assert spread < 0.05, f"pass imbalance {spread:.3f}"
-    # aligned-start coverage model (docstring): lambda = eff_coverage*(L-k+1)/L,
-    # with eff_coverage from the reads actually issued (n_batches floors).
     eff_cov = n_batches * batch_reads * max_read_len / (genome_words_n * 16)
     lam = eff_cov * (max_read_len - k + 1) / max_read_len
     expected = genome_words_n * 16 * (1.0 - np.exp(-lam))

@@ -174,27 +174,77 @@ def main():
             "collectives": model,
         }), flush=True)
 
-    # ---- the >=85% projection from measured constants (VERDICT r3 #4) ----
-    # compute time per k-mer: chip-measured (bench.py BENCH_r* device value;
-    # overridable when a newer capture exists)
+    # ---- the >=85% projection from measured constants (VERDICT r3 #4, r4 #1/#7) ----
+    # ALL rows below are PROJECTIONS from measured constants (chip-measured
+    # compute rate + static collective payloads), NOT multi-host hardware
+    # measurements — this repo has never touched a pod. The model is
+    # run-length-aware and serialized-pessimistic:
+    #
+    #   eff = t_compute / (t_compute + t_route + t_amortized)
+    #   t_route      = per-window route all_to_all: egress/BW_table + alpha*(T-1),
+    #                  charged every acc window (the only per-k-mer collective)
+    #   t_amortized  = per-RUN all_gathers over the reads axis (2x finalize for
+    #                  the parents + 1x fused finalize+call for the child),
+    #                  egress/BW_reads + alpha*(R-1) each, divided by the run's
+    #                  k-mers — these do NOT amortize away on short runs (VERDICT
+    #                  r4 weak #4), so eff is reported per run length
+    #   eff_overlapped additionally credits the round-5 fused flush+ingest step:
+    #   the route can hide under the window's extract compute (min(t_route,
+    #   t_window_compute) hidden) — table placement decides BW_table: ICI-local
+    #   (make_mesh default when the shape allows) vs DCN-crossing.
     chip_kmers_s = float(os.environ.get("SCALING_CHIP_KMERS_PER_SEC", 175e6))
     ns_per_kmer = 1e9 / chip_kmers_s
-    bpk = model["flush_bytes_per_kmer"] if model else 0.0
-    for label, bw_gbs in (("v5e_ici_45GBps", 45.0), ("v5p_ici_90GBps", 90.0),
-                          ("dcn_6GBps", 6.0)):
-        t_comm_ns = bpk / bw_gbs  # bytes / (GB/s) = ns
-        eff = ns_per_kmer / (ns_per_kmer + t_comm_ns)
-        print(json.dumps({
+    m = model
+    # staged k-mers per device per window, recovered from the payload model
+    engine_S = model and int(
+        m["flush_a2a_egress_bytes_per_dev"] / max(m["flush_bytes_per_kmer"], 1e-9)
+    )
+
+    def project(label, bw_table_gbs, alpha_table_us, bw_reads_gbs, alpha_reads_us,
+                run_kmers_per_dev):
+        T = m["mesh_R_T"][1]
+        R = m["mesh_R_T"][0]
+        t_compute = run_kmers_per_dev * ns_per_kmer  # ns
+        n_windows = max(run_kmers_per_dev / max(engine_S, 1), 1.0)
+        t_route_w = (m["flush_a2a_egress_bytes_per_dev"] / bw_table_gbs
+                     + alpha_table_us * 1e3 * max(T - 1, 1))
+        t_route = n_windows * t_route_w
+        ag_bytes = (2 * m["finalize_allgather_egress_bytes_per_dev"]
+                    + m["fused_call_allgather_egress_bytes_per_dev"])
+        t_amort = (ag_bytes / bw_reads_gbs
+                   + 3 * alpha_reads_us * 1e3 * max(R - 1, 1))
+        eff_serial = t_compute / (t_compute + t_route + t_amort)
+        t_window_compute = engine_S * ns_per_kmer
+        t_route_exposed = n_windows * max(t_route_w - t_window_compute, 0.0)
+        eff_overlap = t_compute / (t_compute + t_route_exposed + t_amort)
+        return {
             "projection": label,
+            "status": "PROJECTED from measured constants (unmeasured on "
+                      "multi-host hardware)",
+            "run_kmers_per_dev": run_kmers_per_dev,
             "compute_ns_per_kmer": round(ns_per_kmer, 3),
-            "route_bytes_per_kmer": bpk,
-            "comm_ns_per_kmer": round(t_comm_ns, 3),
-            "projected_eff": round(eff, 4),
-            "note": "eff = compute/(compute+comm); route all_to_all is the only "
-                    "per-kmer collective (finalize/call all_gathers amortize over "
-                    "the run); overlap of route with next-window ingest would raise "
-                    "this further",
-        }), flush=True)
+            "route_bytes_per_window_dev": m["flush_a2a_egress_bytes_per_dev"],
+            "amortized_allgather_bytes_dev": int(ag_bytes),
+            "eff_serialized": round(eff_serial, 4),
+            "eff_overlapped": round(eff_overlap, 4),
+        }
+
+    if model:
+        # link constants: v5e ICI ~45 GB/s/chip eff. all_to_all, v5p ~2x; DCN
+        # ~6 GB/s/chip with ~50 us collective latency (conservative figures)
+        for run in (1e8, 1e9, 1e10):
+            # config-3 shape, round-5 placement: table axis ICI-local (make_mesh),
+            # reads axis spans the 2 hosts -> all_gathers ride DCN
+            print(json.dumps(project(
+                "2host_ici_local_table_v5e", 45.0, 2.0, 6.0, 50.0, run)),
+                flush=True)
+        for run in (1e8, 1e9, 1e10):
+            # the shape the r4 verdict flagged: table axis spans DCN (route pays it)
+            print(json.dumps(project(
+                "2host_dcn_route_WORSTCASE", 6.0, 50.0, 6.0, 50.0, run)),
+                flush=True)
+        print(json.dumps(project(
+            "1host_v5e_ici_only", 45.0, 2.0, 45.0, 2.0, 1e9)), flush=True)
     return 0
 
 

@@ -81,7 +81,13 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     e.add_argument("--passes", type=int, default=1,
                    help="prefix-partitioned multi-pass build: each pass holds ~1/N of "
                         "the unique k-mers in --table-capacity, re-reading the inputs N "
-                        "times (WGS-scale tables; single-chip path)")
+                        "times (WGS-scale tables; single-chip path) — or once, with "
+                        "--spill")
+    e.add_argument("--spill", default=None, metavar="DIR",
+                   help="with --passes N: decode+extract each input ONCE and spill "
+                        "per-pass k-mer partitions to DIR (resumable; a sample whose "
+                        "spill completed is never re-decoded) — total device work "
+                        "~independent of N instead of Nx (`call` only)")
     e.add_argument("--reference", default=None,
                    help="reference FASTA (required for reference-based CRAM inputs)")
     e.add_argument("--extractor", choices=("fast", "fast_t", "pallas"), default="fast",
@@ -189,7 +195,22 @@ def cmd_call(args) -> int:
         profile_ctx = jax.profiler.trace(args.profile_dir)
         profile_ctx.__enter__()
     try:
-        if getattr(args, "passes", 1) > 1:
+        if getattr(args, "passes", 1) > 1 and getattr(args, "spill", None):
+            # single-decode multipass (ops/spill.py): decode+extract once, spill
+            # per-pass partitions to --spill DIR, count each pass from its spill —
+            # the KMC2-style move; resumable (a sample's finished spill is reused)
+            if cfg.mesh_shape != (1, 1):
+                raise SystemExit("--spill composes with --passes on the "
+                                 "single-chip path only (use --passes alone "
+                                 "with --mesh)")
+            from denovo_kmer_tpu.pipeline import run_trio_spill
+
+            result = run_trio_spill(
+                args.mom, args.dad, args.child, cfg, args.passes,
+                spill_dir=args.spill, metrics=metrics,
+                region=_resolve_region(args),
+            )
+        elif getattr(args, "passes", 1) > 1:
             if cfg.mesh_shape != (1, 1):
                 # passes × mesh: each hash-pass runs over the full mesh (WGS-scale
                 # tables beyond aggregate mesh HBM); --read-len-buckets composes

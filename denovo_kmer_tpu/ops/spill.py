@@ -1,0 +1,269 @@
+"""Single-decode multipass: partition-spill of extracted k-mers (VERDICT r4 missing #3).
+
+The plain ``--passes N`` multipass (pipeline.run_trio_multipass) re-decodes and
+re-extracts the ENTIRE read stream every pass, and — worse on-device — every pass's
+staging windows hold all extracted rows with (N-1)/N of them masked invalid, so every
+flush sorts N× the rows it keeps (measured: ~47× below the single-window headline at
+6 passes, benchmarks/big_multipass.py round 4). KMC2/MSPKmerCounter (PAPERS.md) decode
+once and spill partitioned super-k-mers to disk; the TPU-native analog here:
+
+  1. ONE extract pass: reads → staging window (no pass filter),
+  2. on window-full, ONE partition sort (router.bucketize keyed by router.pass_of)
+     splits the window into per-pass compacted row blocks,
+  3. the blocks are appended to a per-pass SPILL — either a device-resident
+     ``PassStore`` in HBM (rows are already 2-bit-packed k-mer words: 4W bytes each,
+     the cheapest representation there is) or host files (``HostSpill``) when the
+     aggregate exceeds HBM,
+  4. each counting pass then folds ONLY its own rows — extraction never reruns, and
+     every flush sort is full of valid rows.
+
+Total device work ≈ 1× extract + 1× partition sort + the same total flush-sort rows a
+single-pass run would do, independent of n_passes (vs ~n_passes× for re-extract).
+
+Exactness: bucketize counts overflow instead of dropping (SpillOverflowError → retry
+with a larger capacity factor), and the pass partition is a partition of the key
+space, so per-pass tables/candidates union to exactly the single-pass result (same
+argument as run_trio_multipass; tests/test_spill.py pins byte-identity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denovo_kmer_tpu.ops.stream import KmerAccumulator, flush
+from denovo_kmer_tpu.ops.table import KmerTable
+from denovo_kmer_tpu.parallel.router import bucketize, pass_of, route_capacity
+
+
+class SpillOverflowError(RuntimeError):
+    """A partition window overflowed its per-pass capacity — retry with a larger
+    ``spill_capacity_factor`` (hash skew beyond the provisioned slack)."""
+
+
+class PassStore(NamedTuple):
+    """Device-resident spill: per-pass compacted k-mer rows in HBM."""
+
+    rows: jnp.ndarray  # (P, N, W) uint32
+    fill: jnp.ndarray  # (P,) int32 rows used per pass
+
+
+def empty_pass_store(n_passes: int, rows_per_pass: int, words: int) -> PassStore:
+    return PassStore(
+        rows=jnp.zeros((n_passes, rows_per_pass, words), jnp.uint32),
+        fill=jnp.zeros((n_passes,), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(0,))
+def partition_window(
+    acc: KmerAccumulator, n_passes: int, capacity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, KmerAccumulator]:
+    """ONE sort partitions a full staging window into per-pass compacted blocks.
+
+    Returns (disp (P, capacity, W), counts (P,), overflow (), reset acc). Rows
+    beyond ``counts[p]`` within a block are garbage (clip-gathered) — consumers
+    must honor counts. The dispatch sort is the same primitive the sharded
+    route-at-flush uses (router.bucketize), keyed by pass_of instead of owner_of."""
+    S, W = acc.kmers.shape
+    slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
+    v = acc.valid & (slot < acc.fill)
+    owner = pass_of(acc.kmers, n_passes).astype(jnp.int32)
+    disp, mask, _src, ovf = bucketize(
+        acc.kmers, v, n_passes, capacity, owner=owner
+    )
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32)
+    reset = KmerAccumulator(
+        kmers=acc.kmers, valid=jnp.zeros((S,), bool), fill=jnp.zeros((), jnp.int32)
+    )
+    return disp, counts, ovf, reset
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def store_append(store: PassStore, disp: jnp.ndarray, counts: jnp.ndarray) -> PassStore:
+    """Append a partitioned window to the device store: one vmapped
+    dynamic_update_slice per pass at its fill offset. Garbage tail rows inside
+    ``disp`` blocks land beyond fill+counts and are overwritten by the next
+    window (fill only advances by counts)."""
+    new_rows = jax.vmap(
+        lambda r, d, f: jax.lax.dynamic_update_slice(r, d, (f, 0))
+    )(store.rows, disp, store.fill)
+    return PassStore(rows=new_rows, fill=store.fill + counts)
+
+
+def spill_capacity(acc_slots: int, n_passes: int, factor: float) -> int:
+    """Per-pass block capacity for one partitioned window (even split × factor)."""
+    return route_capacity(acc_slots, n_passes, factor)
+
+
+# ---------------------------------------------------------------------------
+# counting from a spill: fold stored rows (no extraction) into tables
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _fold_chunk(rows: jnp.ndarray, table: KmerTable, n_valid) -> KmerTable:
+    """Flush one (S, W) chunk of spill rows (first n_valid real) into a table."""
+    S = rows.shape[0]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
+    acc = KmerAccumulator(
+        kmers=rows, valid=slot < n_valid, fill=jnp.asarray(S, jnp.int32)
+    )
+    _, new_table = flush(acc, table)
+    return new_table
+
+
+def count_pass_from_store(
+    store: PassStore, pass_id: int, table: KmerTable, chunk_rows: int
+) -> KmerTable:
+    """Build/extend ``table`` from the device store's pass-``pass_id`` rows, in
+    static ``chunk_rows`` windows (one flush sort each, ~all rows valid).
+    ``store`` rows-per-pass must be a multiple of ``chunk_rows`` (static-shape
+    chunks; enforced here so a mis-sized store can never drop rows)."""
+    N = store.rows.shape[1]
+    if N % chunk_rows:
+        raise ValueError(f"store rows/pass ({N}) % chunk_rows ({chunk_rows}) != 0")
+    n = int(np.asarray(store.fill[pass_id]))
+    rows = store.rows[pass_id]
+    for start in range(0, max(n, 1), chunk_rows):
+        table = _fold_chunk(rows[start:start + chunk_rows], table,
+                            jnp.asarray(n - start, jnp.int32))
+    return table
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _fold_chunk_score(rows: jnp.ndarray, stab, n_valid):
+    """Scored twin of _fold_chunk (child pass: parent-seeded ScoreTable)."""
+    from denovo_kmer_tpu.ops.score import flush_score
+
+    S = rows.shape[0]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
+    acc = KmerAccumulator(
+        kmers=rows, valid=slot < n_valid, fill=jnp.asarray(S, jnp.int32)
+    )
+    _, new_stab = flush_score(acc, stab)
+    return new_stab
+
+
+def score_pass_from_store(store: PassStore, pass_id: int, stab, chunk_rows: int):
+    N = store.rows.shape[1]
+    if N % chunk_rows:
+        raise ValueError(f"store rows/pass ({N}) % chunk_rows ({chunk_rows}) != 0")
+    n = int(np.asarray(store.fill[pass_id]))
+    rows = store.rows[pass_id]
+    for start in range(0, max(n, 1), chunk_rows):
+        stab = _fold_chunk_score(rows[start:start + chunk_rows], stab,
+                                 jnp.asarray(n - start, jnp.int32))
+    return stab
+
+
+# ---------------------------------------------------------------------------
+# host spill: per-pass raw row files (the beyond-HBM path)
+# ---------------------------------------------------------------------------
+
+class HostSpill:
+    """Per-pass spill files of raw uint32 k-mer rows under ``directory``.
+
+    Layout: ``<dir>/<sample>.pass<p>.u32`` — a flat little-endian uint32 stream of
+    (W)-word rows, append-only; ``<dir>/<sample>.manifest.json`` marks a COMPLETE
+    spill (config hash + per-pass row counts) and gates resume: a sample whose
+    manifest exists and matches is never re-decoded (tests/test_spill.py resume)."""
+
+    def __init__(self, directory: str, sample: str, n_passes: int, words: int,
+                 config_hash: str):
+        import os
+
+        self.dir = directory
+        self.sample = sample
+        self.n_passes = n_passes
+        self.words = words
+        self.config_hash = config_hash
+        os.makedirs(directory, exist_ok=True)
+        self._files = None
+        self.counts = [0] * n_passes
+
+    def path(self, p: int) -> str:
+        import os
+
+        return os.path.join(self.dir, f"{self.sample}.pass{p}.u32")
+
+    def manifest_path(self) -> str:
+        import os
+
+        return os.path.join(self.dir, f"{self.sample}.manifest.json")
+
+    def complete(self) -> bool:
+        """True iff a matching manifest exists (spill finished; safe to reuse)."""
+        import json
+        import os
+
+        mp = self.manifest_path()
+        if not os.path.exists(mp):
+            return False
+        with open(mp) as f:
+            m = json.load(f)
+        if (m.get("config_hash") != self.config_hash
+                or m.get("n_passes") != self.n_passes
+                or m.get("words") != self.words):
+            return False
+        self.counts = list(m["counts"])
+        return all(
+            os.path.exists(self.path(p))
+            and os.path.getsize(self.path(p)) == self.counts[p] * self.words * 4
+            for p in range(self.n_passes)
+        )
+
+    def open_for_write(self):
+        self._files = [open(self.path(p), "wb") for p in range(self.n_passes)]
+        self.counts = [0] * self.n_passes
+
+    def append_window(self, disp: np.ndarray, counts: np.ndarray) -> None:
+        """Write one partitioned window ((P, cap, W) + per-pass counts) to the files."""
+        for p in range(self.n_passes):
+            c = int(counts[p])
+            if c:
+                self._files[p].write(np.ascontiguousarray(disp[p, :c]).tobytes())
+                self.counts[p] += c
+
+    def finish(self) -> None:
+        import json
+
+        for f in self._files:
+            f.close()
+        self._files = None
+        with open(self.manifest_path(), "w") as f:
+            json.dump({
+                "config_hash": self.config_hash,
+                "n_passes": self.n_passes,
+                "words": self.words,
+                "counts": self.counts,
+            }, f)
+
+    def abort(self) -> None:
+        if self._files:
+            for f in self._files:
+                f.close()
+            self._files = None
+
+    def read_chunks(self, p: int, chunk_rows: int):
+        """Yield (rows (chunk_rows, W) np.uint32, n_valid) chunks of pass ``p``
+        (last chunk zero-padded)."""
+        n = self.counts[p]
+        with open(self.path(p), "rb") as f:
+            done = 0
+            while done < n:
+                take = min(chunk_rows, n - done)
+                buf = np.frombuffer(
+                    f.read(take * self.words * 4), dtype=np.uint32
+                ).reshape(take, self.words)
+                if take < chunk_rows:
+                    pad = np.zeros((chunk_rows, self.words), np.uint32)
+                    pad[:take] = buf
+                    buf = pad
+                yield buf, take
+                done += take
+        if n == 0:
+            yield np.zeros((chunk_rows, self.words), np.uint32), 0

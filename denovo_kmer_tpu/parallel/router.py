@@ -58,6 +58,7 @@ def bucketize(
     valid: jnp.ndarray,  # (N,) bool
     num_shards: int,
     capacity: int,
+    owner: jnp.ndarray = None,  # (N,) precomputed bucket ids (default owner_of)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Group k-mers into per-destination buckets — sort-based, zero scatters.
 
@@ -75,7 +76,8 @@ def bucketize(
     """
     N, W = kmers.shape
     T = num_shards
-    owner = owner_of(kmers, T)
+    if owner is None:
+        owner = owner_of(kmers, T)
     owner = jnp.where(valid, owner, T).astype(jnp.uint32)  # invalid → virtual shard T
     iota = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
     s = jax.lax.sort(

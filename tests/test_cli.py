@@ -97,6 +97,25 @@ def test_call_sharded_mesh_matches_single(trio_dir, tmp_path):
     assert a.read_text() == b.read_text()
 
 
+def test_call_passes_spill_matches_and_resumes(trio_dir, tmp_path):
+    """--passes N --spill DIR: single-decode multipass through the CLI, identical
+    output to the plain call; a rerun resumes from the finished spills."""
+    a, b = tmp_path / "plain.tsv", tmp_path / "spill.tsv"
+    sd = tmp_path / "spill"
+    args = ["call", "--mom", str(trio_dir / "mom.bam"),
+            "--dad", str(trio_dir / "dad.bam"),
+            "--child", str(trio_dir / "child.bam"), *ENGINE_ARGS]
+    assert main([*args, "-o", str(a)]) == 0
+    assert main([*args, "-o", str(b), "--passes", "2", "--spill", str(sd)]) == 0
+    assert a.read_text() == b.read_text()
+    assert (sd / "child.manifest.json").exists()
+    mt = {p.name: p.stat().st_mtime_ns for p in sd.iterdir()}
+    b2 = tmp_path / "spill2.tsv"
+    assert main([*args, "-o", str(b2), "--passes", "2", "--spill", str(sd)]) == 0
+    assert b2.read_text() == a.read_text()
+    assert {p.name: p.stat().st_mtime_ns for p in sd.iterdir()} == mt
+
+
 def test_profile_dir_writes_trace(trio_dir, tmp_path):
     prof = tmp_path / "prof"
     rc = main(["call", "--mom", str(trio_dir / "mom.bam"),

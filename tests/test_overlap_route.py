@@ -1,0 +1,147 @@
+"""Route↔ingest overlap (VERDICT r4 missing #2): a full staging window is routed by a
+FUSED flush+ingest program whose all_to_all has no data dependency on the new batch's
+extraction — XLA can run the collective while the VPU extracts. These tests pin
+(a) bit-identity against the serialized two-dispatch path, and (b) the independence
+property itself, by taint analysis over the fused program's jaxpr."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.ops.pack import pack_seqs
+from denovo_kmer_tpu.parallel.mesh import make_mesh
+from denovo_kmer_tpu.parallel.sharded_table import ShardedKmerEngine
+
+
+CFG = dict(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 15,
+           accum_batches=2, mesh_shape=(2, 4))
+
+
+def _batches(cfg, n, seed):
+    r = np.random.default_rng(seed)
+    base = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bytes(base[r.integers(0, 4, 3000)]).decode()
+    out = []
+    for _ in range(n):
+        starts = r.integers(0, len(genome) - 64 + 1, size=cfg.batch_reads)
+        out.append(pack_seqs([genome[s:s+64] for s in starts], cfg,
+                             batch_size=cfg.batch_reads))
+    return out
+
+
+def _trio(engine, cfg, overlap):
+    engine._overlap_route = overlap
+
+    def build(bs):
+        st = engine.new_build()
+        for b in bs:
+            st = engine.ingest(st, b)
+        return engine.finalize(st)
+
+    mom, dad = build(_batches(cfg, 5, 1)), build(_batches(cfg, 5, 2))
+    st = engine.new_score_build(mom, dad)
+    for b in _batches(cfg, 5, 3):
+        st = engine.ingest_score(st, b)
+    cands, nuni = engine.finalize_call_score(st)
+    return (int(np.asarray(jnp.sum(mom.n))), int(np.asarray(jnp.sum(dad.n))),
+            nuni, cands)
+
+
+def test_overlap_bit_identical_to_serialized():
+    """5 batches over a 2-batch window: both paths flush mid-stream (the fused step
+    fires twice with overlap on) and must produce identical tables + candidates."""
+    cfg = EngineConfig(**CFG)
+    engine = ShardedKmerEngine(cfg, make_mesh(cfg.mesh_shape))
+    a = _trio(engine, cfg, overlap=True)
+    b = _trio(engine, cfg, overlap=False)
+    assert a == b
+    assert a[3], "trio should produce candidates at this shape"
+
+
+def test_overlap_handles_length_shipped_batches():
+    """prefix_valid batches ride the length-shipped fused twin; same identity."""
+    import dataclasses
+
+    cfg = EngineConfig(**CFG)
+    engine = ShardedKmerEngine(cfg, make_mesh(cfg.mesh_shape))
+
+    def strip(b):
+        if b.prefix_valid:
+            return dataclasses.replace(b, vwords=None)
+        return b
+
+    def build(bs, overlap):
+        engine._overlap_route = overlap
+        st = engine.new_build()
+        for b in bs:
+            st = engine.ingest(st, strip(b))
+        return engine.finalize(st)
+
+    t1 = build(_batches(cfg, 5, 9), overlap=True)
+    t2 = build(_batches(cfg, 5, 9), overlap=False)
+    assert int(np.asarray(jnp.sum(t1.n))) == int(np.asarray(jnp.sum(t2.n)))
+    assert np.array_equal(np.asarray(t1.keys), np.asarray(t2.keys))
+    assert np.array_equal(np.asarray(t1.counts), np.asarray(t2.counts))
+
+
+def _taint_outputs(jaxpr, taint_prims, tainted_in=frozenset()):
+    """Forward taint propagation: seed = outputs of any eqn whose primitive name
+    contains one of ``taint_prims`` (plus ``tainted_in`` input positions); call-like
+    eqns (jit/shard_map — a single 'jaxpr' param) are analyzed POSITIONALLY by
+    recursion, everything else conservatively (any tainted invar taints every
+    outvar). Returns the set of tainted positions among jaxpr.outvars."""
+    tainted = set()  # ids of tainted Vars in THIS jaxpr
+    for i in tainted_in:
+        tainted.add(id(jaxpr.invars[i]))
+
+    def var_tainted(v):
+        return hasattr(v, "aval") and not hasattr(v, "val") and id(v) in tainted
+
+    for eqn in jaxpr.eqns:
+        if any(p in eqn.primitive.name for p in taint_prims):
+            for v in eqn.outvars:
+                tainted.add(id(v))
+            continue
+        sub = eqn.params.get("jaxpr")
+        if sub is not None and (hasattr(sub, "eqns") or hasattr(sub, "jaxpr")):
+            inner = sub.jaxpr if hasattr(sub, "jaxpr") else sub
+            # consts (if any) are PREPENDED to eqn.invars; map from the end
+            off = len(eqn.invars) - len(inner.invars)
+            tin = {i - off for i, v in enumerate(eqn.invars)
+                   if i >= off and var_tainted(v)}
+            tout = _taint_outputs(inner, taint_prims, tin)
+            for i in tout:
+                tainted.add(id(eqn.outvars[i]))
+        elif any(var_tainted(v) for v in eqn.invars):
+            for v in eqn.outvars:
+                tainted.add(id(v))
+    return {i for i, v in enumerate(jaxpr.outvars) if id(v) in tainted}
+
+
+def test_fused_program_extraction_independent_of_collective():
+    """The fused step's returned accumulator (the NEW batch's extraction) must not
+    depend on the all_to_all — that independence is what lets the scheduler overlap
+    route with extraction. The table/overflow outputs MUST depend on it."""
+    cfg = EngineConfig(**CFG)
+    engine = ShardedKmerEngine(cfg, make_mesh(cfg.mesh_shape))
+    b = _batches(cfg, 1, 5)[0]
+    st = engine.new_build()
+    st = engine.ingest(st, b)  # warm shapes
+    words = jax.device_put(np.asarray(b.words), engine._sharding_reads)
+    vwords = jax.device_put(np.asarray(b.vwords), engine._sharding_reads)
+
+    traced = jax.make_jaxpr(
+        lambda a, t, o, w, vw, p: engine._flush_ingest(a, t, o, w, vw, p)
+    )(st.acc, st.table, st.ovf, words, vwords, jnp.uint32(0))
+    jaxpr = traced.jaxpr
+    # outputs: acc (kmers, valid, fill) = 0..2, table (keys, counts, n) = 3..5, ovf = 6
+    n_out = len(jaxpr.outvars)
+    assert n_out == 7, n_out
+    tainted = _taint_outputs(jaxpr, ("all_to_all",))
+    assert not tainted & {0, 1, 2}, (
+        f"accumulator outputs depend on the collective: {tainted}"
+    )
+    assert tainted & {3, 4, 5}, "table outputs should consume the routed window"

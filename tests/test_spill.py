@@ -1,0 +1,118 @@
+"""Single-decode multipass via partition spill (ops/spill.py, pipeline.run_trio_spill):
+byte-identity with the single-pass and re-extract multipass paths, host-spill resume,
+loud overflow. VERDICT r4 missing #3 / next #2."""
+
+import os
+
+import numpy as np
+import pytest
+
+from denovo_kmer_tpu.config import EngineConfig
+from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+from denovo_kmer_tpu.pipeline import run_trio, run_trio_multipass, run_trio_spill
+
+SPEC = TrioSpec(genome_len=3000, read_len=64, coverage=6.0, seed=55,
+                n_inherited_snvs=5, n_denovo_snvs=3)
+CFG = dict(k=21, max_read_len=64, batch_reads=64, table_capacity=1 << 13,
+           accum_batches=2)
+
+
+@pytest.fixture(scope="module")
+def trio_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("spill_trio")
+    write_trio_bams(make_trio(SPEC), str(d))
+    return str(d)
+
+
+def _paths(d):
+    return (os.path.join(d, "mom.bam"), os.path.join(d, "dad.bam"),
+            os.path.join(d, "child.bam"))
+
+
+@pytest.fixture(scope="module")
+def golden(trio_dir):
+    return run_trio(*_paths(trio_dir), EngineConfig(**CFG)).report
+
+
+def test_device_spill_matches_single_pass(trio_dir, golden):
+    cfg = EngineConfig(**CFG)
+    res = run_trio_spill(*_paths(trio_dir), cfg, n_passes=3,
+                         device_store_rows=1 << 16)
+    assert res.report == golden
+    assert res.candidates
+
+
+def test_device_spill_matches_reextract_multipass(trio_dir):
+    cfg = EngineConfig(**CFG)
+    a = run_trio_multipass(*_paths(trio_dir), cfg, n_passes=3)
+    b = run_trio_spill(*_paths(trio_dir), cfg, n_passes=3,
+                       device_store_rows=1 << 16)
+    assert a.report == b.report
+    assert a.tables_n == b.tables_n
+
+
+def test_host_spill_matches_and_resumes(trio_dir, golden, tmp_path):
+    cfg = EngineConfig(**CFG)
+    sd = str(tmp_path / "spill")
+    res = run_trio_spill(*_paths(trio_dir), cfg, n_passes=3, spill_dir=sd)
+    assert res.report == golden
+    # resume: a second run must REUSE the manifested spills (no re-decode) —
+    # the spill files' bytes and mtimes stay untouched
+    stats0 = {f: os.stat(os.path.join(sd, f)) for f in os.listdir(sd)}
+    res2 = run_trio_spill(*_paths(trio_dir), cfg, n_passes=3, spill_dir=sd)
+    assert res2.report == golden
+    for f, st in stats0.items():
+        st2 = os.stat(os.path.join(sd, f))
+        assert (st.st_mtime_ns, st.st_size) == (st2.st_mtime_ns, st2.st_size), f
+    # resume skipped ALL decoding: nothing was re-ingested on the second run
+    assert res2.metrics.counters.get("reads_ingested", 0) == 0
+
+
+def test_host_spill_incomplete_manifest_redecodes(trio_dir, golden, tmp_path):
+    """A sample killed mid-spill (file exists, no manifest) is re-decoded."""
+    cfg = EngineConfig(**CFG)
+    sd = str(tmp_path / "spill2")
+    run_trio_spill(*_paths(trio_dir), cfg, n_passes=2, spill_dir=sd)
+    os.remove(os.path.join(sd, "dad.manifest.json"))
+    with open(os.path.join(sd, "dad.pass0.u32"), "r+b") as f:
+        f.truncate(64)  # simulate a partial write
+    res = run_trio_spill(*_paths(trio_dir), cfg, n_passes=2, spill_dir=sd)
+    assert res.report == golden
+
+
+def test_spill_composes_with_length_buckets(trio_dir, golden):
+    cfg = EngineConfig(**CFG, read_len_buckets=(32, 64))
+    res = run_trio_spill(*_paths(trio_dir), cfg, n_passes=2,
+                         device_store_rows=1 << 16)
+    assert res.report == golden
+
+
+def test_spill_capacity_actually_smaller(trio_dir, golden):
+    """The point of multipass: a table capacity that overflows single-pass works
+    when spilled into 4 passes (each holds ~1/4 of the uniques)."""
+    from denovo_kmer_tpu.pipeline import TableOverflowError
+
+    small = EngineConfig(**{**CFG, "table_capacity": 1 << 11})
+    with pytest.raises(TableOverflowError):
+        run_trio(*_paths(trio_dir), small)
+    res = run_trio_spill(*_paths(trio_dir), small, n_passes=4,
+                         device_store_rows=1 << 16)
+    assert res.report == golden
+
+
+def test_overflow_is_loud(trio_dir):
+    from denovo_kmer_tpu.ops.spill import SpillOverflowError
+
+    cfg = EngineConfig(**CFG)
+    with pytest.raises(SpillOverflowError, match="capacity_factor"):
+        run_trio_spill(*_paths(trio_dir), cfg, n_passes=4,
+                       device_store_rows=1 << 16, capacity_factor=0.1)
+
+
+def test_store_undersize_is_loud(trio_dir):
+    from denovo_kmer_tpu.ops.spill import SpillOverflowError
+
+    cfg = EngineConfig(**CFG)
+    with pytest.raises(SpillOverflowError, match="device_store_rows"):
+        run_trio_spill(*_paths(trio_dir), cfg, n_passes=2,
+                       device_store_rows=256)
