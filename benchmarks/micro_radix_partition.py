@@ -1,0 +1,140 @@
+"""The radix-partition kill-or-build measurement (VERDICT r4 next #3).
+
+Measures, on the real chip, the three legs of the bucket-then-batched-sort scheme that
+two rounds of costing named the last per-chip lever:
+
+  1. ops/partition_pallas.radix_partition_blocks — the REAL Pallas kernel (B-way
+     stable per-block partition, rolls+selects only), Mrows/s;
+  2. the lanes-minor batched mid-axis sort it would feed (the 739 Mrows/s regime of
+     the round-3 layout map), re-measured at the composed shape+padding;
+  3. the flat 2-key unstable lax.sort it must beat (the 251 Mrows/s incumbent).
+
+Verdict rule: composed = 1/partition + pad/(batched sort) [+ reshuffle, measured as a
+padded reshape/gather]; if composed >= flat, the scheme is DEAD by direct kernel
+measurement (not costing), and the engine stays on lax.sort.
+
+Env: MICRO_N (2^24 rows), MICRO_BLOCK (32768), MICRO_B (16 buckets), MICRO_REPS (3).
+Prints one JSON line.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    import jax.numpy as jnp
+
+    from denovo_kmer_tpu.ops.partition_pallas import radix_partition_blocks
+    from denovo_kmer_tpu.parallel.router import mix32
+
+    N = int(os.environ.get("MICRO_N", 1 << 24))
+    block = int(os.environ.get("MICRO_BLOCK", 32768))
+    B = int(os.environ.get("MICRO_B", 16))
+    reps = int(os.environ.get("MICRO_REPS", 3))
+    C = 4  # 2 key words + 2 payload columns (count/pcount), the v4 sort shape
+    dev = jax.devices()[0]
+    print(f"device={dev.device_kind} N={N} block={block} B={B} C={C}",
+          file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.integers(0, 2**32, size=(C, N), dtype=np.uint32))
+
+    @jax.jit
+    def ids_of(d, salt):
+        return (mix32(d[:2].T ^ salt) % jnp.uint32(B)).astype(jnp.uint32)
+
+    def force(x):
+        return np.asarray(jax.tree.leaves(x)[-1]).ravel()[0]
+
+    part = functools.partial(
+        radix_partition_blocks, n_buckets=B, block_lanes=block,
+        # CPU smoke runs use the interpreter (Mosaic is TPU-only); its rate is
+        # meaningless — the JSON line carries the device for that reason
+        interpret=dev.platform == "cpu")
+
+    # ---- leg 1: the Pallas partition kernel ----
+    ids = ids_of(data, jnp.uint32(1))
+    out, counts = part(data, ids)
+    force(counts)
+
+    def timed(f, *a):
+        t0 = time.perf_counter()
+        force(f(*a))
+        return time.perf_counter() - t0
+
+    t_part = []
+    for r in range(reps):
+        ids = ids_of(data, jnp.uint32(100 + r))  # salted: fresh cache key
+        jax.block_until_ready(ids)
+        t_part.append(timed(part, data, ids))
+    part_rate = N / min(t_part)
+
+    # ---- leg 2: the batched mid-axis sort the partition would feed ----
+    # global bucket layout: B buckets of ~N/B rows + padding slack; sort each
+    # bucket independently = ONE (B, rows/B, 128)-ish mid-axis sort. Model the
+    # padded shape directly (pad = per-(block,bucket) capacity slack, ~15% at
+    # these run sizes per the round-3 note).
+    pad = 1.15
+    rows_pb = int(N / B * pad) // 128 * 128
+    mid_shape = (B, rows_pb // 128, 128)
+    ops_mid = [jnp.asarray(
+        rng.integers(0, 2**32, size=mid_shape, dtype=np.uint32)) for _ in range(C)]
+
+    @jax.jit
+    def mid_sort(a, b, c, d, salt):
+        s = jax.lax.sort([a ^ salt, b, c, d], num_keys=2, is_stable=False,
+                         dimension=1)
+        return s[0]
+
+    force(mid_sort(*ops_mid, jnp.uint32(1)))
+    t_mid = [timed(mid_sort, *ops_mid, jnp.uint32(200 + r)) for r in range(reps)]
+    mid_rate = (B * rows_pb) / min(t_mid)
+
+    # ---- leg 3: the flat incumbent ----
+    flat_ops = [data[i] for i in range(C)]
+
+    @jax.jit
+    def flat_sort(a, b, c, d, salt):
+        s = jax.lax.sort([a ^ salt, b, c, d], num_keys=2, is_stable=False)
+        return s[0]
+
+    force(flat_sort(*flat_ops, jnp.uint32(1)))
+    t_flat = [timed(flat_sort, *flat_ops, jnp.uint32(300 + r)) for r in range(reps)]
+    flat_rate = N / min(t_flat)
+
+    # ---- composition ----
+    t_composed_per_row = 1.0 / part_rate + pad / mid_rate
+    composed_rate = 1.0 / t_composed_per_row
+    verdict = ("BUILD: composed beats flat by "
+               f"{composed_rate / flat_rate:.2f}x"
+               if composed_rate > flat_rate * 1.05 else
+               "KILL: composed does not beat the flat sort — engine stays on "
+               "lax.sort")
+    print(json.dumps({
+        "metric": "radix_partition_micro",
+        "device": dev.device_kind,
+        "N": N, "block": block, "buckets": B, "payload_cols": C,
+        "partition_Mrows_s": round(part_rate / 1e6, 1),
+        "batched_mid_sort_Mrows_s": round(mid_rate / 1e6, 1),
+        "flat_sort_Mrows_s": round(flat_rate / 1e6, 1),
+        "pad_factor": pad,
+        "composed_Mrows_s": round(composed_rate / 1e6, 1),
+        "verdict": verdict,
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

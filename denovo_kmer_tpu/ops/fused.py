@@ -66,6 +66,21 @@ _SAT = np.uint32(0xFFFF)  # host scalar: no backend init at import (see ops/tabl
 DEFAULT_MAX_CANDIDATES = 1 << 14
 
 
+def default_max_candidates(k: int, capacity: int = None) -> int:
+    """Candidate capacity K auto-sized by k (VERDICT r4 next #5).
+
+    Candidates are child k-mers absent from both parents; at fixed coverage their
+    density RISES as k shrinks (a parental zero-coverage hole only yields candidates
+    when it spans >= k bases, and shorter holes are exponentially more common) —
+    the round-4 chip sweep measured k=15 overflowing 2^14 mid-timing while k>=21
+    stayed well under. K only costs the K-row output fetch (~(W+3)*4 bytes/row) and
+    K*log N gathers, so the small-k default quadruples rather than risking a
+    K-retry recompile inside a timed/production window. Callers can still pass an
+    explicit ``max_candidates``; the retry protocol remains the correctness net."""
+    K = DEFAULT_MAX_CANDIDATES if k >= 21 else DEFAULT_MAX_CANDIDATES * 4
+    return min(K, capacity) if capacity else K
+
+
 class FusedCallOut(NamedTuple):
     """Host-side view of the fused call's packed output (see ``unpack_fused``)."""
 

@@ -1,0 +1,162 @@
+"""Pallas radix-partition kernel — the "build it or kill it" lever (VERDICT r4 next #3).
+
+Two rounds of costing said the one remaining per-chip lever is a radix partition that
+feeds the 739 Mrows/s lanes-minor batched-sort regime instead of the 251 Mrows/s flat
+sort (benchmarks/README.md round 3 "closed loop" — reopened here with a REAL kernel,
+as the verdict demanded). This module is that kernel, shaped by the measured kill-list:
+
+- no gathers (51-66 Mrows/s measured), no VMEM scatters (unsupported-slow), no bitonic
+  (4x slower than lax.sort);
+- the only primitives used are lane-rolls and selects (VPU-native) plus short prefix
+  scans — the ops the round-3 layout map measured at ~1 Grow/s.
+
+Design: rows live TRANSPOSED, (C operand rows, R lanes) per grid block — the row index
+is the LANE index, so a "move row i to slot j" is a lane shift, not a memory gather.
+A B=2^nbits-way stable partition runs nbits binary passes (LSB first); each pass:
+
+  1. exclusive prefix count D of the bit over lanes (log2 R roll+add passes),
+  2. LEFT select-cascade: rows with bit=0 move left by their deficit, materialized
+     bit-serially (move by 2^s where deficit bit s is set) — the classic stable
+     packing network, collision-free because deficits are monotone over kept rows,
+  3. RIGHT select-cascade (mirror) for bit=1 rows,
+  4. merge: lanes < n0 take the left compaction, lanes >= n0 the right one — they
+     tile the block exactly (n0 + n1 = R, nothing is dropped).
+
+Wraparound safety: a roll by 2^s can only wrap rows from lanes < 2^s, whose deficit
+is <= lane index < 2^s, so their bit-s move flag is always 0 — wrapped garbage is
+never selected (same argument mirrored for the right cascade).
+
+Outputs: the partitioned rows (bucket-major within each block, stable within bucket)
+plus per-(block, bucket) counts. A global bucket layout follows with per-run DMAs or a
+capacity-padded reshape — benchmarks/micro_radix_partition.py measures whether THIS
+kernel's rate leaves any budget for that at all vs the flat sort.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _roll(x, shift):
+    """Circular lane roll of a (rows, R) block; pltpu.roll wants shift >= 0, so a
+    left roll by s is a right roll by R - s."""
+    return pltpu.roll(x, shift % x.shape[1], 1)
+
+
+def _prefix_sum_exclusive(v):
+    """(1, R) int32 exclusive prefix sum along lanes via log2(R) roll+adds."""
+    R = v.shape[1]
+    s = 1
+    acc = v
+    while s < R:
+        shifted = _roll(acc, s)
+        lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+        acc = acc + jnp.where(lane >= s, shifted, 0)
+        s *= 2
+    # inclusive -> exclusive
+    lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    return jnp.where(lane >= 1, _roll(acc, 1), 0)
+
+
+def _cascade_left(rows, keep, deficit):
+    """Stable left-compaction: each kept row moves left by its deficit (the count of
+    dropped rows before it), bit-serially. Returns compacted rows (valid lanes
+    [0, n_keep); the rest is garbage)."""
+    R = rows.shape[1]
+    s = 1
+    while s < R:
+        move = keep & ((deficit & s) != 0)  # this row moves left by s
+        pulled_rows = _roll(rows, -s)
+        pulled_move = _roll(move, -s)
+        pulled_keep = _roll(keep, -s)
+        pulled_def = _roll(deficit, -s)
+        # a lane takes the row s to its right when that row is moving
+        rows = jnp.where(pulled_move, pulled_rows, rows)
+        keep = jnp.where(pulled_move, pulled_keep, keep & ~move)
+        deficit = jnp.where(pulled_move, pulled_def - s, deficit)
+        s *= 2
+    return rows
+
+
+def _reverse_lanes(x):
+    """Reverse along the lane axis (used to mirror the cascade)."""
+    return jnp.flip(x, axis=1)
+
+
+def _partition_bit(rows, bit):
+    """One stable binary partition of (C, R) rows by (1, R) bit in {0,1}.
+    Returns rows reordered [bit==0 block | bit==1 block], stable within each."""
+    keep0 = bit == 0
+    d0 = _prefix_sum_exclusive(bit.astype(jnp.int32))  # dropped-before for keep0
+    left = _cascade_left(rows, keep0, d0)
+    # right cascade = left cascade on the lane-reversed block
+    rrows = _reverse_lanes(rows)
+    rkeep = _reverse_lanes(~keep0)
+    rdef = _prefix_sum_exclusive(_reverse_lanes(keep0).astype(jnp.int32))
+    right = _reverse_lanes(_cascade_left(rrows, rkeep, rdef))
+    n0 = jnp.sum(keep0.astype(jnp.int32))
+    lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    return jnp.where(lane < n0, left, right)
+
+
+def _partition_kernel(nbits, data_ref, ids_ref, out_ref, counts_ref):
+    rows = data_ref[:]  # (C, R)
+    ids = ids_ref[:]  # (1, R) uint32
+    merged = jnp.concatenate([rows, ids.astype(jnp.uint32)], axis=0)
+    for b in range(nbits):
+        bit = ((merged[-1:, :] >> b) & 1).astype(jnp.int32)
+        merged = _partition_bit(merged, bit)
+    out_ref[:] = merged[:-1, :]
+    ids_out = merged[-1:, :]
+    for bucket in range(1 << nbits):
+        counts_ref[0, bucket] = jnp.sum(
+            (ids_out == jnp.uint32(bucket)).astype(jnp.int32)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets", "block_lanes", "interpret"))
+def radix_partition_blocks(
+    data: jnp.ndarray,  # (C, N) uint32 — rows transposed, row index = lane
+    ids: jnp.ndarray,  # (N,) uint32 bucket ids in [0, n_buckets)
+    n_buckets: int,
+    block_lanes: int = 32768,
+    interpret: bool = False,
+):
+    """Per-block stable n_buckets-way partition. N must divide by block_lanes.
+
+    Returns (out (C, N) — each block_lanes slice bucket-major — and
+    counts (N // block_lanes, n_buckets) int32)."""
+    C, N = data.shape
+    if N % block_lanes:
+        raise ValueError(f"N ({N}) % block_lanes ({block_lanes}) != 0")
+    nbits = (n_buckets - 1).bit_length()
+    if 1 << nbits != n_buckets:
+        raise ValueError(f"n_buckets ({n_buckets}) must be a power of two")
+    G = N // block_lanes
+    kernel = functools.partial(_partition_kernel, nbits)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((C, block_lanes), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_lanes), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, block_lanes), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_buckets), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, N), jnp.uint32),
+            jax.ShapeDtypeStruct((G, n_buckets), jnp.int32),
+        ],
+        interpret=interpret,
+    )(data, ids.reshape(1, N))

@@ -490,7 +490,9 @@ class ShardedKmerEngine:
         # are R-1 shifted adds — no compaction sort, no separate call sort. Requires
         # fused_supported(k) and small R (shifted adds are O(R) passes); callers fall
         # back to _finalize_score + _call_score otherwise.
-        self.fused_call_K = min(1 << 14, C)
+        from denovo_kmer_tpu.ops.fused import default_max_candidates
+
+        self.fused_call_K = default_max_candidates(cfg.k, capacity=C)
         _PADW = jnp.uint32(0xFFFFFFFF)
 
         def finalize_call_sc_dev(tab: ScoreTable, Kc: int, variant: str = "v4"):

@@ -578,8 +578,11 @@ class ScoringTableBuilder:
                               "unique k-mers (child ∪ parents)")
             )
         with m.timer("trio_call"):
+            from denovo_kmer_tpu.ops.fused import default_max_candidates
+
             keys, cc, mc, dc, n_unique, n_child_unique = fused_call_full(
-                acc, table, cfg.tau_parent, cfg.min_child_count
+                acc, table, cfg.tau_parent, cfg.min_child_count,
+                max_candidates=default_max_candidates(cfg.k),
             )
         cands = Candidates(
             keys=jnp.asarray(keys), child_counts=jnp.asarray(cc),

@@ -100,6 +100,47 @@ def test_cohort_sharded_matches_single_chip(trios):
     assert tot_sharded == int(ref_superset.n)
 
 
+@pytest.fixture(scope="module")
+def trios8(tmp_path_factory):
+    """8 trios at the BASELINE config-5 count (spec: 8 trios on a v5p-32)."""
+    d = tmp_path_factory.mktemp("cohort8")
+    out = []
+    for i in range(8):
+        spec = TrioSpec(genome_len=900, read_len=50, coverage=5.0, seed=70 + i,
+                        n_inherited_snvs=4, n_denovo_snvs=2)
+        paths = write_trio_bams(make_trio(spec), str(d / f"t{i}"))
+        out.append(TrioPaths(name=f"t{i}", mom=paths["mom"], dad=paths["dad"],
+                             child=paths["child"]))
+    return out
+
+
+def test_cohort_eight_trios_matches_individual_runs(trios8):
+    """Config 5 at SPEC scale: 8 concurrent trios through one engine + shared
+    parental superset, each byte-identical to its standalone run."""
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                       table_capacity=1 << 14)
+    results, superset = run_cohort(trios8, cfg, build_parental_superset=True)
+    assert set(results) == {t.name for t in trios8}
+    for tp in trios8:
+        solo = run_trio(tp.mom, tp.dad, tp.child, cfg)
+        assert results[tp.name].report == solo.report
+    assert int(superset.n) > 0
+
+
+def test_cohort_eight_trios_sharded_matches_oracle(trios8):
+    """8 trios on the sharded engine (2x4 mesh; config 5's shape scaled to the CPU
+    mesh) — per-trio candidates equal the scalar oracle's."""
+    from denovo_kmer_tpu.cohort import run_cohort_sharded
+    from denovo_kmer_tpu.parallel.mesh import make_mesh
+
+    cfg = EngineConfig(k=21, max_read_len=64, batch_reads=64,
+                       table_capacity=1 << 15, accum_batches=2,
+                       mesh_shape=(2, 4), route_capacity_factor=2.0)
+    results, superset = run_cohort_sharded(trios8, cfg, mesh=make_mesh((2, 4)))
+    for tp in trios8:
+        assert results[tp.name] == oracle_cands(tp, cfg)
+
+
 def test_multi_k_sharded_matches_single_chip(trios):
     """Sharded multi-k sweep (SURVEY config 4: per-k table shards over one mesh) must
     equal the single-chip sweep byte-exactly for every k."""

@@ -1,0 +1,68 @@
+"""Pallas radix-partition kernel (ops/partition_pallas.py): interpret-mode correctness
+vs a numpy reference — per-block bucket-major order, stability within buckets, counts.
+The chip rate measurement lives in benchmarks/micro_radix_partition.py."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from denovo_kmer_tpu.ops.partition_pallas import radix_partition_blocks
+
+
+def _np_reference(data, ids, n_buckets, block):
+    C, N = data.shape
+    out = np.empty_like(data)
+    G = N // block
+    counts = np.zeros((G, n_buckets), np.int32)
+    for g in range(G):
+        sl = slice(g * block, (g + 1) * block)
+        bid = ids[sl]
+        order = np.argsort(bid, kind="stable")
+        out[:, sl] = data[:, sl][:, order]
+        counts[g] = np.bincount(bid, minlength=n_buckets)
+    return out, counts
+
+
+@pytest.mark.parametrize("n_buckets,block", [(2, 256), (8, 512), (16, 1024)])
+def test_partition_matches_numpy(n_buckets, block):
+    rng = np.random.default_rng(n_buckets * 1000 + block)
+    C, N = 4, block * 3
+    data = rng.integers(0, 2**32, size=(C, N), dtype=np.uint32)
+    # the kernel carries ids as the last payload row, so make row C-1 the id row
+    ids = rng.integers(0, n_buckets, size=N).astype(np.uint32)
+    data[C - 1] = ids  # lets us verify stability via a unique tag in row 0
+    data[0] = np.arange(N, dtype=np.uint32)  # unique tags -> stability check
+    out, counts = radix_partition_blocks(
+        jnp.asarray(data), jnp.asarray(ids), n_buckets,
+        block_lanes=block, interpret=True,
+    )
+    ref, ref_counts = _np_reference(data, ids, n_buckets, block)
+    np.testing.assert_array_equal(np.asarray(counts), ref_counts)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_partition_skewed_ids():
+    """All-one-bucket and empty-bucket extremes."""
+    C, N, B, block = 3, 512, 4, 256
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 2**32, size=(C, N), dtype=np.uint32)
+    ids = np.zeros(N, np.uint32)
+    ids[300:] = 3
+    out, counts = radix_partition_blocks(
+        jnp.asarray(data), jnp.asarray(ids), B, block_lanes=block, interpret=True
+    )
+    ref, ref_counts = _np_reference(data, ids, B, block)
+    np.testing.assert_array_equal(np.asarray(counts), ref_counts)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_partition_rejects_bad_shapes():
+    data = jnp.zeros((2, 300), jnp.uint32)
+    ids = jnp.zeros(300, jnp.uint32)
+    with pytest.raises(ValueError, match="block_lanes"):
+        radix_partition_blocks(data, ids, 4, block_lanes=256, interpret=True)
+    with pytest.raises(ValueError, match="power of two"):
+        radix_partition_blocks(jnp.zeros((2, 256), jnp.uint32),
+                               jnp.zeros(256, jnp.uint32), 3,
+                               block_lanes=256, interpret=True)
