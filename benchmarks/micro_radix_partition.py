@@ -56,18 +56,27 @@ def main() -> int:
         return (mix32(d[:2].T ^ salt) % jnp.uint32(B)).astype(jnp.uint32)
 
     def force(x):
-        return np.asarray(jax.tree.leaves(x)[-1]).ravel()[0]
+        # A 4-byte scalar fetch: each timed fn reduces its full output to one
+        # scalar ON DEVICE (np.asarray of the raw output would ship tens of MB
+        # through the ~40 MB/s measurement tunnel and swamp the kernel time).
+        return np.asarray(x).ravel()[0]
 
-    part = functools.partial(
+    _part = functools.partial(
         radix_partition_blocks, n_buckets=B, block_lanes=block,
         # CPU smoke runs use the interpreter (Mosaic is TPU-only); its rate is
         # meaningless — the JSON line carries the device for that reason
         interpret=dev.platform == "cpu")
 
+    @jax.jit
+    def part(d, i):
+        out, counts = _part(d, i)
+        # counts depend on the whole partition; sampling out too keeps the row
+        # outputs live without shipping them
+        return counts.sum() + out[0, ::8192].astype(jnp.int32).sum()
+
     # ---- leg 1: the Pallas partition kernel ----
     ids = ids_of(data, jnp.uint32(1))
-    out, counts = part(data, ids)
-    force(counts)
+    force(part(data, ids))
 
     def timed(f, *a):
         t0 = time.perf_counter()
@@ -96,7 +105,9 @@ def main() -> int:
     def mid_sort(a, b, c, d, salt):
         s = jax.lax.sort([a ^ salt, b, c, d], num_keys=2, is_stable=False,
                          dimension=1)
-        return s[0]
+        # strided device-side checksum (not s[0][:1]: a leading slice of a sort
+        # is XLA's top-k rewrite pattern; a strided sum is not)
+        return s[0][:, ::64, ::64].astype(jnp.int32).sum()
 
     force(mid_sort(*ops_mid, jnp.uint32(1)))
     t_mid = [timed(mid_sort, *ops_mid, jnp.uint32(200 + r)) for r in range(reps)]
@@ -108,7 +119,7 @@ def main() -> int:
     @jax.jit
     def flat_sort(a, b, c, d, salt):
         s = jax.lax.sort([a ^ salt, b, c, d], num_keys=2, is_stable=False)
-        return s[0]
+        return s[0][::4096].astype(jnp.int32).sum()
 
     force(flat_sort(*flat_ops, jnp.uint32(1)))
     t_flat = [timed(flat_sort, *flat_ops, jnp.uint32(300 + r)) for r in range(reps)]

@@ -66,40 +66,58 @@ def _prefix_sum_exclusive(v):
 def _cascade_left(rows, keep, deficit):
     """Stable left-compaction: each kept row moves left by its deficit (the count of
     dropped rows before it), bit-serially. Returns compacted rows (valid lanes
-    [0, n_keep); the rest is garbage)."""
+    [0, n_keep); the rest is garbage). `keep` is a (1, R) int32 0/1 mask — Mosaic's
+    lane rotate only supports 32-bit data, so bool masks cannot be rolled."""
     R = rows.shape[1]
     s = 1
     while s < R:
-        move = keep & ((deficit & s) != 0)  # this row moves left by s
+        # this row moves left by s
+        move = keep * ((deficit & s) != 0).astype(jnp.int32)
         pulled_rows = _roll(rows, -s)
         pulled_move = _roll(move, -s)
         pulled_keep = _roll(keep, -s)
         pulled_def = _roll(deficit, -s)
         # a lane takes the row s to its right when that row is moving
-        rows = jnp.where(pulled_move, pulled_rows, rows)
-        keep = jnp.where(pulled_move, pulled_keep, keep & ~move)
-        deficit = jnp.where(pulled_move, pulled_def - s, deficit)
+        take = pulled_move != 0
+        rows = jnp.where(take, pulled_rows, rows)
+        keep = jnp.where(take, pulled_keep, keep * (1 - move))
+        deficit = jnp.where(take, pulled_def - s, deficit)
         s *= 2
     return rows
 
 
-def _reverse_lanes(x):
-    """Reverse along the lane axis (used to mirror the cascade)."""
-    return jnp.flip(x, axis=1)
+def _cascade_right(rows, keep, deficit):
+    """Mirror of `_cascade_left`: each kept row moves RIGHT by its deficit (the count
+    of dropped rows after it), bit-serially. Valid lanes are [R - n_keep, R).
+    Written directly (rolls of +s) because Mosaic has no lane-reverse primitive;
+    `keep` is an int32 0/1 mask as in `_cascade_left`."""
+    R = rows.shape[1]
+    s = 1
+    while s < R:
+        # this row moves right by s
+        move = keep * ((deficit & s) != 0).astype(jnp.int32)
+        pulled_rows = _roll(rows, s)  # lane i sees the row s to its LEFT
+        pulled_move = _roll(move, s)
+        pulled_keep = _roll(keep, s)
+        pulled_def = _roll(deficit, s)
+        take = pulled_move != 0
+        rows = jnp.where(take, pulled_rows, rows)
+        keep = jnp.where(take, pulled_keep, keep * (1 - move))
+        deficit = jnp.where(take, pulled_def - s, deficit)
+        s *= 2
+    return rows
 
 
 def _partition_bit(rows, bit):
-    """One stable binary partition of (C, R) rows by (1, R) bit in {0,1}.
+    """One stable binary partition of (C, R) rows by (1, R) int32 bit in {0,1}.
     Returns rows reordered [bit==0 block | bit==1 block], stable within each."""
-    keep0 = bit == 0
-    d0 = _prefix_sum_exclusive(bit.astype(jnp.int32))  # dropped-before for keep0
-    left = _cascade_left(rows, keep0, d0)
-    # right cascade = left cascade on the lane-reversed block
-    rrows = _reverse_lanes(rows)
-    rkeep = _reverse_lanes(~keep0)
-    rdef = _prefix_sum_exclusive(_reverse_lanes(keep0).astype(jnp.int32))
-    right = _reverse_lanes(_cascade_left(rrows, rkeep, rdef))
-    n0 = jnp.sum(keep0.astype(jnp.int32))
+    b0 = 1 - bit  # keep0 mask, int32
+    d0 = _prefix_sum_exclusive(bit)  # dropped-before for keep0
+    left = _cascade_left(rows, b0, d0)
+    # right cascade: bit==1 rows move right by the count of bit==0 rows AFTER them
+    n0 = jnp.sum(b0)
+    d1 = n0 - (_prefix_sum_exclusive(b0) + b0)  # keep0 suffix count (exclusive)
+    right = _cascade_right(rows, bit, d1)
     lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
     return jnp.where(lane < n0, left, right)
 
@@ -113,10 +131,16 @@ def _partition_kernel(nbits, data_ref, ids_ref, out_ref, counts_ref):
         merged = _partition_bit(merged, bit)
     out_ref[:] = merged[:-1, :]
     ids_out = merged[-1:, :]
+    # Counts land in an (8, 128) VMEM tile (Mosaic's minimum int32 tile — a bare
+    # (1, n_buckets) output block fails the sublane-divisibility rule on real TPU);
+    # row 0 lanes [0, n_buckets) carry the counts, the caller slices them out.
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    acc = jnp.zeros((8, 128), jnp.int32)
     for bucket in range(1 << nbits):
-        counts_ref[0, bucket] = jnp.sum(
-            (ids_out == jnp.uint32(bucket)).astype(jnp.int32)
-        )
+        cnt = jnp.sum((ids_out == jnp.uint32(bucket)).astype(jnp.int32))
+        acc = acc + jnp.where((row == 0) & (lane == bucket), cnt, 0)
+    counts_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("n_buckets", "block_lanes", "interpret"))
@@ -137,9 +161,11 @@ def radix_partition_blocks(
     nbits = (n_buckets - 1).bit_length()
     if 1 << nbits != n_buckets:
         raise ValueError(f"n_buckets ({n_buckets}) must be a power of two")
+    if n_buckets > 128:
+        raise ValueError(f"n_buckets ({n_buckets}) > 128 (one counts lane row)")
     G = N // block_lanes
     kernel = functools.partial(_partition_kernel, nbits)
-    return pl.pallas_call(
+    out, counts_pad = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
@@ -151,12 +177,14 @@ def radix_partition_blocks(
         out_specs=[
             pl.BlockSpec((C, block_lanes), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_buckets), lambda g: (g, 0),
+            pl.BlockSpec((8, 128), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C, N), jnp.uint32),
-            jax.ShapeDtypeStruct((G, n_buckets), jnp.int32),
+            jax.ShapeDtypeStruct((G * 8, 128), jnp.int32),
         ],
         interpret=interpret,
     )(data, ids.reshape(1, N))
+    counts = counts_pad.reshape(G, 8, 128)[:, 0, :n_buckets]
+    return out, counts
