@@ -361,7 +361,22 @@ def main() -> int:
     # stream longer than one window actually sustains. First-class key. ----
     if os.environ.get("BENCH_STEADY", "1") != "0":
         ss_windows = int(os.environ.get("BENCH_SS_WINDOWS", 4))
-        ss_accum = int(os.environ.get("BENCH_SS_ACCUM", 32))
+        ss_accum_raw = os.environ.get("BENCH_SS_ACCUM", "auto")
+        if ss_accum_raw == "auto":
+            # the CLI's `--accum-batches auto` arithmetic (cli._accum_kwargs):
+            # ~15% of device memory as staging, window in [8, 128] batches —
+            # the steady-state number is measured at the window PRODUCTION
+            # auto-sizing would pick on this device (VERDICT r4 next #4)
+            try:
+                hbm = int((dev.memory_stats() or {}).get("bytes_limit", 0))
+            except Exception:
+                hbm = 0
+            if hbm <= 0:
+                hbm = 16 << 30 if "tpu" in dev.device_kind.lower() else 4 << 30
+            per_batch = batch_reads * P * (cfg.words + 1) * 4
+            ss_accum = min(max(int(hbm * 0.15 / per_batch), 8), 128)
+        else:
+            ss_accum = int(ss_accum_raw)
         ss_slots = ss_accum * batch_reads * P
 
         def steady_run(salt):
@@ -404,6 +419,7 @@ def main() -> int:
         result["steady_state_vs_baseline"] = round(rate_ss / PER_CHIP_TARGET, 4)
         result["steady_state_config"] = {
             "windows": ss_windows, "accum_batches": ss_accum,
+            "accum_sizing": ss_accum_raw,
             "kmers_per_window": ss_accum * batch_reads * P,
         }
 

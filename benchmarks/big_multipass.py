@@ -42,6 +42,10 @@ def main() -> int:
         jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
+    from denovo_kmer_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
+
     from denovo_kmer_tpu.config import EngineConfig
     from denovo_kmer_tpu.ops.spill import (
         count_pass_from_store,
@@ -87,12 +91,20 @@ def main() -> int:
     vwords = jnp.asarray(
         np.full((batch_reads, max_read_len // 32), 0xFFFFFFFF, np.uint32))
 
-    def batch_words(bi):
-        r = np.random.default_rng(1000 + bi)
+    def batch_words(bi, fam=1000):
+        r = np.random.default_rng(fam + bi)
         offs = r.integers(0, genome_words_n - Lw, size=batch_reads)
         return jnp.asarray(genome_words[np.add.outer(offs, np.arange(Lw))])
 
-    def run_reextract():
+    # spill-store sizing is a function of the FULL run (the warmup must compile at
+    # the production store shape so warm executables are reused)
+    slack = float(os.environ.get("BIG_SPILL_SLACK", 1.10))
+    total_rows = n_batches * batch_reads * P
+    rows_pp = int(total_rows / n_passes * slack)
+    rows_pp = -(-rows_pp // S) * S  # count chunks must divide the store
+    cap = spill_capacity(S, n_passes, 1.25)
+
+    def run_reextract(nb, label="reextract", fam=1000):
         """Round-4 path: every pass re-extracts everything, keeps 1/N."""
         extract_append, flush_fn = make_ingest_step(cfg, n_passes=n_passes)
         per_pass = []
@@ -103,8 +115,8 @@ def main() -> int:
             pid = jnp.uint32(p)
             pending = 0
             tp = time.perf_counter()
-            for bi in range(n_batches):
-                acc = extract_append(acc, batch_words(bi), vwords, pid)
+            for bi in range(nb):
+                acc = extract_append(acc, batch_words(bi, fam), vwords, pid)
                 pending += 1
                 if pending == cfg.accum_batches:
                     acc, table = flush_fn(acc, table)
@@ -114,29 +126,24 @@ def main() -> int:
             n = int(np.asarray(table.n))
             per_pass.append(n)
             del acc, table
-            print(f"  [reextract] pass {p}: uniques={n} "
+            print(f"  [{label}] pass {p}: uniques={n} "
                   f"{time.perf_counter()-tp:.1f}s", file=sys.stderr, flush=True)
         return per_pass, time.perf_counter() - t0
 
-    def run_spill():
+    def run_spill(nb, label="spill", fam=1000):
         """Round-5 path: ONE extract+partition pass into a device PassStore,
         then each pass folds only its own rows (ops/spill.py)."""
         extract_append, _ = make_ingest_step(cfg)  # no pass filter
-        slack = float(os.environ.get("BIG_SPILL_SLACK", 1.10))
-        total_rows = n_batches * batch_reads * P
-        rows_pp = int(total_rows / n_passes * slack)
-        rows_pp = -(-rows_pp // S) * S  # count chunks must divide the store
-        cap = spill_capacity(S, n_passes, 1.25)
         hbm_gb = n_passes * rows_pp * cfg.words * 4 / 1e9
-        print(f"  [spill] store {n_passes}x{rows_pp} rows = {hbm_gb:.1f} GB HBM, "
+        print(f"  [{label}] store {n_passes}x{rows_pp} rows = {hbm_gb:.1f} GB HBM, "
               f"window cap {cap}", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         acc = empty_accumulator(S, cfg.words)
         store = empty_pass_store(n_passes, rows_pp, cfg.words)
         ovf_total = jnp.zeros((), jnp.int32)
         pending = 0
-        for bi in range(n_batches):
-            acc = extract_append(acc, batch_words(bi), vwords)
+        for bi in range(nb):
+            acc = extract_append(acc, batch_words(bi, fam), vwords)
             pending += 1
             if pending == cfg.accum_batches:
                 disp, counts, ovf, acc = partition_window(acc, n_passes, cap)
@@ -151,7 +158,7 @@ def main() -> int:
         fills = np.asarray(store.fill)
         assert fills.max() <= rows_pp, f"store overflow {fills.max()} > {rows_pp}"
         t_spill = time.perf_counter() - t0
-        print(f"  [spill] extract+partition: {t_spill:.1f}s "
+        print(f"  [{label}] extract+partition: {t_spill:.1f}s "
               f"({fills.sum()/1e6:.0f}M rows stored)", file=sys.stderr, flush=True)
         per_pass = []
         for p in range(n_passes):
@@ -161,15 +168,31 @@ def main() -> int:
             n = int(np.asarray(table.n))
             per_pass.append(n)
             del table
-            print(f"  [spill] pass {p}: uniques={n} "
+            print(f"  [{label}] pass {p}: uniques={n} "
                   f"{time.perf_counter()-tp:.1f}s", file=sys.stderr, flush=True)
         return per_pass, time.perf_counter() - t0
 
+    # ---- warmup: compile every executable BOTH legs need, at production shapes,
+    # OUTSIDE the timed windows (the first A/B run measured ~60-70 s of cold
+    # backend compile inside each leg's first pass — the same timed-window
+    # contamination VERDICT r4 flagged for config 4; production runs are warm via
+    # the persistent compile cache). One accumulation window through each path.
+    if os.environ.get("BIG_WARM", "1") != "0":
+        tw = time.perf_counter()
+        # fam=777000: warmup inputs must DIFFER from the timed runs' byte-for-byte
+        # (the axon runtime result-caches identical (executable, inputs) pairs —
+        # same rule as bench.py's salting) while compiling the same shapes
+        nb_warm = min(cfg.accum_batches, n_batches)
+        run_reextract(nb_warm, label="warm-reextract", fam=777000)
+        run_spill(nb_warm, label="warm-spill", fam=777000)
+        print(f"  warmup/compile: {time.perf_counter()-tw:.1f}s (excluded from "
+              "timed walls)", file=sys.stderr, flush=True)
+
     results = {}
     if mode in ("reextract", "ab"):
-        results["reextract"] = run_reextract()
+        results["reextract"] = run_reextract(n_batches)
     if mode in ("spill", "ab"):
-        results["spill"] = run_spill()
+        results["spill"] = run_spill(n_batches)
 
     per_pass, dt = results.get("spill") or results["reextract"]
     total = sum(per_pass)
