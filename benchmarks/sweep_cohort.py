@@ -95,6 +95,9 @@ def main():
     for k in ks:
         run_trio(warm.mom, warm.dad, warm.child, dataclasses.replace(cfg, k=k))
     run_cohort([warm], cfg, build_parental_superset=True)
+    # a 2-trio warm cohort covers any n-dependent executable (same per-trio
+    # shapes thereafter); the repeated trio only needs to compile, not measure
+    run_cohort([warm, warm], cfg, build_parental_superset=True)
     print(f"warmup/compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # ---- recompile guard (VERDICT r4 next #5): the round-4 amortization number
@@ -113,19 +116,34 @@ def main():
 
     _mon.register_event_duration_secs_listener(_on_duration)
 
+    # per-phase compile attribution: when the end-of-run gate trips, this names
+    # the phase that compiled (printed live so even a crashed run shows it)
+    compile_by_phase = {}
+
+    def _phase_compile(name, before):
+        d = compile_secs[0] - before
+        compile_by_phase[name] = round(d, 3)
+        if d > 0.05:
+            print(f"  [compile] {d:.2f}s inside phase {name}", file=sys.stderr,
+                  flush=True)
+
     # ---- config 4: multi-k sweep vs standalone singles ----
+    c0 = compile_secs[0]
     t0 = time.perf_counter()
     res_multi = run_trio_multi_k(trios["m0"].mom, trios["m0"].dad,
                                  trios["m0"].child, cfg, ks)
     t_multi = time.perf_counter() - t0
+    _phase_compile("multi_k", c0)
     assert set(res_multi) == set(ks)
 
     per_k = {}
     for k in ks:
         tr = trios[f"s{k}"]
+        c0 = compile_secs[0]
         t0 = time.perf_counter()
         run_trio(tr.mom, tr.dad, tr.child, dataclasses.replace(cfg, k=k))
         per_k[k] = round(time.perf_counter() - t0, 3)
+        _phase_compile(f"single_k{k}", c0)
     t_singles = sum(per_k.values())
     kmers_multi = sum(n_reads * (read_len - k + 1) for k in ks) * 3  # 3 samples
 
@@ -138,9 +156,11 @@ def main():
     for n in cohort_sizes:
         batch = [trios[f"c{ci + j}"] for j in range(n)]
         ci += n
+        c0 = compile_secs[0]
         t0 = time.perf_counter()
         run_cohort(batch, cfg, build_parental_superset=True)
         cohort_walls[n] = round(time.perf_counter() - t0, 3)
+        _phase_compile(f"cohort_{n}", c0)
     t_c1 = cohort_walls.get(1, cohort_walls[cohort_sizes[0]])
     t_c2 = cohort_walls.get(2, t_c1)
     marginal = t_c2 - t_c1
@@ -165,11 +185,7 @@ def main():
 
     _mon.unregister_event_duration_listener(_on_duration)
     compile_budget = float(os.environ.get("SWEEP_COMPILE_BUDGET_S", 1.0))
-    assert compile_secs[0] < compile_budget, (
-        f"{compile_secs[0]:.2f}s of backend compilation inside timed windows "
-        f"(budget {compile_budget}s) — measurement invalid (cold cache or a "
-        f"K-retry recompile); re-run warm"
-    )
+    contaminated = compile_secs[0] >= compile_budget
     # standalone comparator: one fresh trio through its own engine = t_c1 (the
     # engine compile is already cached for both, so the delta isolates per-trio
     # stream + device work — the cohort claim is it stays ~flat per trio)
@@ -178,8 +194,10 @@ def main():
         "metric": "sweep_cohort_chip",
         "device": dev.device_kind,
         "reads_per_sample": n_reads,
-        # asserted < SWEEP_COMPILE_BUDGET_S: warm-K everywhere, no retry recompiles
+        # gated by SWEEP_COMPILE_BUDGET_S: warm-K everywhere, no retry recompiles
         "timed_backend_compile_s": round(compile_secs[0], 3),
+        "timed_compile_by_phase_s": compile_by_phase,
+        "contaminated": contaminated,
         "sweep": {
             "ks": ks,
             "multi_k_wall_s": round(t_multi, 3),
@@ -202,6 +220,13 @@ def main():
         os.unlink(os.path.join(tmpdir, f))
     os.rmdir(tmpdir)
     print(json.dumps(out))
+    # the JSON (with contaminated=true + per-phase attribution) is printed even
+    # when the gate trips — but the run still fails so nothing quotes it as clean
+    assert not contaminated, (
+        f"{compile_secs[0]:.2f}s of backend compilation inside timed windows "
+        f"(budget {compile_budget}s; by phase: {compile_by_phase}) — "
+        "measurement invalid (cold cache or a K-retry recompile); re-run warm"
+    )
     return 0
 
 

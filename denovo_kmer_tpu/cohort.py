@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -27,6 +28,19 @@ from denovo_kmer_tpu.pipeline import (
     packed_batches,
 )
 from denovo_kmer_tpu.utils.metrics import Metrics
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_flush_score():
+    """One shared donating jit of flush_score: a fresh ``jax.jit(...)`` per
+    sweep invocation defeats the in-process jit cache and recompiles (the
+    per-phase compile attribution in benchmarks/sweep_cohort.py caught this
+    pattern costing ~3 s per multi-k run)."""
+    import jax
+
+    from denovo_kmer_tpu.ops.score import flush_score
+
+    return jax.jit(flush_score, donate_argnums=(0, 1))
 
 
 def run_trio_multi_k(
@@ -106,7 +120,7 @@ def run_trio_multi_k(
     }
     from denovo_kmer_tpu.ops.fused import fused_call_full, fused_supported
 
-    flush_sc = {k: _jax.jit(flush_score, donate_argnums=(0, 1)) for k in ks}
+    flush_sc = {k: _jitted_flush_score() for k in ks}
     accs_child = {k: fresh_acc(k) for k in ks}
     all_fused = all(fused_supported(k) for k in ks)
     stream_per_k(child_path, score_k, flush_sc, accs_child, flush_tail=not all_fused)

@@ -519,6 +519,10 @@ def fused_call_full(
         )
         host = unpack_fused(packed)
         if host.carry_risk:
+            import sys
+
+            print("fused_call_full: carried-count carry risk, re-running via v4 "
+                  "(recompile)", file=sys.stderr)
             variant = "v4"
             continue
         n = host.n_cand
@@ -526,6 +530,12 @@ def fused_call_full(
             return (host.keys[:n], host.child[:n], host.momc[:n], host.dadc[:n],
                     host.n_unique, host.n_child_unique)
         K = 1 << (n - 1).bit_length()
+        import sys
+
+        # loud: a K-retry recompiles inside whatever window the caller is timing
+        # (benchmarks hard-gate on compile seconds — see sweep_cohort.py)
+        print(f"fused_call_full: {n} candidates overflow K={host.keys.shape[0]}, "
+              f"retrying with K={K} (recompile)", file=sys.stderr)
 
 
 def fused_call_candidates(

@@ -157,8 +157,14 @@ class _FakeRec:
     name: Optional[str] = None
 
 
+@functools.lru_cache(maxsize=None)
 def make_ingest_step(cfg: EngineConfig, n_passes: int = 1):
-    """Jitted streaming-ingest pair: (extract_append, flush_fn).
+    """Jitted streaming-ingest pair: (extract_append, flush_fn). MEMOIZED by
+    (cfg, n_passes) — EngineConfig is frozen/hashable, and rebuilding fresh jit
+    closures per invocation made every run_trio/multi-k call recompile its
+    sub-persistence-threshold executables (~3 s per sweep, measured by
+    sweep_cohort.py's per-phase compile attribution); one shared pair per config
+    hits jax's in-process jit cache instead.
 
     LSM design (ops/stream.py): per batch only extract + append raw k-mers to the staging
     buffer (no sort, no host sync); every ``cfg.accum_batches`` batches one flush
