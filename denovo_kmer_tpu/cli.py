@@ -87,7 +87,12 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="with --passes N: decode+extract each input ONCE and spill "
                         "per-pass k-mer partitions to DIR (resumable; a sample whose "
                         "spill completed is never re-decoded) — total device work "
-                        "~independent of N instead of Nx (`call` only)")
+                        "~independent of N instead of Nx (`call` only, single-chip)")
+    e.add_argument("--spill-rows", type=int, default=None, metavar="N",
+                   help="with --passes N: single-decode multipass through a "
+                        "DEVICE-RESIDENT spill store of N rows per pass (per device "
+                        "with --mesh — the store's HBM spreads across the mesh); the "
+                        "in-HBM alternative to --spill DIR (`call` only)")
     e.add_argument("--reference", default=None,
                    help="reference FASTA (required for reference-based CRAM inputs)")
     e.add_argument("--extractor", choices=("fast", "fast_t", "pallas"), default="fast",
@@ -195,21 +200,35 @@ def cmd_call(args) -> int:
         profile_ctx = jax.profiler.trace(args.profile_dir)
         profile_ctx.__enter__()
     try:
-        if getattr(args, "passes", 1) > 1 and getattr(args, "spill", None):
+        spill_dir = getattr(args, "spill", None)
+        spill_rows = getattr(args, "spill_rows", None)
+        if getattr(args, "passes", 1) > 1 and (spill_dir or spill_rows):
             # single-decode multipass (ops/spill.py): decode+extract once, spill
-            # per-pass partitions to --spill DIR, count each pass from its spill —
-            # the KMC2-style move; resumable (a sample's finished spill is reused)
+            # per-pass partitions (host files via --spill DIR, resumable; or a
+            # device store via --spill-rows), count each pass from its spill —
+            # the KMC2-style move
+            if spill_dir and spill_rows:
+                raise SystemExit("--spill DIR and --spill-rows are exclusive")
             if cfg.mesh_shape != (1, 1):
-                raise SystemExit("--spill composes with --passes on the "
-                                 "single-chip path only (use --passes alone "
-                                 "with --mesh)")
-            from denovo_kmer_tpu.pipeline import run_trio_spill
+                if spill_dir:
+                    raise SystemExit(
+                        "--spill DIR is the single-chip host spill; with --mesh "
+                        "use --spill-rows N (reads-sharded device store)")
+                from denovo_kmer_tpu.parallel.pipeline import run_trio_spill_sharded
 
-            result = run_trio_spill(
-                args.mom, args.dad, args.child, cfg, args.passes,
-                spill_dir=args.spill, metrics=metrics,
-                region=_resolve_region(args),
-            )
+                result = run_trio_spill_sharded(
+                    args.mom, args.dad, args.child, cfg, args.passes,
+                    device_store_rows=spill_rows, metrics=metrics,
+                    region=_resolve_region(args),
+                )
+            else:
+                from denovo_kmer_tpu.pipeline import run_trio_spill
+
+                result = run_trio_spill(
+                    args.mom, args.dad, args.child, cfg, args.passes,
+                    spill_dir=spill_dir, device_store_rows=spill_rows,
+                    metrics=metrics, region=_resolve_region(args),
+                )
         elif getattr(args, "passes", 1) > 1:
             if cfg.mesh_shape != (1, 1):
                 # passes × mesh: each hash-pass runs over the full mesh (WGS-scale

@@ -334,3 +334,141 @@ def _run_trio_multipass_sharded_once(
     return TrioResult(
         candidates=all_cands, report=report, metrics=m, tables_n=tables_n,
     )
+
+
+def run_trio_spill_sharded(
+    mom_path: str,
+    dad_path: str,
+    child_path: str,
+    cfg: EngineConfig,
+    n_passes: int,
+    device_store_rows: int,
+    metrics: Optional[Metrics] = None,
+    mesh=None,
+    region: Optional[str] = None,
+    capacity_factor: float = 1.4,
+) -> TrioResult:
+    """Sharded SINGLE-DECODE multipass (the mesh twin of ``pipeline.run_trio_spill``;
+    BASELINE config 3 at WGS scale): each sample is decoded+extracted ONCE over the
+    full mesh; every staged window is partition-sorted by ``router.pass_of`` into
+    per-pass row blocks kept in a reads-sharded device store (HBM spread across all
+    R*T devices — the same reason config 3 shards its table); each counting pass then
+    folds only its own rows through the engine's normal route+aggregate, so per-pass
+    results are bit-identical to ``run_trio_multipass_sharded`` at ~1/n_passes of its
+    device work (chip A/B of the single-chip twin: 3.32x at 6 passes,
+    benchmarks/README.md round 5).
+
+    ``device_store_rows``: store rows per pass PER DEVICE (rounded up to the staging
+    window). Store HBM/device = n_passes * rows_pp * words * 4 B; all three samples'
+    stores coexist during counting. Host-file spill on a mesh (beyond-HBM) composes
+    per host with the single-chip ``HostSpill`` and is not implemented here."""
+    from denovo_kmer_tpu.io.prefetch import prefetch_placed
+    from denovo_kmer_tpu.ops.spill import SpillOverflowError
+    from denovo_kmer_tpu.parallel.mesh import AXIS_READS, AXIS_TABLE
+    from denovo_kmer_tpu.parallel.sharded_table import ShardedBuildState
+    from jax.sharding import PartitionSpec as P
+
+    if n_passes < 2:
+        return run_trio_sharded(mom_path, dad_path, child_path, cfg, metrics,
+                                mesh, region=region)
+    m = metrics or Metrics()
+    mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape)
+    engine = ShardedKmerEngine(cfg, mesh)
+    sp = engine.spill_programs(n_passes, device_store_rows, capacity_factor)
+    put = functools.partial(jax.device_put, device=engine._sharding_reads)
+    u32_0 = jnp.uint32(0)
+
+    def _zeros_ovf():
+        return engine._put(np.zeros((engine.R, engine.T), np.int32),
+                           P(AXIS_READS, AXIS_TABLE))
+
+    def spill_sample(name, path):
+        acc, ovf = engine._new_acc_state()
+        rows, fill = sp.new_store()
+        pending = 0
+        src = path if region is None else _record_stream(path, cfg, region)
+        with m.timer(f"spill_{name}"):
+            for packed in prefetch_placed(_packed_batches(src, cfg), put=put,
+                                          ship_lengths=True):
+                m.count("reads_ingested", packed.n_reads)
+                words = jax.device_put(packed.words, engine._sharding_reads)
+                if getattr(packed, "prefix_valid", False) or packed.vwords is None:
+                    lens = packed.length
+                    if not isinstance(lens, jax.Array):
+                        lens = np.ascontiguousarray(lens, dtype=np.int32)
+                    lens = jax.device_put(lens, engine._sharding_reads)
+                    acc, ovf = engine._ingest_len(acc, ovf, words, lens, u32_0)
+                else:
+                    vwords = jax.device_put(packed.vwords, engine._sharding_reads)
+                    acc, ovf = engine._ingest(acc, ovf, words, vwords, u32_0)
+                m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
+                pending += 1
+                if pending == cfg.accum_batches:
+                    disp, counts, acc, ovf = sp.partition(acc, ovf)
+                    rows, fill = sp.append(rows, fill, disp, counts)
+                    pending = 0
+            if pending:
+                disp, counts, acc, ovf = sp.partition(acc, ovf)
+                rows, fill = sp.append(rows, fill, disp, counts)
+        ovf_total = int(np.asarray(ovf).sum())
+        if ovf_total:
+            raise SpillOverflowError(
+                f"{ovf_total} k-mers overflowed the per-pass window capacity "
+                f"{sp.window_cap} ({name}); raise capacity_factor "
+                f"(={capacity_factor})"
+            )
+        fills = np.asarray(fill)  # (R, T, n_passes)
+        if fills.max(initial=0) > sp.rows_pp:
+            raise SpillOverflowError(
+                f"device store overflow ({name}): a device's pass holds "
+                f"{int(fills.max())} rows > {sp.rows_pp}; raise device_store_rows"
+            )
+        m.event("spill_stored", sample=name, rows=int(fills.sum()))
+        return rows, fill, fills
+
+    stores = {name: spill_sample(name, path) for name, path in
+              (("mom", mom_path), ("dad", dad_path), ("child", child_path))}
+
+    # one dummy acc reused by every finalize state (pending=0 never touches it)
+    acc0, _ = engine._new_acc_state()
+    all_cands = []
+    tables_n = {"mom": 0, "dad": 0, "child": 0}
+
+    def _n_chunks(fills, p):
+        return max(-(-int(fills[:, :, p].max(initial=0)) // sp.chunk_rows), 1)
+
+    for p in range(n_passes):
+        with m.timer("count_passes"):
+            ptabs = {}
+            for name in ("mom", "dad"):
+                rows, fill, fills = stores[name]
+                tab, ovf = engine.empty_table(), _zeros_ovf()
+                for ci in range(_n_chunks(fills, p)):
+                    tab, ovf = sp.fold(rows, fill, tab, ovf, jnp.int32(p),
+                                       jnp.int32(ci * sp.chunk_rows))
+                ptabs[name] = engine.finalize(
+                    ShardedBuildState(acc=acc0, ovf=ovf, table=tab, pending=0)
+                )
+                tables_n[name] += engine.total_unique(ptabs[name])
+            rows, fill, fills = stores["child"]
+            stab, ovf = engine._seed_score(ptabs["mom"], ptabs["dad"]), _zeros_ovf()
+            for ci in range(_n_chunks(fills, p)):
+                stab, ovf = sp.fold_score(rows, fill, stab, ovf, jnp.int32(p),
+                                          jnp.int32(ci * sp.chunk_rows))
+        with m.timer("trio_call"):
+            cand_tuples, child_uniques = engine.finalize_call_score(
+                ShardedBuildState(acc=acc0, ovf=ovf, table=stab, pending=0)
+            )
+        tables_n["child"] += child_uniques
+        all_cands.extend(cand_tuples)
+        m.event("pass_done", pass_id=p, candidates=len(cand_tuples))
+
+    all_cands.sort()  # pass partition splits the key space: union == single-pass result
+    lines = ["#kmer\tchild_count\tmom_count\tdad_count"]
+    for v, c, mo, d in all_cands:
+        lines.append(f"{decode_kmer(v, cfg.k)}\t{c}\t{mo}\t{d}")
+    report = "\n".join(lines) + "\n"
+    m.count("candidates", len(all_cands))
+    return TrioResult(
+        candidates=all_cands, report=report, metrics=m, tables_n=tables_n,
+    )

@@ -679,6 +679,151 @@ class ShardedKmerEngine:
             )
         )
 
+        # internals reused by spill_programs (round-5 sharded single-decode
+        # multipass, the mesh twin of ops/spill.py) — stashed rather than
+        # re-derived so the spill folds are bit-identical to the flush path
+        self._route_window_dev = _route_window
+        self._fold_window_dev = _fold_window
+        self._fold_window_sc_dev = _fold_window_sc
+        self._local_acc_dev, self._glob_acc_dev = _local_acc, _glob_acc
+        self._local_tab_dev, self._glob_tab_dev = _local, _globalize
+        self._local_sc_dev, self._glob_sc_dev = _local_sc, _glob_sc
+        self._acc_specs, self._table_specs = acc_specs, table_specs
+        self._score_specs, self._spec_table = score_specs, spec_table
+        self._spill_cache = {}
+
+    def spill_programs(self, n_spill: int, rows_pp: int, capacity_factor: float = 1.4):
+        """Jitted program set for the SHARDED single-decode multipass (the mesh twin of
+        ops/spill.py; VERDICT r4 missing #3 at BASELINE config-3 scale): each device
+        partitions its own staged window by ``router.pass_of`` into per-pass row blocks
+        kept in a reads-sharded device store, and each counting pass folds only its own
+        rows through the engine's normal route+aggregate (bit-identical fold bodies).
+
+        ``rows_pp``: store rows PER PASS PER DEVICE (rounded up to a multiple of the
+        staging window so chunk folds are static-shaped). Aggregate store HBM =
+        R*T * n_spill * rows_pp * W * 4 B — the mesh spreads it, which is exactly why
+        config 3 shards in the first place. Returns a namespace with
+        (new_store, partition, append, fold, fold_score, chunk_rows)."""
+        import types
+
+        S, W, Pp = self.acc_slots, self.W, n_spill
+        rows_pp = -(-rows_pp // S) * S
+        key = (n_spill, rows_pp, capacity_factor)
+        if key in self._spill_cache:
+            return self._spill_cache[key]
+        cap = route_capacity(S, Pp, capacity_factor)
+        R, T, C = self.R, self.T, self.shard_capacity
+        mesh = self.mesh
+        spec_table = self._spec_table
+        _local_acc, _glob_acc = self._local_acc_dev, self._glob_acc_dev
+        from denovo_kmer_tpu.ops.stream import KmerAccumulator
+
+        store_rows_spec = P(AXIS_READS, AXIS_TABLE, None, None, None)
+        store_fill_spec = P(AXIS_READS, AXIS_TABLE, None)
+
+        def partition_dev(acc, ovf_acc):
+            local = _local_acc(acc)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
+            v = local.valid & (slot < local.fill)
+            owner = pass_of(local.kmers, Pp).astype(jnp.int32)
+            disp, mask, _src, o = bucketize(local.kmers, v, Pp, cap, owner=owner)
+            counts = jnp.sum(mask, axis=1).astype(jnp.int32)
+            reset = KmerAccumulator(
+                kmers=local.kmers, valid=jnp.zeros((S,), bool),
+                fill=jnp.zeros((), jnp.int32),
+            )
+            return (disp[None, None], counts[None, None], _glob_acc(reset),
+                    ovf_acc + o[None, None])
+
+        partition = jax.jit(
+            shard_map(
+                partition_dev, mesh=mesh,
+                in_specs=(self._acc_specs, spec_table),
+                # disp is (R,T,Pp,cap,W): same layout family as the store rows
+                out_specs=(store_rows_spec, store_fill_spec,
+                           self._acc_specs, spec_table),
+            ),
+            donate_argnums=(0, 1),
+        )
+
+        def append_dev(rows, fill, disp, counts):
+            lrows, lfill = rows[0, 0], fill[0, 0]  # (Pp, N, W), (Pp,)
+            ldisp, lcounts = disp[0, 0], counts[0, 0]
+            new_rows = jax.vmap(
+                lambda r, d, f: jax.lax.dynamic_update_slice(r, d, (f, 0))
+            )(lrows, ldisp, lfill)
+            return (new_rows[None, None], (lfill + lcounts)[None, None])
+
+        append = jax.jit(
+            shard_map(
+                append_dev, mesh=mesh,
+                in_specs=(store_rows_spec, store_fill_spec,
+                          store_rows_spec, store_fill_spec),
+                out_specs=(store_rows_spec, store_fill_spec),
+            ),
+            donate_argnums=(0, 1),
+        )
+
+        def _chunk_acc(rows, fill, p, start):
+            """Local (S,W) staged window from the device's pass-``p`` store rows at
+            ``start`` (both traced scalars: one compile serves every chunk)."""
+            lrows, lfill = rows[0, 0], fill[0, 0]
+            chunk = jax.lax.dynamic_slice(lrows, (p, start, 0), (1, S, W))[0]
+            nv = jnp.clip(
+                jax.lax.dynamic_slice(lfill, (p,), (1,))[0] - start, 0, S
+            )
+            slot = jax.lax.broadcasted_iota(jnp.int32, (S,), 0)
+            return KmerAccumulator(
+                kmers=chunk, valid=slot < nv, fill=jnp.asarray(S, jnp.int32)
+            )
+
+        def fold_dev(rows, fill, tab, ovf_acc, p, start):
+            local = _chunk_acc(rows, fill, p, start)
+            rk, rv, ovf_tot = self._route_window_dev(local)
+            out = self._fold_window_dev(self._local_tab_dev(tab), rk, rv)
+            return self._glob_tab_dev(out), ovf_acc + ovf_tot[None, None]
+
+        fold = jax.jit(
+            shard_map(
+                fold_dev, mesh=mesh,
+                in_specs=(store_rows_spec, store_fill_spec, self._table_specs,
+                          spec_table, P(), P()),
+                out_specs=(self._table_specs, spec_table),
+            ),
+            donate_argnums=(2, 3),
+        )
+
+        def fold_sc_dev(rows, fill, stab, ovf_acc, p, start):
+            local = _chunk_acc(rows, fill, p, start)
+            rk, rv, ovf_tot = self._route_window_dev(local)
+            out = self._fold_window_sc_dev(self._local_sc_dev(stab), rk, rv)
+            return self._glob_sc_dev(out), ovf_acc + ovf_tot[None, None]
+
+        fold_score = jax.jit(
+            shard_map(
+                fold_sc_dev, mesh=mesh,
+                in_specs=(store_rows_spec, store_fill_spec, self._score_specs,
+                          spec_table, P(), P()),
+                out_specs=(self._score_specs, spec_table),
+            ),
+            donate_argnums=(2, 3),
+        )
+
+        def new_store():
+            return (
+                self._put(np.zeros((R, T, Pp, rows_pp, W), np.uint32),
+                          store_rows_spec),
+                self._put(np.zeros((R, T, Pp), np.int32), store_fill_spec),
+            )
+
+        ns = types.SimpleNamespace(
+            new_store=new_store, partition=partition, append=append,
+            fold=fold, fold_score=fold_score, chunk_rows=S, rows_pp=rows_pp,
+            window_cap=cap,
+        )
+        self._spill_cache[key] = ns
+        return ns
+
     # ---------- host API ----------
 
     def _put(self, x, spec):

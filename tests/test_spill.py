@@ -116,3 +116,72 @@ def test_store_undersize_is_loud(trio_dir):
     with pytest.raises(SpillOverflowError, match="device_store_rows"):
         run_trio_spill(*_paths(trio_dir), cfg, n_passes=2,
                        device_store_rows=256)
+
+
+# ---------------------------------------------------------------------------
+# round-5 sharded twin (parallel/pipeline.run_trio_spill_sharded)
+# ---------------------------------------------------------------------------
+
+def test_sharded_spill_matches_single_chip(trio_dir, golden):
+    from denovo_kmer_tpu.parallel.pipeline import run_trio_spill_sharded
+
+    cfg = EngineConfig(**CFG, mesh_shape=(2, 4))
+    res = run_trio_spill_sharded(*_paths(trio_dir), cfg, n_passes=3,
+                                 device_store_rows=1 << 12)
+    assert res.report == golden
+    assert res.candidates
+
+
+def test_sharded_spill_matches_sharded_reextract(trio_dir):
+    from denovo_kmer_tpu.parallel.pipeline import (
+        run_trio_multipass_sharded,
+        run_trio_spill_sharded,
+    )
+
+    cfg = EngineConfig(**CFG, mesh_shape=(2, 2))
+    a = run_trio_multipass_sharded(*_paths(trio_dir), cfg, 3)
+    b = run_trio_spill_sharded(*_paths(trio_dir), cfg, 3,
+                               device_store_rows=1 << 12)
+    assert a.report == b.report
+    assert a.tables_n == b.tables_n
+
+
+def test_sharded_spill_store_undersize_is_loud(trio_dir):
+    from denovo_kmer_tpu.ops.spill import SpillOverflowError
+    from denovo_kmer_tpu.parallel.pipeline import run_trio_spill_sharded
+
+    cfg = EngineConfig(**CFG, mesh_shape=(2, 2))
+    # rows_pp rounds up to ONE chunk (= the per-device staging window); a 4-device
+    # mesh at this coverage overfills a single per-pass chunk on some device
+    with pytest.raises(SpillOverflowError, match="store overflow|window capacity"):
+        run_trio_spill_sharded(*_paths(trio_dir), cfg, n_passes=3,
+                               device_store_rows=1, capacity_factor=0.02)
+
+
+def test_sharded_spill_cli(trio_dir, tmp_path):
+    from denovo_kmer_tpu.cli import main
+
+    out = str(tmp_path / "out.tsv")
+    rc = main(["call", "--mom", os.path.join(trio_dir, "mom.bam"),
+               "--dad", os.path.join(trio_dir, "dad.bam"),
+               "--child", os.path.join(trio_dir, "child.bam"),
+               "-k", "21", "--max-read-len", "64", "--batch-reads", "64",
+               "--table-capacity", str(1 << 13), "--accum-batches", "2",
+               "--mesh", "2x4", "--passes", "3", "--spill-rows", "4096",
+               "-o", out])
+    assert rc == 0
+    golden_run = run_trio(*_paths(trio_dir), EngineConfig(**CFG))
+    assert open(out).read() == golden_run.report
+
+
+def test_sharded_spill_cli_rejects_dir_with_mesh(trio_dir, tmp_path):
+    from denovo_kmer_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="single-chip host spill"):
+        main(["call", "--mom", os.path.join(trio_dir, "mom.bam"),
+              "--dad", os.path.join(trio_dir, "dad.bam"),
+              "--child", os.path.join(trio_dir, "child.bam"),
+              "-k", "21", "--max-read-len", "64", "--batch-reads", "64",
+              "--table-capacity", str(1 << 13),
+              "--mesh", "2x4", "--passes", "3", "--spill", str(tmp_path),
+              "-o", str(tmp_path / "x.tsv")])
