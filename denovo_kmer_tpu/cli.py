@@ -928,6 +928,24 @@ def cmd_doctor(args) -> int:
             kinds[d.device_kind] = kinds.get(d.device_kind, 0) + 1
         print(f"jax         {jax.__version__}; devices: "
               + ", ".join(f"{n}x {k}" for k, n in kinds.items()))
+        mesh_arg = getattr(args, "mesh", None)
+        if mesh_arg and tuple(mesh_arg) != (1, 1):
+            # report what make_mesh would build: the route all_to_all rides the
+            # table axis, so its ICI-locality decides the scaling story
+            # (benchmarks/README.md round 5 projections)
+            from denovo_kmer_tpu.parallel.mesh import (
+                make_mesh, table_axis_ici_local,
+            )
+
+            try:
+                mesh = make_mesh(tuple(mesh_arg))
+                loc = ("ICI-local (route all_to_all stays on the fast link)"
+                       if table_axis_ici_local(mesh)
+                       else "SPANS locality domains (route crosses the slow "
+                            "inter-host link — prefer a taller reads axis)")
+                print(f"mesh        {mesh_arg[0]}x{mesh_arg[1]}: table axis {loc}")
+            except ValueError as e:
+                print(f"mesh        {mesh_arg[0]}x{mesh_arg[1]}: UNBUILDABLE ({e})")
     except Exception as e:  # pragma: no cover - no-backend hosts
         print(f"jax         UNAVAILABLE ({e})")
     try:
@@ -1365,6 +1383,9 @@ def main(argv=None) -> int:
                           "chip busy (exit 1 on warning)")
     pdr.add_argument("--probe-batches", type=int, default=8,
                      help="batches to time in the feed probe (default 8)")
+    pdr.add_argument("--mesh", type=_mesh_shape, default=(1, 1),
+                     help="also report the READSxTABLE mesh make_mesh would "
+                          "build and whether its table axis stays ICI-local")
     pdr.add_argument("--reference", default=None,
                      help="reference FASTA for reference-based CRAM probe input")
     pdr.set_defaults(fn=cmd_doctor)
