@@ -48,6 +48,7 @@ def main() -> int:
 
     from denovo_kmer_tpu.config import EngineConfig
     from denovo_kmer_tpu.ops.spill import (
+        alloc_pass_rows,
         count_pass_from_store,
         empty_pass_store,
         partition_window,
@@ -139,7 +140,10 @@ def main() -> int:
               f"window cap {cap}", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         acc = empty_accumulator(S, cfg.words)
-        store = empty_pass_store(n_passes, rows_pp, cfg.words)
+        # +1 window-cap of clamp slack (PassStore invariant); overflow guards
+        # below keep comparing against the logical rows_pp
+        store = empty_pass_store(
+            n_passes, alloc_pass_rows(rows_pp, cap, S), cfg.words)
         ovf_total = jnp.zeros((), jnp.int32)
         pending = 0
         for bi in range(nb):

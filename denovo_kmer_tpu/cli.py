@@ -202,6 +202,11 @@ def cmd_call(args) -> int:
     try:
         spill_dir = getattr(args, "spill", None)
         spill_rows = getattr(args, "spill_rows", None)
+        if (spill_dir or spill_rows) and getattr(args, "passes", 1) <= 1:
+            # loud, not silently ignored: a user who asked for a spill believes
+            # resumable single-decode multipass is active
+            raise SystemExit("--spill/--spill-rows require --passes N (N >= 2): "
+                             "the spill IS the multipass partition")
         if getattr(args, "passes", 1) > 1 and (spill_dir or spill_rows):
             # single-decode multipass (ops/spill.py): decode+extract once, spill
             # per-pass partitions (host files via --spill DIR, resumable; or a

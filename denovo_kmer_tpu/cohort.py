@@ -137,8 +137,13 @@ def run_trio_multi_k(
     for k in ks:
         cfg = cfgs[k]
         if all_fused:
+            from denovo_kmer_tpu.ops.fused import default_max_candidates
+
+            # K sized by k, like the single-trio path (pipeline.py): small k's
+            # larger candidate sets must not K-retry-recompile mid-sweep
             keys, cc, mc, dc, _nu, child_uniques = fused_call_full(
-                accs_child[k], score_k[k], cfg.tau_parent, cfg.min_child_count
+                accs_child[k], score_k[k], cfg.tau_parent, cfg.min_child_count,
+                max_candidates=default_max_candidates(k),
             )
             n = keys.shape[0]
         else:

@@ -29,7 +29,7 @@ argument as run_trio_multipass; tests/test_spill.py pins byte-identity).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,13 +46,32 @@ class SpillOverflowError(RuntimeError):
 
 
 class PassStore(NamedTuple):
-    """Device-resident spill: per-pass compacted k-mer rows in HBM."""
+    """Device-resident spill: per-pass compacted k-mer rows in HBM.
+
+    INVARIANT (store_append): the rows dimension must be allocated with one
+    window-capacity of slack beyond the caller's logical per-pass budget —
+    ``alloc_pass_rows`` does this. Each append writes the FULL (cap, W) dispatch
+    block at offset fill; XLA's dynamic_update_slice CLAMPS a start that would
+    run past the array end, which would silently shift the write backwards over
+    previously stored rows (corruption, not an error) the first time
+    fill > alloc - cap. With the slack, no clamp can occur until fill exceeds
+    the LOGICAL budget — which the callers' post-stream overflow guards turn
+    into a loud SpillOverflowError before anything is read back."""
 
     rows: jnp.ndarray  # (P, N, W) uint32
     fill: jnp.ndarray  # (P,) int32 rows used per pass
 
 
+def alloc_pass_rows(rows_per_pass: int, window_cap: int, chunk_rows: int) -> int:
+    """Allocation size for one pass's store rows: the logical budget plus one
+    window-capacity of clamp slack, kept a multiple of ``chunk_rows`` so the
+    counting chunks stay static-shaped."""
+    return rows_per_pass + -(-window_cap // chunk_rows) * chunk_rows
+
+
 def empty_pass_store(n_passes: int, rows_per_pass: int, words: int) -> PassStore:
+    """``rows_per_pass`` here is the ALLOCATED size — pass the result of
+    ``alloc_pass_rows`` (see PassStore invariant)."""
     return PassStore(
         rows=jnp.zeros((n_passes, rows_per_pass, words), jnp.uint32),
         fill=jnp.zeros((n_passes,), jnp.int32),
@@ -88,7 +107,9 @@ def store_append(store: PassStore, disp: jnp.ndarray, counts: jnp.ndarray) -> Pa
     """Append a partitioned window to the device store: one vmapped
     dynamic_update_slice per pass at its fill offset. Garbage tail rows inside
     ``disp`` blocks land beyond fill+counts and are overwritten by the next
-    window (fill only advances by counts)."""
+    window (fill only advances by counts). Requires the PassStore allocation
+    slack (see the class docstring): without it a near-full pass would make the
+    update-slice start CLAMP and silently overwrite stored rows."""
     new_rows = jax.vmap(
         lambda r, d, f: jax.lax.dynamic_update_slice(r, d, (f, 0))
     )(store.rows, disp, store.fill)
@@ -164,16 +185,39 @@ def score_pass_from_store(store: PassStore, pass_id: int, stab, chunk_rows: int)
 # host spill: per-pass raw row files (the beyond-HBM path)
 # ---------------------------------------------------------------------------
 
+def source_signature(path: str, cfg, region=None) -> dict:
+    """Identity of a spill's INPUT: file path+size+mtime plus every config knob
+    outside ``config_hash`` that changes the extracted k-mer multiset
+    (max_read_len truncation, length buckets) or the record set (region).
+    Stored in the manifest so resume can never reuse a spill produced from
+    different inputs (a semantic-hash-only match would)."""
+    import os
+
+    st = os.stat(path)
+    return {
+        "path": os.path.abspath(path),
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "region": region if isinstance(region, (str, type(None))) else list(region),
+        "max_read_len": cfg.max_read_len,
+        "read_len_buckets": (list(cfg.read_len_buckets)
+                             if cfg.read_len_buckets else None),
+    }
+
+
 class HostSpill:
     """Per-pass spill files of raw uint32 k-mer rows under ``directory``.
 
     Layout: ``<dir>/<sample>.pass<p>.u32`` — a flat little-endian uint32 stream of
     (W)-word rows, append-only; ``<dir>/<sample>.manifest.json`` marks a COMPLETE
-    spill (config hash + per-pass row counts) and gates resume: a sample whose
-    manifest exists and matches is never re-decoded (tests/test_spill.py resume)."""
+    spill (config hash + source signature + per-pass row counts) and gates resume:
+    a sample whose manifest exists and matches is never re-decoded
+    (tests/test_spill.py resume). The manifest is written atomically
+    (tmp + rename) and a truncated/corrupt one reads as "not complete" — the
+    interrupted run the spill exists to survive must never crash the resume."""
 
     def __init__(self, directory: str, sample: str, n_passes: int, words: int,
-                 config_hash: str):
+                 config_hash: str, source_sig: Optional[dict] = None):
         import os
 
         self.dir = directory
@@ -181,6 +225,7 @@ class HostSpill:
         self.n_passes = n_passes
         self.words = words
         self.config_hash = config_hash
+        self.source_sig = source_sig
         os.makedirs(directory, exist_ok=True)
         self._files = None
         self.counts = [0] * n_passes
@@ -203,13 +248,18 @@ class HostSpill:
         mp = self.manifest_path()
         if not os.path.exists(mp):
             return False
-        with open(mp) as f:
-            m = json.load(f)
+        try:
+            with open(mp) as f:
+                m = json.load(f)
+            counts = list(m["counts"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return False  # truncated/corrupt manifest -> re-spill, never crash
         if (m.get("config_hash") != self.config_hash
                 or m.get("n_passes") != self.n_passes
-                or m.get("words") != self.words):
+                or m.get("words") != self.words
+                or m.get("source_sig") != self.source_sig):
             return False
-        self.counts = list(m["counts"])
+        self.counts = counts
         return all(
             os.path.exists(self.path(p))
             and os.path.getsize(self.path(p)) == self.counts[p] * self.words * 4
@@ -230,17 +280,22 @@ class HostSpill:
 
     def finish(self) -> None:
         import json
+        import os
 
         for f in self._files:
             f.close()
         self._files = None
-        with open(self.manifest_path(), "w") as f:
+        mp = self.manifest_path()
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({
                 "config_hash": self.config_hash,
                 "n_passes": self.n_passes,
                 "words": self.words,
+                "source_sig": self.source_sig,
                 "counts": self.counts,
             }, f)
+        os.replace(tmp, mp)  # atomic: a kill mid-write can't leave a half manifest
 
     def abort(self) -> None:
         if self._files:

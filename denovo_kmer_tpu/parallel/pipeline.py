@@ -387,26 +387,38 @@ def run_trio_spill_sharded(
         rows, fill = sp.new_store()
         pending = 0
         src = path if region is None else _record_stream(path, cfg, region)
+        stream = _packed_batches(src, cfg)
+        feed_stats = {}
+        feed = prefetch_placed(stream, put=put, ship_lengths=True,
+                               stats=feed_stats)
         with m.timer(f"spill_{name}"):
-            for packed in prefetch_placed(_packed_batches(src, cfg), put=put,
-                                          ship_lengths=True):
-                m.count("reads_ingested", packed.n_reads)
-                words = jax.device_put(packed.words, engine._sharding_reads)
-                if getattr(packed, "prefix_valid", False) or packed.vwords is None:
-                    lens = packed.length
-                    if not isinstance(lens, jax.Array):
-                        lens = np.ascontiguousarray(lens, dtype=np.int32)
-                    lens = jax.device_put(lens, engine._sharding_reads)
-                    acc, ovf = engine._ingest_len(acc, ovf, words, lens, u32_0)
-                else:
-                    vwords = jax.device_put(packed.vwords, engine._sharding_reads)
-                    acc, ovf = engine._ingest(acc, ovf, words, vwords, u32_0)
-                m.count("kmers_extracted", packed.n_reads * cfg.windows_per_read)
-                pending += 1
-                if pending == cfg.accum_batches:
-                    disp, counts, acc, ovf = sp.partition(acc, ovf)
-                    rows, fill = sp.append(rows, fill, disp, counts)
-                    pending = 0
+            try:
+                for packed in feed:
+                    m.count("reads_ingested", packed.n_reads)
+                    words = jax.device_put(packed.words, engine._sharding_reads)
+                    if (getattr(packed, "prefix_valid", False)
+                            or packed.vwords is None):
+                        lens = packed.length
+                        if not isinstance(lens, jax.Array):
+                            lens = np.ascontiguousarray(lens, dtype=np.int32)
+                        lens = jax.device_put(lens, engine._sharding_reads)
+                        acc, ovf = engine._ingest_len(acc, ovf, words, lens, u32_0)
+                    else:
+                        vwords = jax.device_put(packed.vwords,
+                                                engine._sharding_reads)
+                        acc, ovf = engine._ingest(acc, ovf, words, vwords, u32_0)
+                    m.count("kmers_extracted",
+                            packed.n_reads * cfg.windows_per_read)
+                    pending += 1
+                    if pending == cfg.accum_batches:
+                        disp, counts, acc, ovf = sp.partition(acc, ovf)
+                        rows, fill = sp.append(rows, fill, disp, counts)
+                        pending = 0
+            finally:
+                from denovo_kmer_tpu.io.prefetch import close_unless_leaked
+
+                feed.close()  # stop prefetch threads before their input closes
+                close_unless_leaked(stream, feed_stats)
             if pending:
                 disp, counts, acc, ovf = sp.partition(acc, ovf)
                 rows, fill = sp.append(rows, fill, disp, counts)

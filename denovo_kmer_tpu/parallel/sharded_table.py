@@ -809,9 +809,14 @@ class ShardedKmerEngine:
             donate_argnums=(2, 3),
         )
 
+        # +1 window-cap of clamp slack per pass (ops/spill.PassStore invariant:
+        # append_dev's dynamic_update_slice must never clamp while the logical
+        # fill guard can still fire); chunk-multiple keeps the folds static
+        rows_alloc = rows_pp + -(-cap // S) * S
+
         def new_store():
             return (
-                self._put(np.zeros((R, T, Pp, rows_pp, W), np.uint32),
+                self._put(np.zeros((R, T, Pp, rows_alloc, W), np.uint32),
                           store_rows_spec),
                 self._put(np.zeros((R, T, Pp), np.int32), store_fill_spec),
             )

@@ -935,26 +935,34 @@ def _spill_stream(
         stream = packed_batches(path, cfg, region)
         ea = (steps or make_ingest_step(cfg))[0]
         bucketed = False
-    for item in prefetch_placed(iter(stream), ship_lengths=True):
-        if bucketed:
-            w, packed = item
-            win = cfg.batch_reads * (w - cfg.k + 1)
-            step_w = steps_by_w[w]
-        else:
-            packed = item
-            win = cfg.batch_reads * cfg.windows_per_read
-            step_w = ea
-        m.count("reads_ingested", packed.n_reads)
-        with m.timer("extract_spill"):
-            if fill + win > slots:
-                disp, counts, ovf, acc = partition_window(acc, n_passes, cap)
-                ovf_total = ovf_total + ovf
-                sink(disp, counts)
-                fill = 0
-            acc = step_w.append_packed(acc, packed)
-            fill += win
-        m.count("kmers_extracted", packed.n_reads * (win // cfg.batch_reads))
-        m.count("batches", 1)
+    feed_stats = {}
+    feed = prefetch_placed(iter(stream), ship_lengths=True, stats=feed_stats)
+    try:
+        for item in feed:
+            if bucketed:
+                w, packed = item
+                win = cfg.batch_reads * (w - cfg.k + 1)
+                step_w = steps_by_w[w]
+            else:
+                packed = item
+                win = cfg.batch_reads * cfg.windows_per_read
+                step_w = ea
+            m.count("reads_ingested", packed.n_reads)
+            with m.timer("extract_spill"):
+                if fill + win > slots:
+                    disp, counts, ovf, acc = partition_window(acc, n_passes, cap)
+                    ovf_total = ovf_total + ovf
+                    sink(disp, counts)
+                    fill = 0
+                acc = step_w.append_packed(acc, packed)
+                fill += win
+            m.count("kmers_extracted", packed.n_reads * (win // cfg.batch_reads))
+            m.count("batches", 1)
+    finally:
+        from denovo_kmer_tpu.io.prefetch import close_unless_leaked
+
+        feed.close()  # stop the prefetch threads before closing their input
+        close_unless_leaked(stream, feed_stats)
     if fill:
         with m.timer("extract_spill"):
             disp, counts, ovf, acc = partition_window(acc, n_passes, cap)
@@ -1017,7 +1025,10 @@ def run_trio_spill(
     spills = {}
     for name, path in samples:
         if spill_dir is not None:
-            hs = HostSpill(spill_dir, name, n_passes, cfg.words, cfg.config_hash())
+            from denovo_kmer_tpu.ops.spill import source_signature
+
+            hs = HostSpill(spill_dir, name, n_passes, cfg.words, cfg.config_hash(),
+                           source_sig=source_signature(path, cfg, region))
             if hs.complete():
                 m.event("spill_reused", sample=name, rows=sum(hs.counts))
                 spills[name] = hs
@@ -1044,7 +1055,13 @@ def run_trio_spill(
             spills[name] = hs
         else:
             rows_pp = -(-device_store_rows // chunk_rows) * chunk_rows
-            store = empty_pass_store(n_passes, rows_pp, cfg.words)
+            from denovo_kmer_tpu.ops.spill import alloc_pass_rows
+
+            # +1 window-cap of clamp slack (PassStore invariant); the logical
+            # budget for the overflow guard below stays rows_pp
+            store = empty_pass_store(
+                n_passes, alloc_pass_rows(rows_pp, cap, chunk_rows), cfg.words
+            )
 
             def dev_sink(d, c):
                 nonlocal store

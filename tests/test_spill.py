@@ -185,3 +185,75 @@ def test_sharded_spill_cli_rejects_dir_with_mesh(trio_dir, tmp_path):
               "--table-capacity", str(1 << 13),
               "--mesh", "2x4", "--passes", "3", "--spill", str(tmp_path),
               "-o", str(tmp_path / "x.tsv")])
+
+
+# ---------------------------------------------------------------------------
+# round-5 review regressions
+# ---------------------------------------------------------------------------
+
+def test_store_append_never_clamps_near_full():
+    """A snugly-sized store must not corrupt stored rows: dynamic_update_slice
+    CLAMPS a start that would run past the array end, silently shifting the
+    write over earlier rows. The PassStore allocation slack (alloc_pass_rows)
+    makes that impossible while the logical fill guard can still fire."""
+    import jax.numpy as jnp
+
+    from denovo_kmer_tpu.ops.spill import (
+        alloc_pass_rows, empty_pass_store, store_append,
+    )
+
+    rows_pp, cap, W = 8, 6, 1
+    store = empty_pass_store(1, alloc_pass_rows(rows_pp, cap, 1), W)
+    # two windows of 3 real rows each inside a cap-6 block (tail = garbage)
+    d1 = jnp.arange(cap, dtype=jnp.uint32).reshape(1, cap, W) + 1
+    d2 = jnp.arange(cap, dtype=jnp.uint32).reshape(1, cap, W) + 101
+    store = store_append(store, d1, jnp.asarray([3], jnp.int32))
+    store = store_append(store, d2, jnp.asarray([3], jnp.int32))
+    # fill=6 <= rows_pp: ALL six stored rows must be the real ones, in order
+    got = np.asarray(store.rows)[0, :6, 0].tolist()
+    assert got == [1, 2, 3, 101, 102, 103], got
+    assert int(store.fill[0]) == 6
+
+
+def test_host_spill_rejects_different_inputs(trio_dir, tmp_path):
+    """Resume must key on input identity, not just the semantic config hash:
+    a spill produced from different BAMs (same config) must NOT be reused."""
+    from denovo_kmer_tpu.io.synth import TrioSpec, make_trio, write_trio_bams
+
+    cfg = EngineConfig(**CFG)
+    sd = str(tmp_path / "spill")
+    run_trio_spill(*_paths(trio_dir), cfg, n_passes=3, spill_dir=sd)
+    # a DIFFERENT trio, same names, same spill dir
+    d2 = str(tmp_path / "trio2")
+    write_trio_bams(make_trio(TrioSpec(genome_len=3000, read_len=64,
+                                       coverage=6.0, seed=99,
+                                       n_inherited_snvs=5, n_denovo_snvs=3)), d2)
+    golden2 = run_trio(*_paths(d2), cfg).report
+    res2 = run_trio_spill(*_paths(d2), cfg, n_passes=3, spill_dir=sd)
+    # byte-equality with trio 2's own single-pass run proves the stale trio-1
+    # spill was NOT reused (their candidate sets differ by construction)
+    assert res2.report == golden2
+
+
+def test_host_spill_corrupt_manifest_respills(trio_dir, tmp_path):
+    """A truncated manifest (kill mid-run) must read as 'not complete' and
+    trigger a clean re-spill — never crash the resume."""
+    cfg = EngineConfig(**CFG)
+    sd = str(tmp_path / "spill")
+    golden_run = run_trio_spill(*_paths(trio_dir), cfg, n_passes=3, spill_dir=sd)
+    with open(os.path.join(sd, "mom.manifest.json"), "w") as f:
+        f.write('{"config_hash": "abc", "n_pas')  # truncated
+    res = run_trio_spill(*_paths(trio_dir), cfg, n_passes=3, spill_dir=sd)
+    assert res.report == golden_run.report
+
+
+def test_cli_spill_without_passes_is_loud(trio_dir, tmp_path):
+    from denovo_kmer_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="require --passes"):
+        main(["call", "--mom", os.path.join(trio_dir, "mom.bam"),
+              "--dad", os.path.join(trio_dir, "dad.bam"),
+              "--child", os.path.join(trio_dir, "child.bam"),
+              "-k", "21", "--max-read-len", "64", "--batch-reads", "64",
+              "--table-capacity", str(1 << 13),
+              "--spill", str(tmp_path), "-o", str(tmp_path / "x.tsv")])
