@@ -94,6 +94,60 @@ def build_sample_table_multihost(
     return finalize(state, replicated_fetch=True)
 
 
+def spill_sample_multihost(path, cfg: EngineConfig, engine: ShardedKmerEngine,
+                           sp, feed: str = "stripe"):
+    """Stream this host's share of ``path`` ONCE into the sharded spill store
+    (the multi-host leg of the single-decode multipass — see
+    parallel.pipeline.run_trio_spill_sharded for the design). Every host-side
+    decision value is fetched through replicated reductions (jnp.max/sum), never
+    by indexing non-addressable shards. Returns (rows, fill, fills_np) where
+    ``fills_np`` is the replicated (Pp,) per-pass max fill across devices."""
+    from denovo_kmer_tpu.ops.spill import SpillOverflowError
+
+    host_id, n_hosts = jax.process_index(), jax.process_count()
+    if feed == "range":
+        from denovo_kmer_tpu.parallel.distributed import (
+            host_packed_stream_ranged,
+            range_step_count,
+            steps_fixed,
+        )
+
+        splits, n_steps = range_step_count(path, cfg, n_hosts)
+        batches = host_packed_stream_ranged(path, cfg, host_id, n_hosts, splits)
+        stepper = steps_fixed(batches, cfg, n_steps)
+    else:
+        batches = host_packed_stream(read_bam_records(path), cfg, host_id, n_hosts)
+        stepper = steps_aligned(batches, cfg)
+    acc, ovf = engine._new_acc_state()
+    rows, fill = sp.new_store()
+    pending = 0
+    u32_0 = jnp.uint32(0)
+    for local_packed in stepper:
+        words, vwords = make_global_batch(engine, local_packed)
+        acc, ovf = engine._ingest(acc, ovf, words, vwords, u32_0)
+        pending += 1
+        if pending == cfg.accum_batches:
+            disp, counts, acc, ovf = sp.partition(acc, ovf)
+            rows, fill = sp.append(rows, fill, disp, counts)
+            pending = 0
+    if pending:
+        disp, counts, acc, ovf = sp.partition(acc, ovf)
+        rows, fill = sp.append(rows, fill, disp, counts)
+    ovf_total = int(np.asarray(jnp.sum(ovf)))  # replicated scalar fetch
+    if ovf_total:
+        raise SpillOverflowError(
+            f"{ovf_total} k-mers overflowed the per-pass window capacity "
+            f"{sp.window_cap} ({path}); raise capacity_factor"
+        )
+    fills = np.asarray(jnp.max(fill, axis=(0, 1)))  # (Pp,), replicated
+    if fills.max(initial=0) > sp.rows_pp:
+        raise SpillOverflowError(
+            f"device store overflow ({path}): a device's pass holds "
+            f"{int(fills.max())} rows > {sp.rows_pp}; raise spill_rows"
+        )
+    return rows, fill, fills
+
+
 def run_trio_multihost(
     mom_path: str,
     dad_path: str,
@@ -104,6 +158,7 @@ def run_trio_multihost(
     feed: str = "stripe",
     n_passes: int = 1,
     require_ici_local: bool = False,
+    spill_rows: Optional[int] = None,
 ) -> List[Tuple[int, int, int, int]]:
     """Full trio on an already-initialized multi-process JAX runtime.
 
@@ -123,6 +178,13 @@ def run_trio_multihost(
     """
     if n_passes > 1 and checkpoint_dir:
         raise ValueError("checkpoint_dir does not compose with n_passes > 1")
+    if spill_rows is not None:
+        if n_passes < 2:
+            raise ValueError("spill_rows requires n_passes >= 2 "
+                             "(the spill IS the multipass partition)")
+        if checkpoint_dir or fault:
+            raise ValueError("spill_rows composes with neither checkpoint_dir "
+                             "nor fault injection")
     mesh = make_mesh(cfg.mesh_shape)
     if require_ici_local:
         assert_table_axis_ici_local(mesh)
@@ -133,6 +195,55 @@ def run_trio_multihost(
             ">=0.97 ICI-local, benchmarks/scaling.py); prefer a taller reads "
             "axis", file=__import__("sys").stderr,
         )
+    if spill_rows is not None:
+        # single-decode multipass: spill once per sample, count every pass from
+        # the stores (engine is single-pass — partitioning happens at flush)
+        engine = ShardedKmerEngine(cfg, mesh)
+        sp = engine.spill_programs(n_passes, spill_rows)
+        stores = {
+            name: spill_sample_multihost(path, cfg, engine, sp, feed=feed)
+            for name, path in (("mom", mom_path), ("dad", dad_path),
+                               ("child", child_path))
+        }
+        from jax.sharding import PartitionSpec as P
+
+        from denovo_kmer_tpu.parallel.mesh import AXIS_READS, AXIS_TABLE
+
+        acc0, _ = engine._new_acc_state()
+
+        def _zeros_ovf():
+            return engine._put(np.zeros((engine.R, engine.T), np.int32),
+                               P(AXIS_READS, AXIS_TABLE))
+
+        def _nch(fills, p):
+            return max(-(-int(fills[p]) // sp.chunk_rows), 1)
+
+        spill_out: List[Tuple[int, int, int, int]] = []
+        for p in range(n_passes):
+            ptabs = {}
+            for name in ("mom", "dad"):
+                rows, fill, fills = stores[name]
+                tab, ovf = engine.empty_table(), _zeros_ovf()
+                for ci in range(_nch(fills, p)):
+                    tab, ovf = sp.fold(rows, fill, tab, ovf, jnp.int32(p),
+                                       jnp.int32(ci * sp.chunk_rows))
+                ptabs[name] = engine.finalize(
+                    ShardedBuildState(acc=acc0, ovf=ovf, table=tab, pending=0),
+                    replicated_fetch=True,
+                )
+            rows, fill, fills = stores["child"]
+            stab, ovf = engine._seed_score(ptabs["mom"], ptabs["dad"]), _zeros_ovf()
+            for ci in range(_nch(fills, p)):
+                stab, ovf = sp.fold_score(rows, fill, stab, ovf, jnp.int32(p),
+                                          jnp.int32(ci * sp.chunk_rows))
+            out, _ncu = engine.finalize_call_score(
+                ShardedBuildState(acc=acc0, ovf=ovf, table=stab, pending=0),
+                replicated_fetch=True,
+            )
+            spill_out.extend(out)
+        spill_out.sort()  # pass partition: union == single-pass result
+        return spill_out
+
     engine = ShardedKmerEngine(cfg, mesh, n_passes=n_passes)
     host_id = jax.process_index()
 

@@ -25,6 +25,9 @@ def main() -> int:
     ap.add_argument("--fault", default=None, help="sample:proc_id:after_batches")
     ap.add_argument("--feed", default="stripe", choices=("stripe", "range"))
     ap.add_argument("--passes", type=int, default=1)
+    ap.add_argument("--spill-rows", type=int, default=None,
+                    help="single-decode multipass via a device spill store of "
+                         "N rows per pass per device (requires --passes >= 2)")
     ap.add_argument("--require-ici-local", action="store_true",
                     help="fail unless every table-axis group stays within one "
                          "process (the scaling-critical placement)")
@@ -74,6 +77,7 @@ def main() -> int:
         feed=args.feed,
         n_passes=args.passes,
         require_ici_local=args.require_ici_local,
+        spill_rows=args.spill_rows,
     )
     if args.proc_id == 0:
         with open(args.out_tsv, "w") as f:

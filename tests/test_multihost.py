@@ -189,3 +189,20 @@ def test_two_process_multipass_matches_single_host(trio_dir, tmp_path):
     golden = _single_host_report(trio_dir, tmp_path)
     with open(out) as f:
         assert f.read() == golden
+
+
+@pytest.mark.slow
+def test_two_process_spill_matches_single_host(trio_dir, tmp_path):
+    """Single-decode multipass across processes: 2 procs x 3 passes through the
+    sharded device spill store (parallel.multihost spill_rows path) must
+    reproduce the single-host single-pass report byte-exactly."""
+    out = str(tmp_path / "mh_spill.tsv")
+    port = _free_port()
+    procs = _launch(2, port, trio_dir, out,
+                    extra=("--passes", "3", "--spill-rows", "4096"))
+    results = _wait_all(procs, timeout=420)
+    for rc, so, se in results:
+        assert rc == 0, f"worker failed rc={rc}\nstderr:\n{se[-3000:]}"
+    golden = _single_host_report(trio_dir, tmp_path)
+    with open(out) as f:
+        assert f.read() == golden
