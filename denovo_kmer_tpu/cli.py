@@ -186,6 +186,16 @@ def _accum_kwargs(args) -> dict:
     return {"accum_batches": n}
 
 
+def _reject_multipass_flags(args) -> None:
+    """Loud rejection of `call`-only multipass/spill flags on other subcommands —
+    silently ignoring --spill would leave a user believing resumable
+    single-decode multipass is active (review r5 finding)."""
+    if getattr(args, "passes", 1) > 1:
+        raise SystemExit("--passes is only supported by `call` (single-chip WGS path)")
+    if getattr(args, "spill", None) or getattr(args, "spill_rows", None) is not None:
+        raise SystemExit("--spill/--spill-rows are only supported by `call`")
+
+
 def cmd_call(args) -> int:
     from denovo_kmer_tpu.pipeline import run_trio
     from denovo_kmer_tpu.utils.metrics import Metrics
@@ -202,17 +212,20 @@ def cmd_call(args) -> int:
     try:
         spill_dir = getattr(args, "spill", None)
         spill_rows = getattr(args, "spill_rows", None)
-        if (spill_dir or spill_rows) and getattr(args, "passes", 1) <= 1:
+        if spill_rows is not None and spill_rows < 1:
+            raise SystemExit(f"--spill-rows must be >= 1 (got {spill_rows})")
+        spill_requested = spill_dir is not None or spill_rows is not None
+        if spill_requested and getattr(args, "passes", 1) <= 1:
             # loud, not silently ignored: a user who asked for a spill believes
             # resumable single-decode multipass is active
             raise SystemExit("--spill/--spill-rows require --passes N (N >= 2): "
                              "the spill IS the multipass partition")
-        if getattr(args, "passes", 1) > 1 and (spill_dir or spill_rows):
+        if getattr(args, "passes", 1) > 1 and spill_requested:
             # single-decode multipass (ops/spill.py): decode+extract once, spill
             # per-pass partitions (host files via --spill DIR, resumable; or a
             # device store via --spill-rows), count each pass from its spill —
             # the KMC2-style move
-            if spill_dir and spill_rows:
+            if spill_dir is not None and spill_rows is not None:
                 raise SystemExit("--spill DIR and --spill-rows are exclusive")
             if cfg.mesh_shape != (1, 1):
                 if spill_dir:
@@ -339,8 +352,7 @@ def cmd_count(args) -> int:
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
     if (args.region or getattr(args, "regions_bed", None)) and args.resume:
         raise SystemExit("--region and --resume are mutually exclusive")
-    if getattr(args, "passes", 1) > 1:
-        raise SystemExit("--passes is only supported by `call` (single-chip WGS path)")
+    _reject_multipass_flags(args)
     with metrics.timer("build"):
         if args.resume:
             if not args.reads.lower().endswith(".bam"):
@@ -374,8 +386,7 @@ def cmd_sweep(args) -> int:
             "--output-pattern must contain a '{k}' placeholder (e.g. "
             "candidates.k{k}.tsv) — otherwise every k would overwrite the same file"
         )
-    if getattr(args, "passes", 1) > 1:
-        raise SystemExit("--passes is only supported by `call` (single-chip WGS path)")
+    _reject_multipass_flags(args)
     ks = [int(x) for x in args.ks.split(",")]
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
     if cfg.mesh_shape != (1, 1):
@@ -475,8 +486,7 @@ def cmd_cohort(args) -> int:
                 trios.append(TrioPaths(name=name, mom=mom, dad=dad, child=child))
     if not trios:
         raise SystemExit("cohort: no trios found in the input")
-    if getattr(args, "passes", 1) > 1:
-        raise SystemExit("--passes is only supported by `call` (single-chip WGS path)")
+    _reject_multipass_flags(args)
     metrics = Metrics(json_stream=sys.stderr if cfg.json_metrics else None)
     os.makedirs(args.outdir, exist_ok=True)
     if cfg.mesh_shape != (1, 1):

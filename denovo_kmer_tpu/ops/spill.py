@@ -194,6 +194,17 @@ def source_signature(path: str, cfg, region=None) -> dict:
     import os
 
     st = os.stat(path)
+    ref = getattr(cfg, "reference_fasta", None)
+    ref_sig = None
+    if ref:
+        # reference-based CRAM decodes sequences AGAINST this file: a changed
+        # reference changes the extracted k-mers even when the CRAM is untouched
+        try:
+            rst = os.stat(ref)
+            ref_sig = {"path": os.path.abspath(ref), "size": rst.st_size,
+                       "mtime_ns": rst.st_mtime_ns}
+        except OSError:
+            ref_sig = {"path": os.path.abspath(ref)}
     return {
         "path": os.path.abspath(path),
         "size": st.st_size,
@@ -202,6 +213,7 @@ def source_signature(path: str, cfg, region=None) -> dict:
         "max_read_len": cfg.max_read_len,
         "read_len_buckets": (list(cfg.read_len_buckets)
                              if cfg.read_len_buckets else None),
+        "reference": ref_sig,
     }
 
 
@@ -251,7 +263,9 @@ class HostSpill:
         try:
             with open(mp) as f:
                 m = json.load(f)
-            counts = list(m["counts"])
+            counts = [int(c) for c in m["counts"]]
+            if len(counts) != self.n_passes:
+                return False
         except (OSError, ValueError, KeyError, TypeError):
             return False  # truncated/corrupt manifest -> re-spill, never crash
         if (m.get("config_hash") != self.config_hash

@@ -44,6 +44,27 @@ def _all_processes_see(path: str) -> bool:
     return bool(multihost_utils.process_allgather(have).min())
 
 
+def _make_stepper(path: str, cfg: EngineConfig, feed: str):
+    """This host's SPMD-aligned packed-batch stepper over ``path`` — shared by the
+    table build and the spill stream. ``feed``: "stripe" (every host decodes all
+    records, keeps 1/N) or "range" (virtual-offset ranges — each host decodes only
+    its slice; SURVEY.md §5.8)."""
+    host_id, n_hosts = jax.process_index(), jax.process_count()
+    if feed == "range":
+        # collective-free alignment: the split scan fixes every host's step count upfront
+        from denovo_kmer_tpu.parallel.distributed import (
+            host_packed_stream_ranged,
+            range_step_count,
+            steps_fixed,
+        )
+
+        splits, n_steps = range_step_count(path, cfg, n_hosts)
+        batches = host_packed_stream_ranged(path, cfg, host_id, n_hosts, splits)
+        return steps_fixed(batches, cfg, n_steps)
+    batches = host_packed_stream(read_bam_records(path), cfg, host_id, n_hosts)
+    return steps_aligned(batches, cfg)
+
+
 def build_sample_table_multihost(
     path: str,
     cfg: EngineConfig,
@@ -58,31 +79,15 @@ def build_sample_table_multihost(
 
     ``score_seed``: (mom_table, dad_table) — use the parent-seeded scored build
     (ops/score.py) instead of a plain table build (the child-scoring fast path).
-    ``feed``: "stripe" (every host decodes all records, keeps 1/N) or "range"
-    (virtual-offset ranges — each host decodes only its slice; SURVEY.md §5.8).
     ``return_state``: return the raw build state instead of finalizing (callers that
     run the fused finalize_call_score themselves)."""
-    host_id, n_hosts = jax.process_index(), jax.process_count()
     if score_seed is not None:
         state = engine.new_score_build(*score_seed)
         ingest, finalize = engine.ingest_score_global, engine.finalize_score
     else:
         state = engine.new_build()
         ingest, finalize = engine.ingest_global, engine.finalize
-    if feed == "range":
-        # collective-free alignment: the split scan fixes every host's step count upfront
-        from denovo_kmer_tpu.parallel.distributed import (
-            host_packed_stream_ranged,
-            range_step_count,
-            steps_fixed,
-        )
-
-        splits, n_steps = range_step_count(path, cfg, n_hosts)
-        batches = host_packed_stream_ranged(path, cfg, host_id, n_hosts, splits)
-        stepper = steps_fixed(batches, cfg, n_steps)
-    else:
-        batches = host_packed_stream(read_bam_records(path), cfg, host_id, n_hosts)
-        stepper = steps_aligned(batches, cfg)
+    stepper = _make_stepper(path, cfg, feed)
     for i, local_packed in enumerate(stepper):
         if fault_kill_after is not None and i >= fault_kill_after:
             # fault injection (tests): die mid-build without cleanup
@@ -95,7 +100,8 @@ def build_sample_table_multihost(
 
 
 def spill_sample_multihost(path, cfg: EngineConfig, engine: ShardedKmerEngine,
-                           sp, feed: str = "stripe"):
+                           sp, feed: str = "stripe",
+                           capacity_factor: float = 1.4):
     """Stream this host's share of ``path`` ONCE into the sharded spill store
     (the multi-host leg of the single-decode multipass — see
     parallel.pipeline.run_trio_spill_sharded for the design). Every host-side
@@ -104,20 +110,7 @@ def spill_sample_multihost(path, cfg: EngineConfig, engine: ShardedKmerEngine,
     ``fills_np`` is the replicated (Pp,) per-pass max fill across devices."""
     from denovo_kmer_tpu.ops.spill import SpillOverflowError
 
-    host_id, n_hosts = jax.process_index(), jax.process_count()
-    if feed == "range":
-        from denovo_kmer_tpu.parallel.distributed import (
-            host_packed_stream_ranged,
-            range_step_count,
-            steps_fixed,
-        )
-
-        splits, n_steps = range_step_count(path, cfg, n_hosts)
-        batches = host_packed_stream_ranged(path, cfg, host_id, n_hosts, splits)
-        stepper = steps_fixed(batches, cfg, n_steps)
-    else:
-        batches = host_packed_stream(read_bam_records(path), cfg, host_id, n_hosts)
-        stepper = steps_aligned(batches, cfg)
+    stepper = _make_stepper(path, cfg, feed)
     acc, ovf = engine._new_acc_state()
     rows, fill = sp.new_store()
     pending = 0
@@ -137,7 +130,8 @@ def spill_sample_multihost(path, cfg: EngineConfig, engine: ShardedKmerEngine,
     if ovf_total:
         raise SpillOverflowError(
             f"{ovf_total} k-mers overflowed the per-pass window capacity "
-            f"{sp.window_cap} ({path}); raise capacity_factor"
+            f"{sp.window_cap} ({path}); raise capacity_factor "
+            f"(={capacity_factor}, run_trio_multihost spill_capacity_factor)"
         )
     fills = np.asarray(jnp.max(fill, axis=(0, 1)))  # (Pp,), replicated
     if fills.max(initial=0) > sp.rows_pp:
@@ -159,6 +153,7 @@ def run_trio_multihost(
     n_passes: int = 1,
     require_ici_local: bool = False,
     spill_rows: Optional[int] = None,
+    spill_capacity_factor: float = 1.4,
 ) -> List[Tuple[int, int, int, int]]:
     """Full trio on an already-initialized multi-process JAX runtime.
 
@@ -197,51 +192,27 @@ def run_trio_multihost(
         )
     if spill_rows is not None:
         # single-decode multipass: spill once per sample, count every pass from
-        # the stores (engine is single-pass — partitioning happens at flush)
+        # the stores (engine is single-pass — partitioning happens at flush);
+        # the counting protocol is SHARED with the single-host sharded path
+        from denovo_kmer_tpu.parallel.pipeline import count_passes_from_spill
+        from denovo_kmer_tpu.utils.metrics import Metrics
+
         engine = ShardedKmerEngine(cfg, mesh)
-        sp = engine.spill_programs(n_passes, spill_rows)
+        sp = engine.spill_programs(n_passes, spill_rows, spill_capacity_factor)
         stores = {
-            name: spill_sample_multihost(path, cfg, engine, sp, feed=feed)
+            name: spill_sample_multihost(path, cfg, engine, sp, feed=feed,
+                                         capacity_factor=spill_capacity_factor)
             for name, path in (("mom", mom_path), ("dad", dad_path),
                                ("child", child_path))
         }
-        from jax.sharding import PartitionSpec as P
-
-        from denovo_kmer_tpu.parallel.mesh import AXIS_READS, AXIS_TABLE
-
-        acc0, _ = engine._new_acc_state()
-
-        def _zeros_ovf():
-            return engine._put(np.zeros((engine.R, engine.T), np.int32),
-                               P(AXIS_READS, AXIS_TABLE))
 
         def _nch(fills, p):
             return max(-(-int(fills[p]) // sp.chunk_rows), 1)
 
-        spill_out: List[Tuple[int, int, int, int]] = []
-        for p in range(n_passes):
-            ptabs = {}
-            for name in ("mom", "dad"):
-                rows, fill, fills = stores[name]
-                tab, ovf = engine.empty_table(), _zeros_ovf()
-                for ci in range(_nch(fills, p)):
-                    tab, ovf = sp.fold(rows, fill, tab, ovf, jnp.int32(p),
-                                       jnp.int32(ci * sp.chunk_rows))
-                ptabs[name] = engine.finalize(
-                    ShardedBuildState(acc=acc0, ovf=ovf, table=tab, pending=0),
-                    replicated_fetch=True,
-                )
-            rows, fill, fills = stores["child"]
-            stab, ovf = engine._seed_score(ptabs["mom"], ptabs["dad"]), _zeros_ovf()
-            for ci in range(_nch(fills, p)):
-                stab, ovf = sp.fold_score(rows, fill, stab, ovf, jnp.int32(p),
-                                          jnp.int32(ci * sp.chunk_rows))
-            out, _ncu = engine.finalize_call_score(
-                ShardedBuildState(acc=acc0, ovf=ovf, table=stab, pending=0),
-                replicated_fetch=True,
-            )
-            spill_out.extend(out)
-        spill_out.sort()  # pass partition: union == single-pass result
+        spill_out, _tables_n = count_passes_from_spill(
+            engine, sp, stores, n_passes, _nch, Metrics(),
+            replicated_fetch=True,
+        )
         return spill_out
 
     engine = ShardedKmerEngine(cfg, mesh, n_passes=n_passes)

@@ -378,10 +378,6 @@ def run_trio_spill_sharded(
     put = functools.partial(jax.device_put, device=engine._sharding_reads)
     u32_0 = jnp.uint32(0)
 
-    def _zeros_ovf():
-        return engine._put(np.zeros((engine.R, engine.T), np.int32),
-                           P(AXIS_READS, AXIS_TABLE))
-
     def spill_sample(name, path):
         acc, ovf = engine._new_acc_state()
         rows, fill = sp.new_store()
@@ -441,41 +437,12 @@ def run_trio_spill_sharded(
     stores = {name: spill_sample(name, path) for name, path in
               (("mom", mom_path), ("dad", dad_path), ("child", child_path))}
 
-    # one dummy acc reused by every finalize state (pending=0 never touches it)
-    acc0, _ = engine._new_acc_state()
-    all_cands = []
-    tables_n = {"mom": 0, "dad": 0, "child": 0}
-
     def _n_chunks(fills, p):
         return max(-(-int(fills[:, :, p].max(initial=0)) // sp.chunk_rows), 1)
 
-    for p in range(n_passes):
-        with m.timer("count_passes"):
-            ptabs = {}
-            for name in ("mom", "dad"):
-                rows, fill, fills = stores[name]
-                tab, ovf = engine.empty_table(), _zeros_ovf()
-                for ci in range(_n_chunks(fills, p)):
-                    tab, ovf = sp.fold(rows, fill, tab, ovf, jnp.int32(p),
-                                       jnp.int32(ci * sp.chunk_rows))
-                ptabs[name] = engine.finalize(
-                    ShardedBuildState(acc=acc0, ovf=ovf, table=tab, pending=0)
-                )
-                tables_n[name] += engine.total_unique(ptabs[name])
-            rows, fill, fills = stores["child"]
-            stab, ovf = engine._seed_score(ptabs["mom"], ptabs["dad"]), _zeros_ovf()
-            for ci in range(_n_chunks(fills, p)):
-                stab, ovf = sp.fold_score(rows, fill, stab, ovf, jnp.int32(p),
-                                          jnp.int32(ci * sp.chunk_rows))
-        with m.timer("trio_call"):
-            cand_tuples, child_uniques = engine.finalize_call_score(
-                ShardedBuildState(acc=acc0, ovf=ovf, table=stab, pending=0)
-            )
-        tables_n["child"] += child_uniques
-        all_cands.extend(cand_tuples)
-        m.event("pass_done", pass_id=p, candidates=len(cand_tuples))
-
-    all_cands.sort()  # pass partition splits the key space: union == single-pass result
+    all_cands, tables_n = count_passes_from_spill(
+        engine, sp, stores, n_passes, _n_chunks, m
+    )
     lines = ["#kmer\tchild_count\tmom_count\tdad_count"]
     for v, c, mo, d in all_cands:
         lines.append(f"{decode_kmer(v, cfg.k)}\t{c}\t{mo}\t{d}")
@@ -484,3 +451,59 @@ def run_trio_spill_sharded(
     return TrioResult(
         candidates=all_cands, report=report, metrics=m, tables_n=tables_n,
     )
+
+
+def count_passes_from_spill(engine, sp, stores, n_passes, n_chunks, metrics,
+                            replicated_fetch: bool = False):
+    """Per-pass counting shared by the sharded and multi-host spill paths: fold
+    each sample's pass-``p`` store rows through the engine's route+aggregate,
+    finalize the parents, seed+fold the child's score table, and run the fused
+    finalize+call. ``stores``: {mom/dad/child: (rows, fill, fills)};
+    ``n_chunks(fills, p)``: chunk count for one pass (the two callers index
+    their fills differently — (R,T,Pp) local array vs (Pp,) replicated maxes).
+    ``replicated_fetch``: multi-process mode (guards fetched via replicated
+    reductions only). Returns (sorted candidate tuples, tables_n)."""
+    from jax.sharding import PartitionSpec as P
+
+    from denovo_kmer_tpu.parallel.mesh import AXIS_READS, AXIS_TABLE
+    from denovo_kmer_tpu.parallel.sharded_table import ShardedBuildState
+
+    m = metrics
+    # one dummy acc reused by every finalize state (pending=0 never touches it)
+    acc0, _ = engine._new_acc_state()
+
+    def _zeros_ovf():
+        return engine._put(np.zeros((engine.R, engine.T), np.int32),
+                           P(AXIS_READS, AXIS_TABLE))
+
+    all_cands = []
+    tables_n = {"mom": 0, "dad": 0, "child": 0}
+    for p in range(n_passes):
+        with m.timer("count_passes"):
+            ptabs = {}
+            for name in ("mom", "dad"):
+                rows, fill, fills = stores[name]
+                tab, ovf = engine.empty_table(), _zeros_ovf()
+                for ci in range(n_chunks(fills, p)):
+                    tab, ovf = sp.fold(rows, fill, tab, ovf, jnp.int32(p),
+                                       jnp.int32(ci * sp.chunk_rows))
+                ptabs[name] = engine.finalize(
+                    ShardedBuildState(acc=acc0, ovf=ovf, table=tab, pending=0),
+                    replicated_fetch=replicated_fetch,
+                )
+                tables_n[name] += engine.total_unique(ptabs[name])
+            rows, fill, fills = stores["child"]
+            stab, ovf = engine._seed_score(ptabs["mom"], ptabs["dad"]), _zeros_ovf()
+            for ci in range(n_chunks(fills, p)):
+                stab, ovf = sp.fold_score(rows, fill, stab, ovf, jnp.int32(p),
+                                          jnp.int32(ci * sp.chunk_rows))
+        with m.timer("trio_call"):
+            cand_tuples, child_uniques = engine.finalize_call_score(
+                ShardedBuildState(acc=acc0, ovf=ovf, table=stab, pending=0),
+                replicated_fetch=replicated_fetch,
+            )
+        tables_n["child"] += child_uniques
+        all_cands.extend(cand_tuples)
+        m.event("pass_done", pass_id=p, candidates=len(cand_tuples))
+    all_cands.sort()  # pass partition splits the key space: union == single-pass
+    return all_cands, tables_n
