@@ -364,9 +364,6 @@ def run_trio_spill_sharded(
     per host with the single-chip ``HostSpill`` and is not implemented here."""
     from denovo_kmer_tpu.io.prefetch import prefetch_placed
     from denovo_kmer_tpu.ops.spill import SpillOverflowError
-    from denovo_kmer_tpu.parallel.mesh import AXIS_READS, AXIS_TABLE
-    from denovo_kmer_tpu.parallel.sharded_table import ShardedBuildState
-    from jax.sharding import PartitionSpec as P
 
     if n_passes < 2:
         return run_trio_sharded(mom_path, dad_path, child_path, cfg, metrics,
