@@ -470,8 +470,9 @@ def main() -> int:
 
     # BENCH_SWEEP_COHORT=1: also measure BASELINE configs 4-5 (multi-k sweep
     # amortization + cohort marginal-trio cost) and merge the keys — ~5 extra
-    # minutes warm, so opt-in; the standing chip numbers live in
-    # benchmarks/README.md (v5e 2026-08-19: amortization 0.467, marginal 0.898)
+    # minutes warm, so opt-in; the standing CLEAN chip numbers live in
+    # benchmarks/README.md round 5 (v5e 2026-08-20: amortization 0.585,
+    # marginal trio 0.93x flat through 8 trios, zero compile in timed windows)
     if os.environ.get("BENCH_SWEEP_COHORT") == "1":
         try:
             import io as _io
